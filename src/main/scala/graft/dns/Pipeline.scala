@@ -1,0 +1,100 @@
+package graft.dns
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** End-to-end batch composition of the reference pipeline
+  * (SURVEY.md §3 entry point 1): envelope documents in → BIND9 lines +
+  * quarantined records + rejected envelopes out.
+  *
+  * Shape: every step is a narrow, codegen-friendly transform — the whole
+  * envelope→lines path runs shuffle-free, so it scales linearly with
+  * input splits (the 100 TB case is embarrassingly parallel here; cost
+  * centers only appear in the analytics layer).
+  */
+object Pipeline {
+
+  /** Result of one batch: the three disjoint outputs the reference
+    * produces implicitly (emit / drop-record / reject-batch). */
+  final case class Outputs(
+      lines: DataFrame,      // requestId, record_idx, line_idx, line
+      quarantine: DataFrame, // requestId, record_idx, data, reason
+      rejectedEnvelopes: DataFrame) // requestId, reject_reason
+
+  /** Parse raw envelope JSON documents (one per row) with the declared
+    * schema — the `request.get_json()` step (app/app.py:78). Unparseable
+    * documents keep a null requestId and fall into envelope rejection. */
+  def parseEnvelopes(raw: Dataset[String]): DataFrame =
+    raw.toDF("json").select(
+      from_json(col("json"), Schemas.envelopeSchema).as("env"))
+      .select(col("env.*"))
+
+  /** Op 2 — envelope (batch-level) validation, reproducing the
+    * jsonschema gate (app/app.py:35-58,79,88-93): a violation rejects
+    * the WHOLE batch where later per-record errors drop only the record.
+    * Returns null for a valid envelope, else the failed constraint. */
+  def envelopeRejectReason(df: DataFrame): DataFrame =
+    df.withColumn(
+      "reject_reason",
+      when(col("requestId").isNull, lit("requestId_missing"))
+        .when(col("records").isNull, lit("records_missing"))
+        .when(size(col("records")) < Schemas.minRecordsPerBatch,
+          lit("records_empty"))
+        .when(size(col("records")) > Schemas.maxRecordsPerBatch,
+          lit("records_over_max"))
+        .when(!forall(col("records"),
+          r => r.getField("data").isNotNull &&
+            length(r.getField("data")) <= Schemas.maxDataLength),
+          lit("data_invalid"))
+        .otherwise(lit(null).cast("string")))
+
+  /** Ops 3–8 over accepted envelopes: one row per record with validity
+    * reason and (for clean rows) the parsed Variant + event timestamp. */
+  def decodedRecords(envelopes: DataFrame): DataFrame =
+    Decode.decodeAndValidate(Decode.explodeRecords(envelopes))
+
+  /** Ops 7–12 over clean records: typed projection, deterministic client
+    * tag, 1+|answers| BIND9 lines, exploded in emit order. */
+  def bind9Lines(cleanRecords: DataFrame): DataFrame = {
+    val dns = Decode.projectDnsFields(cleanRecords)
+    val tag = Format.deterministicHexTag(
+      col("requestId"), col("record_idx"), col("query_name"),
+      col("query_timestamp"))
+    dns
+      .withColumn("lines", Format.bind9Lines(
+        col("query_ts"), col("vpc_id"), tag, col("srcaddr"),
+        col("srcport"), col("query_name"), col("answers")))
+      .select(col("requestId"), col("record_idx"), posexplode(col("lines")))
+      .withColumnsRenamed(Map("pos" -> "line_idx", "col" -> "line"))
+  }
+
+  /** The dead-code Microsoft formatter surface (op 13) — same pipeline,
+    * one line per record, non-default exactly as in the reference. */
+  def microsoftDnsLines(cleanRecords: DataFrame): DataFrame =
+    Decode.projectDnsFields(cleanRecords)
+      .withColumn("line", Format.microsoftDnsLine(
+        col("query_ts"), col("transport"), col("srcaddr"), col("srcport"),
+        col("rcode"), col("query_name"), col("answers")))
+      .select(col("requestId"), col("record_idx"), col("line"))
+
+  /** Full batch: envelope gate → record decode/validate → split into
+    * lines / quarantine / rejected envelopes (op 17 semantics: a poison
+    * record quarantines alone; its batch keeps flowing,
+    * app/app.py:219-263). */
+  def process(envelopes: DataFrame): Outputs = {
+    val gated = envelopeRejectReason(envelopes)
+    val accepted = gated.filter(col("reject_reason").isNull)
+      .drop("reject_reason")
+    val rejected = gated.filter(col("reject_reason").isNotNull)
+      .select(col("requestId"), col("reject_reason"))
+    val records = decodedRecords(accepted)
+    val clean = records.filter(col("reason").isNull)
+    val dirty = records.filter(col("reason").isNotNull)
+      .select(col("requestId"), col("record_idx"), col("data"), col("reason"))
+    Outputs(bind9Lines(clean), dirty, rejected)
+  }
+
+  /** Convenience: raw JSON documents straight to outputs. */
+  def processJson(raw: Dataset[String]): Outputs =
+    process(parseEnvelopes(raw))
+}

@@ -1,0 +1,192 @@
+package graft.dns
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.Base64
+
+/** Golden end-to-end fixtures (FIXTURES.md §2-4): envelope JSON in →
+  * exact BIND9 lines out, plus one quarantine fixture per drop reason of
+  * the reference's per-record try/except (app/app.py:219-263). */
+class Bind9PipelineSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Mirror of Format.deterministicHexTag's seed layout: fields joined
+    * with the  separator the Column expression uses. */
+  private def tag(requestId: String, recordIdx: Int, qname: String,
+      qts: String): String =
+    "@0x" + md5hex(Seq(requestId, recordIdx.toString, qname, qts)
+      .mkString("\u0001")).take(12)
+
+  private val happyRecord =
+    """{"version":"1.100000","account_id":"111122223333","region":"eu-west-1",
+      |"vpc_id":"vpc-7example","query_timestamp":"2023-10-15T14:03:07Z",
+      |"query_name":"example.com.","query_type":"TXT","query_class":"IN",
+      |"rcode":"NOERROR",
+      |"answers":[{"Rdata":"203.0.113.9","Type":"A","Class":"IN"},
+      |           {"Rdata":"203.0.113.10","Type":"AAAA","Class":"IN"}],
+      |"srcaddr":"10.0.0.4","srcport":"53211","transport":"UDP",
+      |"srcids":{"instance":"i-0d15cd0d3example"}}""".stripMargin
+
+  private def envelope(requestId: String, datas: Seq[String]): String = {
+    val recs = datas.map(d => s"""{"data":"$d"}""").mkString(",")
+    s"""{"requestId":"$requestId","timestamp":1697378587123,"records":[$recs]}"""
+  }
+
+  private def mutate(json: String, from: String, to: String): String = {
+    assert(json.contains(from), s"fixture mutation target missing: $from")
+    json.replace(from, to)
+  }
+
+  private def run(envelopes: String*): Pipeline.Outputs =
+    Pipeline.processJson(spark.createDataset(envelopes))
+
+  test("happy path: query line + one reply line per answer, emit order") {
+    val out = run(envelope("req-1", Seq(b64(happyRecord))))
+    val t = tag("req-1", 0, "example.com.", "2023-10-15T14:03:07Z")
+    val lines = out.lines.orderBy("line_idx")
+      .select("line").as[String].collect().toSeq
+    assert(lines === Seq(
+      s"Oct 15 14:03:07 vpc-7example route53resolver: 15-Oct-2023 14:03:07.000 client $t 10.0.0.4#53211 (example.com.): query: example.com. IN A + (127.0.0.1)",
+      s"Oct 15 14:03:07 vpc-7example route53resolver: 15-Oct-2023 14:03:07.000 client $t 10.0.0.4#53211 (example.com.): reply: example.com. is 203.0.113.9",
+      s"Oct 15 14:03:07 vpc-7example route53resolver: 15-Oct-2023 14:03:07.000 client $t 10.0.0.4#53211 (example.com.): reply: example.com. is 203.0.113.10"))
+    assert(out.quarantine.isEmpty && out.rejectedEnvelopes.isEmpty)
+  }
+
+  test("quirk: printed type is answers[0].Type, never query_type") {
+    // query_type is TXT but answers[0].Type is A → line says "IN A"
+    val out = run(envelope("req-q", Seq(b64(happyRecord))))
+    val queryLine = out.lines.filter($"line_idx" === 0)
+      .select("line").as[String].head()
+    assert(queryLine.contains(" IN A + (127.0.0.1)"))
+    assert(!queryLine.contains("TXT"))
+  }
+
+  test("zero answers: query line only, fallback type A") {
+    val rec = mutate(happyRecord,
+      """"answers":[{"Rdata":"203.0.113.9","Type":"A","Class":"IN"},
+        |           {"Rdata":"203.0.113.10","Type":"AAAA","Class":"IN"}]""".stripMargin,
+      """"answers":[]""")
+    val out = run(envelope("req-2", Seq(b64(rec))))
+    val lines = out.lines.select("line").as[String].collect().toSeq
+    assert(lines.size === 1)
+    assert(lines.head.endsWith("(example.com.): query: example.com. IN A + (127.0.0.1)"))
+  }
+
+  test("json-null Rdata prints as N/A") {
+    val rec = mutate(happyRecord, """"Rdata":"203.0.113.9"""", """"Rdata":null""")
+    val out = run(envelope("req-3", Seq(b64(rec))))
+    val reply = out.lines.filter($"line_idx" === 1).select("line").as[String].head()
+    assert(reply.endsWith("reply: example.com. is N/A"))
+  }
+
+  test("unicode query_name survives decode+format byte-exactly") {
+    val uni = "bücher.例え.de." // ü + CJK, multi-byte UTF-8
+    val rec = mutate(happyRecord, "\"query_name\":\"example.com.\"",
+      s""""query_name":"$uni"""")
+    val out = run(envelope("req-u", Seq(b64(rec))))
+    val queryLine = out.lines.filter($"line_idx" === 0)
+      .select("line").as[String].head()
+    assert(queryLine.contains(s"($uni): query: $uni IN A + (127.0.0.1)"))
+    assert(out.quarantine.isEmpty)
+  }
+
+  private def soleReason(out: Pipeline.Outputs): String = {
+    assert(out.lines.isEmpty, "expected no emitted lines")
+    val q = out.quarantine.select("reason").as[String].collect().toSeq
+    assert(q.size === 1)
+    q.head
+  }
+
+  test("drop reason: invalid base64") {
+    assert(soleReason(run(envelope("r", Seq("!!!notb64!!!")))) === "base64")
+  }
+
+  test("drop reason: invalid utf-8 bytes") {
+    val badUtf8 = Base64.getEncoder.encodeToString(Array(0xFF.toByte, 0xFE.toByte))
+    assert(soleReason(run(envelope("r", Seq(badUtf8)))) === "base64")
+  }
+
+  test("drop reason: malformed json") {
+    assert(soleReason(run(envelope("r", Seq(b64("{nope"))))) === "json")
+  }
+
+  test("drop reason: missing required field (rcode)") {
+    val rec = mutate(happyRecord, """"rcode":"NOERROR",""", "")
+    assert(soleReason(run(envelope("r", Seq(b64(rec))))) === "schema")
+  }
+
+  test("drop reason: wrong JSON type (srcport as number)") {
+    val rec = mutate(happyRecord, """"srcport":"53211"""", """"srcport":53211""")
+    assert(soleReason(run(envelope("r", Seq(b64(rec))))) === "schema")
+  }
+
+  test("drop reason: answer without Rdata key") {
+    val rec = mutate(happyRecord,
+      """"answers":[{"Rdata":"203.0.113.9","Type":"A","Class":"IN"},
+        |           {"Rdata":"203.0.113.10","Type":"AAAA","Class":"IN"}]""".stripMargin,
+      """"answers":[{"Type":"A"}]""")
+    assert(soleReason(run(envelope("r", Seq(b64(rec))))) === "schema")
+  }
+
+  test("drop reason: srcids without instance") {
+    val rec = mutate(happyRecord,
+      """"srcids":{"instance":"i-0d15cd0d3example"}""",
+      """"srcids":{"resolver":"x"}""")
+    assert(soleReason(run(envelope("r", Seq(b64(rec))))) === "schema")
+  }
+
+  test("drop reason: fractional-second timestamp") {
+    val rec = mutate(happyRecord, "2023-10-15T14:03:07Z", "2023-10-15T14:03:07.123Z")
+    assert(soleReason(run(envelope("r", Seq(b64(rec))))) === "timestamp")
+  }
+
+  test("poison isolation: valid ++ bad ++ valid emits both valid records") {
+    val out = run(envelope("req-p",
+      Seq(b64(happyRecord), b64("{nope"), b64(happyRecord))))
+    assert(out.lines.count() === 6) // 2 valid records × 3 lines
+    assert(out.quarantine.count() === 1)
+    assert(out.quarantine.select("record_idx").as[Int].head() === 1)
+  }
+
+  test("envelope rejection: missing requestId rejects the whole batch") {
+    val env = s"""{"timestamp":1,"records":[{"data":"${b64(happyRecord)}"}]}"""
+    val out = run(env)
+    assert(out.lines.isEmpty && out.quarantine.isEmpty)
+    assert(out.rejectedEnvelopes.select("reject_reason").as[String].head()
+      === "requestId_missing")
+  }
+
+  test("envelope rejection: over-long record data") {
+    val big = "A" * (Schemas.maxDataLength + 4)
+    val out = run(envelope("req-big", Seq(big)))
+    assert(out.rejectedEnvelopes.select("reject_reason").as[String].head()
+      === "data_invalid")
+  }
+
+  test("envelope rejection: empty records array") {
+    val out = run("""{"requestId":"r","records":[]}""")
+    assert(out.rejectedEnvelopes.select("reject_reason").as[String].head()
+      === "records_empty")
+  }
+
+  test("microsoft formatter golden line (dead-code surface, op 13)") {
+    val env = Pipeline.parseEnvelopes(
+      spark.createDataset(Seq(envelope("req-ms", Seq(b64(happyRecord))))))
+    val records = Pipeline.decodedRecords(env)
+      .filter($"reason".isNull)
+    val line = Pipeline.microsoftDnsLines(records)
+      .select("line").as[String].head()
+    assert(line ===
+      "15/10/2023 14:03:07 0D2C PACKET  0000000001ED00C0 UDP Snd 10.0.0.4 53211 R Q [NOERROR A DR NOERROR] A (12)example.com.(0)")
+  }
+}
