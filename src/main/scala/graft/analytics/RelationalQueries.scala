@@ -1,0 +1,541 @@
+package graft.analytics
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The relational capability surface (SURVEY.md §2.6): one named query
+  * per operator family, each with a DuckDB-equivalent oracle.
+  *
+  * Oracle-parity rules used throughout (driver hash-compares values and
+  * schemas against DuckDB running `oracle` on the same parquet):
+  *  - every query ends in a total ORDER BY over a unique key;
+  *  - double SUMs accumulate in DECIMAL then cast back to double —
+  *    bit-identical regardless of either engine's summation order;
+  *  - Spark ints widen to long where DuckDB naturally yields BIGINT
+  *    (year/length/row_number/...), so schemas line up;
+  *  - column aliases are identical character-for-character on both
+  *    sides (the driver sorts columns by name before hashing).
+  */
+object RelationalQueries {
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Exact double sum: accumulate as DECIMAL(25,scale), emit double. */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(25, scale))).cast("double")
+
+  // ---------------------------------------------------------------
+  // Aggregation family
+  // ---------------------------------------------------------------
+
+  /** Hash aggregate with partial/final split (Catalyst), filters pushed
+    * to the parquet scan — TPC-H Q1 shape. */
+  val qAggPricing = Q(
+    "q_agg_pricing",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** COUNT(DISTINCT) + plain counts in one aggregate. */
+  val qDistinctAgg = Q(
+    "q_distinct_agg",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT l_partkey) AS n_part,
+             COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** ROLLUP hierarchy totals; group-key NULLs normalized to 'ALL' so
+    * both engines order identically. */
+  val qRollup = Q(
+    "q_rollup_lineitem",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rf"), col("ls"))
+    },
+    Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             COALESCE(l_linestatus, 'ALL') AS ls,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY rf, ls"""))
+
+  /** GROUPING SETS — disjoint grouping shapes in one pass. */
+  val qGroupingSets = Q(
+    "q_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+               COALESCE(o_orderpriority, 'ALL') AS pri,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY st, pri""")
+    },
+    Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+             COALESCE(o_orderpriority, 'ALL') AS pri,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY st, pri"""))
+
+  /** HLL sketch (approx_count_distinct). Engine-specific estimates
+    * cannot hash-match DuckDB → no oracle; accuracy is spec-asserted
+    * against exact distinct instead. */
+  val qHllDistinct = Q(
+    "q_hll_distinct",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+    None)
+
+  // ---------------------------------------------------------------
+  // Join family
+  // ---------------------------------------------------------------
+
+  /** Star join: fact orders → customer → broadcast dims nation/region.
+    * nation/region are tiny — explicitly broadcast so 100 TB of fact
+    * rows never shuffle for the dimensions. */
+  val qJoinRegionRevenue = Q(
+    "q_join_region_revenue",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      orders
+        .join(cust, orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("r_name"))
+    },
+    Some("""
+      SELECT r_name,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
+  /** Left-semi (EXISTS): customers holding at least one open order. */
+  val qJoinSemi = Q(
+    "q_join_semi",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O")
+      cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      ORDER BY c_custkey"""))
+
+  /** Left-anti (NOT EXISTS): customers with no open order. */
+  val qJoinAnti = Q(
+    "q_join_anti",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O")
+      cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      ORDER BY c_custkey"""))
+
+  /** Theta join (equi + inequality + |Δ| predicate): supplier pairs in
+    * one nation with near-equal balances. */
+  val qThetaJoin = Q(
+    "q_theta_join",
+    (s, dir) => {
+      val s1 = t(s, dir, "supplier").alias("s1")
+      val s2 = t(s, dir, "supplier").alias("s2")
+      s1.join(s2,
+          col("s1.s_nationkey") === col("s2.s_nationkey") &&
+            col("s1.s_suppkey") < col("s2.s_suppkey") &&
+            abs(col("s1.s_acctbal") - col("s2.s_acctbal")) < 500.0)
+        .select(
+          col("s1.s_suppkey").as("supp_a"),
+          col("s2.s_suppkey").as("supp_b"),
+          col("s1.s_nationkey").as("nationkey"))
+        .orderBy(col("supp_a"), col("supp_b"))
+    },
+    Some("""
+      SELECT s1.s_suppkey AS supp_a, s2.s_suppkey AS supp_b,
+             s1.s_nationkey AS nationkey
+      FROM supplier s1 JOIN supplier s2
+        ON s1.s_nationkey = s2.s_nationkey
+       AND s1.s_suppkey < s2.s_suppkey
+       AND ABS(s1.s_acctbal - s2.s_acctbal) < 500.0
+      ORDER BY supp_a, supp_b"""))
+
+  /** Range join (equi key + time-band predicate): lineitems shipped
+    * within 90 days of their order date. */
+  val qRangeJoin = Q(
+    "q_range_join",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      o.join(li,
+          li("l_orderkey") === o("o_orderkey") &&
+            li("l_shipdate") >= o("o_orderdate") &&
+            li("l_shipdate") < o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(o("o_orderkey").as("o_orderkey"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("ship_value"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS ship_value
+      FROM orders JOIN lineitem
+        ON l_orderkey = o_orderkey
+       AND l_shipdate >= o_orderdate
+       AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+      GROUP BY o_orderkey ORDER BY o_orderkey"""))
+
+  /** As-of join ([[AsOfJoin]]): each click matched to the user's most
+    * recent prior purchase — one shuffle, no range probe. */
+  val qAsofJoin = Q(
+    "q_asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("value").as("last_purchase_value"))
+      AsOfJoin.asof(clicks, purchases, "user_id",
+          leftTs = "click_ts", rightTs = "ts",
+          payload = Seq("last_purchase_value"))
+        .select(col("click_id"), col("user_id"), col("click_ts"),
+          col("last_purchase_value"))
+        .orderBy(col("click_id"))
+    },
+    Some("""
+      SELECT c.event_id AS click_id, c.user_id AS user_id,
+             c.ts AS click_ts, p.value AS last_purchase_value
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'click') c
+      ASOF JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                 FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+      ORDER BY click_id"""))
+
+  // ---------------------------------------------------------------
+  // Window / sort / set-op families
+  // ---------------------------------------------------------------
+
+  /** Ranking window: top-3 orders per customer (unique tie-break). */
+  val qTopkPerCustomer = Q(
+    "q_topk_per_customer",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""
+      SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  /** Analytic window: per-user running sum (exact decimal) + lag. */
+  val qWindowRunning = Q(
+    "q_window_running",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(
+          col("user_id"), col("event_id"), col("ts"), col("value"),
+          sum(col("value").cast(DecimalType(25, 6))).over(frame)
+            .cast("double").as("running_value"),
+          lag(col("value"), 1).over(w).as("prev_value"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id, ts, value,
+             CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS running_value,
+             LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_value
+      FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events) e
+      ORDER BY user_id, ts, event_id"""))
+
+  /** Tumbling event-time window (Spark `window()`; DuckDB date_trunc
+    * is the equivalent hour bucketing). */
+  val qWindowHourly = Q(
+    "q_window_hourly",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+        .select(col("w.start").as("bucket"), col("n"), col("sum_value"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY bucket"""))
+
+  /** Global sort + limit (top-k by price, unique tie-break). */
+  val qSortLimit = Q(
+    "q_sort_limit",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  /** Set operations: nation coverage by customers vs suppliers. */
+  val qSetopsNations = Q(
+    "q_setops_nations",
+    (s, dir) => {
+      val nation = t(s, dir, "nation")
+      val cn = nation.join(t(s, dir, "customer"),
+          nation("n_nationkey") === col("c_nationkey"), "left_semi")
+        .select(col("n_name"))
+      val sn = nation.join(t(s, dir, "supplier"),
+          nation("n_nationkey") === col("s_nationkey"), "left_semi")
+        .select(col("n_name"))
+      val both = cn.intersect(sn).withColumn("tag", lit("both"))
+      val custOnly = cn.except(sn).withColumn("tag", lit("cust_only"))
+      val suppOnly = sn.except(cn).withColumn("tag", lit("supp_only"))
+      both.unionByName(custOnly).unionByName(suppOnly)
+        .select(col("tag"), col("n_name"))
+        .orderBy(col("tag"), col("n_name"))
+    },
+    Some("""
+      WITH cn AS (SELECT DISTINCT n_name FROM nation
+                  WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)),
+           sn AS (SELECT DISTINCT n_name FROM nation
+                  WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey))
+      SELECT 'both' AS tag, n_name FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn)
+      UNION ALL
+      SELECT 'cust_only' AS tag, n_name FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)
+      UNION ALL
+      SELECT 'supp_only' AS tag, n_name FROM (SELECT n_name FROM sn EXCEPT SELECT n_name FROM cn)
+      ORDER BY tag, n_name"""))
+
+  // ---------------------------------------------------------------
+  // Scalar function families
+  // ---------------------------------------------------------------
+
+  /** String family: upper/lower/length/substr/replace/concat. */
+  val qScalarString = Q(
+    "q_scalar_string",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          lower(col("p_brand")).as("lbrand"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          regexp_replace(col("p_name"), " ", "_").as("snake"),
+          concat(col("p_brand"), lit("#"), col("p_size").cast("string"))
+            .as("brand_size"))
+        .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey,
+             UPPER(p_name) AS uname,
+             LOWER(p_brand) AS lbrand,
+             LENGTH(p_name) AS name_len,
+             SUBSTR(p_type, 1, 5) AS type5,
+             REPLACE(p_name, ' ', '_') AS snake,
+             p_brand || '#' || CAST(p_size AS VARCHAR) AS brand_size
+      FROM part ORDER BY p_partkey"""))
+
+  /** Date family: extract/trunc/diff, long-typed both sides. */
+  val qScalarDate = Q(
+    "q_scalar_date",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+            .cast("long").as("days_since_95"))
+        .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             YEAR(o_orderdate) AS yr,
+             MONTH(o_orderdate) AS mo,
+             DAY(o_orderdate) AS dom,
+             date_trunc('month', o_orderdate) AS month_start,
+             date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_95
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** Math family (IEEE-exact ops only — no libm divergence). */
+  val qScalarMath = Q(
+    "q_scalar_math",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1)
+        .select(
+          col("l_orderkey"),
+          sqrt(col("l_quantity")).as("sq"),
+          abs(col("l_discount") - lit(0.05)).as("disc_gap"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          (col("l_orderkey") % 7).as("key_mod"))
+        .orderBy(col("l_orderkey")),
+    Some("""
+      SELECT l_orderkey,
+             SQRT(l_quantity) AS sq,
+             ABS(l_discount - 0.05) AS disc_gap,
+             CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+             CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+             l_orderkey % 7 AS key_mod
+      FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey"""))
+
+  /** JSON extraction from a string column (the reference's
+    * parse-JSON-out-of-a-string shape, over events.props). */
+  val qJsonEvents = Q(
+    "q_json_events",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .filter(col("k_val") % 2 === 0)
+        .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+      ORDER BY event_id"""))
+
+  /** The DNS pipeline shape, oracle-checkable: transport base64
+    * round-trip → JSON parse → strftime formats → deterministic md5
+    * client tag → one log line (mirrors ops 4,5,8,9,11). */
+  val qDnsBind9Events = Q(
+    "q_dns_bind9_events",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val payload = unbase64(base64(encode(col("props"), "UTF-8")))
+        .cast("string")
+      val k = get_json_object(payload, "$.k")
+      val tag = concat(lit("@0x"),
+        substring(md5(concat_ws("\u0001", col("event_id").cast("string"), k)),
+          1, 12))
+      ev.select(
+          col("event_id"),
+          concat(
+            date_format(col("ts"), "MMM dd HH:mm:ss"),
+            lit(" host-"), col("user_id").cast("string"),
+            lit(" app: "),
+            date_format(col("ts"), "dd-MMM-yyyy HH:mm:ss"),
+            lit(".000 client "), tag, lit(" k="), k).as("line"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id,
+             strftime(ts, '%b %d %H:%M:%S') || ' host-' ||
+             CAST(user_id AS VARCHAR) || ' app: ' ||
+             strftime(ts, '%d-%b-%Y %H:%M:%S') || '.000 client @0x' ||
+             SUBSTR(MD5(CAST(event_id AS VARCHAR) || CHR(1) ||
+               json_extract_string(decode(from_base64(to_base64(encode(props)))), '$.k')),
+               1, 12) ||
+             ' k=' ||
+             json_extract_string(decode(from_base64(to_base64(encode(props)))), '$.k')
+               AS line
+      FROM events ORDER BY event_id"""))
+
+  /** Registry consumed by SparkEntry. */
+  val all: Seq[Q] = Seq(
+    qAggPricing, qDistinctAgg, qRollup, qGroupingSets, qHllDistinct,
+    qJoinRegionRevenue, qJoinSemi, qJoinAnti, qThetaJoin, qRangeJoin,
+    qAsofJoin, qTopkPerCustomer, qWindowRunning, qWindowHourly,
+    qSortLimit, qSetopsNations, qScalarString, qScalarDate, qScalarMath,
+    qJsonEvents, qDnsBind9Events)
+}

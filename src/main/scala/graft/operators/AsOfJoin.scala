@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-match) join — an operator Spark lacks natively.
+  *
+  * Composed from existing ops per the preference order (no custom
+  * strategy needed): union the two sides, single shuffle on the key,
+  * sort within each key by (ts, side) and carry the latest right-side
+  * payload forward with `last(..., ignoreNulls)` over a running frame.
+  * Left rows then hold the most recent right row with
+  * `right.ts <= left.ts` (right sorts before left on equal ts).
+  *
+  * Scale: exactly ONE shuffle (by key) regardless of input sizes — no
+  * per-row range probe, no broadcast requirement, no join explosion;
+  * skewed keys are bounded by per-key row counts, same as any window.
+  * This is the plan a 1000-executor cluster wants for 100 TB streams.
+  */
+object AsOfJoin {
+
+  /** Inner as-of join.
+    *
+    * @param left      probe side; all its columns survive
+    * @param right     reference side
+    * @param key       equi-key column name (same name both sides)
+    * @param leftTs    left event-time column
+    * @param rightTs   right event-time column
+    * @param payload   right columns to carry (emitted as-is; names must
+    *                  not collide with left's)
+    */
+  def asof(left: DataFrame, right: DataFrame, key: String, leftTs: String,
+      rightTs: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key), col("__ts"), col("__side")) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key), col("__ts"), col("__side")) ++
+        leftCols.filterNot(_ == key)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried: Seq[Column] =
+      payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p))
+    l.unionByName(r)
+      .select(Seq(col(key), col("__side")) ++
+        leftCols.filterNot(_ == key).map(col) ++ carried: _*)
+      .where(col("__side") === 1 && col(payload.head).isNotNull)
+      .drop("__side")
+  }
+}
