@@ -1,0 +1,257 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines, over the
+  * `documents` and `embeddings` tables: exact (hash group), word-3-gram
+  * Jaccard, MinHash+LSH banding, SimHash signatures, embedding-cosine
+  * near-dup pairs.
+  *
+  * Cross-engine determinism: every hash is md5 (identical in Spark and
+  * DuckDB), MinHash permutations are `md5(i || '|' || shingle)` with
+  * lexicographic min, and all similarity ratios are exact-integer
+  * arithmetic divided once in double — so oracles hash-match.
+  *
+  * Scale posture: nothing here is O(n²) on documents. Pair discovery
+  * goes through shingle- or band-keyed equi-joins (shuffle keyed on the
+  * shingle/band hash); only embedding near-dup uses an explicit bounded
+  * block. At 100 TB the same plans hold: the shingle join's skew is
+  * bounded by document length, the band join's by bucket size.
+  */
+object DedupQueries {
+  import RelationalQueries.Q
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Distinct word-3-gram shingles per doc (docs with <3 words yield
+    * none — mirrored by generate_series emptiness in the oracle). */
+  private def shingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          when(size(col("ws")) >= 3,
+            transform(sequence(lit(0), size(col("ws")) - 3),
+              i => concat_ws(" ",
+                element_at(col("ws"), i + 1),
+                element_at(col("ws"), i + 2),
+                element_at(col("ws"), i + 3))))
+            .otherwise(array().cast("array<string>")))).as("sh"))
+
+  private val shinglesSql = """
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       for i in generate_series(1, len(ws)-2)]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)))"""
+
+  /** Exact dedup: content-hash groups with the kept representative.
+    * The md5 group key shuffles 32 bytes per doc, never the text. */
+  val qDedupExact = Q(
+    "q_dedup_exact",
+    (s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id")),
+    Some("""
+      SELECT MD5(text) AS text_hash, MIN(doc_id) AS keep_id,
+             COUNT(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY keep_id"""))
+
+  /** N-gram Jaccard near-dup pairs: |A∩B| via a shingle-keyed equi-join
+    * (no cross product), ratio from exact integer counts. */
+  val qDedupNgramJaccard = Q(
+    "q_dedup_ngram_jaccard",
+    (s, dir) => {
+      val sh = shingles(docs(s, dir))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .agg(count(lit(1)).as("ni"))
+      inter
+        .join(sizes.as("sa"), col("ia") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("ib") === col("sb.doc_id"))
+        .select(col("ia"), col("ib"),
+          round(col("ni") * lit(1.0) /
+            (col("sa.n") + col("sb.n") - col("ni")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("ia"), col("ib"))
+    },
+    Some(s"""
+      WITH $shinglesSql,
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ni
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT ia, ib,
+             ROUND(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = ia
+      JOIN sizes sb ON sb.doc_id = ib
+      WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.8
+      ORDER BY ia, ib"""))
+
+  /** MinHash + LSH: 16 md5-permutation minhashes per doc, 4 bands of 4;
+    * candidate pairs share a band hash, then only candidates get the
+    * exact Jaccard verify (the banding is what kills O(n²) at scale). */
+  val qDedupMinhash = Q(
+    "q_dedup_minhash",
+    (s, dir) => {
+      val sh = shingles(docs(s, dir))
+      val mh = sh
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(15)),
+            i => struct(i.as("i"),
+              md5(concat_ws("|", i.cast("string"), col("sh"))).as("h"))))
+            .as("x"))
+        .select(col("doc_id"), col("x.i").as("i"), col("x.h").as("h"))
+        .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("m"))
+      val sig = mh
+        .withColumn("band", expr("i DIV 4"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(md5(array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("m")))),
+            x => x.getField("m")), "")).as("bh"))
+      val cand = sig.as("p")
+        .join(sig.as("q"),
+          col("p.band") === col("q.band") && col("p.bh") === col("q.bh") &&
+            col("p.doc_id") < col("q.doc_id"))
+        .select(col("p.doc_id").as("ia"), col("q.doc_id").as("ib"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val candSh = cand.join(sh.as("s1"), col("ia") === col("s1.doc_id"))
+        .select(col("ia"), col("ib"), col("s1.sh").as("sh"))
+      val ni = candSh.as("cs")
+        .join(sh.as("s2"),
+          col("s2.doc_id") === col("cs.ib") && col("s2.sh") === col("cs.sh"))
+        .groupBy(col("cs.ia").as("ia"), col("cs.ib").as("ib"))
+        .agg(count(lit(1)).as("ni"))
+      ni
+        .join(sizes.as("sa"), col("ia") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("ib") === col("sb.doc_id"))
+        .select(col("ia"), col("ib"),
+          round(col("ni") * lit(1.0) /
+            (col("sa.n") + col("sb.n") - col("ni")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("ia"), col("ib"))
+    },
+    Some(s"""
+      WITH $shinglesSql,
+      mh AS (SELECT doc_id, i, MIN(MD5(CAST(i AS VARCHAR) || '|' || sh)) AS m
+             FROM sh CROSS JOIN generate_series(0, 15) AS t(i)
+             GROUP BY 1, 2),
+      sig AS (SELECT doc_id, i // 4 AS band,
+                     MD5(string_agg(m, '' ORDER BY i)) AS bh
+              FROM mh GROUP BY doc_id, i // 4),
+      cand AS (SELECT DISTINCT p.doc_id AS ia, q.doc_id AS ib
+               FROM sig p JOIN sig q
+                 ON p.band = q.band AND p.bh = q.bh
+                AND p.doc_id < q.doc_id),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      cand_sh AS (SELECT c.ia, c.ib, s1.sh
+                  FROM cand c JOIN sh s1 ON s1.doc_id = c.ia),
+      ni AS (SELECT ia, ib, COUNT(*) AS ni
+             FROM cand_sh cs JOIN sh s2
+               ON s2.doc_id = cs.ib AND s2.sh = cs.sh
+             GROUP BY 1, 2)
+      SELECT ia, ib,
+             ROUND(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
+      FROM ni
+      JOIN sizes sa ON sa.doc_id = ia
+      JOIN sizes sb ON sb.doc_id = ib
+      WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.5
+      ORDER BY ia, ib"""))
+
+  /** SimHash-32 signature per doc: per-bit majority vote over the md5
+    * bits of each distinct word. Bit b lives in hex nibble b/4 of the
+    * word's md5; both engines extract it with the same integer ops
+    * (instr on the hex alphabet, shift, mask). */
+  val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    (s, dir) => {
+      val words = docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+        .withColumn("h", md5(col("w")))
+      val bits = words
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("nib",
+          expr("instr('0123456789abcdef', substring(h, CAST(b DIV 4 AS INT) + 1, 1)) - 1"))
+        .withColumn("bit", expr("shiftright(nib, CAST(b % 4 AS INT)) & 1"))
+      bits
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(lit(2) * col("bit") - lit(1)).as("vote"))
+        .withColumn("sb", when(col("vote") > 0, lit("1")).otherwise(lit("0")))
+        .groupBy(col("doc_id"))
+        .agg(concat_ws("",
+          transform(array_sort(collect_list(struct(col("b"), col("sb")))),
+            x => x.getField("sb"))).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents),
+      wh AS (SELECT doc_id, MD5(w) AS h FROM words),
+      bits AS (
+        SELECT doc_id, b,
+               ((instr('0123456789abcdef', substr(h, b // 4 + 1, 1)) - 1)
+                 >> (b % 4)) & 1 AS bit
+        FROM wh CROSS JOIN generate_series(0, 31) AS t(b)),
+      votes AS (SELECT doc_id, b, SUM(2 * bit - 1) AS vote
+                FROM bits GROUP BY 1, 2)
+      SELECT doc_id,
+             string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END,
+                        '' ORDER BY b) AS simhash
+      FROM votes GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Embedding-cosine near-dup pairs in a bounded block (vec_id <
+    * 1000): exact double cosine with sequential accumulation so both
+    * engines produce the identical double, rounded to 6. */
+  val qDedupEmbedding = Q(
+    "q_dedup_embedding",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < 1000)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm",
+          aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+      val dot = aggregate(
+        zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      e.as("a")
+        .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+          round(dot / (sqrt(col("a.nrm")) * sqrt(col("b.nrm"))), 6)
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+        .orderBy(col("ia"), col("ib"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x)) AS nrm
+        FROM embeddings WHERE vec_id < 1000)
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             ROUND(list_sum(list_transform(generate_series(1, len(a.v)),
+                     i -> a.v[i] * b.v[i]))
+                   / (SQRT(a.nrm) * SQRT(b.nrm)), 6) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_sum(list_transform(generate_series(1, len(a.v)),
+                    i -> a.v[i] * b.v[i]))
+                  / (SQRT(a.nrm) * SQRT(b.nrm)), 6) >= 0.4
+      ORDER BY ia, ib"""))
+
+  val all: Seq[Q] = Seq(
+    qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupSimhash,
+    qDedupEmbedding)
+}

@@ -1,0 +1,156 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents`: quality scoring, n-gram
+  * heuristic language ID, token counting (whitespace + BPE-ish regex),
+  * and a sorted-vocabulary document fingerprint. All pure expression
+  * work — single narrow stage over the corpus, embarrassingly parallel
+  * at any scale. Ratios divide exact integers in double once, so both
+  * engines produce identical bits.
+  */
+object TextQueries {
+  import RelationalQueries.Q
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Stopword profiles for the n-gram language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "que", "los", "una", "por", "con", "para"),
+    "fr" -> Seq("le", "les", "des", "est", "dans", "pour", "que", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这"))
+
+  private def inList(w: Column, words: Seq[String]): Column =
+    w.isInCollection(words)
+
+  private def scoreCol(lang: String): Column =
+    size(filter(col("ws"), w => inList(w, stopwords(lang))))
+      .cast("long").as(s"s_$lang")
+
+  private def sqlList(lang: String): String =
+    stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def sqlScore(lang: String): String =
+    s"len(list_filter(ws, w -> list_contains(${sqlList(lang)}, w))) AS s_$lang"
+
+  /** Quality scoring: structural ratios + a deterministic composite. */
+  val qTextQuality = Q(
+    "q_text_quality",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          split(col("text"), " ").as("ws"),
+          length(col("text")).cast("long").as("n_chars_m"))
+        .select(
+          col("doc_id"),
+          col("n_chars_m"),
+          size(col("ws")).cast("long").as("n_words"),
+          round((col("n_chars_m") - (size(col("ws")) - 1)) * lit(1.0) /
+            size(col("ws")), 6).as("avg_word_len"),
+          size(array_distinct(col("ws"))).cast("long").as("n_vocab"),
+          round(size(array_distinct(col("ws"))) * lit(1.0) /
+            size(col("ws")), 6).as("ttr"),
+          round(size(filter(col("ws"),
+              w => inList(w, stopwords("en")))) * lit(1.0) /
+            size(col("ws")), 6).as("stopword_ratio"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             LENGTH(text) AS n_chars_m,
+             len(ws) AS n_words,
+             ROUND((LENGTH(text) - (len(ws) - 1)) * 1.0 / len(ws), 6)
+               AS avg_word_len,
+             len(list_distinct(ws)) AS n_vocab,
+             ROUND(len(list_distinct(ws)) * 1.0 / len(ws), 6) AS ttr,
+             ROUND(len(list_filter(ws, w -> list_contains(
+                     ['the', 'of', 'and', 'to', 'in', 'is', 'that', 'it'], w)))
+                   * 1.0 / len(ws), 6) AS stopword_ratio
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+            FROM documents) d
+      ORDER BY doc_id"""))
+
+  /** Language ID: per-language stopword hit counts, argmax with a fixed
+    * priority order for ties (en > de > es > fr > zh). */
+  val qTextLangid = Q(
+    "q_text_langid",
+    (s, dir) => {
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      val scored = docs(s, dir)
+        .select(Seq(col("doc_id"), split(col("text"), " ").as("ws")): _*)
+        .select(Seq(col("doc_id")) ++ langs.map(scoreCol): _*)
+      val best = greatest(langs.map(l => col(s"s_$l")): _*)
+      scored
+        .withColumn("predicted",
+          when(col("s_en") === best, lit("en"))
+            .when(col("s_de") === best, lit("de"))
+            .when(col("s_es") === best, lit("es"))
+            .when(col("s_fr") === best, lit("fr"))
+            .otherwise(lit("zh")))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id,
+               ${Seq("en", "de", "es", "fr", "zh").map(sqlScore).mkString(",\n               ")}
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d)
+      SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+             CASE
+               WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+               WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+               WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+               WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+               ELSE 'zh'
+             END AS predicted
+      FROM scored ORDER BY doc_id"""))
+
+  /** Token counting: whitespace tokens, regex word/number/symbol tokens
+    * (a BPE-ish pre-tokenizer), and the chars/4 BPE estimate. */
+  val qTextTokens = Q(
+    "q_text_tokens",
+    (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+            .as("re_tokens"),
+          ceil(length(col("text")) / lit(4.0)).cast("long").as("bpe_est"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS ws_tokens,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+               AS re_tokens,
+             CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS bpe_est
+      FROM documents ORDER BY doc_id"""))
+
+  /** Sorted-distinct-vocabulary fingerprint (word-order-insensitive
+    * near-dup key) + collision group size. */
+  val qTextFingerprint = Q(
+    "q_text_fingerprint",
+    (s, dir) => {
+      val fp = md5(array_join(
+        array_sort(array_distinct(split(col("text"), " "))), " "))
+      val d = docs(s, dir).select(col("doc_id"), fp.as("fingerprint"))
+      d.withColumn("n_same",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("fingerprint"))))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             MD5(array_to_string(list_sort(
+               list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+             COUNT(*) OVER (PARTITION BY MD5(array_to_string(list_sort(
+               list_distinct(string_split(text, ' '))), ' '))) AS n_same
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
+    qTextFingerprint)
+}

@@ -1,0 +1,65 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media (image/audio/video) as opaque
+  * `binary` columns + typed metadata, with feature extraction as a
+  * partition-wise batched kernel.
+  *
+  * The Spark-side plumbing here is real and tested — schema, binary
+  * column, partition-preserving batched execution, fixed-width feature
+  * schema. The DECODE KERNEL IS A STUB: this container has no image /
+  * audio codecs, so [[fakeDecodeKernel]] stands in for (e.g.) a JPEG
+  * decode + CNN featurizer with a deterministic byte-histogram fold.
+  * Swapping in a real kernel changes only that one function: the
+  * batching, schema, and distribution properties are already what a
+  * 100 TB media pipeline needs (no shuffle, per-partition batch calls
+  * that amortize model/codec setup — the Scala analogue of
+  * `mapInPandas` batch semantics).
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, content: Array[Byte])
+  final case class FeatureRow(doc_id: Long, features: Array[Float])
+
+  /** Attach an opaque binary content column + typed metadata. The
+    * `documents` text stands in for media bytes in this corpus. */
+  def binarize(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+      md5(encode(col("text"), "UTF-8")).as("content_hash"),
+      lit("text/plain").as("media_type"))
+
+  /** STUB decode kernel — deterministic byte-histogram folded into
+    * `dim` buckets and L1-normalized. A real deployment replaces only
+    * this function with codec + model inference per batch. */
+  private[multimodal] def fakeDecodeKernel(
+      batch: Seq[MediaRow], dim: Int): Seq[FeatureRow] =
+    batch.map { row =>
+      val hist = new Array[Float](dim)
+      var i = 0
+      while (i < row.content.length) {
+        hist((row.content(i) & 0xff) % dim) += 1f
+        i += 1
+      }
+      val total = math.max(1f, row.content.length.toFloat)
+      FeatureRow(row.doc_id, hist.map(_ / total))
+    }
+
+  /** Partition-wise batched feature extraction: groups each partition's
+    * rows into `batchSize` chunks so a real kernel amortizes per-batch
+    * setup (codec init, model weights) — the batch shape `mapInPandas`
+    * would provide, expressed natively in Scala. No shuffle. */
+  def extractFeatures(binarized: DataFrame, dim: Int = 8,
+      batchSize: Int = 64): DataFrame = {
+    val spark = binarized.sparkSession
+    import spark.implicits._
+    binarized.select(col("doc_id"), col("content")).as[MediaRow]
+      .mapPartitions(it =>
+        it.grouped(batchSize).flatMap(b => fakeDecodeKernel(b, dim)))
+      .toDF("doc_id", "features")
+  }
+}

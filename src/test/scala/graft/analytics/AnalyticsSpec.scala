@@ -1,0 +1,123 @@
+package graft.analytics
+
+import graft.SparkTestBase
+import graft.multimodal.Multimodal
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Specs for operators whose outputs cannot hash-match a DuckDB oracle
+  * (sketches, LSH, engine-specific kernels) plus unit semantics for the
+  * composed as-of join. Oracle-matched queries are covered by the
+  * driver gate + tools/compare_oracle.py. */
+class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hll approx distinct is within 5% of exact per group") {
+    val approx = RelationalQueries.qHllDistinct.run(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, sf, "lineitem")
+      .groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"group $k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
+  test("lsh ann: recall >= 0.25 vs brute force while pruning >= 30%") {
+    val brute = SimilarityQueries.qSimTopkBrute.run(spark, sf)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityQueries.qSimLshTopk.run(spark, sf)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.25, s"recall $recall")
+  }
+
+  test("langid predicts crafted multilingual fixtures") {
+    val fixtures = Seq(
+      (1L, "the cat sat on the mat and it is the best of all the things"),
+      (2L, "der hund ist nicht mit der katze und das ist ein problem"),
+      (3L, "el perro y la casa que los vecinos una vez por la noche con"),
+      (4L, "le chien est dans les bois pour que les oiseaux une fois des"))
+    val dir = java.nio.file.Files.createTempDirectory("langid").toString
+    fixtures.toDF("doc_id", "text")
+      .withColumn("lang", lit("?")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.qTextLangid.run(spark, dir)
+      .select("doc_id", "predicted").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr"))
+  }
+
+  test("simhash: identical text → identical signature; near-dup close") {
+    def hamming(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    val base = "spark shuffles keyed data across executors during wide " +
+      "transformations while narrow ones pipeline in a single stage"
+    val nearDup = base.replace("executors", "workers")
+    val unrelated = "completely different words about cooking pasta with " +
+      "tomato garlic basil and olive oil in a big copper pot tonight"
+    val dir = java.nio.file.Files.createTempDirectory("simhash").toString
+    Seq((1L, base), (2L, base), (3L, nearDup), (4L, unrelated))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sigs = DedupQueries.qDedupSimhash.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(1L) === sigs(2L), "identical text must hash identically")
+    val dupDist = hamming(sigs(1L), sigs(3L))
+    val farDist = hamming(sigs(1L), sigs(4L))
+    assert(dupDist < farDist,
+      s"near-dup distance $dupDist should beat unrelated $farDist")
+    assert(dupDist <= 8, s"one-word change moved $dupDist of 32 bits")
+  }
+
+  test("multimodal: batched stub extraction keeps rows, dim, and no shuffle") {
+    val bin = Multimodal.binarize(Tables(spark, sf, "documents"))
+    val feats = Multimodal.extractFeatures(bin, dim = 8, batchSize = 16)
+    assert(feats.count() === bin.count())
+    val row = feats.head()
+    assert(row.getAs[Seq[Float]]("features").size === 8)
+    // L1-normalized histogram sums to ~1
+    val sums = feats.select(
+      aggregate($"features", lit(0.0), (a, x) => a + x).as("s"))
+      .agg(min("s"), max("s")).head()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-3 &&
+      math.abs(sums.getDouble(1) - 1.0) < 1e-3)
+    // deterministic across runs
+    val h1 = feats.orderBy("doc_id").collect().map(_.toString).mkString
+    val h2 = Multimodal.extractFeatures(bin, dim = 8, batchSize = 16)
+      .orderBy("doc_id").collect().map(_.toString).mkString
+    assert(h1 === h2)
+    // narrow plan: no exchange before the kernel
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("asof join: picks latest right row at or before left ts, inner") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "L1"),
+      (1L, ts("2024-01-01 12:00:00"), "L2"),
+      (2L, ts("2024-01-01 09:00:00"), "L3"), // before any right row
+      (3L, ts("2024-01-01 10:00:00"), "L4")  // exact-tie with right
+    ).toDF("k", "lts", "ltag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 20.0),
+      (2L, ts("2024-01-01 23:00:00"), 30.0),
+      (3L, ts("2024-01-01 10:00:00"), 40.0)
+    ).toDF("k", "rts", "rval")
+    val out = AsOfJoin.asof(left, right, "k", "lts", "rts", Seq("rval"))
+      .select("ltag", "rval").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out === Map("L1" -> 10.0, "L2" -> 20.0, "L4" -> 40.0))
+  }
+}
