@@ -1,0 +1,124 @@
+package graft.dns
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.{DatagramPacket, DatagramSocket}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.Base64
+import scala.collection.mutable
+
+/** Streaming-layer specs: micro-batch semantics over MemoryStream, the
+  * real file source end-to-end (UDP datagrams received on loopback +
+  * parquet dead-letter), and the watermarked windowed aggregation. */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+
+  private def record(qname: String, ts: String = "2023-10-15T14:03:07Z") =
+    s"""{"version":"1","account_id":"a","region":"r","vpc_id":"vpc-s",
+       |"query_timestamp":"$ts","query_name":"$qname","query_type":"A",
+       |"query_class":"IN","rcode":"NOERROR",
+       |"answers":[{"Rdata":"1.2.3.4","Type":"A"}],"srcaddr":"10.0.0.1",
+       |"srcport":"1234","transport":"UDP",
+       |"srcids":{"instance":"i-1"}}""".stripMargin.replaceAll("\n", "")
+
+  private def envelope(id: String, datas: String*): String =
+    s"""{"requestId":"$id","records":[${
+      datas.map(d => s"""{"data":"$d"}""").mkString(",")}]}"""
+
+  test("memory stream: per-micro-batch pipeline with poison isolation") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[String]
+    val collected = mutable.Map[Long, (Long, Long)]() // batch -> (lines, quarantined)
+    val query = stream.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val out = Pipeline.process(Pipeline.parseEnvelopes(df.as[String]))
+        collected.synchronized {
+          collected(id) = (out.lines.count(), out.quarantine.count())
+        }
+        ()
+      }
+      .start()
+    stream.addData(envelope("b0", b64(record("one.example."))))
+    query.processAllAvailable()
+    stream.addData(envelope("b1", b64(record("two.example.")), b64("{broken")))
+    query.processAllAvailable()
+    query.stop()
+    assert(collected(0L) === ((2L, 0L))) // query + 1 reply
+    assert(collected(1L) === ((2L, 1L))) // poison quarantined, batch flows
+  }
+
+  test("file source end-to-end: UDP datagrams on loopback + dead letters") {
+    val inDir = Files.createTempDirectory("stream_in").toString
+    val dlDir = Files.createTempDirectory("stream_dl").toString
+    val ckDir = Files.createTempDirectory("stream_ck").toString
+    // loopback syslog collector
+    val socket = new DatagramSocket(0, java.net.InetAddress.getByName("127.0.0.1"))
+    socket.setSoTimeout(15000)
+    val received = mutable.ArrayBuffer[String]()
+    val collector = new Thread(() => {
+      val buf = new Array[Byte](65535)
+      try while (true) {
+        val p = new DatagramPacket(buf, buf.length)
+        socket.receive(p)
+        received.synchronized {
+          received += new String(p.getData, 0, p.getLength,
+            StandardCharsets.UTF_8)
+        }
+      } catch { case _: Exception => () }
+    })
+    collector.setDaemon(true)
+    collector.start()
+
+    Files.writeString(java.nio.file.Path.of(inDir, "batch0.json"),
+      envelope("f0", b64(record("stream.example.")), b64("!!!bad???")) +
+        "\n" + envelope("f1", b64(record("other.example."))))
+    val q = Streaming.start(
+      Streaming.envelopesFromJsonFiles(spark, inDir),
+      "127.0.0.1", socket.getLocalPort, dlDir, ckDir,
+      Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    // two valid records × (1 query + 1 reply) = 4 datagrams
+    val deadline = System.currentTimeMillis() + 10000
+    while (received.synchronized(received.size) < 4 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    socket.close()
+    val lines = received.synchronized(received.toList)
+    assert(lines.size === 4, s"got: $lines")
+    assert(lines.forall(_.startsWith("<30>Oct 15 14:03:07 vpc-s route53resolver:")))
+    assert(lines.count(_.contains("query: stream.example.")) === 1)
+    assert(lines.count(_.contains("reply: other.example. is 1.2.3.4")) === 1)
+    val quarantined = spark.read.parquet(s"$dlDir/quarantine")
+    assert(quarantined.count() === 1)
+    assert(quarantined.select("reason").as[String].head() === "json")
+  }
+
+  test("watermarked per-vpc rate windows aggregate event time") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[String]
+    val records = Pipeline.decodedRecords(
+      Pipeline.parseEnvelopes(stream.toDS()))
+      .filter(col("reason").isNull)
+    val agg = Streaming.ratePerVpc(records, "1 minute", "5 minutes")
+    val query = agg.writeStream.format("memory")
+      .queryName("rates").outputMode("complete").start()
+    stream.addData(envelope("w0",
+      b64(record("a.example.", "2023-10-15T14:03:07Z")),
+      b64(record("b.example.", "2023-10-15T14:03:30Z")),
+      b64(record("c.example.", "2023-10-15T14:04:02Z"))))
+    query.processAllAvailable()
+    val rows = spark.table("rates")
+      .select("window_start", "n_queries")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    query.stop()
+    assert(rows === Map(
+      "2023-10-15 14:03:00.0" -> 2L,
+      "2023-10-15 14:04:00.0" -> 1L))
+  }
+}
