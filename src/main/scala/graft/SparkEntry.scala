@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{DedupQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.analytics.{DedupQueries, MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -8,8 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * with (where SQL-expressible) a DuckDB oracle on the same parquet. */
 object SparkEntry {
 
-  private def registries = Seq(RelationalQueries.all, DedupQueries.all,
-    SimilarityQueries.all, TextQueries.all, MultimodalQueries.all)
+  private def registries = Seq(RelationalQueries.all, PipelineQueries.all,
+    DedupQueries.all, SimilarityQueries.all, TextQueries.all,
+    MultimodalQueries.all)
 
   private lazy val queryList: Seq[RelationalQueries.Q] = registries.flatten
 
