@@ -14,9 +14,11 @@ object SparkEntry {
 
   private lazy val queryList: Seq[RelationalQueries.Q] = registries.flatten
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The full reference pipeline driven end-to-end is the
+    * flagship capability. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.qJoinRegionRevenue.run(spark, "/root/testdata/sf0.001")
+    PipelineQueries.qDnsPipelineFull.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

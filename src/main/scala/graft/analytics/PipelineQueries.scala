@@ -89,5 +89,60 @@ object PipelineQueries {
         FROM fmt) lines
       ORDER BY requestId, line_idx"""))
 
-  val all: Seq[Q] = Seq(qDnsPipelineFull)
+  /** Same differential construction for the Microsoft DNS debug-log
+    * formatter (the reference's dead-code second format, op 13). */
+  val qDnsPipelineMs = Q(
+    "q_dns_pipeline_ms",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val record = to_json(struct(
+        lit("1.100000").as("version"),
+        lit("111122223333").as("account_id"),
+        lit("eu-west-1").as("region"),
+        concat(lit("vpc-"), (col("user_id") % 10).cast("string")).as("vpc_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+          .as("query_timestamp"),
+        concat(lit("u"), col("user_id").cast("string"),
+          lit(".example.com.")).as("query_name"),
+        lit("A").as("query_type"),
+        lit("IN").as("query_class"),
+        lit("NOERROR").as("rcode"),
+        array(struct(
+          col("event_id").cast("string").as("Rdata"),
+          col("event_type").as("Type"),
+          lit("IN").as("Class"))).as("answers"),
+        concat(lit("10.0.0."), (col("user_id") % 250).cast("string"))
+          .as("srcaddr"),
+        (lit(1024) + col("event_id") % 60000).cast("string").as("srcport"),
+        lit("UDP").as("transport"),
+        map(lit("instance"),
+          concat(lit("i-"), col("event_id").cast("string"))).as("srcids")))
+      val envelopes = ev.select(
+        concat(lit("req-"), col("event_id").cast("string")).as("requestId"),
+        col("event_id").as("timestamp"),
+        array(struct(base64(encode(record, "UTF-8")).as("data")))
+          .as("records"))
+      val clean = Pipeline.decodedRecords(envelopes)
+        .filter(col("reason").isNull)
+      Pipeline.microsoftDnsLines(clean)
+        .select(col("requestId"), col("line"))
+        .orderBy(col("requestId"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events)
+      SELECT 'req-' || CAST(event_id AS VARCHAR) AS requestId,
+             strftime(ts, '%d/%m/%Y %H:%M:%S') ||
+             ' 0D2C PACKET  0000000001ED00C0 UDP Snd ' ||
+             '10.0.0.' || CAST(user_id % 250 AS VARCHAR) || ' ' ||
+             CAST(1024 + event_id % 60000 AS VARCHAR) ||
+             ' R Q [NOERROR A DR NOERROR] ' || event_type || ' (' ||
+             CAST(LENGTH('u' || CAST(user_id AS VARCHAR) || '.example.com.')
+                  AS VARCHAR) || ')' ||
+             'u' || CAST(user_id AS VARCHAR) || '.example.com.' || '(0)'
+               AS line
+      FROM e ORDER BY requestId"""))
+
+  val all: Seq[Q] = Seq(qDnsPipelineFull, qDnsPipelineMs)
 }

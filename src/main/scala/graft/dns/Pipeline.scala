@@ -97,4 +97,15 @@ object Pipeline {
   /** Convenience: raw JSON documents straight to outputs. */
   def processJson(raw: Dataset[String]): Outputs =
     process(parseEnvelopes(raw))
+
+  /** Typed edge (op 7's DNSQuery class, app/app.py:107-124): clean
+    * decoded records as a Dataset of the 14-field case class, for users
+    * who want compile-time row types instead of DataFrames. */
+  def toDnsQueries(cleanRecords: DataFrame): Dataset[DnsQuery] = {
+    val spark = cleanRecords.sparkSession
+    import spark.implicits._
+    Decode.projectDnsFields(cleanRecords)
+      .select(Schemas.dnsRecordSchema.fieldNames.map(col).toSeq: _*)
+      .as[DnsQuery]
+  }
 }

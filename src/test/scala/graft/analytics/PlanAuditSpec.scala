@@ -1,0 +1,70 @@
+package graft.analytics
+
+import graft.{SparkEntry, SparkTestBase}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audit over every registered query: the properties that
+  * keep these plans viable at 100 TB, asserted on the actual physical
+  * plans Catalyst produces (sf0.001 inputs — plan shape, not data,
+  * is under test).
+  *
+  * Deliberate BroadcastNestedLoopJoin sites are whitelisted: the
+  * embedding pair scans join a bounded/broadcast side on a pure
+  * inequality, which is the intended bounded-block design.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
+
+  test("no query plans an unbounded cartesian product") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("broadcast nested-loop joins appear only at bounded-block sites") {
+    // jaccard/minhash: the BNLJ is the broadcast of the single-row
+    // corpus-count scalar used by the stop-shingle threshold.
+    val allowed = Set("q_dedup_embedding", "q_sim_topk_brute",
+      "q_sim_lsh_topk", "q_theta_join",
+      "q_dedup_ngram_jaccard", "q_dedup_minhash")
+    val offenders = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
+        !allowed(n) => n
+    }
+    assert(offenders.isEmpty, s"unexpected BNLJ in: $offenders")
+  }
+
+  test("dimension joins broadcast the small side") {
+    assert(plans("q_join_region_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("filters push down to the parquet scan") {
+    assert(plans("q_agg_pricing").contains(
+      "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("scans prune to needed columns only") {
+    val scanLine = plans("q_agg_pricing").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    // 6 of lineitem's 11 columns
+    assert(scanLine.contains("l_quantity") && scanLine.contains("l_shipdate"))
+    assert(!scanLine.contains("l_orderkey"), s"over-wide scan: $scanLine")
+  }
+
+  test("the dns pipeline plan is shuffle-free") {
+    import org.apache.spark.sql.functions._
+    val env = spark.range(1).select(
+      lit("r").as("requestId"), lit(1L).as("timestamp"),
+      array(struct(lit("e30=").as("data"))).as("records"))
+    val plan = graft.dns.Pipeline.process(env).lines
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"dns path must not shuffle:\n$plan")
+  }
+}

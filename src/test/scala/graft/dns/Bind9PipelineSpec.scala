@@ -179,6 +179,18 @@ class Bind9PipelineSpec extends AnyFunSuite with SparkTestBase {
       === "records_empty")
   }
 
+  test("typed Dataset[DnsQuery] edge carries all 14 fields") {
+    val env = Pipeline.parseEnvelopes(
+      spark.createDataset(Seq(envelope("req-t", Seq(b64(happyRecord))))))
+    val clean = Pipeline.decodedRecords(env).filter($"reason".isNull)
+    val q = Pipeline.toDnsQueries(clean).head()
+    assert(q.vpc_id === "vpc-7example" && q.srcport === "53211")
+    assert(q.answers.map(_.Rdata) ===
+      Seq(Some("203.0.113.9"), Some("203.0.113.10")))
+    assert(q.srcids === Map("instance" -> "i-0d15cd0d3example"))
+    assert(q.query_type === "TXT") // validated, carried, never printed
+  }
+
   test("microsoft formatter golden line (dead-code surface, op 13)") {
     val env = Pipeline.parseEnvelopes(
       spark.createDataset(Seq(envelope("req-ms", Seq(b64(happyRecord))))))
