@@ -531,11 +531,108 @@ object RelationalQueries {
                AS line
       FROM events ORDER BY event_id"""))
 
+  /** Regex family (patterns kept in the Java∩RE2 common subset so both
+    * engines agree). */
+  val qScalarRegex = Q(
+    "q_scalar_regex",
+    (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_name").rlike("a[a-z]*e"))
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+) ", 1).as("first_word"),
+          size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0)))
+            .cast("long").as("n_vowels"),
+          regexp_replace(col("p_type"), "[AEIOU]", "_").as("masked_type"))
+        .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey,
+             regexp_extract(p_name, '([a-z]+) ', 1) AS first_word,
+             len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+             regexp_replace(p_type, '[AEIOU]', '_', 'g') AS masked_type
+      FROM part
+      WHERE regexp_matches(p_name, 'a[a-z]*e')
+      ORDER BY p_partkey"""))
+
+  /** Conditional family: CASE, NULLIF, COALESCE, LEAST/GREATEST. */
+  val qScalarConditional = Q(
+    "q_scalar_conditional",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 200000, lit("large"))
+            .when(col("o_totalprice") > 100000, lit("medium"))
+            .otherwise(lit("small")).as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+            .as("status_label"),
+          least(col("o_totalprice"), lit(150000.0)).as("capped"),
+          greatest(col("o_totalprice") - 150000.0, lit(0.0)).as("excess"))
+        .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice > 200000 THEN 'large'
+                  WHEN o_totalprice > 100000 THEN 'medium'
+                  ELSE 'small' END AS bucket,
+             COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_label,
+             LEAST(o_totalprice, 150000.0) AS capped,
+             GREATEST(o_totalprice - 150000.0, 0.0) AS excess
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** Array family over split words (slice / element access / contains /
+    * negative indexing — DuckDB list ops mirror Spark array ops). */
+  val qScalarArray = Q(
+    "q_scalar_array",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(
+          col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          element_at(col("ws"), 1).as("first_word"),
+          element_at(col("ws"), -1).as("last_word"),
+          array_join(slice(col("ws"), 1, 3), " ").as("first3"),
+          array_contains(col("ws"), "spark").as("has_spark"),
+          array_position(col("ws"), "the").cast("long").as("the_pos"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             len(ws) AS n_words,
+             ws[1] AS first_word,
+             ws[-1] AS last_word,
+             array_to_string(list_slice(ws, 1, 3), ' ') AS first3,
+             list_contains(ws, 'spark') AS has_spark,
+             COALESCE(list_position(ws, 'the'), 0) AS the_pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d
+      ORDER BY doc_id"""))
+
+  /** Skew-resistant salted aggregation ([[graft.operators.SaltedAgg]]):
+    * two-stage (key, salt) → key plan whose result must equal the
+    * direct GROUP BY the oracle runs. */
+  val qSaltedAgg = Q(
+    "q_salted_agg",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.SaltedAgg
+        .sumCountByKey(li, col("l_returnflag"),
+          col("l_quantity").cast(DecimalType(25, 4)),
+          saltFrom = Seq(col("l_orderkey"), col("l_linenumber")))
+        .select(col("__key").as("l_returnflag"),
+          col("sum_value").cast("double").as("sum_qty"), col("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qRollup, qGroupingSets, qHllDistinct,
     qJoinRegionRevenue, qJoinSemi, qJoinAnti, qThetaJoin, qRangeJoin,
     qAsofJoin, qTopkPerCustomer, qWindowRunning, qWindowHourly,
     qSortLimit, qSetopsNations, qScalarString, qScalarDate, qScalarMath,
+    qScalarRegex, qScalarConditional, qScalarArray, qSaltedAgg,
     qJsonEvents, qDnsBind9Events)
 }
