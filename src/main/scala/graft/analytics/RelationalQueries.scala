@@ -531,6 +531,46 @@ object RelationalQueries {
                AS line
       FROM events ORDER BY event_id"""))
 
+  /** CUBE — all grouping combinations in one pass. */
+  val qCube = Q(
+    "q_cube_lineitem",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"))
+        .orderBy(col("rf"), col("ls"))
+    },
+    Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             COALESCE(l_linestatus, 'ALL') AS ls,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY rf, ls"""))
+
+  /** Interpolated percentiles per group (both engines use the
+    * (n-1)p linear-interpolation definition; rounded to 6 to absorb
+    * interpolation-order float differences). */
+  val qPercentile = Q(
+    "q_percentile",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25D)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9D)"), 6).as("p90"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+             ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+             ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** Regex family (patterns kept in the Java∩RE2 common subset so both
     * engines agree). */
   val qScalarRegex = Q(
@@ -634,5 +674,5 @@ object RelationalQueries {
     qAsofJoin, qTopkPerCustomer, qWindowRunning, qWindowHourly,
     qSortLimit, qSetopsNations, qScalarString, qScalarDate, qScalarMath,
     qScalarRegex, qScalarConditional, qScalarArray, qSaltedAgg,
-    qJsonEvents, qDnsBind9Events)
+    qCube, qPercentile, qJsonEvents, qDnsBind9Events)
 }

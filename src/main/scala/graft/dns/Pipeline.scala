@@ -98,6 +98,21 @@ object Pipeline {
   def processJson(raw: Dataset[String]): Outputs =
     process(parseEnvelopes(raw))
 
+  /** Op 16 — the Firehose HTTP-endpoint response documents: success
+    * `{requestId, timestamp}` (app/app.py:99-102), failure
+    * `{requestId: "unknown", timestamp, errorMessage}`
+    * (app/app.py:88-93). `receivedAtMs` is injected rather than
+    * wall-clock so replays are deterministic; a transport layer stamps
+    * real receipt time. */
+  def ackResponses(envelopes: DataFrame, receivedAtMs: Long): DataFrame =
+    envelopeRejectReason(envelopes).select(
+      when(col("reject_reason").isNull, col("requestId"))
+        .otherwise(lit("unknown")).as("requestId"),
+      lit(receivedAtMs).as("timestamp"),
+      when(col("reject_reason").isNull, lit(null).cast("string"))
+        .otherwise(concat(lit("Invalid data format: "),
+          col("reject_reason"))).as("errorMessage"))
+
   /** Typed edge (op 7's DNSQuery class, app/app.py:107-124): clean
     * decoded records as a Dataset of the 14-field case class, for users
     * who want compile-time row types instead of DataFrames. */

@@ -179,6 +179,19 @@ class Bind9PipelineSpec extends AnyFunSuite with SparkTestBase {
       === "records_empty")
   }
 
+  test("ack responses mirror the Firehose response contract (op 16)") {
+    val envs = Pipeline.parseEnvelopes(spark.createDataset(Seq(
+      envelope("req-ok", Seq(b64(happyRecord))),
+      """{"timestamp":1,"records":[{"data":"eA=="}]}""")))
+    val acks = Pipeline.ackResponses(envs, receivedAtMs = 1697378587123L)
+      .orderBy("requestId").collect()
+    assert(acks.map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq === Seq(
+      ("req-ok", 1697378587123L, null),
+      ("unknown", 1697378587123L,
+        "Invalid data format: requestId_missing")))
+  }
+
   test("typed Dataset[DnsQuery] edge carries all 14 fields") {
     val env = Pipeline.parseEnvelopes(
       spark.createDataset(Seq(envelope("req-t", Seq(b64(happyRecord))))))
