@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.{DotProduct, WordShingles}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering the engine's native expressions for
+  * SQL callers:
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * SELECT graft_dot(a.v, b.v), graft_shingles(split(text, ' '), 3) ...
+  * }}}
+  *
+  * The public extension mechanism — no private registry access; the
+  * DataFrame API reaches the same expressions via
+  * [[graft.functions.VectorFunctions]] / [[graft.functions.TextFunctions]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot(arrayA, arrayB)")
+        DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2 && children(1).foldable,
+          "graft_shingles(words, n) with literal n")
+        WordShingles(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }))
+  }
+}

@@ -271,7 +271,50 @@ object DedupQueries {
                   / (SQRT(a.nrm) * SQRT(b.nrm)), 6) >= 0.4
       ORDER BY ia, ib"""))
 
+  /** Scale path for embedding near-dup: FULL corpus, no block cap.
+    * Sign-LSH band signatures explode to (band_idx, band_val) keys; a
+    * band-keyed equi-join yields candidates (shuffle keyed on band
+    * values — the O(n²) never materializes), and only candidates get
+    * the exact cosine. Rows-only (banding is engine-specific); the
+    * spec asserts every emitted pair is exact-verified and that the
+    * bounded-block exact query's pairs are recovered. */
+  val qDedupEmbeddingLsh = Q(
+    "q_dedup_embedding_lsh",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm",
+          graft.functions.VectorFunctions.dot(col("v"), col("v")))
+        .withColumn("sig", SimilarityQueries.lshBucket(col("v"), 16))
+      val banded = e.select(col("vec_id"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("band_idx"),
+            expr(s"shiftright(sig, ${i * 4}) & 15").as("band_val"))): _*))
+          .as("b"))
+        .select(col("vec_id"), col("b.band_idx"), col("b.band_val"))
+      val cand = banded.as("p")
+        .join(banded.as("q"),
+          col("p.band_idx") === col("q.band_idx") &&
+            col("p.band_val") === col("q.band_val") &&
+            col("p.vec_id") < col("q.vec_id"))
+        .select(col("p.vec_id").as("ia"), col("q.vec_id").as("ib"))
+        .distinct()
+      val withVecs = cand
+        .join(e.select(col("vec_id").as("ia"), col("v").as("va"),
+          col("nrm").as("na")), "ia")
+        .join(e.select(col("vec_id").as("ib"), col("v").as("vb"),
+          col("nrm").as("nb")), "ib")
+      withVecs
+        .select(col("ia"), col("ib"),
+          round(graft.functions.VectorFunctions.dot(col("va"), col("vb")) /
+            (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+        .orderBy(col("ia"), col("ib"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupSimhash,
-    qDedupEmbedding)
+    qDedupEmbedding, qDedupEmbeddingLsh)
 }

@@ -77,7 +77,7 @@ object SimilarityQueries {
   /** 16-bit sign-LSH bucket id for a vector: hyperplane j's component d
     * is a deterministic pseudo-uniform in [-1, 1) derived from
     * xxhash64(j, d) — no stored model, reproducible on any cluster. */
-  private def lshBucket(v: Column, bitsN: Int): Column = {
+  private[analytics] def lshBucket(v: Column, bitsN: Int): Column = {
     val bits = transform(sequence(lit(0), lit(bitsN - 1)), j => {
       val proj = aggregate(
         zip_with(v,

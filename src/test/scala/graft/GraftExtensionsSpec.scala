@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface of the native expressions via the public
+  * SparkSessionExtensions mechanism. Builds its own session (extensions
+  * apply at session construction) and restores the shared one after. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("graft_dot and graft_shingles are callable from SQL") {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val dot = s.sql(
+        "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))")
+        .head().getDouble(0)
+      assert(dot === 32.0)
+      val sh = s.sql(
+        "SELECT graft_shingles(array('a', 'b', 'c', 'b', 'c'), 2)")
+        .head().getSeq[String](0)
+      assert(sh === Seq("a b", "b c", "c b")) // deduped, order kept
+    } finally {
+      prior.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+}

@@ -40,6 +40,20 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.25, s"recall $recall")
   }
 
+  test("lsh embedding dedup: pairs are exact-verified, block pairs recovered") {
+    val exact = DedupQueries.qDedupEmbedding.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = DedupQueries.qDedupEmbeddingLsh.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every LSH pair inside the exact query's block must agree with it
+    val inBlock = lsh.filter { case ((a, b), _) => a < 1000 && b < 1000 }
+    inBlock.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos),
+        s"pair $pair: lsh=$cos exact=${exact.get(pair)}")
+    }
+    assert(inBlock.nonEmpty, "banding should recover some near-dup pairs")
+  }
+
   test("langid predicts crafted multilingual fixtures") {
     val fixtures = Seq(
       (1L, "the cat sat on the mat and it is the best of all the things"),
