@@ -16,6 +16,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * The public extension mechanism — no private registry access; the
   * DataFrame API reaches the same expressions via
   * [[graft.functions.VectorFunctions]] / [[graft.functions.TextFunctions]].
+  *
+  * Note: `spark.sql.extensions` is a STATIC conf — it takes effect only
+  * when set at context launch (spark-submit / shell `--conf`), not via
+  * `spark.conf.set` on a live context. Programmatic callers use
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
