@@ -286,11 +286,14 @@ object DedupQueries {
           transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("nrm",
           graft.functions.VectorFunctions.dot(col("v"), col("v")))
-        .withColumn("sig", SimilarityQueries.lshBucket(col("v"), 16))
+        .withColumn("sig", SimilarityQueries.lshBucket(col("v"), 32))
+      // 4 bands × 8 bits: a random pair collides per band with p≈1/256,
+      // so candidates ≈ 4·n²/512 — the quadratic pair space never
+      // materializes. (4-bit bands would only prune ~4×.)
       val banded = e.select(col("vec_id"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("band_idx"),
-            expr(s"shiftright(sig, ${i * 4}) & 15").as("band_val"))): _*))
+            expr(s"shiftright(sig, ${i * 8}) & 255").as("band_val"))): _*))
           .as("b"))
         .select(col("vec_id"), col("b.band_idx"), col("b.band_val"))
       val cand = banded.as("p")

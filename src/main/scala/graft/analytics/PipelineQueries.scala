@@ -42,11 +42,14 @@ object PipelineQueries {
         lit("UDP").as("transport"),
         map(lit("instance"),
           concat(lit("i-"), col("event_id").cast("string"))).as("srcids")))
-      val envelopes = ev.select(
-        concat(lit("req-"), col("event_id").cast("string")).as("requestId"),
-        col("event_id").as("timestamp"),
-        array(struct(base64(encode(record, "UTF-8")).as("data")))
-          .as("records"))
+      // one small parquet file = one input split; spread the CPU-bound
+      // decode across cores (real deployments have many splits)
+      val envelopes = ev.repartition(s.sparkContext.defaultParallelism)
+        .select(
+          concat(lit("req-"), col("event_id").cast("string")).as("requestId"),
+          col("event_id").as("timestamp"),
+          array(struct(base64(encode(record, "UTF-8")).as("data")))
+            .as("records"))
       Pipeline.process(envelopes).lines
         .select(col("requestId"), col("line_idx"), col("line"))
         .orderBy(col("requestId"), col("line_idx"))
@@ -117,11 +120,12 @@ object PipelineQueries {
         lit("UDP").as("transport"),
         map(lit("instance"),
           concat(lit("i-"), col("event_id").cast("string"))).as("srcids")))
-      val envelopes = ev.select(
-        concat(lit("req-"), col("event_id").cast("string")).as("requestId"),
-        col("event_id").as("timestamp"),
-        array(struct(base64(encode(record, "UTF-8")).as("data")))
-          .as("records"))
+      val envelopes = ev.repartition(s.sparkContext.defaultParallelism)
+        .select(
+          concat(lit("req-"), col("event_id").cast("string")).as("requestId"),
+          col("event_id").as("timestamp"),
+          array(struct(base64(encode(record, "UTF-8")).as("data")))
+            .as("records"))
       val clean = Pipeline.decodedRecords(envelopes)
         .filter(col("reason").isNull)
       Pipeline.microsoftDnsLines(clean)

@@ -74,22 +74,11 @@ object SimilarityQueries {
       SELECT qid, rank, neighbor_id, cos_sim FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank"""))
 
-  /** 16-bit sign-LSH bucket id for a vector: hyperplane j's component d
-    * is a deterministic pseudo-uniform in [-1, 1) derived from
-    * xxhash64(j, d) — no stored model, reproducible on any cluster. */
-  private[analytics] def lshBucket(v: Column, bitsN: Int): Column = {
-    val bits = transform(sequence(lit(0), lit(bitsN - 1)), j => {
-      val proj = aggregate(
-        zip_with(v,
-          transform(sequence(lit(0), size(v) - 1), d =>
-            (pmod(xxhash64(j, d), lit(2000000L)).cast("double") -
-              lit(1000000.0)) / lit(1000000.0)),
-          (x, h) => x * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
-  }
+  /** Sign-LSH bucket id: [[graft.functions.LshSignature]] (native,
+    * O(1) plan footprint — the HOF formulation's O(bits×dim) tree made
+    * Catalyst planning explode once self-joined). */
+  private[analytics] def lshBucket(v: Column, bitsN: Int): Column =
+    graft.functions.VectorFunctions.lshSignature(v, bitsN)
 
   /** ANN top-5 via sign-LSH banding: the 16-bit signature splits into
     * 4 bands of 4 bits; a corpus vector is a candidate when ANY band

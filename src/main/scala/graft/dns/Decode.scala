@@ -42,55 +42,6 @@ object Decode {
   def isValidUtf8(bytes: Column): Column =
     encode(bytes.cast("string"), "UTF-8") === bytes
 
-  /** Per-field JSON type introspection on the Variant value:
-    * `schema_of_variant` yields "STRING"/"BIGINT"/"VOID"(json null)/
-    * NULL(key absent), which gives exactly the reference's
-    * presence + isinstance semantics (app/app.py:194-200). */
-  private def variantTypeOf(v: Column, path: String): Column =
-    schema_of_variant(try_variant_get(v, path, "variant"))
-
-  /** Null-safe: a missing key makes `schema_of_variant` NULL, and SQL
-    * three-valued logic would let NULL ride through `&&` chains — every
-    * check here must collapse NULL to false. */
-  private def isJsonString(v: Column, field: String): Column =
-    variantTypeOf(v, s"$$.$field") <=> lit("STRING")
-
-  private def keyPresent(v: Column, path: String): Column =
-    try_variant_get(v, path, "variant").isNotNull
-
-  /** `is_valid_dns_data` (app/app.py:175-217) as one Column predicate:
-    *  - all 12 scalar fields present with JSON type string;
-    *  - `answers` present, a JSON array, every element an object
-    *    carrying both `Rdata` and `Type` keys (app/app.py:203-210);
-    *  - `srcids` present, an object, carrying key `instance`
-    *    (app/app.py:212-215). */
-  def isStructurallyValid(v: Column): Column = {
-    val scalarsOk = Schemas.stringFields
-      .map(f => isJsonString(v, f))
-      .reduce(_ && _)
-    val answersIsArray =
-      coalesce(variantTypeOf(v, "$.answers").startsWith("ARRAY"), lit(false))
-    val answersElemsOk = coalesce(
-      forall(
-        try_variant_get(v, "$.answers", "array<variant>"),
-        a =>
-          schema_of_variant(a).startsWith("OBJECT") &&
-            keyPresent(a, "$.Rdata") &&
-            keyPresent(a, "$.Type")),
-      lit(false))
-    val srcidsOk =
-      coalesce(variantTypeOf(v, "$.srcids").startsWith("OBJECT"), lit(false)) &&
-        keyPresent(v, "$.srcids.instance")
-    scalarsOk && answersIsArray && answersElemsOk && srcidsOk
-  }
-
-  /** Strict strptime("%Y-%m-%dT%H:%M:%SZ") (app/app.py:130,149):
-    * fractional seconds or an offset raised ValueError → record dropped
-    * via the generic handler (app/app.py:261-263). */
-  def parsedTimestamp(v: Column): Column =
-    try_to_timestamp(
-      try_variant_get(v, "$.query_timestamp", "string"),
-      lit(Schemas.timestampPattern))
 
   /** Explode `records[]` (op 3, app/app.py:219-220): 1 envelope → N
     * record rows, keeping (requestId, record_idx) as the stable record
@@ -106,50 +57,44 @@ object Decode {
 
   /** Full per-record decode+validate: adds
     *  - `payload` (decoded JSON text, null if undecodable),
-    *  - `v`       (VariantType parse of payload, null if malformed JSON),
-    *  - `query_ts`(strictly parsed event-time timestamp),
+    *  - `dns`     (struct from the ONE-pass native parse+validate
+    *               [[graft.functions.DnsRecordParse]] — reason +
+    *               strict event timestamp + all 14 typed fields),
     *  - `reason`  (null = clean; else base64|json|schema|timestamp,
     *               mirroring the reference's except-arm order,
-    *               app/app.py:255-263). */
-  def decodeAndValidate(records: DataFrame): DataFrame = {
-    val data = col("data")
-    val bytes = decodedBytes(data)
-    val withPayload = records.withColumn(
-      "payload",
-      when(data.isNotNull && isValidBase64(data) && isValidUtf8(bytes),
-        bytes.cast("string")).otherwise(lit(null)))
-    val withVariant = withPayload
-      .withColumn("v", try_parse_json(col("payload")))
-      .withColumn("query_ts", parsedTimestamp(col("v")))
-    withVariant.withColumn(
-      "reason",
-      when(col("payload").isNull, lit("base64"))
-        .when(col("v").isNull, lit("json"))
-        .when(!isStructurallyValid(col("v")), lit("schema"))
-        .when(col("query_ts").isNull, lit("timestamp"))
-        .otherwise(lit(null).cast("string")))
-  }
+    *               app/app.py:255-263),
+    *  - `query_ts`(strictly parsed event-time timestamp). */
+  def decodeAndValidate(records: DataFrame): DataFrame =
+    decorate(parseRecords(records))
+
+  /** The expensive half: strict decode + ONE parse per record (both
+    * native single-pass expressions). Persist THIS (payload + parsed
+    * struct) so they run exactly once per record. */
+  def parseRecords(records: DataFrame): DataFrame =
+    records
+      .withColumn("payload",
+        graft.functions.DnsFunctions.strictBase64Utf8(col("data")))
+      .withColumn("dns",
+        graft.functions.DnsFunctions.parseRecord(col("payload")))
+
+  /** The cheap half: reason/query_ts as plain field reads — layered
+    * above the materialization boundary. */
+  def decorate(parsed: DataFrame): DataFrame =
+    parsed
+      .withColumn(
+        "reason",
+        when(col("payload").isNull, lit("base64"))
+          .otherwise(col("dns").getField("reason")))
+      .withColumn("query_ts", col("dns").getField("query_ts"))
 
   /** Record construction (op 7, app/app.py:234-249): project the 14
-    * validated fields into typed columns.
-    *
-    * Values come from `from_json`, NOT from the Variant: Spark's variant
-    * string extraction decodes the payload's bytes with the JVM default
-    * charset, mangling multi-byte UTF-8 when that charset isn't UTF-8 —
-    * whereas `from_json` is charset-correct. The Variant is used only
-    * for JSON *type* introspection (ASCII type labels, unaffected).
-    * `from_json`'s number→string coercion is harmless here: wrong-typed
-    * records were already quarantined by [[isStructurallyValid]].
-    * `srcids` is parsed in isolation so an exotic nested value can at
-    * worst null that one (never-printed) column, not the record. */
-  def projectDnsFields(clean: DataFrame): DataFrame = {
-    val withDns = clean.withColumn(
-      "dns", from_json(col("payload"), Schemas.dnsRecordSchemaSansSrcids))
-    withDns.select(
+    * validated fields out of the one-pass parse struct — every column
+    * is a cheap GetStructField of the single `dns` attribute, so
+    * nothing re-parses downstream. */
+  def projectDnsFields(clean: DataFrame): DataFrame =
+    clean.select(
       Seq(col("requestId"), col("record_idx"), col("query_ts")) ++
         Schemas.stringFields.map(f => col("dns").getField(f).as(f)) ++
         Seq(col("dns").getField("answers").as("answers"),
-          from_json(get_json_object(col("payload"), "$.srcids"),
-            MapType(StringType, StringType)).as("srcids")): _*)
-  }
+          col("dns").getField("srcids").as("srcids")): _*)
 }

@@ -49,9 +49,26 @@ object Pipeline {
         .otherwise(lit(null).cast("string")))
 
   /** Ops 3–8 over accepted envelopes: one row per record with validity
-    * reason and (for clean rows) the parsed Variant + event timestamp. */
-  def decodedRecords(envelopes: DataFrame): DataFrame =
-    Decode.decodeAndValidate(Decode.explodeRecords(envelopes))
+    * reason and (for clean rows) the one-pass-parsed fields + event
+    * timestamp.
+    *
+    * Materialized (MEMORY_AND_DISK): the decode feeds several
+    * consumers (lines, quarantine, both formatters) and Catalyst's
+    * project-collapse would otherwise inline the parse expression into
+    * every downstream field reference — measured 42 copies of the
+    * parse (each dragging the base64-decode subtree) per row. The
+    * cache stores the parsed struct once; downstream reads are plain
+    * column accesses. Harness mains / foreachBatch clear the cache per
+    * batch. */
+  def decodedRecords(envelopes: DataFrame): DataFrame = {
+    val parsed = Decode.parseRecords(Decode.explodeRecords(envelopes))
+    // Streaming plans can't persist; their per-batch plans are consumed
+    // once inside foreachBatch anyway (which runs this on the batch DF).
+    val materialized =
+      if (parsed.isStreaming) parsed
+      else parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Decode.decorate(materialized)
+  }
 
   /** Ops 7–12 over clean records: typed projection, deterministic client
     * tag, 1+|answers| BIND9 lines, exploded in emit order. */

@@ -89,6 +89,7 @@ object Streaming {
           .write.mode("append").parquet(s"$deadLetterDir/quarantine")
         out.rejectedEnvelopes.withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(s"$deadLetterDir/rejected")
+        spark.catalog.clearCache() // drop this batch's decode cache
         ()
       }
       .start()

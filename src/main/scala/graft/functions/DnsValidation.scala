@@ -1,0 +1,252 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ExprBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+/** One-pass strict validation of a decoded Route53 record payload —
+  * the reference's `json.loads` + `is_valid_dns_data` + strict
+  * strptime (app/app.py:175-217, 226, 130/149) as a single native
+  * expression returning the drop reason (`json` / `schema` /
+  * `timestamp`) or null for a clean record.
+  *
+  * Why native: expressing strict JSON *type* checks with built-ins
+  * needs a Variant parse plus ~2 variant walks per field (~50 per
+  * record), all interpreted — measured minutes per 100k records.
+  * One Jackson tree parse checks everything in microseconds, and
+  * Jackson is charset-exact (it ships with Spark; no new dependency).
+  * `from_json` still does the (codegen) value extraction afterwards —
+  * its number→string coercion is safe because wrong-typed records
+  * were already quarantined here.
+  */
+case class DnsRecordValidity(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_dns_validity"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val reason = DnsValidation.reason(input.asInstanceOf[UTF8String].toString)
+    if (reason == null) null else UTF8String.fromString(reason)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("validityExpr", this)
+    val code = (c: String) =>
+      s"""
+         |${ev.value} = (org.apache.spark.unsafe.types.UTF8String)
+         |  $expr.evalPayload($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    nullSafeCodeGen(ctx, ev, code)
+  }
+
+  /** Called from generated code; null = clean. */
+  def evalPayload(payload: UTF8String): UTF8String =
+    nullSafeEval(payload).asInstanceOf[UTF8String]
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DnsValidation {
+
+  private val mapper = new ObjectMapper()
+
+  private val strictTs: DateTimeFormatter =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+  private[functions] def strictTsFormat: DateTimeFormatter = strictTs
+
+  /** Tree of an already-validated payload. */
+  private[functions] def tree(payload: String): JsonNode =
+    mapper.readTree(payload)
+
+  private val stringFields = Array(
+    "version", "account_id", "region", "vpc_id", "query_timestamp",
+    "query_name", "query_type", "query_class", "rcode",
+    "srcaddr", "srcport", "transport")
+
+  /** Reason string (`json` / `schema` / `timestamp`) or null. Mirrors
+    * the reference's except-arm order (app/app.py:255-263). */
+  def reason(payload: String): String = {
+    val root: JsonNode =
+      try mapper.readTree(payload)
+      catch { case _: Exception => return "json" }
+    if (root == null || root.isMissingNode) return "json"
+    if (!root.isObject) return "schema"
+    var i = 0
+    while (i < stringFields.length) {
+      val f = root.get(stringFields(i))
+      if (f == null || !f.isTextual) return "schema"
+      i += 1
+    }
+    val answers = root.get("answers")
+    if (answers == null || !answers.isArray) return "schema"
+    val it = answers.elements()
+    while (it.hasNext) {
+      val a = it.next()
+      if (!a.isObject || !a.has("Rdata") || !a.has("Type")) return "schema"
+    }
+    val srcids = root.get("srcids")
+    if (srcids == null || !srcids.isObject || !srcids.has("instance"))
+      return "schema"
+    try {
+      LocalDateTime.parse(root.get("query_timestamp").asText(), strictTs)
+      null
+    } catch { case _: Exception => "timestamp" }
+  }
+}
+
+/** One-pass parse + validate + extract of a decoded Route53 record:
+  * a single Jackson tree walk yields `struct<reason, query_ts, ...14
+  * record fields>` — the record either carries its drop reason or its
+  * fully typed fields.
+  *
+  * Why one struct-producing native expression (and not from_json +
+  * per-field extraction): Catalyst's OptimizeJsonExprs rewrites every
+  * `from_json(x).field` into its OWN from_json, each dragging a full
+  * copy of the base64-decode subtree — measured 33 JSON parses, 177
+  * unbase64 and 413 regexp_replace per row in the pipeline plan, big
+  * enough to disable whole-stage codegen. A custom expression is
+  * opaque to that rule; CollapseProject's cost model keeps it
+  * evaluated once, and downstream field references are cheap
+  * GetStructField-of-attribute. */
+case class DnsRecordParse(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DnsRecordParse.schema
+
+  override def prettyName: String = "graft_dns_parse"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DnsRecordParse.parse(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("parseExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)" +
+        s" $expr.parseEval($c);")
+  }
+
+  /** Called from generated code. */
+  def parseEval(payload: UTF8String): org.apache.spark.sql.catalyst.InternalRow =
+    nullSafeEval(payload)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DnsRecordParse {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+  import org.apache.spark.sql.types._
+
+  /** reason + query_ts + the 14 record fields (graft.dns.Schemas'
+    * record schema, restated here to keep `functions` free of a
+    * package cycle). */
+  val schema: StructType = StructType(Seq(
+    StructField("reason", StringType),
+    StructField("query_ts", TimestampType),
+    StructField("version", StringType),
+    StructField("account_id", StringType),
+    StructField("region", StringType),
+    StructField("vpc_id", StringType),
+    StructField("query_timestamp", StringType),
+    StructField("query_name", StringType),
+    StructField("query_type", StringType),
+    StructField("query_class", StringType),
+    StructField("rcode", StringType),
+    StructField("answers", ArrayType(StructType(Seq(
+      StructField("Rdata", StringType),
+      StructField("Type", StringType),
+      StructField("Class", StringType))))),
+    StructField("srcaddr", StringType),
+    StructField("srcport", StringType),
+    StructField("transport", StringType),
+    StructField("srcids", MapType(StringType, StringType))))
+
+  private val fieldIdx: Map[String, Int] =
+    schema.fieldNames.zipWithIndex.toMap
+
+  private def utf8(n: JsonNode): UTF8String =
+    if (n == null || n.isNull) null else UTF8String.fromString(n.asText())
+
+  private def reasonOnly(reason: String): InternalRow = {
+    val row = new GenericInternalRow(schema.length)
+    row.update(0, UTF8String.fromString(reason))
+    row
+  }
+
+  /** Full parse: invalid → only `reason` set; valid → reason null and
+    * every field populated. */
+  def parse(payload: String): InternalRow = {
+    val r = DnsValidation.reason(payload)
+    if (r != null) return reasonOnly(r)
+    // validated: a second tree read is cheap and keeps the validator
+    // logic shared with the standalone reason expression
+    val root = DnsValidation.tree(payload)
+    val row = new GenericInternalRow(schema.length)
+    val ldt = LocalDateTime.parse(
+      root.get("query_timestamp").asText(), DnsValidation.strictTsFormat)
+    row.update(fieldIdx("query_ts"),
+      java.lang.Long.valueOf(
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L))
+    Seq("version", "account_id", "region", "vpc_id", "query_timestamp",
+      "query_name", "query_type", "query_class", "rcode",
+      "srcaddr", "srcport", "transport").foreach { f =>
+      row.update(fieldIdx(f), utf8(root.get(f)))
+    }
+    val answers = root.get("answers")
+    val arr = new Array[Any](answers.size())
+    var i = 0
+    val it = answers.elements()
+    while (it.hasNext) {
+      val a = it.next()
+      val ar = new GenericInternalRow(3)
+      ar.update(0, utf8(a.get("Rdata")))
+      ar.update(1, utf8(a.get("Type")))
+      ar.update(2, utf8(a.get("Class")))
+      arr(i) = ar
+      i += 1
+    }
+    row.update(fieldIdx("answers"), new GenericArrayData(arr))
+    val srcids = root.get("srcids")
+    val keys = new scala.collection.mutable.ArrayBuffer[Any]
+    val vals = new scala.collection.mutable.ArrayBuffer[Any]
+    val fields = srcids.fields()
+    while (fields.hasNext) {
+      val e = fields.next()
+      keys += UTF8String.fromString(e.getKey)
+      vals += utf8(e.getValue)
+    }
+    row.update(fieldIdx("srcids"),
+      new ArrayBasedMapData(
+        new GenericArrayData(keys.toArray),
+        new GenericArrayData(vals.toArray)))
+    row
+  }
+}
+
+object DnsFunctions {
+  /** Column form of the one-pass validator. */
+  def validityReason(payload: Column): Column =
+    ExprBridge.column(DnsRecordValidity(ExprBridge.expression(payload)))
+
+  /** Column form of the one-pass parse+validate+extract. */
+  def parseRecord(payload: Column): Column =
+    ExprBridge.column(DnsRecordParse(ExprBridge.expression(payload)))
+
+  /** Python-strict base64+UTF-8 decode ([[StrictBase64Utf8]]). */
+  def strictBase64Utf8(data: Column): Column =
+    ExprBridge.column(StrictBase64Utf8(ExprBridge.expression(data)))
+}

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ExprBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the vector hot path: dot product of
   * two array<double> columns with whole-stage-codegen support.
@@ -61,9 +61,71 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-random-projection LSH signature of an array<double> vector:
+  * bit j is the sign of the dot product with a deterministic
+  * pseudo-random hyperplane derived per (plane, dimension) from a
+  * splitmix64 mix — no stored model, reproducible on any cluster.
+  *
+  * Why native: the equivalent HOF formulation (`transform` over planes
+  * of `aggregate` over dimensions) builds an O(bits × dim) expression
+  * tree that gets DUPLICATED through self-joins — large enough to make
+  * Catalyst planning take minutes. This node is O(1) in the plan and a
+  * tight loop at runtime. */
+case class LshSignature(child: Expression, bits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(bits >= 1 && bits <= 63, "bits in [1, 63]")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "graft_lsh_sig"
+
+  private def hyperplane(j: Int, d: Int): Double = {
+    var z = j.toLong * 0x9E3779B97F4A7C15L ^
+      (d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (java.lang.Math.floorMod(z, 2000000L) - 1000000L) / 1000000.0
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var proj = 0.0
+      var d = 0
+      while (d < dim) {
+        proj += v.getDouble(d) * hyperplane(j, d)
+        d += 1
+      }
+      sig = (sig << 1) | (if (proj > 0) 1L else 0L)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("lshExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $expr.sigEval($c);")
+  }
+
+  /** Called from generated code. */
+  def sigEval(v: ArrayData): Long = nullSafeEval(v).asInstanceOf[Long]
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product over two array<double> columns. */
   def dot(a: Column, b: Column): Column =
     ExprBridge.column(DotProduct(
       ExprBridge.expression(a), ExprBridge.expression(b)))
+
+  /** Codegen'd sign-LSH signature (`bits` sign bits as a long). */
+  def lshSignature(v: Column, bits: Int): Column =
+    ExprBridge.column(LshSignature(ExprBridge.expression(v), bits))
 }
