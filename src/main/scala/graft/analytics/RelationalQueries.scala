@@ -667,6 +667,55 @@ object RelationalQueries {
              COUNT(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Pivot: one column per event_type, counts per user (Spark
+    * `.pivot()`; the oracle states the same contract as conditional
+    * aggregation — the portable definition of a pivot). */
+  val qPivot = Q(
+    "q_pivot_events",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** Unpivot/melt: wide lineitem measures to long (Spark `unpivot`;
+    * oracle as the equivalent stacked UNION ALL). */
+  val qUnpivot = Q(
+    "q_unpivot_lineitem",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")),
+          "measure", "value")
+        .orderBy(col("l_orderkey"), col("measure")),
+    Some("""
+      SELECT l_orderkey, measure, value FROM (
+        SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value
+        FROM lineitem WHERE l_linenumber = 1
+        UNION ALL
+        SELECT l_orderkey, 'l_extendedprice', l_extendedprice
+        FROM lineitem WHERE l_linenumber = 1
+        UNION ALL
+        SELECT l_orderkey, 'l_discount', l_discount
+        FROM lineitem WHERE l_linenumber = 1) u
+      ORDER BY l_orderkey, measure"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qRollup, qGroupingSets, qHllDistinct,
@@ -674,5 +723,5 @@ object RelationalQueries {
     qAsofJoin, qTopkPerCustomer, qWindowRunning, qWindowHourly,
     qSortLimit, qSetopsNations, qScalarString, qScalarDate, qScalarMath,
     qScalarRegex, qScalarConditional, qScalarArray, qSaltedAgg,
-    qCube, qPercentile, qJsonEvents, qDnsBind9Events)
+    qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events)
 }

@@ -19,29 +19,6 @@ import org.apache.spark.sql.types.{MapType, StringType}
   */
 object Decode {
 
-  /** Python's `base64.b64decode` (validate=False) first discards
-    * characters outside the base64 alphabet, then requires a multiple-
-    * of-4 length with correct `=` padding, else raises binascii.Error
-    * (app/app.py:222,255). Spark's `unbase64` never raises in this form,
-    * so validity is an explicit regex over the discard-cleaned text. */
-  def cleanedBase64(data: Column): Column =
-    regexp_replace(data, "[^A-Za-z0-9+/=]", "")
-
-  def isValidBase64(data: Column): Column =
-    cleanedBase64(data)
-      .rlike("^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{4}|[A-Za-z0-9+/]{3}=|[A-Za-z0-9+/]{2}==)?$")
-
-  /** Decoded bytes; null when the base64 text is invalid. */
-  def decodedBytes(data: Column): Column =
-    when(isValidBase64(data), unbase64(cleanedBase64(data))).otherwise(lit(null))
-
-  /** Python's `.decode('utf-8')` raises on malformed bytes
-    * (app/app.py:222,255); Spark's binary→string cast substitutes
-    * U+FFFD. Exact detection: a valid UTF-8 byte string round-trips
-    * decode∘encode byte-identically, a malformed one does not. */
-  def isValidUtf8(bytes: Column): Column =
-    encode(bytes.cast("string"), "UTF-8") === bytes
-
 
   /** Explode `records[]` (op 3, app/app.py:219-220): 1 envelope → N
     * record rows, keeping (requestId, record_idx) as the stable record
