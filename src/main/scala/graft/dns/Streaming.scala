@@ -41,6 +41,32 @@ object Streaming {
         .select(col("value")).as[String])
   }
 
+  /** Stream-static enrichment join: the natural flagship analytics on
+    * this stream — match each DNS query against a (small, broadcast)
+    * threat/watch list dimension by exact query name. The static side
+    * re-resolves per micro-batch, so list updates flow in without
+    * restarting the query. */
+  def enrichWithThreatList(cleanRecords: DataFrame,
+      threatList: DataFrame): DataFrame =
+    Decode.projectDnsFields(cleanRecords)
+      .join(org.apache.spark.sql.functions.broadcast(threatList),
+        Seq("query_name"), "inner")
+      .select(col("query_ts"), col("query_name"), col("srcaddr"),
+        col("vpc_id"), col("severity"))
+
+  /** Spark-native observability for the pipeline (op 15's diagnostic
+    * echo, minus the PII): named metrics riding each micro-batch,
+    * surfaced via QueryProgress / observedMetrics — record counts and
+    * per-reason quarantine counts. */
+  def observed(records: DataFrame): DataFrame =
+    records.observe("graft_pipeline",
+      count(lit(1)).as("n_records"),
+      count(when(col("reason").isNotNull, 1)).as("n_quarantined"),
+      count(when(col("reason") === "base64", 1)).as("n_base64"),
+      count(when(col("reason") === "json", 1)).as("n_json"),
+      count(when(col("reason") === "schema", 1)).as("n_schema"),
+      count(when(col("reason") === "timestamp", 1)).as("n_timestamp"))
+
   /** Per-client query-rate aggregation — the streaming-native analytics
     * the reference can't do: tumbling event-time windows on the strict
     * query timestamp with a watermark bounding state. */

@@ -40,18 +40,34 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.25, s"recall $recall")
   }
 
-  test("lsh embedding dedup: pairs are exact-verified, block pairs recovered") {
+  test("lsh embedding dedup: agrees with exact in-block; finds planted dups") {
+    // corpus: any emitted in-block pair must agree with the exact query
     val exact = DedupQueries.qDedupEmbedding.run(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val lsh = DedupQueries.qDedupEmbeddingLsh.run(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    // every LSH pair inside the exact query's block must agree with it
-    val inBlock = lsh.filter { case ((a, b), _) => a < 1000 && b < 1000 }
-    inBlock.foreach { case (pair, cos) =>
-      assert(exact.get(pair).contains(cos),
-        s"pair $pair: lsh=$cos exact=${exact.get(pair)}")
+    lsh.filter { case ((a, b), _) => a < 1000 && b < 1000 }.foreach {
+      case (pair, cos) =>
+        assert(exact.get(pair).contains(cos),
+          s"pair $pair: lsh=$cos exact=${exact.get(pair)}")
     }
-    assert(inBlock.nonEmpty, "banding should recover some near-dup pairs")
+    // planted near-identical vectors MUST be recovered (cos≈1 → every
+    // sign bit agrees → all bands collide)
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val base1 = vec(); val base2 = vec()
+    def jitter(v: Array[Float]): Array[Float] = v.map(_ * 1.0001f)
+    val rows = Seq(
+      (0L, base1, 0), (1L, jitter(base1), 0),
+      (2L, base2, 1), (3L, jitter(base2), 1)) ++
+      (4L until 200L).map(i => (i, vec(), 2))
+    val dir = java.nio.file.Files.createTempDirectory("lshdup").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val found = DedupQueries.qDedupEmbeddingLsh.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((0L, 1L)) && found.contains((2L, 3L)),
+      s"planted dup pairs missing from $found")
   }
 
   test("langid predicts crafted multilingual fixtures") {

@@ -99,6 +99,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(quarantined.select("reason").as[String].head() === "json")
   }
 
+  test("stream-static threat-list enrichment joins per micro-batch") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[String]
+    val clean = Pipeline.decodedRecords(
+      Pipeline.parseEnvelopes(stream.toDS())).filter(col("reason").isNull)
+    val threats = Seq(("evil.example.", "high"), ("shady.example.", "low"))
+      .toDF("query_name", "severity")
+    val enriched = Streaming.enrichWithThreatList(clean, threats)
+    val hits = mutable.ArrayBuffer[(String, String)]()
+    val q = enriched.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        hits.synchronized {
+          hits ++= df.select("query_name", "severity").collect()
+            .map(r => (r.getString(0), r.getString(1)))
+        }
+        ()
+    }.start()
+    stream.addData(envelope("t0",
+      b64(record("benign.example.")), b64(record("evil.example.")),
+      b64(record("shady.example."))))
+    q.processAllAvailable()
+    q.stop()
+    assert(hits.synchronized(hits.toSet) ===
+      Set(("evil.example.", "high"), ("shady.example.", "low")))
+  }
+
+  test("observe() metrics report per-reason quarantine counts") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[String]
+    val records = Streaming.observed(
+      Pipeline.decodedRecords(Pipeline.parseEnvelopes(stream.toDS())))
+    val q = records.writeStream.format("noop").start()
+    stream.addData(envelope("m0",
+      b64(record("ok.example.")), "!!!notb64!!!", b64("{broken")))
+    q.processAllAvailable()
+    val metrics = q.lastProgress.observedMetrics.get("graft_pipeline")
+    q.stop()
+    assert(metrics.getAs[Long]("n_records") === 3L)
+    assert(metrics.getAs[Long]("n_quarantined") === 2L)
+    assert(metrics.getAs[Long]("n_base64") === 1L)
+    assert(metrics.getAs[Long]("n_json") === 1L)
+  }
+
   test("watermarked per-vpc rate windows aggregate event time") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[String]
