@@ -67,6 +67,31 @@ object Streaming {
       count(when(col("reason") === "schema", 1)).as("n_schema"),
       count(when(col("reason") === "timestamp", 1)).as("n_timestamp"))
 
+  /** Stream-stream self-join with watermarks: retry detection — a
+    * query is a retry when the same (srcaddr, query_name) appeared in
+    * the preceding `withinSeconds`. Both sides are watermarked and the
+    * join condition carries the time bound, so state stays bounded to
+    * the interval (the canonical watermarked interval-join shape). */
+  def retries(cleanRecords: DataFrame, withinSeconds: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val base = Decode.projectDnsFields(cleanRecords)
+      .select(col("srcaddr"), col("query_name"), col("query_ts"))
+    val first = base
+      .withColumnsRenamed(Map("query_ts" -> "first_ts"))
+      .withWatermark("first_ts", watermarkDelay)
+    val retry = base
+      .withColumnsRenamed(Map("query_ts" -> "retry_ts"))
+      .withWatermark("retry_ts", watermarkDelay)
+    retry.join(first,
+        retry("srcaddr") === first("srcaddr") &&
+          retry("query_name") === first("query_name") &&
+          retry("retry_ts") > first("first_ts") &&
+          retry("retry_ts") <=
+            first("first_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(retry("srcaddr"), retry("query_name"),
+        first("first_ts"), retry("retry_ts"))
+  }
+
   /** Per-client query-rate aggregation — the streaming-native analytics
     * the reference can't do: tumbling event-time windows on the strict
     * query timestamp with a watermark bounding state. */

@@ -142,6 +142,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(metrics.getAs[Long]("n_json") === 1L)
   }
 
+  test("stream-stream interval self-join flags retries within the bound") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[String]
+    val clean = Pipeline.decodedRecords(
+      Pipeline.parseEnvelopes(stream.toDS())).filter(col("reason").isNull)
+    val joined = Streaming.retries(clean, withinSeconds = 10)
+    val q = joined.writeStream.format("memory").queryName("retries")
+      .outputMode("append").start()
+    stream.addData(envelope("r0",
+      b64(record("dup.example.", "2023-10-15T14:00:00Z")),
+      b64(record("dup.example.", "2023-10-15T14:00:05Z")), // retry (+5s)
+      b64(record("dup.example.", "2023-10-15T14:00:30Z")), // outside 10s
+      b64(record("other.example.", "2023-10-15T14:00:06Z"))))
+    q.processAllAvailable()
+    // advance watermark so the joined rows finalize in append mode
+    stream.addData(envelope("r1",
+      b64(record("late.example.", "2023-10-15T15:00:00Z"))))
+    q.processAllAvailable()
+    val rows = spark.table("retries")
+      .select("query_name", "first_ts", "retry_ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString))
+    q.stop()
+    assert(rows.toSet === Set(
+      ("dup.example.", "2023-10-15 14:00:00.0", "2023-10-15 14:00:05.0")))
+  }
+
   test("watermarked per-vpc rate windows aggregate event time") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[String]
