@@ -343,6 +343,53 @@ object RelationalQueries {
             FROM events) e
       ORDER BY user_id, ts, event_id"""))
 
+  /** The full ranking-function family in one pass (unique tie-break →
+    * deterministic; percent_rank/cume_dist are exact rationals). */
+  val qWindowRanks = Q(
+    "q_window_ranks",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk,
+             PERCENT_RANK() OVER w AS prnk,
+             CUME_DIST() OVER w AS cdist,
+             NTILE(4) OVER w AS quartile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** RANGE frame: how many orders fall within 1000.0 below each
+    * order's price (value-based frame, not row-based). */
+  val qWindowRangeFrame = Q(
+    "q_window_range_frame",
+    (s, dir) => {
+      val w = Window.orderBy(col("o_totalprice"))
+        .rangeBetween(-1000L, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_in_band"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice,
+             COUNT(*) OVER (ORDER BY o_totalprice
+                            RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+               AS n_in_band
+      FROM orders ORDER BY o_orderkey"""))
+
   /** Tumbling event-time window (Spark `window()`; DuckDB date_trunc
     * is the equivalent hour bucketing). */
   val qWindowHourly = Q(
@@ -720,7 +767,8 @@ object RelationalQueries {
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qRollup, qGroupingSets, qHllDistinct,
     qJoinRegionRevenue, qJoinSemi, qJoinAnti, qThetaJoin, qRangeJoin,
-    qAsofJoin, qTopkPerCustomer, qWindowRunning, qWindowHourly,
+    qAsofJoin, qTopkPerCustomer, qWindowRunning, qWindowRanks,
+    qWindowRangeFrame, qWindowHourly,
     qSortLimit, qSetopsNations, qScalarString, qScalarDate, qScalarMath,
     qScalarRegex, qScalarConditional, qScalarArray, qSaltedAgg,
     qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events)
