@@ -209,6 +209,71 @@ object RelationalQueries {
                         WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
       ORDER BY c_custkey"""))
 
+  /** Left-outer join with a join-side predicate: every nation keeps a
+    * row; COUNT(col) skips the unmatched nulls → zero counts. */
+  val qJoinLeftOuter = Q(
+    "q_join_left_outer",
+    (s, dir) => {
+      val nation = t(s, dir, "nation")
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      nation.join(rich, nation("n_nationkey") === rich("c_nationkey"), "left")
+        .groupBy(col("n_name"))
+        .agg(count(col("c_custkey")).as("n_rich"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      SELECT n_name, COUNT(c_custkey) AS n_rich
+      FROM nation LEFT JOIN customer
+        ON c_nationkey = n_nationkey AND c_acctbal > 9000
+      GROUP BY n_name ORDER BY n_name"""))
+
+  /** Full-outer join of two aggregates with COALESCE reconciliation. */
+  val qJoinFullOuter = Q(
+    "q_join_full_outer",
+    (s, dir) => {
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("n_cust"))
+      val p = t(s, dir, "supplier")
+        .filter(col("s_acctbal") > 5000)
+        .groupBy(col("s_nationkey").as("sk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(p, col("ck") === col("sk"), "full_outer")
+        .select(
+          coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""
+      WITH c AS (SELECT c_nationkey AS ck, COUNT(*) AS n_cust
+                 FROM customer GROUP BY 1),
+           p AS (SELECT s_nationkey AS sk, COUNT(*) AS n_supp
+                 FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
+      SELECT COALESCE(ck, sk) AS nationkey,
+             COALESCE(n_cust, 0) AS n_cust,
+             COALESCE(n_supp, 0) AS n_supp
+      FROM c FULL JOIN p ON ck = sk
+      ORDER BY nationkey"""))
+
+  /** Ordered string aggregation (sorted collect → join, matching
+    * string_agg ... ORDER BY). */
+  val qAggStringAgg = Q(
+    "q_agg_stringagg",
+    (s, dir) => {
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      nation.join(broadcast(region),
+          nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"))
+        .orderBy(col("r_name"))
+    },
+    Some("""
+      SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
   /** Theta join (equi + inequality + |Δ| predicate): supplier pairs in
     * one nation with near-equal balances. */
   val qThetaJoin = Q(
@@ -766,7 +831,8 @@ object RelationalQueries {
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qRollup, qGroupingSets, qHllDistinct,
-    qJoinRegionRevenue, qJoinSemi, qJoinAnti, qThetaJoin, qRangeJoin,
+    qJoinRegionRevenue, qJoinSemi, qJoinAnti, qJoinLeftOuter,
+    qJoinFullOuter, qAggStringAgg, qThetaJoin, qRangeJoin,
     qAsofJoin, qTopkPerCustomer, qWindowRunning, qWindowRanks,
     qWindowRangeFrame, qWindowHourly,
     qSortLimit, qSetopsNations, qScalarString, qScalarDate, qScalarMath,
