@@ -128,6 +128,55 @@ object RelationalQueries {
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY st, pri"""))
 
+  /** Statistical aggregates (stddev/var/corr/covar). Both engines use
+    * numerically-stable streaming algorithms whose partition-merge
+    * order can drift in the last few ulps — rounding absorbs it. */
+  val qAggStats = Q(
+    "q_agg_stats",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6)
+            .as("qty_disc_cov"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+             ROUND(var_samp(l_quantity), 4) AS var_qty,
+             ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+             ROUND(covar_samp(l_quantity, l_discount), 6) AS qty_disc_cov
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Subquery forms: scalar subquery in SELECT + IN subquery in WHERE
+    * (same ANSI text runs on both engines). */
+  val qSubqueries = Q(
+    "q_subqueries",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+      t(s, dir, "customer").createOrReplaceTempView("customer_sq")
+      s.sql("""
+        SELECT o_orderkey,
+               o_totalprice / (SELECT MAX(o_totalprice) FROM orders_sq)
+                 AS price_ratio
+        FROM orders_sq
+        WHERE o_custkey IN (SELECT c_custkey FROM customer_sq
+                            WHERE c_acctbal > 9000)
+        ORDER BY o_orderkey""")
+    },
+    Some("""
+      SELECT o_orderkey,
+             o_totalprice / (SELECT MAX(o_totalprice) FROM orders)
+               AS price_ratio
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_acctbal > 9000)
+      ORDER BY o_orderkey"""))
+
   /** HLL sketch (approx_count_distinct). Engine-specific estimates
     * cannot hash-match DuckDB → no oracle; accuracy is spec-asserted
     * against exact distinct instead. */
@@ -830,7 +879,8 @@ object RelationalQueries {
 
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
-    qAggPricing, qDistinctAgg, qRollup, qGroupingSets, qHllDistinct,
+    qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qRollup,
+    qGroupingSets, qHllDistinct,
     qJoinRegionRevenue, qJoinSemi, qJoinAnti, qJoinLeftOuter,
     qJoinFullOuter, qAggStringAgg, qThetaJoin, qRangeJoin,
     qAsofJoin, qTopkPerCustomer, qWindowRunning, qWindowRanks,
