@@ -123,8 +123,13 @@ object DnsPipelineProperties extends Properties("DnsPipeline")
       (out.quarantine.count() == (recs.size - expectedIdx.size)) :| "quarantine count"
     }
 
+  private val validTestRecord: Gen[TestRecord] = validRecord.map { r =>
+    val nAns = r.find(_._1 == "answers").map(_._2.count(_ == '{')).getOrElse(0)
+    TestRecord(render(r), valid = true, nAns)
+  }
+
   propertyWithSeed("poison isolation: valid lines unchanged by poison", None) =
-    Prop.forAllNoShrink(Gen.listOfN(3, anyRecord.retryUntil(_.valid, 50)),
+    Prop.forAllNoShrink(Gen.listOfN(3, validTestRecord),
       Gen.listOfN(2, Gen.oneOf(
         "!!!notb64!!!", b64("{nope"), b64("[1,2]"), ""))) { (valid, poison) =>
       val clean = run(valid.map(_.json)).lines
