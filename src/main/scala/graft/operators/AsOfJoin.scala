@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (most-recent-match) join — an operator Spark lacks natively.
   *
@@ -33,27 +34,34 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame, key: String, leftTs: String,
       rightTs: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Payload rides in ONE struct that is non-null exactly for right
+    // rows: `last(ignoreNulls)` then keys match-carrying on row
+    // PRESENCE, not on any payload value. A right row whose payload
+    // columns are all NULL still matches (and supersedes older right
+    // rows), exactly like DuckDB's ASOF JOIN.
+    val payStruct = struct(payload.map(col): _*)
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .select(Seq(col(key), col("__ts"), col("__side")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+        leftCols.filterNot(_ == key).map(col) :+
+        lit(null).cast(StructType(payload.map(p =>
+          StructField(p, right.schema(p).dataType)))).as("__rpay"): _*)
     val r = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select(Seq(col(key), col("__ts"), col("__side")) ++
         leftCols.filterNot(_ == key)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payStruct.as("__rpay"): _*)
     val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried: Seq[Column] =
-      payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p))
+    val carried = last(col("__rpay"), ignoreNulls = true).over(w).as("__rpay")
     l.unionByName(r)
       .select(Seq(col(key), col("__side")) ++
-        leftCols.filterNot(_ == key).map(col) ++ carried: _*)
-      .where(col("__side") === 1 && col(payload.head).isNotNull)
-      .drop("__side")
+        leftCols.filterNot(_ == key).map(col) :+ carried: _*)
+      .where(col("__side") === 1 && col("__rpay").isNotNull)
+      .select(Seq(col(key)) ++ leftCols.filterNot(_ == key).map(col) ++
+        payload.map(p => col("__rpay").getField(p).as(p)): _*)
   }
 }

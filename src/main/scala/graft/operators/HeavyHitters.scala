@@ -32,14 +32,24 @@ class SpaceSaving(capacity: Int)
     buf
   }
 
+  /** Canonical SpaceSaving merge (Agarwal et al., "Mergeable
+    * Summaries"): a key missing from one side may have been absorbed
+    * into that side's minimum counter, so its count there is bounded
+    * by — and charged as — that side's min. Summing with the min
+    * offset keeps every estimate an OVERestimate; truncation to
+    * capacity then only evicts counters ≤ the surviving minimum, so
+    * the "missing key ≤ current min" invariant also survives. */
   override def merge(a: mutable.Map[String, Long],
       b: mutable.Map[String, Long]): mutable.Map[String, Long] = {
-    b.foreach { case (k, v) => a(k) = a.getOrElse(k, 0L) + v }
-    while (a.size > capacity) {
-      val (minK, _) = a.minBy(kv => (kv._2, kv._1))
-      a.remove(minK)
+    val minA = if (a.size < capacity) 0L else a.values.min
+    val minB = if (b.size < capacity) 0L else b.values.min
+    val merged = mutable.Map.empty[String, Long]
+    (a.keySet ++ b.keySet).foreach { k =>
+      merged(k) = a.getOrElse(k, minA) + b.getOrElse(k, minB)
     }
-    a
+    if (merged.size <= capacity) merged
+    else mutable.Map(merged.toSeq
+      .sortBy { case (k, v) => (-v, k) }.take(capacity): _*)
   }
 
   override def finish(buf: mutable.Map[String, Long]): Seq[(String, Long)] =

@@ -150,4 +150,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out === Map("L1" -> 10.0, "L2" -> 20.0, "L4" -> 40.0))
   }
+
+  test("asof join: null right payload still matches and supersedes") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "L1"), // only prior right row has null rval
+      (1L, ts("2024-01-01 12:00:00"), "L2"), // newest prior right row has null rval
+      (2L, ts("2024-01-01 09:00:00"), "L3")  // no prior right row at all
+    ).toDF("k", "lts", "ltag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), Option.empty[java.lang.Double]),
+      (1L, ts("2024-01-01 11:00:00"), Option(20.0): Option[java.lang.Double]),
+      (1L, ts("2024-01-01 11:30:00"), Option.empty[java.lang.Double]),
+      (2L, ts("2024-01-01 23:00:00"), Option(30.0): Option[java.lang.Double])
+    ).toDF("k", "rts", "rval")
+    val rows = AsOfJoin.asof(left, right, "k", "lts", "rts", Seq("rval"))
+      .select("ltag", "rval").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // L1 matches the 09:30 null-payload row (NOT dropped); L2 matches
+    // the NEWEST prior row (11:30, null) — not the stale 11:00 value;
+    // L3 has no match and is the only dropped left row.
+    assert(rows === Map("L1" -> None, "L2" -> None))
+  }
 }

@@ -27,6 +27,48 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(top.head._2 >= 500L)
   }
 
+  test("space saving merge: one-sided error bound under arbitrary merge trees") {
+    // Property: for ANY split of the stream into partition buffers and
+    // ANY merge tree over them, every reported estimate overestimates
+    // (est >= true), the overestimate is bounded (est - true <= N/m),
+    // and every key with true count > N/m is present — the SpaceSaving
+    // guarantees the doc comment claims, now preserved across merge.
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 40) {
+      val capacity = 4 + rnd.nextInt(8)
+      val ss = new SpaceSaving(capacity)
+      // zipf-ish stream: few hot keys + long noise tail
+      val stream = new scala.util.Random(rnd.nextLong()).shuffle(
+        (0 until 3).flatMap(h => Seq.fill(150 * (h + 1))(s"hot$h")) ++
+          (0 until 500).map(i => s"noise${i % 250}"))
+      val n = stream.size
+      val truth = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      // random split into 1..8 buffers, reduce each
+      val nParts = 1 + rnd.nextInt(8)
+      var bufs = stream.groupBy(_ => rnd.nextInt(nParts)).values.toVector
+        .map(part => part.foldLeft(ss.zero)(ss.reduce))
+      // merge in random tree order
+      while (bufs.size > 1) {
+        val i = rnd.nextInt(bufs.size)
+        val a = bufs(i); bufs = bufs.patch(i, Nil, 1)
+        val j = rnd.nextInt(bufs.size)
+        val b = bufs(j); bufs = bufs.patch(j, Nil, 1)
+        bufs = bufs :+ ss.merge(a, b)
+      }
+      val est = bufs.head
+      assert(est.size <= capacity)
+      val bound = n.toDouble / capacity
+      est.foreach { case (k, v) =>
+        val tv = truth.getOrElse(k, 0L)
+        assert(v >= tv, s"undercount: $k est $v < true $tv (cap $capacity)")
+        assert(v - tv <= bound,
+          s"overestimate too large: $k est $v true $tv bound $bound")
+      }
+      truth.filter(_._2 > bound).keys.foreach(k =>
+        assert(est.contains(k), s"guaranteed hitter $k missing (cap $capacity)"))
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     val sf = "/root/testdata/sf0.001" // warehouse dir set in SparkTestBase
     spark.read.parquet(s"$sf/orders.parquet")
