@@ -275,9 +275,12 @@ object DedupQueries {
     * Sign-LSH band signatures explode to (band_idx, band_val) keys; a
     * band-keyed equi-join yields candidates (shuffle keyed on band
     * values — the O(n²) never materializes), and only candidates get
-    * the exact cosine. Rows-only (banding is engine-specific); the
-    * spec asserts every emitted pair is exact-verified and that the
-    * bounded-block exact query's pairs are recovered. */
+    * the exact cosine. Hash-matched: the oracle rebuilds the
+    * md5-derived hyperplanes and expresses the band match as the
+    * equivalent OR-of-4-bands predicate (the equi-join + distinct on
+    * the Spark side yields exactly one row per matching pair, same as
+    * the OR form). The spec additionally asserts in-block agreement
+    * with the exact query and planted-dup recovery. */
   val qDedupEmbeddingLsh = Q(
     "q_dedup_embedding_lsh",
     (s, dir) => {
@@ -315,7 +318,26 @@ object DedupQueries {
         .filter(col("cos_sim") >= 0.4)
         .orderBy(col("ia"), col("ib"))
     },
-    None)
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x)) AS nrm
+        FROM embeddings),${SimilarityQueries.lshSigsSql(32)},
+      eb AS (
+        SELECT e.vec_id, e.v, e.nrm,
+               (s.sig >> 0) & 255 AS b0, (s.sig >> 8) & 255 AS b1,
+               (s.sig >> 16) & 255 AS b2, (s.sig >> 24) & 255 AS b3
+        FROM e JOIN sigs s USING (vec_id)),
+      pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               ROUND(list_sum(list_transform(generate_series(1, len(a.v)),
+                       i -> a.v[i] * b.v[i]))
+                     / (SQRT(a.nrm) * SQRT(b.nrm)), 6) AS cos_sim
+        FROM eb a JOIN eb b ON a.vec_id < b.vec_id
+         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+      SELECT ia, ib, cos_sim FROM pairs
+      WHERE cos_sim >= 0.4 ORDER BY ia, ib"""))
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupSimhash,

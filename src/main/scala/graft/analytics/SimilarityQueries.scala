@@ -80,6 +80,34 @@ object SimilarityQueries {
   private[analytics] def lshBucket(v: Column, bitsN: Int): Column =
     graft.functions.VectorFunctions.lshSignature(v, bitsN)
 
+  /** DuckDB mirror of [[graft.functions.LshSignature]]: CTEs `planes`
+    * (per-bit weight lists, md5-derived exactly like
+    * `LshSignature.hyperplane`) and `sigs` (per-vector signature with
+    * bit j at position bits-1-j) over a CTE `e(vec_id, v, nrm)`.
+    * Hardcodes this corpus's 64 dimensions (the Scala side reads dim
+    * from the array; the oracle is per-dataset by construction). */
+  private[analytics] def lshSigsSql(bitsN: Int): String = {
+    val hx = "instr('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || '|' || CAST(d AS VARCHAR)), %d, 1)) - 1"
+    val digits = (1 to 6).map(p => s"(${hx.format(p)}) * ${1 << (4 * (6 - p))}")
+      .mkString("(", " + ", ")")
+    s"""
+      planes AS (
+        SELECT j, LIST(w ORDER BY d) AS wv FROM (
+          SELECT j, d,
+                 ($digits % 2000001 - 1000000) / 1000000.0 AS w
+          FROM generate_series(0, ${bitsN - 1}) tj(j)
+          CROSS JOIN generate_series(0, 63) td(d))
+        GROUP BY j),
+      sigs AS (
+        SELECT e.vec_id,
+               CAST(SUM(CASE WHEN list_sum(list_transform(
+                        generate_series(1, len(e.v)),
+                        i -> e.v[i] * p.wv[i])) > 0
+                    THEN (CAST(1 AS BIGINT) << (${bitsN - 1} - p.j))
+                    ELSE 0 END) AS BIGINT) AS sig
+        FROM e CROSS JOIN planes p GROUP BY e.vec_id)"""
+  }
+
   /** ANN top-5 via sign-LSH banding: the 16-bit signature splits into
     * 4 bands of 4 bits; a corpus vector is a candidate when ANY band
     * matches the query's (classic OR-of-ANDs LSH amplification — on
@@ -87,8 +115,9 @@ object SimilarityQueries {
     * and tighter data clusters only improve both numbers). With a
     * large query set the same bands become an equi-join key
     * (explode bands → join on (band_idx, band_val)); with 20 broadcast
-    * queries the OR-predicate form is cheaper. Rows-only driver check;
-    * recall + pruning are spec-asserted against brute force. */
+    * queries the OR-predicate form is cheaper. Hash-matched against a
+    * DuckDB oracle that rebuilds the md5-derived hyperplanes; recall +
+    * pruning additionally spec-asserted against brute force. */
   val qSimLshTopk = Q(
     "q_sim_lsh_topk",
     (s, dir) => {
@@ -115,7 +144,35 @@ object SimilarityQueries {
         .select(col("qid"), col("rank"), col("neighbor_id"), col("cos_sim"))
         .orderBy(col("qid"), col("rank"))
     },
-    None)
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x)) AS nrm
+        FROM embeddings),${lshSigsSql(16)},
+      eb AS (
+        SELECT e.vec_id, e.v, e.nrm,
+               (s.sig >> 0) & 15 AS b0, (s.sig >> 4) & 15 AS b1,
+               (s.sig >> 8) & 15 AS b2, (s.sig >> 12) & 15 AS b3
+        FROM e JOIN sigs s USING (vec_id)),
+      q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm,
+                   b0 AS qb0, b1 AS qb1, b2 AS qb2, b3 AS qb3
+            FROM eb WHERE vec_id < 20),
+      cands AS (
+        SELECT q.qid, eb.vec_id AS neighbor_id,
+               ROUND(list_sum(list_transform(generate_series(1, len(q.qv)),
+                       i -> q.qv[i] * eb.v[i]))
+                     / (SQRT(q.qnrm) * SQRT(eb.nrm)), 6) AS cos_sim
+        FROM eb JOIN q ON eb.vec_id <> q.qid
+         AND (eb.b0 = q.qb0 OR eb.b1 = q.qb1 OR
+              eb.b2 = q.qb2 OR eb.b3 = q.qb3)),
+      ranked AS (
+        SELECT qid, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM cands)
+      SELECT qid, rank, neighbor_id, cos_sim FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank"""))
 
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk)
 }

@@ -63,8 +63,17 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Sign-random-projection LSH signature of an array<double> vector:
   * bit j is the sign of the dot product with a deterministic
-  * pseudo-random hyperplane derived per (plane, dimension) from a
-  * splitmix64 mix — no stored model, reproducible on any cluster.
+  * pseudo-random hyperplane — no stored model, reproducible on any
+  * cluster.
+  *
+  * Hyperplane weight (j, d) comes from md5("j|d"): the first 6 hex
+  * digits as an integer, mapped affinely into [-1, 1]. md5 is
+  * bit-identical in every engine, so an ANSI-SQL oracle (DuckDB) can
+  * reproduce the planes digit-for-digit and the whole LSH pipeline
+  * becomes hash-matchable — the differential-testing property the
+  * driver gate needs. The plane table is built once per (bits, dim)
+  * and cached (transient, per-JVM), so the md5 cost never touches the
+  * per-row path.
   *
   * Why native: the equivalent HOF formulation (`transform` over planes
   * of `aggregate` over dimensions) builds an O(bits × dim) expression
@@ -80,25 +89,36 @@ case class LshSignature(child: Expression, bits: Int)
 
   override def prettyName: String = "graft_lsh_sig"
 
-  private def hyperplane(j: Int, d: Int): Double = {
-    var z = j.toLong * 0x9E3779B97F4A7C15L ^
-      (d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL)
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    (java.lang.Math.floorMod(z, 2000000L) - 1000000L) / 1000000.0
-  }
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
+
+  /** Flat [j * dim + d] plane table; see [[LshSignature.hyperplane]]. */
+  private def planesFor(dim: Int): Array[Double] =
+    planeCache.computeIfAbsent(dim, _ => {
+      val arr = new Array[Double](bits * dim)
+      var j = 0
+      while (j < bits) {
+        var d = 0
+        while (d < dim) {
+          arr(j * dim + d) = LshSignature.hyperplane(j, d)
+          d += 1
+        }
+        j += 1
+      }
+      arr
+    })
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val dim = v.numElements()
+    val planes = planesFor(dim)
     var sig = 0L
     var j = 0
     while (j < bits) {
       var proj = 0.0
       var d = 0
       while (d < dim) {
-        proj += v.getDouble(d) * hyperplane(j, d)
+        proj += v.getDouble(d) * planes(j * dim + d)
         d += 1
       }
       sig = (sig << 1) | (if (proj > 0) 1L else 0L)
@@ -117,6 +137,21 @@ case class LshSignature(child: Expression, bits: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object LshSignature {
+  /** Deterministic hyperplane weight in [-1, 1]: the first 6 hex
+    * digits of md5("j|d") as an integer v, then
+    * (v % 2000001 - 1000000) / 1e6. SQL mirror (DuckDB):
+    * instr-decode the six hex digits of md5(j || '|' || d) and apply
+    * the same affine map — integer-exact, so both engines hold the
+    * identical double. */
+  def hyperplane(j: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$j|$d".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val v = ((h(0) & 0xff) << 16) | ((h(1) & 0xff) << 8) | (h(2) & 0xff)
+    (v % 2000001 - 1000000) / 1000000.0
+  }
 }
 
 object VectorFunctions {
