@@ -25,7 +25,13 @@ object MultimodalQueries {
       FROM documents ORDER BY doc_id"""))
 
   /** Batched stub feature extraction over the binary column — validates
-    * the full plumbing path end-to-end (rows-only driver check). */
+    * the full plumbing path end-to-end. Hash-matched: the stub kernel
+    * is a byte histogram with SQL-reproducible numerics, so the oracle
+    * recomputes bucket 0 from the hex expansion of the UTF-8 bytes
+    * (byte % 8 == 0 ⇔ its low hex digit is '0' or '8') and replays the
+    * exact double-divide → float → double chain. The same
+    * differential-testing recipe applies to a real kernel via golden
+    * outputs. */
   val qMultimodalFeatures = Q(
     "q_multimodal_features",
     (s, dir) => {
@@ -37,7 +43,22 @@ object MultimodalQueries {
           size(col("features")).cast("long").as("dim"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some("""
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id, n,
+               len(list_filter([substr(hx, 2 * i, 1)
+                                for i in generate_series(1, n)],
+                               x -> x IN ('0', '8'))) AS c0
+        FROM b)
+      SELECT doc_id,
+             ROUND(CAST(CAST(CAST(c0 AS DOUBLE) / GREATEST(1, n) AS REAL)
+                        AS DOUBLE), 6) AS f0,
+             CAST(8 AS BIGINT) AS dim
+      FROM c ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFeatures)
 }

@@ -35,18 +35,24 @@ object Multimodal {
 
   /** STUB decode kernel — deterministic byte-histogram folded into
     * `dim` buckets and L1-normalized. A real deployment replaces only
-    * this function with codec + model inference per batch. */
+    * this function with codec + model inference per batch.
+    *
+    * Numerics chosen for differential testing: integer bucket counts,
+    * ONE double division, then a float round-trip — every step is
+    * exactly reproducible in ANSI SQL (DuckDB: CAST(cnt AS DOUBLE) /
+    * GREATEST(1, n) cast to REAL), which is how a real kernel would be
+    * oracle-tested too (golden outputs, exact integer/float plumbing). */
   private[multimodal] def fakeDecodeKernel(
       batch: Seq[MediaRow], dim: Int): Seq[FeatureRow] =
     batch.map { row =>
-      val hist = new Array[Float](dim)
+      val hist = new Array[Long](dim)
       var i = 0
       while (i < row.content.length) {
-        hist((row.content(i) & 0xff) % dim) += 1f
+        hist((row.content(i) & 0xff) % dim) += 1L
         i += 1
       }
-      val total = math.max(1f, row.content.length.toFloat)
-      FeatureRow(row.doc_id, hist.map(_ / total))
+      val total = math.max(1, row.content.length).toDouble
+      FeatureRow(row.doc_id, hist.map(c => (c / total).toFloat))
     }
 
   /** Partition-wise batched feature extraction: groups each partition's
