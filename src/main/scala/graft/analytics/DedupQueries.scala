@@ -145,11 +145,22 @@ object DedupQueries {
             col("p.doc_id") < col("q.doc_id"))
         .select(col("p.doc_id").as("ia"), col("q.doc_id").as("ib"))
         .distinct()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val candSh = cand.join(sh.as("s1"), col("ia") === col("s1.doc_id"))
+        // tiny (banding already killed O(n²)); persisting it stops the
+        // whole sig pipeline from re-running for each downstream use
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Verify ONLY candidate docs: semi-join the shingle table down to
+      // the candidate id set first, so both sides of the intersection
+      // join (and the size agg) probe |candidates| docs, not the whole
+      // corpus. The broadcast is bounded by banding selectivity — the
+      // candidate set is the thing LSH made small by construction.
+      val candIds = cand.select(col("ia").as("doc_id"))
+        .union(cand.select(col("ib").as("doc_id"))).distinct()
+      val shC = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      val sizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val candSh = cand.join(shC.as("s1"), col("ia") === col("s1.doc_id"))
         .select(col("ia"), col("ib"), col("s1.sh").as("sh"))
       val ni = candSh.as("cs")
-        .join(sh.as("s2"),
+        .join(shC.as("s2"),
           col("s2.doc_id") === col("cs.ib") && col("s2.sh") === col("cs.sh"))
         .groupBy(col("cs.ia").as("ia"), col("cs.ib").as("ib"))
         .agg(count(lit(1)).as("ni"))
