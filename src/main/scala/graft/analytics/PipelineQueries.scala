@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.dns.Pipeline
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The flagship capability under the oracle gate: drive the REAL DNS
@@ -15,6 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
   import RelationalQueries.Q
+
+  /** The decode path is CPU-bound, and a one-file bench fixture
+    * arrives as a single input split that would otherwise run on one
+    * core. Spread ONLY when the scan's own split count can't feed
+    * every core; with production split counts (anything at real scale)
+    * this is a no-op, so the registered query carries no unconditional
+    * full-input shuffle. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   val qDnsPipelineFull = Q(
     "q_dns_pipeline_full",
@@ -42,9 +54,7 @@ object PipelineQueries {
         lit("UDP").as("transport"),
         map(lit("instance"),
           concat(lit("i-"), col("event_id").cast("string"))).as("srcids")))
-      // one small parquet file = one input split; spread the CPU-bound
-      // decode across cores (real deployments have many splits)
-      val envelopes = ev.repartition(s.sparkContext.defaultParallelism)
+      val envelopes = spread(ev)
         .select(
           concat(lit("req-"), col("event_id").cast("string")).as("requestId"),
           col("event_id").as("timestamp"),
@@ -120,7 +130,7 @@ object PipelineQueries {
         lit("UDP").as("transport"),
         map(lit("instance"),
           concat(lit("i-"), col("event_id").cast("string"))).as("srcids")))
-      val envelopes = ev.repartition(s.sparkContext.defaultParallelism)
+      val envelopes = spread(ev)
         .select(
           concat(lit("req-"), col("event_id").cast("string")).as("requestId"),
           col("event_id").as("timestamp"),

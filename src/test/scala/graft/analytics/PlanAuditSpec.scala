@@ -58,6 +58,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!scanLine.contains("l_orderkey"), s"over-wide scan: $scanLine")
   }
 
+  test("pipeline queries spread a single-split scan but never re-shuffle a multi-split one") {
+    // One-file bench fixture: the scan is one split, so the gate fires
+    // (CPU-bound decode must reach every core).
+    val single = SparkEntry.queries("q_dns_pipeline_full")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(single.contains("RoundRobinPartitioning"),
+      s"single-split input should spread:\n$single")
+    // Production shape: the scan already yields >= cores splits — the
+    // registered query must NOT carry a full-input shuffle (the only
+    // remaining exchange is the oracle-mandated final orderBy).
+    val dir = java.nio.file.Files.createTempDirectory("manysplit").toString
+    Tables(spark, sf, "events").repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val prior = (spark.conf.get("spark.sql.files.maxPartitionBytes"),
+      spark.conf.get("spark.sql.files.openCostInBytes"))
+    // tiny files would be packed back into few splits; make each file
+    // its own split so the scan partitioning mirrors a large input
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    spark.conf.set("spark.sql.files.openCostInBytes", "16384")
+    try {
+      val multi = SparkEntry.queries("q_dns_pipeline_full")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!multi.contains("RoundRobinPartitioning"),
+        s"multi-split input must not re-shuffle:\n$multi")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prior._1)
+      spark.conf.set("spark.sql.files.openCostInBytes", prior._2)
+    }
+  }
+
   test("the dns pipeline plan is shuffle-free") {
     import org.apache.spark.sql.functions._
     val env = spark.range(1).select(
