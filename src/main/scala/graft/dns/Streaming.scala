@@ -41,6 +41,40 @@ object Streaming {
         .select(col("value")).as[String])
   }
 
+  /** Config-selected envelope source: the deployment seam. The same
+    * pipeline hangs off any Structured Streaming connector by NAME —
+    * production points `format` at "kinesis" (with the connector jar
+    * on the classpath; none ships in this environment) and the
+    * connector's options here, with zero code edits; this container's
+    * tests use the file source and MemoryStream, which exercise
+    * identical plans.
+    *
+    * @param format        "files" (line-delimited JSON envelopes at
+    *                      options("path")) or any streaming DataSource
+    *                      name ("kinesis", "socket", "rate", ...)
+    * @param options       passed to the reader verbatim (for "files":
+    *                      `path`, optional `maxFilesPerTrigger`)
+    * @param payloadColumn connector sources only: the column carrying
+    *                      the raw envelope payload (Kinesis and
+    *                      Kafka both emit binary `data`/`value`) —
+    *                      cast to string and parsed as one envelope
+    *                      per element
+    */
+  def envelopeSource(spark: SparkSession, format: String = "files",
+      options: Map[String, String] = Map.empty,
+      payloadColumn: String = "data"): DataFrame = {
+    import spark.implicits._
+    format match {
+      case "files" =>
+        envelopesFromJsonFiles(spark, options("path"),
+          options.get("maxFilesPerTrigger").map(_.toInt).getOrElse(16))
+      case connector =>
+        Pipeline.parseEnvelopes(
+          spark.readStream.format(connector).options(options).load()
+            .select(col(payloadColumn).cast("string")).as[String])
+    }
+  }
+
   /** Stream-static enrichment join: the natural flagship analytics on
     * this stream — match each DNS query against a (small, broadcast)
     * threat/watch list dimension by exact query name. The static side
@@ -106,16 +140,22 @@ object Streaming {
         col("n_queries"))
 
   /** UDP syslog emitter: one socket per partition, one datagram per
-    * line, `<pri>` prefix exactly as SysLogHandler frames it. Static
-    * object so the closure serializes cleanly to executors. */
+    * line, framed exactly as Python's SysLogHandler does: `<pri>` PRI
+    * prefix AND a trailing NUL byte (SysLogHandler's append_nul=True
+    * default) — consumers that key on the NUL terminator parse both
+    * producers identically. `appendNul = false` opts out for
+    * receivers that treat NUL as payload. Static object so the
+    * closure serializes cleanly to executors. */
   object UdpSyslogSink extends Serializable {
     def send(lines: Dataset[String], host: String, port: Int,
-        priority: Int = 30): Unit = {
+        priority: Int = 30, appendNul: Boolean = true): Unit = {
       lines.foreachPartition { (it: Iterator[String]) =>
         val socket = new DatagramSocket()
         val addr = InetAddress.getByName(host)
+        val nul = if (appendNul) "\u0000" else ""
         try it.foreach { line =>
-          val payload = s"<$priority>$line".getBytes(StandardCharsets.UTF_8)
+          val payload =
+            s"<$priority>$line$nul".getBytes(StandardCharsets.UTF_8)
           socket.send(new DatagramPacket(payload, payload.length, addr, port))
         } finally socket.close()
       }

@@ -92,11 +92,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val lines = received.synchronized(received.toList)
     assert(lines.size === 4, s"got: $lines")
     assert(lines.forall(_.startsWith("<30>Oct 15 14:03:07 vpc-s route53resolver:")))
+    // SysLogHandler parity: append_nul=True terminates each datagram
+    assert(lines.forall(_.endsWith("\u0000")), "datagrams must be NUL-terminated")
     assert(lines.count(_.contains("query: stream.example.")) === 1)
     assert(lines.count(_.contains("reply: other.example. is 1.2.3.4")) === 1)
     val quarantined = spark.read.parquet(s"$dlDir/quarantine")
     assert(quarantined.count() === 1)
     assert(quarantined.select("reason").as[String].head() === "json")
+  }
+
+  test("envelope source seam selects connectors by config") {
+    // "files": the environment default — a streaming envelope frame
+    val dir = Files.createTempDirectory("seam_in").toString
+    val files = Streaming.envelopeSource(spark, "files", Map("path" -> dir))
+    assert(files.isStreaming)
+    assert(files.columns.contains("requestId") &&
+      files.columns.contains("records"))
+    // connector path: ANY registered streaming DataSource name wires
+    // through the same envelope parse ("rate" stands in; its payload
+    // column is `value`)
+    val rate = Streaming.envelopeSource(spark, "rate",
+      Map("rowsPerSecond" -> "1"), payloadColumn = "value")
+    assert(rate.isStreaming && rate.columns.contains("requestId"))
+    // "kinesis" goes through the same registry lookup; without the
+    // connector jar deployed, the lookup is the ONLY failure — i.e.
+    // production enables Kinesis by dropping in the jar + this config
+    val err = intercept[Exception] {
+      Streaming.envelopeSource(spark, "kinesis",
+        Map("streamName" -> "dns-log-stream"))
+    }
+    assert(err.getMessage.toLowerCase.contains("kinesis"), err.getMessage)
   }
 
   test("stream-static threat-list enrichment joins per micro-batch") {
