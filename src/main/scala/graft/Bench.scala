@@ -30,17 +30,35 @@ object Bench {
         .run(spark, "/root/testdata/sf0.001").count()
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // intra-query persists don't leak
-      name -> dt
+    // Repetitions: single-shot timings confound JIT/cache/ordering noise
+    // with real regressions. Three timed runs per query; the per-query
+    // number reported is the MEDIAN, with [min,max] spread alongside so
+    // a round-over-round delta can be judged against run variance.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Optional args select a query subset (dev iteration); no args =
+    // the full registered set (driver protocol).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // intra-query persists don't leak
+        dt
+      }.sorted
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(d: Double): String = f"$d%.4f"
+    val qs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + fmt(ts(ts.length / 2))
+    }.mkString("{", ",", "}")
+    val spread = results.map { case (k, ts) =>
+      "\"" + k + "\":[" + fmt(ts.head) + "," + fmt(ts.last) + "]"
+    }.mkString("{", ",", "}")
+    val total = results.values.map(ts => ts(ts.length / 2)).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

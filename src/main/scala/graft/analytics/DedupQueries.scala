@@ -38,21 +38,27 @@ object DedupQueries {
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.shingles(col("ws"), 3))
           .as("sh"))
-    val nDocs = d.agg(count(lit(1)).as("n_docs"))
-    // df via a whole-partition window: ONE shuffle keyed by shingle
-    // (vs groupBy + re-join = three), then the stop-shingle cut.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-    sh0
-      .withColumn("df", count(lit(1)).over(w))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") <= greatest(lit(10.0), lit(0.05) * col("n_docs")))
-      .select(col("doc_id"), col("sh"))
-      // The shingle table feeds 3-5 subtrees per dedup query (sizes,
-      // both join sides, minhash aggs); without materialization Spark
-      // re-runs the explode+df-filter shuffles for each. Persisting it
-      // is exactly what a production dedup pipeline does with its
-      // shingle table. Harness mains clearCache() per query.
+      // The raw shingle table feeds the stop-set aggregation plus every
+      // downstream subtree (minhash aggs, join sides, sizes); without
+      // materialization Spark re-runs the scan+explode for each — same
+      // persist a production dedup pipeline applies to its shingle
+      // table. Harness mains clearCache() per query.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    // The stop-shingle SET is tiny and bounded independent of corpus
+    // size: |stop| <= total instances / threshold ≈ (shingles per doc)
+    // / 0.05, a function of document length only. So compute df with a
+    // map-side-combining groupBy (shuffles one row per distinct shingle
+    // per map partition) and remove stop shingles with a broadcast
+    // anti-join — the full shingle table is never shuffled or sorted
+    // for the filter (the previous whole-partition window shuffled AND
+    // sorted every instance row: measured 3.0s → 1.3s on the shingle
+    // build at sf0.1).
+    val stop = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > greatest(lit(10.0), lit(0.05) * col("n_docs")))
+      .select(col("sh"))
+    sh0.join(broadcast(stop), Seq("sh"), "left_anti")
   }
 
   private val shinglesSql = """
@@ -127,12 +133,18 @@ object DedupQueries {
       // One shuffle, no row blowup: the 16 permutation hashes are 16
       // columns aggregated with map-side-combining MIN — not a 16×
       // explode (measured ~3× faster, same values as the oracle's
-      // min-per-(doc,i) formulation).
+      // min-per-(doc,i) formulation). The doc shingle-set SIZE rides
+      // in the same aggregation for free, so the verify stage's size
+      // lookups cost no extra pass over the shingle table.
       val minCols = (0 until 16).map(i =>
         min(md5(concat_ws("|", lit(i).cast("string"), col("sh"))))
           .as(s"m$i"))
       val mh = sh.groupBy(col("doc_id"))
-        .agg(minCols.head, minCols.tail: _*)
+        .agg(count(lit(1)).as("n"), minCols: _*)
+        // n_docs rows × 17 narrow cols; feeds the band signatures AND
+        // both size lookups — persisting stops the 16-md5 aggregation
+        // (the query's CPU peak) from running three times.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bandCols = (0 until 4).map(b =>
         md5(concat_ws("", (0 until 4).map(j => col(s"m${b * 4 + j}")): _*))
           .as(s"bh$b"))
@@ -150,13 +162,15 @@ object DedupQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Verify ONLY candidate docs: semi-join the shingle table down to
       // the candidate id set first, so both sides of the intersection
-      // join (and the size agg) probe |candidates| docs, not the whole
-      // corpus. The broadcast is bounded by banding selectivity — the
-      // candidate set is the thing LSH made small by construction.
+      // join probe |candidates| docs, not the whole corpus. NO
+      // broadcast hint on candIds: banding usually makes it small, but
+      // on a dup-heavy corpus (exactly when dedup runs) it grows toward
+      // O(n) — a forced broadcast would OOM at scale. AQE converts the
+      // join to broadcast at runtime when the set is actually small.
       val candIds = cand.select(col("ia").as("doc_id"))
         .union(cand.select(col("ib").as("doc_id"))).distinct()
-      val shC = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      val sizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val shC = sh.join(candIds, Seq("doc_id"), "left_semi")
+      val sizes = mh.select(col("doc_id"), col("n"))
       val candSh = cand.join(shC.as("s1"), col("ia") === col("s1.doc_id"))
         .select(col("ia"), col("ib"), col("s1.sh").as("sh"))
       val ni = candSh.as("cs")

@@ -41,6 +41,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(offenders.isEmpty, s"unexpected BNLJ in: $offenders")
   }
 
+  test("dedup candidate verify carries no compile-time broadcast hint") {
+    // The candidate id set is unbounded on a dup-heavy corpus; a forced
+    // broadcast(candIds) would OOM at scale. The initial plan must leave
+    // the semi-join a shuffle join — AQE converts to broadcast at
+    // runtime only when the set is actually small.
+    val offenders = plans("q_dedup_minhash").linesIterator.filter(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(offenders.isEmpty,
+      s"forced broadcast on the candidate semi-join: ${offenders.toList}")
+  }
+
   test("dimension joins broadcast the small side") {
     assert(plans("q_join_region_revenue").contains("BroadcastHashJoin"))
   }
