@@ -25,7 +25,15 @@ object PipelineQueries {
     * full-input shuffle. */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Split count comes from the planned scan itself (FileScanRDD
+    // partition packing) — NOT from df.rdd, which would run a second
+    // full planning pass and build the whole RDD DAG per invocation.
+    val splits = df.queryExecution.executedPlan.collectLeaves().map {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.inputRDDs().map(_.getNumPartitions).sum
+      case _ => target // non-file source: assume production split count
+    }.sum
+    if (splits < target) df.repartition(target) else df
   }
 
   val qDnsPipelineFull = Q(
