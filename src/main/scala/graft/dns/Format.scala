@@ -61,15 +61,18 @@ object Format {
       syslogTimestamp(ts), vpcId, bind9Timestamp(ts), tag, srcaddr, srcport,
       queryName, queryName, firstAnswerType(answers))
 
-  /** Reply lines — one per answer, `Rdata` falling back to `N/A`
-    * (app/app.py:163-171). Zero answers → empty array. */
+  /** Reply lines — one per answer (app/app.py:163-171). Zero answers →
+    * empty array. A JSON-null `Rdata` prints `None`: the reference's
+    * `.get('Rdata', 'N/A')` default is dead code (the key is required
+    * by validation, app/app.py:208), so a null value flows through the
+    * f-string as Python's `None` — matched byte-for-byte. */
   def bind9ReplyLines(ts: Column, vpcId: Column, tag: Column, srcaddr: Column,
       srcport: Column, queryName: Column, answers: Column): Column =
     transform(answers, a =>
       format_string(
         "%s %s route53resolver: %s client %s %s#%s (%s): reply: %s is %s",
         syslogTimestamp(ts), vpcId, bind9Timestamp(ts), tag, srcaddr, srcport,
-        queryName, queryName, coalesce(a.getField("Rdata"), lit("N/A"))))
+        queryName, queryName, coalesce(a.getField("Rdata"), lit("None"))))
 
   /** Array of 1 + |answers| lines, query line first then answers in
     * array order — the order the reference emits datagrams

@@ -22,20 +22,26 @@ object Pipeline {
       rejectedEnvelopes: DataFrame) // requestId, reject_reason
 
   /** Parse raw envelope JSON documents (one per row) with the declared
-    * schema — the `request.get_json()` step (app/app.py:78). Unparseable
-    * documents keep a null requestId and fall into envelope rejection. */
+    * schema — the `request.get_json()` step (app/app.py:78) — plus the
+    * type-strict jsonschema verdict computed on the RAW text before
+    * `from_json`'s coercions can mask a type violation (a numeric
+    * `requestId` would be stringified, a string `timestamp` nulled —
+    * both 400 the whole batch in the reference, app/app.py:35-58,88-93).
+    * The carried `envelope_strict_reason` column is consumed (and
+    * dropped) by [[envelopeRejectReason]]. */
   def parseEnvelopes(raw: Dataset[String]): DataFrame =
     raw.toDF("json").select(
-      from_json(col("json"), Schemas.envelopeSchema).as("env"))
-      .select(col("env.*"))
+      from_json(col("json"), Schemas.envelopeSchema).as("env"),
+      graft.functions.DnsFunctions.envelopeValidityReason(col("json"))
+        .as("envelope_strict_reason"))
+      .select(col("env.*"), col("envelope_strict_reason"))
 
   /** Op 2 — envelope (batch-level) validation, reproducing the
     * jsonschema gate (app/app.py:35-58,79,88-93): a violation rejects
     * the WHOLE batch where later per-record errors drop only the record.
     * Returns null for a valid envelope, else the failed constraint. */
-  def envelopeRejectReason(df: DataFrame): DataFrame =
-    df.withColumn(
-      "reject_reason",
+  def envelopeRejectReason(df: DataFrame): DataFrame = {
+    val structural =
       when(col("requestId").isNull, lit("requestId_missing"))
         .when(col("records").isNull, lit("records_missing"))
         .when(size(col("records")) < Schemas.minRecordsPerBatch,
@@ -46,7 +52,18 @@ object Pipeline {
           r => r.getField("data").isNotNull &&
             length(r.getField("data")) <= Schemas.maxDataLength),
           lit("data_invalid"))
-        .otherwise(lit(null).cast("string")))
+        .otherwise(lit(null).cast("string"))
+    // Raw-JSON ingest carries the type-strict verdict from
+    // parseEnvelopes (strictly stronger than the structural checks);
+    // envelopes built as structured DataFrames are correctly typed by
+    // construction and keep the structural gate.
+    val reason =
+      if (df.columns.contains("envelope_strict_reason"))
+        coalesce(col("envelope_strict_reason"), structural)
+      else structural
+    df.withColumn("reject_reason", reason)
+      .drop("envelope_strict_reason")
+  }
 
   /** Ops 3–8 over accepted envelopes: one row per record with validity
     * reason and (for clean rows) the one-pass-parsed fields + event

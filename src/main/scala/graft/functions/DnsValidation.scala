@@ -59,7 +59,13 @@ case class DnsRecordValidity(child: Expression) extends UnaryExpression {
 
 object DnsValidation {
 
+  // FAIL_ON_TRAILING_TOKENS: Python's json.loads raises on trailing
+  // garbage after the first JSON value (app/app.py:226 drops the
+  // record via the JSONDecodeError arm, :257-258); Jackson's default
+  // readTree would silently accept `{...}garbage`.
   private val mapper = new ObjectMapper()
+    .enable(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_TRAILING_TOKENS)
 
   private val strictTs: DateTimeFormatter =
     DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
@@ -104,6 +110,83 @@ object DnsValidation {
       null
     } catch { case _: Exception => "timestamp" }
   }
+
+  /** Type-strict envelope gate, mirroring the reference's jsonschema
+    * validation (app/app.py:35-58): any violation — including a string
+    * `timestamp` or numeric `requestId`, which a declared-schema
+    * `from_json` would coerce or null instead — rejects the WHOLE
+    * batch (app/app.py:88-93). Returns the violated constraint or null
+    * for a valid envelope. Reason labels match the structural gate in
+    * graft.dns.Pipeline where the shapes overlap.
+    *
+    * jsonschema notes mirrored exactly: `timestamp` is optional but
+    * must be an integer when present (a float with zero fraction
+    * passes per draft-7 "integer"; bool/null/string fail); `maxLength`
+    * counts Unicode code points, as Python's len does. */
+  def envelopeReason(json: String): String = {
+    val root: JsonNode =
+      try mapper.readTree(json)
+      catch { case _: Exception => return "json" }
+    if (root == null || root.isMissingNode) return "json"
+    if (!root.isObject) return "envelope_type"
+    val rid = root.get("requestId")
+    if (rid == null) return "requestId_missing"
+    if (!rid.isTextual) return "requestId_type"
+    val ts = root.get("timestamp")
+    if (ts != null && !(ts.isNumber && ts.canConvertToExactIntegral))
+      return "timestamp_type"
+    val recs = root.get("records")
+    if (recs == null) return "records_missing"
+    if (!recs.isArray) return "records_type"
+    if (recs.size() < 1) return "records_empty"
+    if (recs.size() > 10000) return "records_over_max"
+    val it = recs.elements()
+    while (it.hasNext) {
+      val r = it.next()
+      if (!r.isObject) return "record_type"
+      val d = r.get("data")
+      if (d == null || !d.isTextual) return "data_invalid"
+      val s = d.asText()
+      if (s.codePointCount(0, s.length) > 1365336) return "data_invalid"
+    }
+    null
+  }
+}
+
+/** Column form of [[DnsValidation.envelopeReason]] — the raw-JSON
+  * ingest path's batch-level gate, before `from_json`'s coercions can
+  * mask a type violation the reference would 400. */
+case class EnvelopeValidity(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_envelope_validity"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val reason =
+      DnsValidation.envelopeReason(input.asInstanceOf[UTF8String].toString)
+    if (reason == null) null else UTF8String.fromString(reason)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("envValidityExpr", this)
+    val code = (c: String) =>
+      s"""
+         |${ev.value} = (org.apache.spark.unsafe.types.UTF8String)
+         |  $expr.evalEnvelope($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    nullSafeCodeGen(ctx, ev, code)
+  }
+
+  /** Called from generated code; null = valid. */
+  def evalEnvelope(json: UTF8String): UTF8String =
+    nullSafeEval(json).asInstanceOf[UTF8String]
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** One-pass parse + validate + extract of a decoded Route53 record:
@@ -245,6 +328,10 @@ object DnsFunctions {
   /** Column form of the one-pass parse+validate+extract. */
   def parseRecord(payload: Column): Column =
     ExprBridge.column(DnsRecordParse(ExprBridge.expression(payload)))
+
+  /** Column form of the type-strict envelope gate. */
+  def envelopeValidityReason(json: Column): Column =
+    ExprBridge.column(EnvelopeValidity(ExprBridge.expression(json)))
 
   /** Python-strict base64+UTF-8 decode ([[StrictBase64Utf8]]). */
   def strictBase64Utf8(data: Column): Column =

@@ -82,11 +82,14 @@ class Bind9PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(lines.head.endsWith("(example.com.): query: example.com. IN A + (127.0.0.1)"))
   }
 
-  test("json-null Rdata prints as N/A") {
+  test("json-null Rdata prints as None (reference parity: .get default is dead code)") {
+    // The Rdata KEY is required by validation (app/app.py:208), so the
+    // reference's `.get('Rdata', 'N/A')` default never fires; a null
+    // VALUE flows into the f-string as Python's None.
     val rec = mutate(happyRecord, """"Rdata":"203.0.113.9"""", """"Rdata":null""")
     val out = run(envelope("req-3", Seq(b64(rec))))
     val reply = out.lines.filter($"line_idx" === 1).select("line").as[String].head()
-    assert(reply.endsWith("reply: example.com. is N/A"))
+    assert(reply.endsWith("reply: example.com. is None"))
   }
 
   test("unicode query_name survives decode+format byte-exactly") {
@@ -118,6 +121,18 @@ class Bind9PipelineSpec extends AnyFunSuite with SparkTestBase {
 
   test("drop reason: malformed json") {
     assert(soleReason(run(envelope("r", Seq(b64("{nope"))))) === "json")
+  }
+
+  test("drop reason: trailing garbage after the JSON value") {
+    // json.loads raises on `{...}garbage` (app/app.py:226,257-258);
+    // Jackson only matches with FAIL_ON_TRAILING_TOKENS enabled.
+    assert(soleReason(run(envelope("r",
+      Seq(b64(happyRecord + "garbage"))))) === "json")
+  }
+
+  test("drop reason: second JSON value after the first") {
+    assert(soleReason(run(envelope("r",
+      Seq(b64(happyRecord + " {}"))))) === "json")
   }
 
   test("drop reason: missing required field (rcode)") {
@@ -177,6 +192,41 @@ class Bind9PipelineSpec extends AnyFunSuite with SparkTestBase {
     val out = run("""{"requestId":"r","records":[]}""")
     assert(out.rejectedEnvelopes.select("reject_reason").as[String].head()
       === "records_empty")
+  }
+
+  test("envelope rejection: numeric requestId (jsonschema type violation)") {
+    // from_json would stringify the number; the reference 400s the
+    // batch on the jsonschema string-type check (app/app.py:38,88-93).
+    val env = s"""{"requestId":7,"records":[{"data":"${b64(happyRecord)}"}]}"""
+    val out = run(env)
+    assert(out.lines.isEmpty && out.quarantine.isEmpty)
+    assert(out.rejectedEnvelopes.select("reject_reason").as[String].head()
+      === "requestId_type")
+  }
+
+  test("envelope rejection: string timestamp (jsonschema type violation)") {
+    // from_json would null the long; the reference 400s the batch on
+    // the jsonschema integer-type check (app/app.py:39).
+    val env = s"""{"requestId":"r","timestamp":"1697378587123",""" +
+      s""""records":[{"data":"${b64(happyRecord)}"}]}"""
+    val out = run(env)
+    assert(out.lines.isEmpty)
+    assert(out.rejectedEnvelopes.select("reject_reason").as[String].head()
+      === "timestamp_type")
+  }
+
+  test("envelope acceptance: integral-float timestamp passes (draft-7 integer)") {
+    val env = s"""{"requestId":"r","timestamp":1697378587123.0,""" +
+      s""""records":[{"data":"${b64(happyRecord)}"}]}"""
+    val out = run(env)
+    assert(out.rejectedEnvelopes.isEmpty && out.lines.count() === 3)
+  }
+
+  test("envelope rejection: non-string record data (jsonschema type violation)") {
+    val env = """{"requestId":"r","records":[{"data":42}]}"""
+    val out = run(env)
+    assert(out.rejectedEnvelopes.select("reject_reason").as[String].head()
+      === "data_invalid")
   }
 
   test("ack responses mirror the Firehose response contract (op 16)") {
