@@ -66,6 +66,9 @@ object Streaming {
     import spark.implicits._
     format match {
       case "files" =>
+        require(options.contains("path"),
+          "envelopeSource(format=\"files\") requires a 'path' option " +
+            "pointing at the envelope spool directory")
         envelopesFromJsonFiles(spark, options("path"),
           options.get("maxFilesPerTrigger").map(_.toInt).getOrElse(16))
       case connector =>
