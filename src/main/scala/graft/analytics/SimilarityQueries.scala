@@ -84,9 +84,19 @@ object SimilarityQueries {
     * (per-bit weight lists, md5-derived exactly like
     * `LshSignature.hyperplane`) and `sigs` (per-vector signature with
     * bit j at position bits-1-j) over a CTE `e(vec_id, v, nrm)`.
-    * Hardcodes this corpus's 64 dimensions (the Scala side reads dim
-    * from the array; the oracle is per-dataset by construction). */
-  private[analytics] def lshSigsSql(bitsN: Int): String = {
+    * `dim` must match the corpus's embedding dimension; vectors of any
+    * OTHER length are excluded by the `len(e.v) = dim` guard, so a dim
+    * mismatch surfaces as missing oracle rows (a loud rows_match
+    * failure) instead of silently all-zero signatures from
+    * out-of-range list indexing.
+    *
+    * Cross-engine assumption (holds today, worth naming): both engines
+    * accumulate the projection as sequential ascending-index double
+    * adds (Scala loop / DuckDB list_sum over list_transform). A
+    * projection within ~1e-12 of zero could flip a sign bit if a
+    * future DuckDB changed list_sum's accumulation order; the
+    * hash-matched rounds would then fail visibly. */
+  private[analytics] def lshSigsSql(bitsN: Int, dim: Int = 64): String = {
     val hx = "instr('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || '|' || CAST(d AS VARCHAR)), %d, 1)) - 1"
     val digits = (1 to 6).map(p => s"(${hx.format(p)}) * ${1 << (4 * (6 - p))}")
       .mkString("(", " + ", ")")
@@ -96,7 +106,7 @@ object SimilarityQueries {
           SELECT j, d,
                  ($digits % 2000001 - 1000000) / 1000000.0 AS w
           FROM generate_series(0, ${bitsN - 1}) tj(j)
-          CROSS JOIN generate_series(0, 63) td(d))
+          CROSS JOIN generate_series(0, ${dim - 1}) td(d))
         GROUP BY j),
       sigs AS (
         SELECT e.vec_id,
@@ -105,7 +115,9 @@ object SimilarityQueries {
                         i -> e.v[i] * p.wv[i])) > 0
                     THEN (CAST(1 AS BIGINT) << (${bitsN - 1} - p.j))
                     ELSE 0 END) AS BIGINT) AS sig
-        FROM e CROSS JOIN planes p GROUP BY e.vec_id)"""
+        FROM e CROSS JOIN planes p
+        WHERE len(e.v) = $dim
+        GROUP BY e.vec_id)"""
   }
 
   /** ANN top-5 via sign-LSH banding: the 16-bit signature splits into

@@ -41,7 +41,13 @@ object Format {
     concat(lit("@0x"),
       substring(md5(concat_ws("\u0001", seed.map(_.cast("string")): _*)), 1, 12))
 
-  /** Reference-literal random tag (opt-in; nondeterministic). */
+  /** Reference-literal random tag (opt-in; nondeterministic).
+    * Materialize it in its own column BEFORE formatting lines
+    * (`df.withColumn("tag", randomHexTag())`) so each record draws ONE
+    * value shared by its query and reply lines — Catalyst never inlines
+    * nondeterministic expressions into multiple use sites, which is
+    * exactly the once-per-record sharing the reference gets from
+    * generating the tag before building its lines (app/app.py:153-173). */
   def randomHexTag(): Column =
     format_string("@0x%012x", (rand() * lit(0x1000000000000L)).cast("long"))
 

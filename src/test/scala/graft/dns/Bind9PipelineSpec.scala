@@ -254,6 +254,35 @@ class Bind9PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(q.query_type === "TXT") // validated, carried, never printed
   }
 
+  test("randomHexTag opt-in: 12-hex shape, one tag shared per record") {
+    import org.apache.spark.sql.functions.{array, col, countDistinct, explode, lit, regexp_extract, struct}
+    val base = spark.range(8).select(
+      col("id"),
+      lit("2023-10-15T14:03:07Z").cast("timestamp").as("ts"),
+      array(
+        struct(lit("1.1.1.1").as("Rdata"), lit("A").as("Type"),
+          lit("IN").as("Class")),
+        struct(lit("2.2.2.2").as("Rdata"), lit("AAAA").as("Type"),
+          lit("IN").as("Class"))).as("answers"))
+      // materialize ONCE per record, as the scaladoc prescribes
+      .withColumn("tag", Format.randomHexTag())
+    val lines = base.select(col("id"),
+      explode(Format.bind9Lines(col("ts"), lit("vpc-r"), col("tag"),
+        lit("1.2.3.4"), lit("53"), lit("x.example."), col("answers")))
+        .as("line"))
+      .withColumn("hex", regexp_extract(col("line"), "@0x([0-9a-f]{12})", 1))
+    val rows = lines.collect()
+    assert(rows.length === 24) // 8 records × (1 query + 2 replies)
+    assert(rows.forall(_.getString(2).length === 12),
+      "every line must carry an @0x + 12-lowercase-hex tag")
+    val perRecord = lines.groupBy("id")
+      .agg(countDistinct(col("hex")).as("n")).collect()
+    assert(perRecord.forall(_.getLong(1) === 1L),
+      "query and reply lines of one record must share one tag")
+    assert(lines.agg(countDistinct(col("hex"))).head().getLong(0) >= 2,
+      "tags must actually vary across records")
+  }
+
   test("microsoft formatter golden line (dead-code surface, op 13)") {
     val env = Pipeline.parseEnvelopes(
       spark.createDataset(Seq(envelope("req-ms", Seq(b64(happyRecord))))))
