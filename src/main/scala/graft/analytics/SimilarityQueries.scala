@@ -186,5 +186,107 @@ object SimilarityQueries {
       SELECT qid, rank, neighbor_id, cos_sim FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank"""))
 
-  val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk)
+  /** ANN top-5 via an IVF (inverted-file) index — the other classic
+    * ANN architecture next to LSH, and the one that wins when the
+    * corpus clusters: coarse-quantize every vector to its nearest
+    * centroid (the inverted lists), then probe only the query's
+    * `nprobe` nearest lists.
+    *
+    * Deterministic + oracle-able by construction: the 16 coarse
+    * centroids are the corpus vectors with the smallest
+    * md5(vec_id) — a reproducible pseudo-random sample both engines
+    * can select — and assignment ranks cosine DESC, centroid id ASC
+    * after the usual round-to-6, so list membership is identical
+    * cross-engine (no iterative k-means, whose float drift would
+    * break the differential gate).
+    *
+    * Scale shape: assignment is one narrow pass over the corpus
+    * against 16 broadcast centroids (the BNLJ is the bounded-block
+    * design, 16 rows); the probe is an equi-join on centroid id —
+    * at 100 TB the inverted lists are the shuffle key and the
+    * quadratic pair space never materializes. nprobe=4 of 16 lists
+    * scores ~1/4 of the corpus per query. */
+  val qSimIvfTopk = Q(
+    "q_sim_ivf_topk",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cents = e
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cnrm"))
+      val scored = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          round(dot(col("v"), col("cv")) /
+            (sqrt(col("nrm")) * sqrt(col("cnrm"))), 6).as("ccos"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      val ranked = scored.withColumn("crank", row_number().over(w))
+      val assigned = ranked.filter(col("crank") === 1)
+        .select(col("vec_id"), col("cid"))
+      val probes = ranked.filter(col("vec_id") < 20 && col("crank") <= 4)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val cand = probes.join(assigned, "cid")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("neighbor_id"))
+        .distinct()
+      val scoredCand = cand
+        .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm")), "qid")
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v"),
+          col("nrm")), "neighbor_id")
+        .select(col("qid"), col("neighbor_id"),
+          round(dot(col("qv"), col("v")) /
+            (sqrt(col("qnrm")) * sqrt(col("nrm"))), 6).as("cos_sim"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      scoredCand.withColumn("rank", row_number().over(wq).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("neighbor_id"), col("cos_sim"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x)) AS nrm
+        FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      scored AS (
+        SELECT e.vec_id, c.cid,
+               ROUND(list_sum(list_transform(generate_series(1, len(e.v)),
+                       i -> e.v[i] * c.cv[i]))
+                     / (SQRT(e.nrm) * SQRT(c.cnrm)), 6) AS ccos
+        FROM e CROSS JOIN cents c),
+      ranked AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cid) AS crank
+        FROM scored),
+      assigned AS (SELECT vec_id, cid FROM ranked WHERE crank = 1),
+      probes AS (SELECT vec_id AS qid, cid FROM ranked
+                 WHERE vec_id < 20 AND crank <= 4),
+      cand AS (
+        SELECT DISTINCT p.qid, a.vec_id AS neighbor_id
+        FROM probes p JOIN assigned a ON a.cid = p.cid
+        WHERE a.vec_id <> p.qid),
+      sc AS (
+        SELECT c.qid, c.neighbor_id,
+               ROUND(list_sum(list_transform(generate_series(1, len(q.v)),
+                       i -> q.v[i] * n.v[i]))
+                     / (SQRT(q.nrm) * SQRT(n.nrm)), 6) AS cos_sim
+        FROM cand c
+        JOIN e q ON q.vec_id = c.qid
+        JOIN e n ON n.vec_id = c.neighbor_id),
+      rk AS (
+        SELECT qid, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT qid, rank, neighbor_id, cos_sim FROM rk
+      WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk)
 }

@@ -31,9 +31,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   test("broadcast nested-loop joins appear only at bounded-block sites") {
     // jaccard/minhash: the BNLJ is the broadcast of the single-row
     // corpus-count scalar used by the stop-shingle threshold.
+    // q_sim_ivf_topk: the BNLJ is the 16-row broadcast centroid table
+    // every corpus vector scores against (bounded by construction).
     val allowed = Set("q_dedup_embedding", "q_sim_topk_brute",
       "q_sim_lsh_topk", "q_theta_join",
-      "q_dedup_ngram_jaccard", "q_dedup_minhash")
+      "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_sim_ivf_topk")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
