@@ -72,22 +72,24 @@ object DnsValidation {
 
   private[functions] def strictTsFormat: DateTimeFormatter = strictTs
 
-  /** Tree of an already-validated payload. */
-  private[functions] def tree(payload: String): JsonNode =
-    mapper.readTree(payload)
+  /** Parsed tree, or null where json.loads would raise (bad syntax,
+    * trailing tokens, empty input). */
+  private[functions] def treeOrNull(payload: String): JsonNode = {
+    val root =
+      try mapper.readTree(payload)
+      catch { case _: Exception => return null }
+    if (root == null || root.isMissingNode) null else root
+  }
 
   private val stringFields = Array(
     "version", "account_id", "region", "vpc_id", "query_timestamp",
     "query_name", "query_type", "query_class", "rcode",
     "srcaddr", "srcport", "transport")
 
-  /** Reason string (`json` / `schema` / `timestamp`) or null. Mirrors
-    * the reference's except-arm order (app/app.py:255-263). */
-  def reason(payload: String): String = {
-    val root: JsonNode =
-      try mapper.readTree(payload)
-      catch { case _: Exception => return "json" }
-    if (root == null || root.isMissingNode) return "json"
+  /** Post-parse checks on an already-parsed tree (`schema` /
+    * `timestamp` / null), so callers that also extract fields run ONE
+    * Jackson pass per record, not two. */
+  private[functions] def reasonFromTree(root: JsonNode): String = {
     if (!root.isObject) return "schema"
     var i = 0
     while (i < stringFields.length) {
@@ -109,6 +111,13 @@ object DnsValidation {
       LocalDateTime.parse(root.get("query_timestamp").asText(), strictTs)
       null
     } catch { case _: Exception => "timestamp" }
+  }
+
+  /** Reason string (`json` / `schema` / `timestamp`) or null. Mirrors
+    * the reference's except-arm order (app/app.py:255-263). */
+  def reason(payload: String): String = {
+    val root = treeOrNull(payload)
+    if (root == null) "json" else reasonFromTree(root)
   }
 
   /** Type-strict envelope gate, mirroring the reference's jsonschema
@@ -273,11 +282,13 @@ object DnsRecordParse {
   /** Full parse: invalid → only `reason` set; valid → reason null and
     * every field populated. */
   def parse(payload: String): InternalRow = {
-    val r = DnsValidation.reason(payload)
+    // ONE Jackson pass per record: parse, validate the tree, extract
+    // from the same tree (the per-record hot path; a second readTree
+    // measurably taxed the whole-pipeline decode stage).
+    val root = DnsValidation.treeOrNull(payload)
+    if (root == null) return reasonOnly("json")
+    val r = DnsValidation.reasonFromTree(root)
     if (r != null) return reasonOnly(r)
-    // validated: a second tree read is cheap and keeps the validator
-    // logic shared with the standalone reason expression
-    val root = DnsValidation.tree(payload)
     val row = new GenericInternalRow(schema.length)
     val ldt = LocalDateTime.parse(
       root.get("query_timestamp").asText(), DnsValidation.strictTsFormat)
