@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, WordShingles}
+import graft.functions.{DnsRecordValidity, DotProduct, EnvelopeValidity, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -40,6 +40,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_shingles(words, n) with literal n")
         WordShingles(children.head,
           children(1).eval().asInstanceOf[Number].intValue())
+      }))
+    // The two strict validators as SQL predicates (null = valid, else
+    // the drop/reject reason) — lets SQL-only callers quarantine with
+    // the reference's exact semantics, e.g.
+    // `WHERE graft_dns_validity(payload) IS NULL`.
+    ext.injectFunction((
+      FunctionIdentifier("graft_dns_validity"),
+      new ExpressionInfo(classOf[DnsRecordValidity].getName,
+        "graft_dns_validity"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_dns_validity(payload)")
+        DnsRecordValidity(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_envelope_validity"),
+      new ExpressionInfo(classOf[EnvelopeValidity].getName,
+        "graft_envelope_validity"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_envelope_validity(json)")
+        EnvelopeValidity(children.head)
       }))
   }
 }

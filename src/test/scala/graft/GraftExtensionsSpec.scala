@@ -27,6 +27,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT graft_shingles(array('a', 'b', 'c', 'b', 'c'), 2)")
         .head().getSeq[String](0)
       assert(sh === Seq("a b", "b c", "c b")) // deduped, order kept
+      // strict validators: null = valid, else the reason string
+      val vals = s.sql(
+        """SELECT graft_dns_validity('{nope'),
+                  graft_envelope_validity('{"requestId":7,"records":[{"data":"eA=="}]}'),
+                  graft_envelope_validity('{"requestId":"r","records":[{"data":"eA=="}]}')""")
+        .head()
+      assert(vals.getString(0) === "json")
+      assert(vals.getString(1) === "requestId_type")
+      assert(vals.isNullAt(2))
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)
