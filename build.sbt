@@ -29,5 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Variant parse_json decodes through the JVM default charset; pin it
   // so non-UTF-8 environments can't mangle multi-byte payloads.
   "-Dfile.encoding=UTF-8",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] shares one heap across 32 task threads; 8g (≈250MB/thread)
+  // intermittently GC-stormed the string-heavy dedup queries (one bench
+  // rep 4.5s -> 24.6s). 16g keeps unified memory comfortably above the
+  // shingle/decode cache working set at sf0.1.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

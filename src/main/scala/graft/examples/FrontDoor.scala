@@ -85,12 +85,17 @@ object FrontDoor {
   }
 
   /** One envelope document per file; write-then-rename so the file
-    * source's directory listing only ever sees complete documents. */
+    * source's directory listing only ever sees complete documents.
+    * The name carries a UUID: a bare counter would reset on server
+    * restart and the atomic rename would silently overwrite a not-yet-
+    * processed spool file. */
   private def spool(spoolDir: Path, body: String): Unit = {
     val n = seq.incrementAndGet()
     val tmp = Files.createTempFile(spoolDir, ".spool", ".tmp")
     Files.writeString(tmp, body)
-    Files.move(tmp, spoolDir.resolve(s"envelope-$n.json"),
+    Files.move(tmp,
+      spoolDir.resolve(
+        s"envelope-$n-${java.util.UUID.randomUUID().toString.take(8)}.json"),
       StandardCopyOption.ATOMIC_MOVE)
   }
 
