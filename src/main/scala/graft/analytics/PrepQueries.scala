@@ -1,0 +1,126 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators — the steps an LLM data
+  * pipeline runs between raw corpus and training shards, beyond
+  * dedup/quality (which live in [[DedupQueries]]/[[TextQueries]]):
+  * deterministic split assignment, blocklist term scrubbing, and
+  * benchmark decontamination.
+  *
+  * All three are pure narrow transforms or small-side-keyed joins —
+  * at 100 TB nothing here shuffles the corpus except the
+  * decontamination aggregation, which is keyed on the (tiny,
+  * broadcast) benchmark shingle set's matches only.
+  */
+object PrepQueries {
+  import RelationalQueries.Q
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Deterministic train/val/test assignment: bucket = the first two
+    * hex digits of md5(doc_id) as an integer in [0, 256) — train
+    * below 204 (~80%), val below 230 (~10%), else test. Hash-based
+    * (never random) so the split is stable under reruns, additions,
+    * and engine changes — the property a reproducible training
+    * pipeline needs. One narrow stage; the ORDER BY is oracle-mandated. */
+  val qPrepSplit = Q(
+    "q_prep_split",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("long"))
+        .select(col("doc_id"),
+          when(col("bucket") < 204, lit("train"))
+            .when(col("bucket") < 230, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CASE WHEN bucket < 204 THEN 'train'
+                  WHEN bucket < 230 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               (instr('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                 AS bucket
+        FROM documents)
+      ORDER BY doc_id"""))
+
+  /** Blocklist term scrub: word-boundary regex replacement of
+    * blocklisted terms with a redaction token, plus the match count
+    * (the audit trail a compliance pass needs). The same shape scrubs
+    * PII patterns (emails, phone numbers, IPs) on a real corpus — the
+    * word-boundary class is what this synthetic corpus can exercise
+    * positively. Java regex and DuckDB's RE2 agree on \b, alternation
+    * and the character classes used here; DuckDB needs the 'g' flag to
+    * match regexp_replace's replace-all default. Pure narrow stage. */
+  val qPrepRedact = Q(
+    "q_prep_redact",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "\\b(customer|value)\\b", "<TERM>")
+            .as("clean_text"),
+          regexp_count(col("text"), lit("\\b(customer|value)\\b"))
+            .cast("long").as("n_redacted"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             regexp_replace(text, '\b(customer|value)\b', '<TERM>', 'g')
+               AS clean_text,
+             len(regexp_extract_all(text, '\b(customer|value)\b'))
+               AS n_redacted
+      FROM documents ORDER BY doc_id"""))
+
+  /** Benchmark decontamination: flag corpus documents sharing ≥ 20
+    * distinct word-3-gram shingles with a benchmark set (stand-in:
+    * doc_id < 10) — the n-gram-overlap decontamination step every
+    * published pretraining pipeline runs against eval suites.
+    *
+    * Scale shape: the benchmark side is small BY DEFINITION (eval
+    * suites are thousands of documents, not billions), so its distinct
+    * shingle set broadcasts and the corpus is probed in one narrow
+    * pass + one aggregation keyed only on matching (doc, shingle)
+    * pairs. No stop-shingle cut here — common shingles are exactly
+    * what contamination consists of. */
+  val qPrepDecontam = Q(
+    "q_prep_decontam",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.shingles(col("ws"), 3))
+            .as("sh"))
+      val benchSh = sh.filter(col("doc_id") < 10)
+        .select(col("sh")).distinct()
+      sh.filter(col("doc_id") >= 10)
+        .join(broadcast(benchSh), "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 20)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id,
+                 unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                         for i in generate_series(1, len(ws)-2)]) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents))),
+      bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10)
+      SELECT s.doc_id, COUNT(*) AS n_shared
+      FROM sh s JOIN bench b ON s.sh = b.sh
+      WHERE s.doc_id >= 10
+      GROUP BY 1 HAVING COUNT(*) >= 20
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam)
+}
