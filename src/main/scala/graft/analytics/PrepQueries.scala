@@ -122,5 +122,41 @@ object PrepQueries {
       GROUP BY 1 HAVING COUNT(*) >= 20
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam)
+  /** Overlapping word-window chunking: each document splits into
+    * 50-word chunks on a 40-word stride (10-word overlap) — the
+    * context-window sharding step between cleaning and tokenization.
+    * `posexplode(sequence(...))` keeps it one narrow generator stage:
+    * no shuffle, chunk count rides with document length, and the
+    * (doc_id, chunk_idx) identity is stable for downstream joins.
+    * The final ORDER BY is oracle-mandated. */
+  val qPrepChunk = Q(
+    "q_prep_chunk",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("ws"),
+          posexplode(sequence(lit(1), greatest(size(col("ws")), lit(1)),
+            lit(40))))
+        .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "start"))
+        .select(col("doc_id"), col("chunk_idx").cast("long"),
+          concat_ws(" ", slice(col("ws"), col("start"), lit(50)))
+            .as("chunk_text"),
+          least(lit(50), size(col("ws")) - col("start") + 1).cast("long")
+            .as("n_words"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      c AS (SELECT doc_id, ws,
+                   unnest(generate_series(1, greatest(len(ws), 1), 40))
+                     AS start
+            FROM w)
+      SELECT doc_id,
+             CAST((start - 1) // 40 AS BIGINT) AS chunk_idx,
+             array_to_string(list_slice(ws, start,
+               least(start + 49, len(ws))), ' ') AS chunk_text,
+             CAST(least(50, len(ws) - start + 1) AS BIGINT) AS n_words
+      FROM c ORDER BY doc_id, chunk_idx"""))
+
+  val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam, qPrepChunk)
 }
