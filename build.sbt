@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // rep 4.5s -> 24.6s). 16g keeps unified memory comfortably above the
   // shingle/decode cache working set at sf0.1.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Throughput collector for the batch-shaped bench/verify workload:
+  // under G1 (the JDK 17 default) the string-heavy dedup queries showed
+  // catastrophic tail reps (same query 3.4s..21s across 7 reps);
+  // ParallelGC bounds the tail (max 8.5s) at comparable medians.
+  "-XX:+UseParallelGC",
 )
