@@ -124,6 +124,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(err.getMessage.toLowerCase.contains("kinesis"), err.getMessage)
   }
 
+  test("checkpointed restart: processed files are never re-emitted") {
+    val inDir = Files.createTempDirectory("restart_in").toString
+    val dlDir = Files.createTempDirectory("restart_dl").toString
+    val ckDir = Files.createTempDirectory("restart_ck").toString
+    val socket =
+      new DatagramSocket(0, java.net.InetAddress.getByName("127.0.0.1"))
+    socket.setSoTimeout(15000)
+    val received = mutable.ArrayBuffer[String]()
+    val collector = new Thread(() => {
+      val buf = new Array[Byte](65535)
+      try while (true) {
+        val p = new DatagramPacket(buf, buf.length)
+        socket.receive(p)
+        received.synchronized {
+          received += new String(p.getData, 0, p.getLength,
+            StandardCharsets.UTF_8)
+        }
+      } catch { case _: Exception => () }
+    })
+    collector.setDaemon(true)
+    collector.start()
+
+    def runOnce(): Unit = {
+      val q = Streaming.start(
+        Streaming.envelopesFromJsonFiles(spark, inDir),
+        "127.0.0.1", socket.getLocalPort, dlDir, ckDir,
+        Trigger.AvailableNow())
+      q.awaitTermination(60000)
+    }
+    Files.writeString(java.nio.file.Path.of(inDir, "a.json"),
+      envelope("c0", b64(record("first.example."))))
+    runOnce()
+    Files.writeString(java.nio.file.Path.of(inDir, "b.json"),
+      envelope("c1", b64(record("second.example."))))
+    runOnce() // same checkpoint: must process ONLY the new file
+    val deadline = System.currentTimeMillis() + 10000
+    while (received.synchronized(received.size) < 4 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    socket.close()
+    val lines = received.synchronized(received.toList)
+    assert(lines.size === 4, s"got: $lines") // 2 records × (query+reply)
+    assert(lines.count(_.contains("query: first.example.")) === 1,
+      "restart must not re-emit the already-processed file")
+    assert(lines.count(_.contains("query: second.example.")) === 1)
+  }
+
   test("stream-static threat-list enrichment joins per micro-batch") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[String]
