@@ -104,6 +104,20 @@ object Streaming {
       count(when(col("reason") === "schema", 1)).as("n_schema"),
       count(when(col("reason") === "timestamp", 1)).as("n_timestamp"))
 
+  /** At-least-once absorber — the streaming face of the dedup family:
+    * the checkpointed pipeline can replay a micro-batch after a crash
+    * between side-output write and commit, so downstream consumers see
+    * duplicates. Keyed on the stable record identity (requestId,
+    * record_idx), replays within the watermark horizon are dropped;
+    * state is bounded by that horizon (the
+    * `dropDuplicatesWithinWatermark` contract), never by stream
+    * length. Apply to CLEAN records (query_ts is the event time). */
+  def dedupRecords(cleanRecords: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    cleanRecords
+      .withWatermark("query_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("requestId", "record_idx")
+
   /** Stream-stream self-join with watermarks: retry detection — a
     * query is a retry when the same (srcaddr, query_name) appeared in
     * the preceding `withinSeconds`. Both sides are watermarked and the

@@ -196,6 +196,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       Set(("evil.example.", "high"), ("shady.example.", "low")))
   }
 
+  test("streaming dedup absorbs at-least-once replays within the watermark") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[String]
+    val clean = Pipeline.decodedRecords(
+      Pipeline.parseEnvelopes(stream.toDS())).filter(col("reason").isNull)
+    val q = Streaming.dedupRecords(clean)
+      .select(col("requestId"), col("record_idx"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    val env = envelope("dup0",
+      b64(record("a.example.")), b64(record("b.example.")))
+    stream.addData(env)
+    q.processAllAvailable()
+    stream.addData(env) // replayed delivery — same (requestId, record_idx)
+    q.processAllAvailable()
+    val rows = spark.table("deduped").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    q.stop()
+    assert(rows.sorted === Seq(("dup0", 0), ("dup0", 1)),
+      s"replay must be absorbed, got: $rows")
+  }
+
   test("observe() metrics report per-reason quarantine counts") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[String]
