@@ -229,6 +229,33 @@ class Bind9PipelineSpec extends AnyFunSuite with SparkTestBase {
       === "data_invalid")
   }
 
+  test("envelope gate acceptance table matches jsonschema semantics") {
+    val data = b64(happyRecord)
+    val cases: Seq[(String, Boolean)] = Seq(
+      // (envelope, accepted?)
+      (s"""{"requestId":"r","records":[{"data":"$data"}]}""", true),
+      // timestamp optional; integer and integral float pass, else fail
+      (s"""{"requestId":"r","timestamp":1,"records":[{"data":"$data"}]}""", true),
+      (s"""{"requestId":"r","timestamp":1.5,"records":[{"data":"$data"}]}""", false),
+      (s"""{"requestId":"r","timestamp":true,"records":[{"data":"$data"}]}""", false),
+      (s"""{"requestId":"r","timestamp":null,"records":[{"data":"$data"}]}""", false),
+      // additionalProperties are allowed by the reference schema
+      (s"""{"requestId":"r","extra":"x","records":[{"data":"$data"}]}""", true),
+      // records must be an array of objects
+      (s"""{"requestId":"r","records":{"data":"$data"}}""", false),
+      (s"""{"requestId":"r","records":["$data"]}""", false),
+      // root must be an object
+      (s"""["$data"]""", false),
+      ("not json at all", false))
+    cases.foreach { case (env, shouldAccept) =>
+      val out = run(env)
+      val accepted = out.rejectedEnvelopes.isEmpty
+      assert(accepted === shouldAccept,
+        s"envelope $env: accepted=$accepted, want $shouldAccept " +
+          s"(reason: ${out.rejectedEnvelopes.collect().mkString(",")})")
+    }
+  }
+
   test("ack responses mirror the Firehose response contract (op 16)") {
     val envs = Pipeline.parseEnvelopes(spark.createDataset(Seq(
       envelope("req-ok", Seq(b64(happyRecord))),
