@@ -36,10 +36,20 @@ object Bench {
     // a round-over-round delta can be judged against run variance.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Optional args select a query subset (dev iteration); no args =
-    // the full registered set (driver protocol).
+    // the full registered set (driver protocol). A typo'd name must be
+    // loud: a silent empty run prints total≈0 and reads like a pass.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty)
+      System.err.println(
+        s"WARN: no such registered queries: ${unknown.mkString(", ")}")
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    if (args.nonEmpty && selected.isEmpty) {
+      System.err.println("ERROR: selection matched nothing; not benching")
+      spark.stop()
+      sys.exit(2)
+    }
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -51,13 +61,18 @@ object Bench {
       name -> times
     }
     def fmt(d: Double): String = f"$d%.4f"
+    // true median: even rep counts average the two middle samples
+    // (ts is sorted) instead of reporting the upper-middle one
+    def median(ts: Seq[Double]): Double =
+      if (ts.length % 2 == 1) ts(ts.length / 2)
+      else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2.0
     val qs = results.map { case (k, ts) =>
-      "\"" + k + "\":" + fmt(ts(ts.length / 2))
+      "\"" + k + "\":" + fmt(median(ts))
     }.mkString("{", ",", "}")
     val spread = results.map { case (k, ts) =>
       "\"" + k + "\":[" + fmt(ts.head) + "," + fmt(ts.last) + "]"
     }.mkString("{", ",", "}")
-    val total = results.values.map(ts => ts(ts.length / 2)).sum
+    val total = results.values.map(median).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * near-dup pairs.
   *
   * Cross-engine determinism: every hash is md5 (identical in Spark and
-  * DuckDB), MinHash permutations are `md5(i || '|' || shingle)` with
-  * lexicographic min, and all similarity ratios are exact-integer
+  * DuckDB), MinHash permutations are the 16 byte-rotations of ONE
+  * md5(shingle) hex digest with lexicographic min (see
+  * [[qDedupMinhash]]), and all similarity ratios are exact-integer
   * arithmetic divided once in double — so oracles hash-match.
   *
   * Scale posture: nothing here is O(n²) on documents. Pair discovery
@@ -32,8 +33,13 @@ object DedupQueries {
     * near-dup signal but drive the shingle join's fan-out quadratically
     * (sum over shingles of df²) AND collapse MinHash bands onto the
     * one globally-minimal common shingle — the classic skew guard any
-    * 100 TB dedup pipeline applies. Mirrored identically in SQL. */
-  private def shingles(d: DataFrame): DataFrame = {
+    * 100 TB dedup pipeline applies. Mirrored identically in SQL.
+    *
+    * Returns the shingle table plus the persist handle backing it; the
+    * caller ties the handle to its final result via
+    * [[QueryScopedCache.releaseAfter]] so the cache lives exactly as
+    * long as the one action that uses it. */
+  private def shingles(d: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val sh0 = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.shingles(col("ws"), 3))
@@ -42,7 +48,7 @@ object DedupQueries {
       // downstream subtree (minhash aggs, join sides, sizes); without
       // materialization Spark re-runs the scan+explode for each — same
       // persist a production dedup pipeline applies to its shingle
-      // table. Harness mains clearCache() per query.
+      // table. Released after the consuming action (QueryScopedCache).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     // The stop-shingle SET is tiny and bounded independent of corpus
@@ -58,7 +64,7 @@ object DedupQueries {
       .crossJoin(broadcast(nDocs))
       .filter(col("df") > greatest(lit(10.0), lit(0.05) * col("n_docs")))
       .select(col("sh"))
-    sh0.join(broadcast(stop), Seq("sh"), "left_anti")
+    (sh0.join(broadcast(stop), Seq("sh"), "left_anti"), Seq(sh0))
   }
 
   private val shinglesSql = """
@@ -93,14 +99,14 @@ object DedupQueries {
   val qDedupNgramJaccard = Q(
     "q_dedup_ngram_jaccard",
     (s, dir) => {
-      val sh = shingles(docs(s, dir))
+      val (sh, handles) = shingles(docs(s, dir))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
         .join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
         .agg(count(lit(1)).as("ni"))
-      inter
+      val result = inter
         .join(sizes.as("sa"), col("ia") === col("sa.doc_id"))
         .join(sizes.as("sb"), col("ib") === col("sb.doc_id"))
         .select(col("ia"), col("ib"),
@@ -108,6 +114,7 @@ object DedupQueries {
             (col("sa.n") + col("sb.n") - col("ni")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
         .orderBy(col("ia"), col("ib"))
+      QueryScopedCache.releaseAfter(result, handles)
     },
     Some(s"""
       WITH $shinglesSql,
@@ -123,27 +130,38 @@ object DedupQueries {
       WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.8
       ORDER BY ia, ib"""))
 
-  /** MinHash + LSH: 16 md5-permutation minhashes per doc, 4 bands of 4;
+  /** MinHash + LSH: 16 minhash permutations per doc, 4 bands of 4;
     * candidate pairs share a band hash, then only candidates get the
-    * exact Jaccard verify (the banding is what kills O(n²) at scale). */
+    * exact Jaccard verify (the banding is what kills O(n²) at scale).
+    *
+    * Permutations are ONE md5 per shingle, not 16: permutation i
+    * orders shingles by the digest ROTATED left i hex chars
+    * (`substr(h, i+1) || substr(h, 1, i)`). Each rotation leads with a
+    * different digest nibble, so the 16 induced orderings have
+    * independent leading comparisons — min-wise-independent to first
+    * order, the property MinHash needs (cf. one-permutation-hashing
+    * schemes). Replacing `md5(i || '|' || sh)` ×16 with one digest +
+    * 16 substring rotations removed the query's CPU peak (round-3
+    * verdict task 1); DuckDB mirrors the rotation verbatim. */
   val qDedupMinhash = Q(
     "q_dedup_minhash",
     (s, dir) => {
-      val sh = shingles(docs(s, dir))
-      // One shuffle, no row blowup: the 16 permutation hashes are 16
+      val (sh, shHandles) = shingles(docs(s, dir))
+      // One shuffle, no row blowup: the 16 permutation minima are 16
       // columns aggregated with map-side-combining MIN — not a 16×
       // explode (measured ~3× faster, same values as the oracle's
       // min-per-(doc,i) formulation). The doc shingle-set SIZE rides
       // in the same aggregation for free, so the verify stage's size
       // lookups cost no extra pass over the shingle table.
+      val hashed = sh.select(col("doc_id"), md5(col("sh")).as("h"))
       val minCols = (0 until 16).map(i =>
-        min(md5(concat_ws("|", lit(i).cast("string"), col("sh"))))
-          .as(s"m$i"))
-      val mh = sh.groupBy(col("doc_id"))
+        min(concat(substring(col("h"), i + 1, 32 - i),
+          substring(col("h"), 1, i))).as(s"m$i"))
+      val mh = hashed.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n"), minCols: _*)
         // n_docs rows × 17 narrow cols; feeds the band signatures AND
-        // both size lookups — persisting stops the 16-md5 aggregation
-        // (the query's CPU peak) from running three times.
+        // both size lookups — persisting stops the minhash aggregation
+        // from running three times.
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bandCols = (0 until 4).map(b =>
         md5(concat_ws("", (0 until 4).map(j => col(s"m${b * 4 + j}")): _*))
@@ -178,7 +196,7 @@ object DedupQueries {
           col("s2.doc_id") === col("cs.ib") && col("s2.sh") === col("cs.sh"))
         .groupBy(col("cs.ia").as("ia"), col("cs.ib").as("ib"))
         .agg(count(lit(1)).as("ni"))
-      ni
+      val result = ni
         .join(sizes.as("sa"), col("ia") === col("sa.doc_id"))
         .join(sizes.as("sb"), col("ib") === col("sb.doc_id"))
         .select(col("ia"), col("ib"),
@@ -186,11 +204,14 @@ object DedupQueries {
             (col("sa.n") + col("sb.n") - col("ni")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("ia"), col("ib"))
+      QueryScopedCache.releaseAfter(result, shHandles ++ Seq(mh, cand))
     },
     Some(s"""
       WITH $shinglesSql,
-      mh AS (SELECT doc_id, i, MIN(MD5(CAST(i AS VARCHAR) || '|' || sh)) AS m
-             FROM sh CROSS JOIN generate_series(0, 15) AS t(i)
+      mh AS (SELECT doc_id, i,
+                    MIN(substr(h, i + 1, 32 - i) || substr(h, 1, i)) AS m
+             FROM (SELECT doc_id, MD5(sh) AS h FROM sh)
+             CROSS JOIN generate_series(0, 15) AS t(i)
              GROUP BY 1, 2),
       sig AS (SELECT doc_id, i // 4 AS band,
                      MD5(string_agg(m, '' ORDER BY i)) AS bh

@@ -28,9 +28,20 @@ object PipelineQueries {
     // Split count comes from the planned scan itself (FileScanRDD
     // partition packing) — NOT from df.rdd, which would run a second
     // full planning pass and build the whole RDD DAG per invocation.
-    val splits = df.queryExecution.executedPlan.collectLeaves().map {
+    // AQE wraps the whole plan in AdaptiveSparkPlanExec (itself a leaf
+    // node), so unwrap it first; DSv2 sources plan as BatchScanExec —
+    // both arms matched so a source-strategy change can't silently
+    // leave the single-split fixture on one core (round-3 ADVICE #1).
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val splits = plan.collectLeaves().map {
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
         s.inputRDDs().map(_.getNumPartitions).sum
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
       case _ => target // non-file source: assume production split count
     }.sum
     if (splits < target) df.repartition(target) else df
@@ -68,9 +79,11 @@ object PipelineQueries {
           col("event_id").as("timestamp"),
           array(struct(base64(encode(record, "UTF-8")).as("data")))
             .as("records"))
-      Pipeline.process(envelopes).lines
+      val out = Pipeline.process(envelopes)
+      val result = out.lines
         .select(col("requestId"), col("line_idx"), col("line"))
         .orderBy(col("requestId"), col("line_idx"))
+      QueryScopedCache.releaseAfter(result, out.cacheHandles)
     },
     Some("""
       WITH e AS (
@@ -144,11 +157,12 @@ object PipelineQueries {
           col("event_id").as("timestamp"),
           array(struct(base64(encode(record, "UTF-8")).as("data")))
             .as("records"))
-      val clean = Pipeline.decodedRecords(envelopes)
-        .filter(col("reason").isNull)
-      Pipeline.microsoftDnsLines(clean)
+      val (records, handles) = Pipeline.decodedRecordsScoped(envelopes)
+      val clean = records.filter(col("reason").isNull)
+      val result = Pipeline.microsoftDnsLines(clean)
         .select(col("requestId"), col("line"))
         .orderBy(col("requestId"))
+      QueryScopedCache.releaseAfter(result, handles)
     },
     Some("""
       WITH e AS (

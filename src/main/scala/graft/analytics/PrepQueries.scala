@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data preparation operators — the steps an LLM data
@@ -158,5 +159,73 @@ object PrepQueries {
              CAST(least(50, len(ws) - start + 1) AS BIGINT) AS n_words
       FROM c ORDER BY doc_id, chunk_idx"""))
 
-  val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam, qPrepChunk)
+  /** Token-budget sharding — the step between [[qPrepChunk]] and
+    * training: pack chunks into shards of ~2000 whitespace tokens with
+    * a deterministic shard id, so any engine (or rerun) produces the
+    * identical shard layout.
+    *
+    * Two-level id: `bucket` (first hex nibble of md5(doc_id), 16
+    * writer buckets) then `shard_id` = exclusive-prefix-sum of token
+    * counts within the bucket, ordered by (doc_id, chunk_idx), integer-
+    * divided by the budget. A chunk whose prefix crosses a boundary
+    * starts the next shard's fill, so shards are budget-sized ±1 chunk.
+    *
+    * Scale shape: the only shuffle is the per-bucket window, whose
+    * partition count is the bucket fan-out — 16 here so the DuckDB
+    * oracle stays a literal mirror; a 100 TB run raises the nibble
+    * count so buckets ≥ cluster parallelism and each window partition
+    * stays executor-sized (the doc→bucket hash keeps assignment
+    * deterministic at any fan-out). */
+  val qPrepShard = Q(
+    "q_prep_shard",
+    (s, dir) => {
+      val chunks = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("ws"),
+          posexplode(sequence(lit(1), greatest(size(col("ws")), lit(1)),
+            lit(40))))
+        .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "start"))
+        .select(col("doc_id"), col("chunk_idx").cast("long"),
+          least(lit(50), size(col("ws")) - col("start") + 1).cast("long")
+            .as("n_tokens"))
+      val bucketed = chunks.withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+          .cast("long"))
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed
+        .withColumn("prefix_tokens",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        // DIV, not /: long division must stay exact in both engines
+        .withColumn("shard_id", expr("prefix_tokens DIV 2000"))
+        .select(col("doc_id"), col("chunk_idx"), col("bucket"),
+          col("shard_id"), col("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      c AS (SELECT doc_id, ws,
+                   unnest(generate_series(1, greatest(len(ws), 1), 40))
+                     AS start
+            FROM w),
+      ch AS (SELECT doc_id,
+                    CAST((start - 1) // 40 AS BIGINT) AS chunk_idx,
+                    CAST(least(50, len(ws) - start + 1) AS BIGINT)
+                      AS n_tokens,
+                    CAST(instr('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                         AS BIGINT) AS bucket
+             FROM c)
+      SELECT doc_id, chunk_idx, bucket,
+             COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY bucket ORDER BY doc_id, chunk_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // 2000 AS shard_id,
+             n_tokens
+      FROM ch ORDER BY doc_id, chunk_idx"""))
+
+  val all: Seq[Q] =
+    Seq(qPrepSplit, qPrepRedact, qPrepDecontam, qPrepChunk, qPrepShard)
 }

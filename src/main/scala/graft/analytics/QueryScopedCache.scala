@@ -1,0 +1,83 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Scoped lifetime for intra-query `persist()`s.
+  *
+  * Several registered queries materialize an expensive shared
+  * intermediate (the dedup shingle table, the DNS decode stage) with
+  * `persist(MEMORY_AND_DISK)`. The handles used to live until
+  * `clearCache()` — fine under the bench/verify harnesses, which clear
+  * per repetition, but a long-lived interactive session invoking those
+  * queries repeatedly accumulated cache entries until eviction
+  * pressure (round-3 verdict, "what's wrong" #1).
+  *
+  * This registry ties each handle to the query result that consumes
+  * it: `releaseAfter(result, handles)` records the association, and a
+  * session-wide [[QueryExecutionListener]] unpersists the handles as
+  * soon as ANY action on `result` (count, collect, parquet write, ...)
+  * completes — success or failure. The caches exist exactly for the
+  * duration of the one action that benefits from them.
+  *
+  * Contract: the FIRST action releases the caches, so a caller that
+  * runs two actions on the same returned DataFrame recomputes on the
+  * second — correct, just uncached. Callers wanting a longer cache
+  * lifetime can persist the result themselves.
+  *
+  * Listener callbacks arrive asynchronously (Spark delivers them off
+  * the listener bus after the action returns), so "empty cache" is
+  * eventually-observed; the hygiene spec polls.
+  */
+object QueryScopedCache {
+
+  /** Final-result analyzed plan → the persisted intermediates feeding
+    * it. Keys are compared by [[LogicalPlan.sameResult]] against
+    * subtrees of each completed action's plan, so `df.count()` (an
+    * Aggregate over the plan) and `df.write.parquet` (a command
+    * wrapping it) both match. */
+  private val pending =
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, Seq[DataFrame]]()
+
+  /** Sessions that already carry the release listener. Weak keys: the
+    * registry must not pin a stopped session. */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register `handles` (persisted DataFrames) for release after the
+    * first completed action on `result`. Returns `result` unchanged. */
+  def releaseAfter(result: DataFrame, handles: Seq[DataFrame]): DataFrame = {
+    if (handles.nonEmpty) {
+      ensureListener(result.sparkSession)
+      pending.merge(result.queryExecution.analyzed, handles, (a, b) => a ++ b)
+    }
+    result
+  }
+
+  private def ensureListener(spark: SparkSession): Unit =
+    registered.synchronized {
+      if (registered.put(spark, java.lang.Boolean.TRUE) == null)
+        spark.listenerManager.register(new Releaser)
+    }
+
+  private final class Releaser extends QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution,
+        durationNs: Long): Unit = release(qe)
+    override def onFailure(funcName: String, qe: QueryExecution,
+        exception: Exception): Unit = release(qe)
+
+    private def release(qe: QueryExecution): Unit = {
+      val it = pending.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (qe.analyzed.exists(_.sameResult(e.getKey))) {
+          e.getValue.foreach(_.unpersist(blocking = false))
+          it.remove()
+        }
+      }
+    }
+  }
+}

@@ -200,12 +200,16 @@ object SimilarityQueries {
     * cross-engine (no iterative k-means, whose float drift would
     * break the differential gate).
     *
-    * Scale shape: assignment is one narrow pass over the corpus
-    * against 16 broadcast centroids (the BNLJ is the bounded-block
-    * design, 16 rows); the probe is an equi-join on centroid id —
-    * at 100 TB the inverted lists are the shuffle key and the
-    * quadratic pair space never materializes. nprobe=4 of 16 lists
-    * scores ~1/4 of the corpus per query. */
+    * Scale shape: assignment is one narrow pass over the corpus —
+    * all 16 centroids ride in ONE broadcast row as an array, each
+    * vector scores them in-row and sorts the 16-element array, so the
+    * per-vector argmax/top-nprobe never shuffles (round 3 ranked a
+    * corpus×16 relation through a row_number window — the plan's only
+    * avoidable corpus-scale shuffle, now gone and PlanAuditSpec-
+    * guarded). The probe is an equi-join on centroid id — at 100 TB
+    * the inverted lists are the shuffle key and the quadratic pair
+    * space never materializes. nprobe=4 of 16 lists scores ~1/4 of
+    * the corpus per query. */
   val qSimIvfTopk = Q(
     "q_sim_ivf_topk",
     (s, dir) => {
@@ -215,17 +219,36 @@ object SimilarityQueries {
         .limit(16)
         .select(col("vec_id").as("cid"), col("v").as("cv"),
           col("nrm").as("cnrm"))
-      val scored = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"),
-          round(dot(col("v"), col("cv")) /
-            (sqrt(col("nrm")) * sqrt(col("cnrm"))), 6).as("ccos"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cid"))
-      val ranked = scored.withColumn("crank", row_number().over(w))
-      val assigned = ranked.filter(col("crank") === 1)
-        .select(col("vec_id"), col("cid"))
-      val probes = ranked.filter(col("vec_id") < 20 && col("crank") <= 4)
-        .select(col("vec_id").as("qid"), col("cid"))
+      val centArr = cents.agg(
+        collect_list(struct(col("cid"), col("cv"), col("cnrm"))).as("cs"))
+      // Per-vector ranking stays inside the row: score the 16 broadcast
+      // centroids into an array of (ccos, -cid, cid) and array_sort it.
+      // Default (ascending, native interpreted ordering = the same
+      // Double.compare the old window sort used, so -0.0/0.0 edges rank
+      // identically) — last element is the assignment, last 4 are the
+      // probe list; `-cid` makes equal-ccos ties resolve to the SMALLER
+      // cid at the ascending tail, matching `ORDER BY ccos DESC, cid`.
+      val scored16 = transform(col("cs"), c =>
+        struct(
+          round(dot(col("v"), c.getField("cv")) /
+            (sqrt(col("nrm")) * sqrt(c.getField("cnrm"))), 6).as("ccos"),
+          (-c.getField("cid")).as("tie"),
+          c.getField("cid").as("cid")))
+      val top = e.crossJoin(broadcast(centArr))
+        .withColumn("ranked16", array_sort(scored16))
+        // tail-indexed via size() so a corpus smaller than the centroid
+        // sample count still ranks correctly
+        .select(col("vec_id"),
+          element_at(col("ranked16"), size(col("ranked16")))
+            .getField("cid").as("best_cid"),
+          slice(col("ranked16"),
+            greatest(size(col("ranked16")) - 3, lit(1)), lit(4))
+            .as("probe4"))
+      val assigned = top.select(col("vec_id"), col("best_cid").as("cid"))
+      val probes = top.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"),
+          explode(transform(col("probe4"), p => p.getField("cid")))
+            .as("cid"))
       val cand = probes.join(assigned, "cid")
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("neighbor_id"))

@@ -197,7 +197,10 @@ object Streaming {
           .write.mode("append").parquet(s"$deadLetterDir/quarantine")
         out.rejectedEnvelopes.withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(s"$deadLetterDir/rejected")
-        spark.catalog.clearCache() // drop this batch's decode cache
+        // Drop this batch's decode cache only — scoped release instead
+        // of clearCache(), which would also evict any caches the
+        // embedding application holds in the same session.
+        out.release()
         ()
       }
       .start()

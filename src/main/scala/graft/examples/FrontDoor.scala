@@ -53,13 +53,25 @@ object FrontDoor {
     Server(http, spoolDir)
   }
 
-  /** The Firehose response contract (app/app.py:88-102): 200
-    * `{requestId, timestamp}` on acceptance, 400 `{requestId:
-    * "unknown", timestamp, errorMessage}` on any schema violation. */
+  /** The Firehose response contract (app/app.py:65-102): 405 on
+    * non-POST, 400 on a Content-Type that is not EXACTLY
+    * `application/json` (the reference compares `request.content_type`
+    * with `!=`, app/app.py:69-74 — so even
+    * `application/json; charset=utf-8` is rejected; mirrored
+    * verbatim), 200 `{requestId, timestamp}` on acceptance, 400
+    * `{requestId: "unknown", timestamp, errorMessage}` on any schema
+    * violation. */
   private def handle(ex: HttpExchange, spoolDir: Path): Unit = {
     val now = System.currentTimeMillis()
     if (ex.getRequestMethod != "POST") {
       respond(ex, 405, s"""{"error": "method not allowed"}""")
+      return
+    }
+    val contentType =
+      Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    if (contentType != "application/json") {
+      respond(ex, 400,
+        s"""{"requestId": "unknown", "timestamp": $now, "errorMessage": "Invalid content type. Expected application/json."}""")
       return
     }
     val body = new String(ex.getRequestBody.readAllBytes(),

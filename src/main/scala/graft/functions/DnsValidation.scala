@@ -34,7 +34,7 @@ case class DnsRecordValidity(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_dns_validity"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val reason = DnsValidation.reason(input.asInstanceOf[UTF8String].toString)
+    val reason = DnsValidation.reason(input.asInstanceOf[UTF8String])
     if (reason == null) null else UTF8String.fromString(reason)
   }
 
@@ -73,12 +73,36 @@ object DnsValidation {
   private[functions] def strictTsFormat: DateTimeFormatter = strictTs
 
   /** Parsed tree, or null where json.loads would raise (bad syntax,
-    * trailing tokens, empty input). */
-  private[functions] def treeOrNull(payload: String): JsonNode = {
+    * trailing tokens, empty input).
+    *
+    * Takes the raw UTF-8 bytes: Jackson reads UTF-8 directly, so the
+    * per-record hot path skips the UTF8String→java.lang.String decode
+    * + copy it used to pay (round-3 verdict task 3). Upstream
+    * [[StrictBase64Utf8]] already rejects malformed UTF-8 with the
+    * Python-parity `base64` reason, so Jackson's own (stricter)
+    * charset handling only ever sees valid sequences on the record
+    * path; on the raw-envelope path a malformed byte sequence now
+    * fails the parse ("json") instead of being replacement-decoded
+    * first — closer to the reference, which never accepts such a body
+    * (Flask's get_json 400s it). */
+  private[functions] def treeOrNull(bytes: Array[Byte], len: Int): JsonNode = {
     val root =
-      try mapper.readTree(payload)
+      try mapper.readTree(bytes, 0, len)
       catch { case _: Exception => return null }
     if (root == null || root.isMissingNode) null else root
+  }
+
+  private[functions] def treeOrNull(payload: UTF8String): JsonNode = {
+    // getBytes returns the backing array when the string is exactly
+    // array-aligned (the common case for a freshly decoded payload);
+    // otherwise one copy — still no charset decode.
+    val b = payload.getBytes
+    treeOrNull(b, b.length)
+  }
+
+  private[functions] def treeOrNull(payload: String): JsonNode = {
+    val b = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    treeOrNull(b, b.length)
   }
 
   private val stringFields = Array(
@@ -120,6 +144,12 @@ object DnsValidation {
     if (root == null) "json" else reasonFromTree(root)
   }
 
+  /** Zero-decode variant for the expression hot path. */
+  def reason(payload: UTF8String): String = {
+    val root = treeOrNull(payload)
+    if (root == null) "json" else reasonFromTree(root)
+  }
+
   /** Type-strict envelope gate, mirroring the reference's jsonschema
     * validation (app/app.py:35-58): any violation — including a string
     * `timestamp` or numeric `requestId`, which a declared-schema
@@ -130,11 +160,34 @@ object DnsValidation {
     *
     * jsonschema notes mirrored exactly: `timestamp` is optional but
     * must be an integer when present (a float with zero fraction
-    * passes per draft-7 "integer"; bool/null/string fail); `maxLength`
-    * counts Unicode code points, as Python's len does. */
+    * passes per draft-7 "integer" — including integral floats beyond
+    * Long range like 1e30, which Python's float.is_integer() accepts;
+    * bool/null/string/Infinity fail); `maxLength` counts Unicode code
+    * points, as Python's len does. */
   def envelopeReason(json: String): String = {
+    val b = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    envelopeReason(b, b.length)
+  }
+
+  /** Zero-decode variant for the expression hot path. */
+  def envelopeReason(json: UTF8String): String = {
+    val b = json.getBytes
+    envelopeReason(b, b.length)
+  }
+
+  /** Draft-7 "integer": any integral number node, including floats
+    * with zero fraction of any magnitude. decimalValue() raises on
+    * the non-finite doubles Jackson can produce from `1e999` — those
+    * fail in Python too (inf.is_integer() is False). */
+  private def isJsonInteger(n: JsonNode): Boolean =
+    n.isIntegralNumber || (n.isNumber && {
+      try n.decimalValue().stripTrailingZeros().scale() <= 0
+      catch { case _: NumberFormatException => false }
+    })
+
+  private def envelopeReason(bytes: Array[Byte], len: Int): String = {
     val root: JsonNode =
-      try mapper.readTree(json)
+      try mapper.readTree(bytes, 0, len)
       catch { case _: Exception => return "json" }
     if (root == null || root.isMissingNode) return "json"
     if (!root.isObject) return "envelope_type"
@@ -142,7 +195,7 @@ object DnsValidation {
     if (rid == null) return "requestId_missing"
     if (!rid.isTextual) return "requestId_type"
     val ts = root.get("timestamp")
-    if (ts != null && !(ts.isNumber && ts.canConvertToExactIntegral))
+    if (ts != null && !isJsonInteger(ts))
       return "timestamp_type"
     val recs = root.get("records")
     if (recs == null) return "records_missing"
@@ -164,7 +217,14 @@ object DnsValidation {
 
 /** Column form of [[DnsValidation.envelopeReason]] — the raw-JSON
   * ingest path's batch-level gate, before `from_json`'s coercions can
-  * mask a type violation the reference would 400. */
+  * mask a type violation the reference would 400.
+  *
+  * NOT null-propagating: the advertised contract is "null = valid
+  * envelope", so a NULL input document must yield a REASON (`json`,
+  * the same verdict json.loads gives a missing body) — default
+  * null-safe evaluation would return NULL and silently bless null
+  * documents for SQL callers filtering `WHERE graft_envelope_validity
+  * (doc) IS NULL` (round-3 ADVICE #4). */
 case class EnvelopeValidity(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
@@ -173,29 +233,38 @@ case class EnvelopeValidity(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_envelope_validity"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val reason =
-      DnsValidation.envelopeReason(input.asInstanceOf[UTF8String].toString)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    evalEnvelope(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val expr = ctx.addReferenceObj("envValidityExpr", this)
+    val c = child.genCode(ctx)
+    // hand-rolled (not nullSafeCodeGen): a null child must reach
+    // evalEnvelope to get its "json" verdict, not short-circuit to null
+    ev.copy(code =
+      code"""
+        ${c.code}
+        org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+          $expr.evalEnvelope(${c.isNull} ? null : ${c.value});
+        boolean ${ev.isNull} = (${ev.value} == null);
+      """)
+  }
+
+  /** Called from generated code; null RESULT = valid (a null INPUT is
+    * an invalid document, reason "json"). */
+  def evalEnvelope(json: UTF8String): UTF8String = {
+    if (json == null) return EnvelopeValidity.nullReason
+    val reason = DnsValidation.envelopeReason(json)
     if (reason == null) null else UTF8String.fromString(reason)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val expr = ctx.addReferenceObj("envValidityExpr", this)
-    val code = (c: String) =>
-      s"""
-         |${ev.value} = (org.apache.spark.unsafe.types.UTF8String)
-         |  $expr.evalEnvelope($c);
-         |${ev.isNull} = (${ev.value} == null);
-       """.stripMargin
-    nullSafeCodeGen(ctx, ev, code)
-  }
-
-  /** Called from generated code; null = valid. */
-  def evalEnvelope(json: UTF8String): UTF8String =
-    nullSafeEval(json).asInstanceOf[UTF8String]
-
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object EnvelopeValidity {
+  private val nullReason = UTF8String.fromString("json")
 }
 
 /** One-pass parse + validate + extract of a decoded Route53 record:
@@ -219,7 +288,7 @@ case class DnsRecordParse(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_dns_parse"
 
   override protected def nullSafeEval(input: Any): Any =
-    DnsRecordParse.parse(input.asInstanceOf[UTF8String].toString)
+    DnsRecordParse.parse(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val expr = ctx.addReferenceObj("parseExpr", this)
@@ -281,11 +350,19 @@ object DnsRecordParse {
 
   /** Full parse: invalid → only `reason` set; valid → reason null and
     * every field populated. */
-  def parse(payload: String): InternalRow = {
+  def parse(payload: String): InternalRow =
+    parseTree(DnsValidation.treeOrNull(payload))
+
+  /** Zero-decode variant: Jackson reads the UTF-8 bytes directly, so
+    * the hot path skips one String allocation + charset decode per
+    * record (round-3 verdict task 3). */
+  def parse(payload: UTF8String): InternalRow =
+    parseTree(DnsValidation.treeOrNull(payload))
+
+  private def parseTree(root: JsonNode): InternalRow = {
     // ONE Jackson pass per record: parse, validate the tree, extract
     // from the same tree (the per-record hot path; a second readTree
     // measurably taxed the whole-pipeline decode stage).
-    val root = DnsValidation.treeOrNull(payload)
     if (root == null) return reasonOnly("json")
     val r = DnsValidation.reasonFromTree(root)
     if (r != null) return reasonOnly(r)

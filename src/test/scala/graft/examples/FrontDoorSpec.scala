@@ -26,9 +26,11 @@ class FrontDoorSpec extends AnyFunSuite with SparkTestBase {
       |"srcport":"4242","transport":"UDP",
       |"srcids":{"instance":"i-fd"}}""".stripMargin.replaceAll("\n", "")
 
-  private def post(port: Int, body: String): HttpResponse[String] =
+  private def post(port: Int, body: String,
+      contentType: String = "application/json"): HttpResponse[String] =
     HttpClient.newHttpClient().send(
       HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/endpoint"))
+        .header("Content-Type", contentType)
         .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
       HttpResponse.BodyHandlers.ofString())
 
@@ -43,6 +45,21 @@ class FrontDoorSpec extends AnyFunSuite with SparkTestBase {
         HttpResponse.BodyHandlers.ofString())
       assert(health.statusCode() === 200 &&
         health.body().contains("healthy"))
+
+      // wrong Content-Type: 400 with the reference's exact error
+      // message BEFORE any schema validation (app/app.py:69-74; the
+      // reference's != comparison also rejects a charset suffix)
+      for (ct <- Seq("text/plain", "application/json; charset=utf-8")) {
+        val wrongCt = post(server.port,
+          s"""{"requestId":"req-ct","records":[{"data":"${b64(record)}"}]}""",
+          contentType = ct)
+        assert(wrongCt.statusCode() === 400, s"content type $ct")
+        assert(wrongCt.body().contains("\"requestId\": \"unknown\""))
+        assert(wrongCt.body().contains(
+          "Invalid content type. Expected application/json."))
+      }
+      assert(!Files.list(spool).iterator().hasNext,
+        "content-type reject must not spool")
 
       // invalid envelope: 400 + Firehose failure doc, nothing spooled
       val bad = post(server.port,
