@@ -1,0 +1,58 @@
+package graft.analytics
+
+import graft.{SparkEntry, SparkTestBase}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-lifetime cache hygiene (round-3 verdict task 5): queries
+  * that persist shared intermediates must release them once their
+  * action completes — WITHOUT the harness-level `clearCache()` the
+  * bench/verify mains run. A long-lived interactive session invoking
+  * these queries repeatedly must not accumulate cache entries.
+  *
+  * The release rides a QueryExecutionListener ([[QueryScopedCache]]),
+  * which Spark invokes asynchronously after the action returns — so
+  * emptiness is polled, not asserted immediately.
+  */
+class CacheHygieneSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def awaitEmptyCache(context: String): Unit = {
+    val deadline = System.currentTimeMillis() + 30000
+    while (!spark.sharedState.cacheManager.isEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      s"$context left cache entries behind")
+  }
+
+  test("q_dedup_minhash twice, no clearCache: cache drains after each run") {
+    // other suites share the session and may legitimately leave caches;
+    // this spec owns the assertion window
+    spark.catalog.clearCache()
+    (1 to 2).foreach { i =>
+      val n = SparkEntry.queries("q_dedup_minhash")(spark, sf).count()
+      assert(n >= 0)
+      awaitEmptyCache(s"q_dedup_minhash run $i")
+    }
+  }
+
+  test("q_dns_pipeline_full releases the decode cache after its action") {
+    spark.catalog.clearCache()
+    val n = SparkEntry.queries("q_dns_pipeline_full")(spark, sf).count()
+    assert(n > 0)
+    awaitEmptyCache("q_dns_pipeline_full")
+  }
+
+  test("Outputs.release drops the decode cache for direct Pipeline users") {
+    spark.catalog.clearCache()
+    val env = spark.range(1).select(
+      lit("r").as("requestId"), lit(1L).as("timestamp"),
+      array(struct(lit("e30=").as("data"))).as("records"))
+    val out = graft.dns.Pipeline.process(env)
+    out.lines.count()
+    assert(out.cacheHandles.nonEmpty, "batch decode must persist")
+    out.release()
+    awaitEmptyCache("Outputs.release")
+  }
+}

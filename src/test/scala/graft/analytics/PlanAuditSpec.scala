@@ -54,6 +54,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"forced broadcast on the candidate semi-join: ${offenders.toList}")
   }
 
+  test("ivf centroid assignment is narrow: one window, no corpus shuffle on vec_id") {
+    // Round-3 shape ranked a corpus×16 relation through a row_number
+    // window — a full shuffle of 16× the corpus rows. The assignment
+    // now sorts a 16-element array in-row against the broadcast
+    // centroid list; the only remaining window is the final top-k.
+    val p = plans("q_sim_ivf_topk")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"expected only the final top-k window:\n$p")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"centroid assignment must not shuffle the corpus:\n$p")
+  }
+
   test("dimension joins broadcast the small side") {
     assert(plans("q_join_region_revenue").contains("BroadcastHashJoin"))
   }

@@ -51,6 +51,31 @@ class PrepSpec extends AnyFunSuite with SparkTestBase {
     assert(bad === 0, "audit count must match insertions")
   }
 
+  test("shard: covers every chunk, respects the budget, deterministic") {
+    val s = PrepQueries.qPrepShard.run(spark, sf)
+    // same chunk universe as q_prep_chunk — nothing dropped or invented
+    assert(s.count() === PrepQueries.qPrepChunk.run(spark, sf).count())
+    // shard ids are a dense prefix within each bucket (0..max), and
+    // every shard except a bucket's last holds at least budget minus
+    // one max chunk (2000 - 50: the boundary-straddling chunk opens
+    // the next shard, so a closed shard can be short by at most one
+    // chunk's tokens)
+    val perShard = s.groupBy(col("bucket"), col("shard_id"))
+      .agg(sum(col("n_tokens")).as("toks"))
+    val lastShard = perShard.groupBy(col("bucket"))
+      .agg(max(col("shard_id")).as("last_id"), count(lit(1)).as("n_shards"))
+    assert(lastShard.filter(col("n_shards") =!= col("last_id") + 1)
+      .count() === 0, "shard ids must be dense per bucket")
+    val undersized = perShard.join(lastShard, "bucket")
+      .filter(col("shard_id") < col("last_id") && col("toks") < 2000 - 50)
+      .count()
+    assert(undersized === 0,
+      "a closed shard may be under budget by at most one chunk")
+    // deterministic: a rerun yields the identical layout
+    assert(s.collect().toSeq ===
+      PrepQueries.qPrepShard.run(spark, sf).collect().toSeq)
+  }
+
   test("decontam: flags the planted benchmark duplicate, never the benchmark itself") {
     val d = PrepQueries.qPrepDecontam.run(spark, sf).collect()
     assert(d.nonEmpty, "the corpus contains a planted near-dup of a benchmark doc")

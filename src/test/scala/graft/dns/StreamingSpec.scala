@@ -218,6 +218,68 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"replay must be absorbed, got: $rows")
   }
 
+  test("dedup state is bounded by the watermark horizon, not stream length") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[String]
+    val clean = Pipeline.decodedRecords(
+      Pipeline.parseEnvelopes(stream.toDS())).filter(col("reason").isNull)
+    val q = Streaming.dedupRecords(clean)
+      .select(col("requestId"), col("record_idx"))
+      .writeStream.format("noop").start()
+    stream.addData(envelope("s0",
+      b64(record("a.example.", "2023-10-15T14:00:00Z")),
+      b64(record("b.example.", "2023-10-15T14:00:01Z"))))
+    q.processAllAvailable()
+    val before = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(before === 2, "both keys buffered inside the horizon")
+    // Jump event time far past the 10-minute horizon. The watermark
+    // derived from this batch evicts the 14:00 keys on the NEXT batch
+    // (watermarks advance between batches), hence two more batches.
+    stream.addData(envelope("s1",
+      b64(record("c.example.", "2023-10-15T16:00:00Z"))))
+    q.processAllAvailable()
+    stream.addData(envelope("s2",
+      b64(record("d.example.", "2023-10-15T16:00:01Z"))))
+    q.processAllAvailable()
+    val after = q.lastProgress.stateOperators.head.numRowsTotal
+    val removed =
+      q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    q.stop()
+    assert(after <= 2,
+      s"state must hold only keys inside the horizon, got $after rows")
+    assert(removed >= 2,
+      s"watermark passage must evict the expired keys, removed=$removed")
+  }
+
+  test("retry-join state is bounded by the watermark horizon") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[String]
+    val clean = Pipeline.decodedRecords(
+      Pipeline.parseEnvelopes(stream.toDS())).filter(col("reason").isNull)
+    val q = Streaming.retries(clean, withinSeconds = 10)
+      .writeStream.format("noop").start()
+    stream.addData(envelope("j0",
+      b64(record("x.example.", "2023-10-15T14:00:00Z")),
+      b64(record("y.example.", "2023-10-15T14:00:01Z"))))
+    q.processAllAvailable()
+    val before = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(before > 0, "the interval join must buffer in-horizon rows")
+    stream.addData(envelope("j1",
+      b64(record("z.example.", "2023-10-15T16:00:00Z"))))
+    q.processAllAvailable()
+    stream.addData(envelope("j2",
+      b64(record("w.example.", "2023-10-15T16:00:30Z"))))
+    q.processAllAvailable()
+    val after = q.lastProgress.stateOperators.head.numRowsTotal
+    val removed =
+      q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    q.stop()
+    assert(after < before + 2,
+      s"join state must not grow with stream length (before=$before, after=$after)")
+    assert(removed > 0,
+      s"watermark passage must evict expired join rows, removed=$removed")
+  }
+
   test("observe() metrics report per-reason quarantine counts") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[String]
