@@ -165,10 +165,14 @@ object DedupQueries {
     * aggregation plans as codegen HashAggregate instead of the
     * SortAggregate that string minima force — measured ~4× on the
     * aggregation stage at sf0.1 — and the signature cache/exchange
-    * carries 16 longs instead of 16 32-char strings. */
-  val qDedupMinhash = Q(
-    "q_dedup_minhash",
-    (s, dir) => {
+    * carries 16 longs instead of 16 32-char strings.
+    *
+    * Returns the verified pair table (ia, ib, jaccard ≥ 0.5, unsorted)
+    * plus the persist handles behind it — shared by [[qDedupMinhash]]
+    * (which just orders it) and [[qDedupCluster]] (which resolves its
+    * connected components). */
+  private def minhashPairs(s: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
       val (sh, shHandles) = shingles(docs(s, dir), persistJoined = true)
       // One shuffle, no row blowup: the 16 permutation minima are 16
       // columns aggregated with map-side-combining MIN — not a 16×
@@ -229,18 +233,20 @@ object DedupQueries {
           col("s2.doc_id") === col("cs.ib") && col("s2.sh") === col("cs.sh"))
         .groupBy(col("cs.ia").as("ia"), col("cs.ib").as("ib"))
         .agg(count(lit(1)).as("ni"))
-      val result = ni
+      val pairs = ni
         .join(sizes.as("sa"), col("ia") === col("sa.doc_id"))
         .join(sizes.as("sb"), col("ib") === col("sb.doc_id"))
         .select(col("ia"), col("ib"),
           round(col("ni") * lit(1.0) /
             (col("sa.n") + col("sb.n") - col("ni")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .orderBy(col("ia"), col("ib"))
-      QueryScopedCache.releaseAfter(result, shHandles ++ Seq(mh, cand, shC))
-    },
-    Some(s"""
-      WITH $shinglesSql,
+      (pairs, shHandles ++ Seq(mh, cand, shC))
+  }
+
+  /** Shared oracle CTE chain ending in `pairs(ia, ib, jaccard)` — the
+    * SQL mirror of [[minhashPairs]]. Callers prepend WITH [RECURSIVE]. */
+  private val minhashPairsSql = s"""
+      $shinglesSql,
       hv AS (SELECT doc_id,
                     ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
                    + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
@@ -271,14 +277,112 @@ object DedupQueries {
       ni AS (SELECT ia, ib, COUNT(*) AS ni
              FROM cand_sh cs JOIN sh s2
                ON s2.doc_id = cs.ib AND s2.sh = cs.sh
-             GROUP BY 1, 2)
-      SELECT ia, ib,
-             ROUND(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
-      FROM ni
-      JOIN sizes sa ON sa.doc_id = ia
-      JOIN sizes sb ON sb.doc_id = ib
-      WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.5
-      ORDER BY ia, ib"""))
+             GROUP BY 1, 2),
+      pairs AS (
+        SELECT ia, ib,
+               ROUND(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
+        FROM ni
+        JOIN sizes sa ON sa.doc_id = ia
+        JOIN sizes sb ON sb.doc_id = ib
+        WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.5)"""
+
+  val qDedupMinhash = Q(
+    "q_dedup_minhash",
+    (s, dir) => {
+      val (pairs, handles) = minhashPairs(s, dir)
+      QueryScopedCache.releaseAfter(
+        pairs.orderBy(col("ia"), col("ib")), handles)
+    },
+    Some(s"""
+      WITH $minhashPairsSql
+      SELECT ia, ib, jaccard FROM pairs ORDER BY ia, ib"""))
+
+  /** Duplicate-cluster resolution — the step every dedup pipeline runs
+    * AFTER pair discovery: near-dup pairs form a graph; the survivors
+    * are one representative per connected component. Components are
+    * resolved by iterative min-label propagation (each doc repeatedly
+    * takes the smallest label among itself and its neighbors until a
+    * fixpoint — the standard Spark shape for connected components;
+    * GraphX's and the large-star/small-star algorithms are the same
+    * idea with better constants on adversarial graphs). Deterministic:
+    * the fixpoint is min-reachable-id, independent of iteration order,
+    * which is exactly what the oracle's recursive CTE computes.
+    *
+    * Scale posture: iterations shuffle only the PAIR graph (sparse by
+    * construction — banding already bounded it) keyed on doc id, and
+    * the iteration count is the component diameter, which for near-dup
+    * clusters (near-cliques) is 2-3. The corpus itself never enters
+    * the loop. Output: (doc_id, cluster_rep, n_members) for every doc
+    * in some pair; keep_doc marks the survivor. */
+  val qDedupCluster = Q(
+    "q_dedup_cluster",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val (pairs0, handles) = minhashPairs(s, dir)
+      // both edge directions read the pair table; persist so the
+      // verify-stage joins behind it run once, not twice
+      val pairs = pairs0.persist(MEMORY_AND_DISK)
+      // Eager localCheckpoint TRUNCATES LINEAGE before the loop: the
+      // pair pipeline's (large) plan must not be re-analyzed and
+      // re-embedded in every iteration's join — measured ~2 min of
+      // driver-side planning at sf0.01 without this, seconds with.
+      // Same move GraphX's Pregel makes (periodic checkpointing); on a
+      // cluster the production variant is reliable checkpointing to
+      // the checkpoint dir for executor-loss recovery.
+      val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+        .localCheckpoint()
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+        .localCheckpoint()
+      // Min-label propagation to fixpoint. The loop runs actions
+      // eagerly at build time (the iterative-algorithm shape on
+      // Spark); each iteration checkpoints its frontier, keeping every
+      // per-iteration plan O(1) in size.
+      var changed = 1L
+      while (changed > 0) {
+        val neighborMin = edges
+          .join(labels.withColumnsRenamed(
+            Map("doc_id" -> "dst", "label" -> "nlabel")), "dst")
+          .groupBy(col("src").as("doc_id"))
+          .agg(min(col("nlabel")).as("nmin"))
+        val next = labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nmin"), col("label")))
+              .as("label"))
+          .localCheckpoint()
+        changed = next.as("n")
+          .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels = next
+      }
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("nm"))
+      val result = labels.join(sizes, "label")
+        .select(col("doc_id"), col("label").as("cluster_rep"),
+          col("nm").as("n_members"),
+          (col("doc_id") === col("label")).as("keep_doc"))
+        .orderBy(col("doc_id"))
+      // edges/labels are localCheckpoint blocks — freed by the context
+      // cleaner once unreferenced; only cacheManager entries need the
+      // scoped release
+      QueryScopedCache.releaseAfter(result, handles :+ pairs)
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashPairsSql,
+      edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                UNION ALL SELECT ib, ia FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      rep AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+              FROM reach GROUP BY src),
+      csize AS (SELECT cluster_rep, COUNT(*) AS n_members
+                FROM rep GROUP BY 1)
+      SELECT r.doc_id, r.cluster_rep, c.n_members,
+             r.doc_id = r.cluster_rep AS keep_doc
+      FROM rep r JOIN csize c USING (cluster_rep)
+      ORDER BY r.doc_id"""))
 
   /** SimHash-32 signature per doc: per-bit majority vote over the md5
     * bits of each distinct word. Bit b lives in hex nibble b/4 of the
@@ -431,6 +535,6 @@ object DedupQueries {
       WHERE cos_sim >= 0.4 ORDER BY ia, ib"""))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupSimhash,
-    qDedupEmbedding, qDedupEmbeddingLsh)
+    qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupCluster,
+    qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh)
 }

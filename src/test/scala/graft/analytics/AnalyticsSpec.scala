@@ -70,6 +70,26 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       s"planted dup pairs missing from $found")
   }
 
+  test("dedup cluster: components consistent with pairs; one survivor each") {
+    val pairs = DedupQueries.qDedupMinhash.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = DedupQueries.qDedupCluster.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val rep = clusters.map(c => c._1 -> c._2).toMap
+    // every paired doc is clustered, and both ends share a component
+    assert(pairs.forall { case (a, b) => rep.get(a) == rep.get(b) &&
+      rep.contains(a) }, "pair endpoints must land in the same cluster")
+    // the representative is the smallest member, present, self-labeled
+    val members = clusters.groupBy(_._2)
+    members.foreach { case (r, ms) =>
+      assert(ms.map(_._1).min === r, s"rep $r must be the min member")
+      assert(ms.count(_._4) === 1, s"cluster $r needs exactly one survivor")
+      assert(ms.forall(_._3 === ms.length), "n_members must equal the size")
+    }
+    // clusters only exist where pairs exist
+    assert(clusters.forall(_._3 >= 2), "singletons must not appear")
+  }
+
   test("langid predicts crafted multilingual fixtures") {
     val fixtures = Seq(
       (1L, "the cat sat on the mat and it is the best of all the things"),

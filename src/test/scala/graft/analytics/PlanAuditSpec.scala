@@ -33,9 +33,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // corpus-count scalar used by the stop-shingle threshold.
     // q_sim_ivf_topk: the BNLJ is the 16-row broadcast centroid table
     // every corpus vector scores against (bounded by construction).
+    // q_dedup_cluster embeds the minhash pair pipeline, so it carries
+    // the same single-row corpus-count broadcast.
     val allowed = Set("q_dedup_embedding", "q_sim_topk_brute",
       "q_sim_lsh_topk", "q_theta_join",
-      "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_sim_ivf_topk")
+      "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_dedup_cluster",
+      "q_sim_ivf_topk")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
