@@ -41,9 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordShingles(children.head,
           children(1).eval().asInstanceOf[Number].intValue())
       }))
-    // The two strict validators as SQL predicates (null = valid, else
-    // the drop/reject reason) — lets SQL-only callers quarantine with
-    // the reference's exact semantics, e.g.
+    // The two strict validators as SQL predicates (null RESULT =
+    // valid, else the drop/reject reason; a null INPUT yields "json",
+    // never null) — lets SQL-only callers quarantine with the
+    // reference's exact semantics, e.g.
     // `WHERE graft_dns_validity(payload) IS NULL`.
     ext.injectFunction((
       FunctionIdentifier("graft_dns_validity"),

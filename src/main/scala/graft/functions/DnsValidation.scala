@@ -33,28 +33,42 @@ case class DnsRecordValidity(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_dns_validity"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val reason = DnsValidation.reason(input.asInstanceOf[UTF8String])
+  // NOT null-propagating, same contract as EnvelopeValidity: the
+  // advertised predicate is "null = clean record", so a NULL payload
+  // must yield the `json` reason — default null-safe evaluation would
+  // bless null payloads for `WHERE graft_dns_validity(p) IS NULL`
+  // callers (in the pipeline a null decode is already quarantined by
+  // the base64 gate; this protects the SQL surface).
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    evalPayload(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val expr = ctx.addReferenceObj("validityExpr", this)
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+          $expr.evalPayload(${c.isNull} ? null : ${c.value});
+        boolean ${ev.isNull} = (${ev.value} == null);
+      """)
+  }
+
+  /** Called from generated code; null RESULT = clean (a null INPUT is
+    * an invalid record, reason "json"). */
+  def evalPayload(payload: UTF8String): UTF8String = {
+    if (payload == null) return DnsRecordValidity.nullReason
+    val reason = DnsValidation.reason(payload)
     if (reason == null) null else UTF8String.fromString(reason)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val expr = ctx.addReferenceObj("validityExpr", this)
-    val code = (c: String) =>
-      s"""
-         |${ev.value} = (org.apache.spark.unsafe.types.UTF8String)
-         |  $expr.evalPayload($c);
-         |${ev.isNull} = (${ev.value} == null);
-       """.stripMargin
-    nullSafeCodeGen(ctx, ev, code)
-  }
-
-  /** Called from generated code; null = clean. */
-  def evalPayload(payload: UTF8String): UTF8String =
-    nullSafeEval(payload).asInstanceOf[UTF8String]
-
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object DnsRecordValidity {
+  private val nullReason = UTF8String.fromString("json")
 }
 
 object DnsValidation {

@@ -36,6 +36,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(vals.getString(0) === "json")
       assert(vals.getString(1) === "requestId_type")
       assert(vals.isNullAt(2))
+      // NULL input is an INVALID document ("json"), never NULL=valid —
+      // `WHERE graft_*_validity(x) IS NULL` must not bless null rows
+      val nulls = s.sql(
+        """SELECT graft_dns_validity(CAST(NULL AS STRING)),
+                  graft_envelope_validity(CAST(NULL AS STRING))""").head()
+      assert(nulls.getString(0) === "json")
+      assert(nulls.getString(1) === "json")
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)
