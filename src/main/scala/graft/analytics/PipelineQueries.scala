@@ -79,11 +79,11 @@ object PipelineQueries {
           col("event_id").as("timestamp"),
           array(struct(base64(encode(record, "UTF-8")).as("data")))
             .as("records"))
-      val out = Pipeline.process(envelopes)
-      val result = out.lines
+      // lines is the only output consumed → no decode materialization
+      val out = Pipeline.process(envelopes, materializeDecode = false)
+      out.lines
         .select(col("requestId"), col("line_idx"), col("line"))
         .orderBy(col("requestId"), col("line_idx"))
-      QueryScopedCache.releaseAfter(result, out.cacheHandles)
     },
     Some("""
       WITH e AS (
@@ -157,12 +157,12 @@ object PipelineQueries {
           col("event_id").as("timestamp"),
           array(struct(base64(encode(record, "UTF-8")).as("data")))
             .as("records"))
-      val (records, handles) = Pipeline.decodedRecordsScoped(envelopes)
+      val (records, _) =
+        Pipeline.decodedRecordsScoped(envelopes, materialize = false)
       val clean = records.filter(col("reason").isNull)
-      val result = Pipeline.microsoftDnsLines(clean)
+      Pipeline.microsoftDnsLines(clean)
         .select(col("requestId"), col("line"))
         .orderBy(col("requestId"))
-      QueryScopedCache.releaseAfter(result, handles)
     },
     Some("""
       WITH e AS (

@@ -79,25 +79,27 @@ object Pipeline {
     * reason and (for clean rows) the one-pass-parsed fields + event
     * timestamp.
     *
-    * Materialized (MEMORY_AND_DISK): the decode feeds several
-    * consumers (lines, quarantine, both formatters) and Catalyst's
-    * project-collapse would otherwise inline the parse expression into
-    * every downstream field reference — measured 42 copies of the
-    * parse (each dragging the base64-decode subtree) per row. The
-    * cache stores the parsed struct once; downstream reads are plain
-    * column accesses. Harness mains / foreachBatch clear the cache per
-    * batch. */
+    * Intra-plan parse duplication is solved at the expression level
+    * (`DnsRecordParse.deterministic = false` stops CollapseProject
+    * from cloning the parse into every field reference — it used to
+    * make 42 copies). The optional persist (MEMORY_AND_DISK) exists
+    * for MULTI-OUTPUT consumers only: `process()` exposes lines +
+    * quarantine + rejects, and a caller draining more than one would
+    * otherwise re-run the decode per output. Single-output consumers
+    * pass `materialize = false` and pay zero cache build. */
   def decodedRecords(envelopes: DataFrame): DataFrame =
     decodedRecordsScoped(envelopes)._1
 
   /** [[decodedRecords]] plus the persist handle (empty for streaming
-    * plans), so callers can unpersist once their action completes
-    * instead of leaving the cache to session-lifetime `clearCache`. */
-  def decodedRecordsScoped(envelopes: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    * plans or `materialize = false`), so callers can unpersist once
+    * their action completes instead of leaving the cache to
+    * session-lifetime `clearCache`. */
+  def decodedRecordsScoped(envelopes: DataFrame,
+      materialize: Boolean = true): (DataFrame, Seq[DataFrame]) = {
     val parsed = Decode.parseRecords(Decode.explodeRecords(envelopes))
     // Streaming plans can't persist; their per-batch plans are consumed
     // once inside foreachBatch anyway (which runs this on the batch DF).
-    if (parsed.isStreaming) (Decode.decorate(parsed), Nil)
+    if (parsed.isStreaming || !materialize) (Decode.decorate(parsed), Nil)
     else {
       val materialized =
         parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -133,13 +135,17 @@ object Pipeline {
     * lines / quarantine / rejected envelopes (op 17 semantics: a poison
     * record quarantines alone; its batch keeps flowing,
     * app/app.py:219-263). */
-  def process(envelopes: DataFrame): Outputs = {
+  def process(envelopes: DataFrame,
+      materializeDecode: Boolean = true): Outputs = {
     val gated = envelopeRejectReason(envelopes)
     val accepted = gated.filter(col("reject_reason").isNull)
       .drop("reject_reason")
     val rejected = gated.filter(col("reject_reason").isNotNull)
       .select(col("requestId"), col("reject_reason"))
-    val (records, handles) = decodedRecordsScoped(accepted)
+    // materializeDecode = false for callers consuming a SINGLE output:
+    // each output re-parses independently, so sharing buys nothing and
+    // the cache build is pure overhead.
+    val (records, handles) = decodedRecordsScoped(accepted, materializeDecode)
     val clean = records.filter(col("reason").isNull)
     val dirty = records.filter(col("reason").isNotNull)
       .select(col("requestId"), col("record_idx"), col("data"), col("reason"))

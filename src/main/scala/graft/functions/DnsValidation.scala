@@ -301,6 +301,18 @@ case class DnsRecordParse(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_dns_parse"
 
+  // Declared non-deterministic although the parse is pure: Catalyst's
+  // CollapseProject clones deterministic expressions into every
+  // downstream field reference — measured 42 copies of this parse
+  // (each dragging the base64-decode subtree) in the lines plan, each
+  // fully re-evaluated per row. The nondeterminism flag is the
+  // supported way to tell the optimizer "evaluate once, reference the
+  // attribute" (predicate pushdown through the producing Project is
+  // also blocked — exactly right here, nothing can be pushed below a
+  // whole-payload parse). Cost: none — the expression sits in one
+  // Project at a fixed pipeline position.
+  override lazy val deterministic: Boolean = false
+
   override protected def nullSafeEval(input: Any): Any =
     DnsRecordParse.parse(input.asInstanceOf[UTF8String])
 
