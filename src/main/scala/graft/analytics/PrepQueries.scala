@@ -226,6 +226,40 @@ object PrepQueries {
              n_tokens
       FROM ch ORDER BY doc_id, chunk_idx"""))
 
-  val all: Seq[Q] =
-    Seq(qPrepSplit, qPrepRedact, qPrepDecontam, qPrepChunk, qPrepShard)
+  /** Deterministic stratified sampling: keep ~20% of documents per
+    * language stratum, chosen by md5 bucket — the downsampling step a
+    * data-mixture pipeline runs per source/language/quality stratum.
+    * Hash-based (never `rand()`/`sample()`): the kept set is stable
+    * under reruns, engine changes, and corpus growth (a doc's fate
+    * depends only on its id), which is what makes mixtures
+    * reproducible and ablations comparable. Uses md5(doc_id || '#s')
+    * — a salt distinct from [[qPrepSplit]]'s bucket so sampling is
+    * independent of split assignment. One narrow stage + the
+    * oracle-mandated ORDER BY; the per-stratum rate is a literal here
+    * but in production comes from a broadcast rate table joined on the
+    * stratum key. */
+  val qPrepSample = Q(
+    "q_prep_sample",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("bucket",
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("#s"))), 1, 2), 16, 10).cast("long"))
+        .filter(col("bucket") < 51) // 51/256 ≈ 20%
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, lang, bucket FROM (
+        SELECT doc_id, lang,
+               CAST((instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || '#s'), 1, 1)) - 1)
+                    * 16
+                  + instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || '#s'), 2, 1)) - 1
+                    AS BIGINT) AS bucket
+        FROM documents)
+      WHERE bucket < 51 ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam, qPrepChunk,
+    qPrepShard, qPrepSample)
 }

@@ -180,7 +180,17 @@ object Streaming {
   }
 
   /** Full streaming job: envelope stream → pipeline → UDP lines +
-    * parquet dead-letter/rejects, with checkpointed progress. */
+    * parquet dead-letter/rejects, with checkpointed progress.
+    *
+    * The parquet side outputs are IDEMPOTENT under replay: each batch
+    * overwrites its own `batch_id=N` partition directory, so when the
+    * checkpoint replays a batch after a crash between write and commit
+    * the rewrite lands on the same path instead of appending
+    * duplicates — the foreachBatch batchId-keyed-overwrite pattern
+    * that upgrades the parquet trail from at-least-once to
+    * effectively-once. (The UDP wire stays fire-and-forget; replayed
+    * datagrams are absorbed downstream by [[dedupRecords]].) Readers
+    * see `batch_id` as a discovered partition column. */
   def start(envelopes: DataFrame, syslogHost: String, syslogPort: Int,
       deadLetterDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
@@ -193,10 +203,10 @@ object Streaming {
         val out = Pipeline.process(batch)
         UdpSyslogSink.send(
           out.lines.select(col("line")).as[String], syslogHost, syslogPort)
-        out.quarantine.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(s"$deadLetterDir/quarantine")
-        out.rejectedEnvelopes.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(s"$deadLetterDir/rejected")
+        out.quarantine.write.mode("overwrite")
+          .parquet(s"$deadLetterDir/quarantine/batch_id=$batchId")
+        out.rejectedEnvelopes.write.mode("overwrite")
+          .parquet(s"$deadLetterDir/rejected/batch_id=$batchId")
         // Drop this batch's decode cache only — scoped release instead
         // of clearCache(), which would also evict any caches the
         // embedding application holds in the same session.

@@ -99,6 +99,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val quarantined = spark.read.parquet(s"$dlDir/quarantine")
     assert(quarantined.count() === 1)
     assert(quarantined.select("reason").as[String].head() === "json")
+    // batch_id is a discovered partition column of the idempotent sink
+    assert(quarantined.columns.contains("batch_id"))
+  }
+
+  test("replayed micro-batch overwrites its dead-letter partition (idempotent sink)") {
+    val inDir = Files.createTempDirectory("replay_in").toString
+    val dlDir = Files.createTempDirectory("replay_dl").toString
+    val ckDir = Files.createTempDirectory("replay_ck").toString
+    Files.writeString(java.nio.file.Path.of(inDir, "b0.json"),
+      envelope("rp0", b64(record("rp.example.")), b64("{broken")))
+    val sink = new DatagramSocket(0,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    def runOnce(): Unit = {
+      val q = Streaming.start(Streaming.envelopesFromJsonFiles(spark, inDir),
+        "127.0.0.1", sink.getLocalPort, dlDir, ckDir, Trigger.AvailableNow())
+      q.awaitTermination(60000)
+      q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(s"$dlDir/quarantine").count() === 1)
+    // simulate a crash between side-output write and commit: removing
+    // the commit marker makes the restarted query REPLAY batch 0
+    // (the local-fs .crc sidecar must go too or the recommit's rename
+    // trips over it)
+    val committed = java.nio.file.Path.of(ckDir, "commits", "0")
+    assert(Files.deleteIfExists(committed), "commit marker must exist")
+    Files.deleteIfExists(java.nio.file.Path.of(ckDir, "commits", ".0.crc"))
+    runOnce()
+    sink.close()
+    // the replay overwrote batch_id=0 instead of appending a duplicate
+    val rows = spark.read.parquet(s"$dlDir/quarantine")
+    assert(rows.count() === 1,
+      "replayed batch must overwrite its partition, not append")
+    assert(rows.select("reason").as[String].head() === "json")
   }
 
   test("envelope source seam selects connectors by config") {
