@@ -47,12 +47,28 @@ object QueryScopedCache {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
+  /** Builds that never reach an action (plan audits, abandoned
+    * queries) would otherwise accumulate entries forever; past this
+    * bound the oldest entries are dropped and their handles
+    * unpersisted (safe: an unexecuted build has nothing cached yet). */
+  private val MaxPending = 256
+  private val insertion =
+    new java.util.concurrent.ConcurrentLinkedQueue[LogicalPlan]()
+
   /** Register `handles` (persisted DataFrames) for release after the
     * first completed action on `result`. Returns `result` unchanged. */
   def releaseAfter(result: DataFrame, handles: Seq[DataFrame]): DataFrame = {
     if (handles.nonEmpty) {
       ensureListener(result.sparkSession)
-      pending.merge(result.queryExecution.analyzed, handles, (a, b) => a ++ b)
+      val key = result.queryExecution.analyzed
+      if (pending.merge(key, handles, (a, b) => a ++ b) eq handles)
+        insertion.add(key)
+      while (pending.size > MaxPending) {
+        val oldest = insertion.poll()
+        if (oldest == null) return result
+        val dropped = pending.remove(oldest)
+        if (dropped != null) dropped.foreach(_.unpersist(blocking = false))
+      }
     }
     result
   }
