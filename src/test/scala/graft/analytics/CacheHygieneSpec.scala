@@ -44,6 +44,29 @@ class CacheHygieneSpec extends AnyFunSuite with SparkTestBase {
     awaitEmptyCache("q_dns_pipeline_full")
   }
 
+  test("registry eviction: unexecuted builds beyond the cap release their handles") {
+    spark.catalog.clearCache()
+    // 300 registered-but-never-run "queries" with one tiny persisted
+    // handle each: the registry caps at 256, so at least 44 oldest
+    // handles must be unpersisted (cacheManager strictly below 300)
+    val dfs = (1 to 300).map { i =>
+      val h = spark.range(i).toDF("x")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      QueryScopedCache.releaseAfter(
+        h.select(org.apache.spark.sql.functions.sum(org.apache.spark.sql
+          .functions.col("x"))), Seq(h))
+      h
+    }
+    val deadline = System.currentTimeMillis() + 20000
+    def cachedCount =
+      dfs.count(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    while (cachedCount > 256 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(cachedCount <= 256,
+      s"eviction must unpersist overflow handles, still cached: $cachedCount")
+    spark.catalog.clearCache()
+  }
+
   test("Outputs.release drops the decode cache for direct Pipeline users") {
     spark.catalog.clearCache()
     val env = spark.range(1).select(
