@@ -346,15 +346,17 @@ object DedupQueries {
             Map("doc_id" -> "dst", "label" -> "nlabel")), "dst")
           .groupBy(col("src").as("doc_id"))
           .agg(min(col("nlabel")).as("nmin"))
+        // the convergence flag rides IN the checkpointed frontier, so
+        // detecting a fixpoint is a trivial scan of the checkpoint
+        // instead of a join against the previous generation
         val next = labels.join(neighborMin, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("label"), coalesce(col("nmin"), col("label")))
-              .as("label"))
+              .as("label"),
+            (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
           .localCheckpoint()
-        changed = next.as("n")
-          .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-          .filter(col("n.label") =!= col("o.label")).count()
-        labels = next
+        changed = next.filter(col("chg")).limit(1).count()
+        labels = next.select(col("doc_id"), col("label"))
       }
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("nm"))
       val result = labels.join(sizes, "label")
