@@ -151,6 +151,30 @@ object TextQueries {
                list_distinct(string_split(text, ' '))), ' '))) AS n_same
       FROM documents ORDER BY doc_id"""))
 
+  /** Corpus vocabulary: global token frequency with document
+    * frequency, top 100 by count — the frequency table that seeds BPE
+    * vocab construction and drives frequency-based filtering. Scale
+    * shape: one explode + one map-side-combining groupBy keyed on the
+    * token (the only shuffle carries (token, partial counts), never
+    * documents), then a tiny top-k. Ties rank deterministically by
+    * token text. */
+  val qTextVocab = Q(
+    "q_text_vocab",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("w"))
+        .limit(100),
+    Some("""
+      SELECT w, COUNT(*) AS n_occurrences,
+             COUNT(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY w ORDER BY n_occurrences DESC, w LIMIT 100"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
-    qTextFingerprint)
+    qTextFingerprint, qTextVocab)
 }

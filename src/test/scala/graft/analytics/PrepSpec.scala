@@ -76,6 +76,24 @@ class PrepSpec extends AnyFunSuite with SparkTestBase {
       PrepQueries.qPrepShard.run(spark, sf).collect().toSeq)
   }
 
+  test("sample: deterministic, ~20%, and independent of the split hash") {
+    val a = PrepQueries.qPrepSample.run(spark, sf).collect()
+    val b = PrepQueries.qPrepSample.run(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "the kept set must be stable across runs")
+    val rate = a.length / 500.0
+    assert(rate > 0.12 && rate < 0.28, s"rate=$rate")
+    // the '#s' salt decorrelates sampling from split assignment: the
+    // sampled fraction inside each split must stay near the global rate
+    val sampled = a.map(_.getLong(0)).toSet
+    val bySplit = PrepQueries.qPrepSplit.run(spark, sf).collect()
+      .groupBy(_.getString(1))
+      .map { case (k, rs) =>
+        k -> rs.count(r => sampled(r.getLong(0))).toDouble / rs.length }
+    bySplit.foreach { case (split, r) =>
+      assert(r > 0.05 && r < 0.45, s"split $split sampled at $r")
+    }
+  }
+
   test("decontam: flags the planted benchmark duplicate, never the benchmark itself") {
     val d = PrepQueries.qPrepDecontam.run(spark, sf).collect()
     assert(d.nonEmpty, "the corpus contains a planted near-dup of a benchmark doc")
