@@ -124,10 +124,10 @@ object DnsValidation {
     "query_name", "query_type", "query_class", "rcode",
     "srcaddr", "srcport", "transport")
 
-  /** Post-parse checks on an already-parsed tree (`schema` /
-    * `timestamp` / null), so callers that also extract fields run ONE
-    * Jackson pass per record, not two. */
-  private[functions] def reasonFromTree(root: JsonNode): String = {
+  /** Structural checks only (`schema` / null) — the timestamp check
+    * lives in [[tsFromTree]] so extract-and-validate callers parse the
+    * timestamp ONCE. */
+  private[functions] def structuralReason(root: JsonNode): String = {
     if (!root.isObject) return "schema"
     var i = 0
     while (i < stringFields.length) {
@@ -145,10 +145,23 @@ object DnsValidation {
     val srcids = root.get("srcids")
     if (srcids == null || !srcids.isObject || !srcids.has("instance"))
       return "schema"
-    try {
-      LocalDateTime.parse(root.get("query_timestamp").asText(), strictTs)
-      null
-    } catch { case _: Exception => "timestamp" }
+    null
+  }
+
+  /** Strict-parsed query_timestamp of a structurally-valid tree, or
+    * null where Python's strict strptime would raise. */
+  private[functions] def tsFromTree(root: JsonNode): LocalDateTime =
+    try LocalDateTime.parse(root.get("query_timestamp").asText(), strictTs)
+    catch { case _: Exception => null }
+
+  /** Post-parse checks on an already-parsed tree (`schema` /
+    * `timestamp` / null), so callers that also extract fields run ONE
+    * Jackson pass per record, not two. */
+  private[functions] def reasonFromTree(root: JsonNode): String = {
+    val r = structuralReason(root)
+    if (r != null) r
+    else if (tsFromTree(root) == null) "timestamp"
+    else null
   }
 
   /** Reason string (`json` / `schema` / `timestamp`) or null. Mirrors
@@ -390,11 +403,13 @@ object DnsRecordParse {
     // from the same tree (the per-record hot path; a second readTree
     // measurably taxed the whole-pipeline decode stage).
     if (root == null) return reasonOnly("json")
-    val r = DnsValidation.reasonFromTree(root)
+    val r = DnsValidation.structuralReason(root)
     if (r != null) return reasonOnly(r)
+    // validate-and-extract: ONE strict strptime per record (the
+    // timestamp is both the gate and the event-time field)
+    val ldt = DnsValidation.tsFromTree(root)
+    if (ldt == null) return reasonOnly("timestamp")
     val row = new GenericInternalRow(schema.length)
-    val ldt = LocalDateTime.parse(
-      root.get("query_timestamp").asText(), DnsValidation.strictTsFormat)
     row.update(fieldIdx("query_ts"),
       java.lang.Long.valueOf(
         ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L))
