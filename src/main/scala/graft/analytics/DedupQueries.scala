@@ -332,9 +332,10 @@ object DedupQueries {
       val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
         .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
         .localCheckpoint()
+      // lazy over the checkpointed edges: the O(1)-sized distinct folds
+      // into iteration 1's job instead of costing its own eager job
       var labels = edges.select(col("src").as("doc_id")).distinct()
         .withColumn("label", col("doc_id"))
-        .localCheckpoint()
       // Min-label propagation to fixpoint. The loop runs actions
       // eagerly at build time (the iterative-algorithm shape on
       // Spark); each iteration checkpoints its frontier, keeping every

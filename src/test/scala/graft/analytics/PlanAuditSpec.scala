@@ -86,6 +86,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!scanLine.contains("l_orderkey"), s"over-wide scan: $scanLine")
   }
 
+  test("prep scans prune the document text when only ids are needed") {
+    // q_prep_sample buckets on md5(doc_id) and keeps (doc_id, lang) —
+    // reading `text` (the wide column) would multiply scan bytes ~100×
+    val scanLine = plans("q_prep_sample").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("doc_id") && scanLine.contains("lang"),
+      s"scan: $scanLine")
+    assert(!scanLine.contains("text"), s"over-wide scan: $scanLine")
+  }
+
   test("pipeline queries spread a single-split scan but never re-shuffle a multi-split one") {
     // One-file bench fixture: the scan is one split, so the gate fires
     // (CPU-bound decode must reach every core).
