@@ -339,7 +339,12 @@ object DedupQueries {
       // Min-label propagation to fixpoint. The loop runs actions
       // eagerly at build time (the iterative-algorithm shape on
       // Spark); each iteration checkpoints its frontier, keeping every
-      // per-iteration plan O(1) in size.
+      // per-iteration plan O(1) in size. Superseded generations'
+      // checkpoint blocks (KB-scale: one (id,label,flag) row per
+      // clustered doc) are reclaimed by the ContextCleaner once
+      // unreferenced — a production-scale deployment on a deeper graph
+      // would checkpoint to the reliable checkpoint dir and unpersist
+      // generations explicitly, as GraphX Pregel does.
       var changed = 1L
       while (changed > 0) {
         val neighborMin = edges

@@ -123,6 +123,21 @@ object PrepQueries {
       GROUP BY 1 HAVING COUNT(*) >= 20
       ORDER BY doc_id"""))
 
+  /** Shared chunk frame (doc_id, ws, chunk_idx, start): 50-word
+    * windows on a 40-word stride — ONE definition so [[qPrepChunk]]
+    * and [[qPrepShard]] can never desynchronize on the chunk
+    * geometry. */
+  private def chunkFrame(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(sequence(lit(1), greatest(size(col("ws")), lit(1)),
+          lit(40))))
+      .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "start"))
+
+  /** Whitespace-token count of the chunk at `start` (shared). */
+  private def chunkTokens: org.apache.spark.sql.Column =
+    least(lit(50), size(col("ws")) - col("start") + 1).cast("long")
+
   /** Overlapping word-window chunking: each document splits into
     * 50-word chunks on a 40-word stride (10-word overlap) — the
     * context-window sharding step between cleaning and tokenization.
@@ -133,17 +148,11 @@ object PrepQueries {
   val qPrepChunk = Q(
     "q_prep_chunk",
     (s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), col("ws"),
-          posexplode(sequence(lit(1), greatest(size(col("ws")), lit(1)),
-            lit(40))))
-        .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "start"))
+      chunkFrame(docs(s, dir))
         .select(col("doc_id"), col("chunk_idx").cast("long"),
           concat_ws(" ", slice(col("ws"), col("start"), lit(50)))
             .as("chunk_text"),
-          least(lit(50), size(col("ws")) - col("start") + 1).cast("long")
-            .as("n_words"))
+          chunkTokens.as("n_words"))
         .orderBy(col("doc_id"), col("chunk_idx")),
     Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
@@ -179,15 +188,9 @@ object PrepQueries {
   val qPrepShard = Q(
     "q_prep_shard",
     (s, dir) => {
-      val chunks = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), col("ws"),
-          posexplode(sequence(lit(1), greatest(size(col("ws")), lit(1)),
-            lit(40))))
-        .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "start"))
+      val chunks = chunkFrame(docs(s, dir))
         .select(col("doc_id"), col("chunk_idx").cast("long"),
-          least(lit(50), size(col("ws")) - col("start") + 1).cast("long")
-            .as("n_tokens"))
+          chunkTokens.as("n_tokens"))
       val bucketed = chunks.withColumn("bucket",
         conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
           .cast("long"))

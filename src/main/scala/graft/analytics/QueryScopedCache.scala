@@ -92,6 +92,11 @@ object QueryScopedCache {
         if (qe.analyzed.exists(_.sameResult(e.getKey))) {
           e.getValue.foreach(_.unpersist(blocking = false))
           it.remove()
+          // keep the insertion-order queue in lockstep: released keys
+          // left behind would pin their analyzed plans (an unbounded
+          // driver-memory leak in exactly the long-lived session this
+          // class protects)
+          insertion.remove(e.getKey)
         }
       }
     }

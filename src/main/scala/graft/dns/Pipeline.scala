@@ -16,12 +16,13 @@ object Pipeline {
 
   /** Result of one batch: the three disjoint outputs the reference
     * produces implicitly (emit / drop-record / reject-batch), plus the
-    * persist handle backing the shared decode stage. Call [[Outputs
-    * .release]] (or unpersist the handles) once the outputs have been
-    * consumed — the bench/verify harnesses and `Streaming.start` do so
-    * per batch, and the registered queries scope it to their action via
-    * `QueryScopedCache`; a long-lived session that never releases
-    * accumulates cache entries (round-3 verdict). */
+    * persist handle backing the shared decode stage (empty when
+    * `materializeDecode = false` — the registered single-output
+    * queries run cache-free). Multi-output callers call [[Outputs
+    * .release]] (or hand `cacheHandles` to
+    * `QueryScopedCache.releaseAfter`) once the outputs are consumed —
+    * `Streaming.start` does so per batch; a long-lived session that
+    * never releases accumulates cache entries (round-3 verdict). */
   final case class Outputs(
       lines: DataFrame,      // requestId, record_idx, line_idx, line
       quarantine: DataFrame, // requestId, record_idx, data, reason

@@ -190,7 +190,13 @@ object Streaming {
     * that upgrades the parquet trail from at-least-once to
     * effectively-once. (The UDP wire stays fire-and-forget; replayed
     * datagrams are absorbed downstream by [[dedupRecords]].) Readers
-    * see `batch_id` as a discovered partition column. */
+    * see `batch_id` as a discovered partition column.
+    *
+    * Layout note: this partitioned layout is INCOMPATIBLE with
+    * dead-letter directories written by the pre-round-4 append-mode
+    * sink (batch_id was a data column in flat files there); point a
+    * migrated job at a fresh `deadLetterDir` — mixing layouts fails
+    * parquet partition discovery loudly. */
   def start(envelopes: DataFrame, syslogHost: String, syslogPort: Int,
       deadLetterDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {

@@ -86,8 +86,30 @@ object DnsValidation {
 
   private[functions] def strictTsFormat: DateTimeFormatter = strictTs
 
+  /** Jackson's byte-source bootstrapper inspects the first bytes and
+    * will happily SKIP a UTF-8 BOM or auto-detect UTF-16/32 — both of
+    * which Python's json.loads rejects ("Unexpected UTF-8 BOM";
+    * NUL bytes are unparseable in a str). Gate those byte patterns up
+    * front so the byte path keeps String-path/json.loads parity:
+    * a leading EF BB BF (UTF-8 BOM), or any of FE/FF/00 among the
+    * first bytes (UTF-16/32 BOMs and NUL-interleaved encodings — all
+    * invalid as UTF-8 JSON), are a parse failure. */
+  private def nonUtf8JsonPrefix(b: Array[Byte], len: Int): Boolean = {
+    if (len >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
+      b(2) == 0xBF.toByte) return true
+    var i = 0
+    val n = math.min(len, 4)
+    while (i < n) {
+      val x = b(i)
+      if (x == 0x00.toByte || x == 0xFE.toByte || x == 0xFF.toByte)
+        return true
+      i += 1
+    }
+    false
+  }
+
   /** Parsed tree, or null where json.loads would raise (bad syntax,
-    * trailing tokens, empty input).
+    * trailing tokens, empty input, BOM/non-UTF-8 prefix).
     *
     * Takes the raw UTF-8 bytes: Jackson reads UTF-8 directly, so the
     * per-record hot path skips the UTF8String→java.lang.String decode
@@ -100,6 +122,7 @@ object DnsValidation {
     * first — closer to the reference, which never accepts such a body
     * (Flask's get_json 400s it). */
   private[functions] def treeOrNull(bytes: Array[Byte], len: Int): JsonNode = {
+    if (nonUtf8JsonPrefix(bytes, len)) return null
     val root =
       try mapper.readTree(bytes, 0, len)
       catch { case _: Exception => return null }
@@ -213,6 +236,7 @@ object DnsValidation {
     })
 
   private def envelopeReason(bytes: Array[Byte], len: Int): String = {
+    if (nonUtf8JsonPrefix(bytes, len)) return "json"
     val root: JsonNode =
       try mapper.readTree(bytes, 0, len)
       catch { case _: Exception => return "json" }

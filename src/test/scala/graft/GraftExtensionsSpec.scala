@@ -43,6 +43,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
                   graft_envelope_validity(CAST(NULL AS STRING))""").head()
       assert(nulls.getString(0) === "json")
       assert(nulls.getString(1) === "json")
+      // json.loads parity on the byte path: a UTF-8 BOM is a parse
+      // failure ("Unexpected UTF-8 BOM" in Python) even though
+      // Jackson's byte bootstrapper would silently skip it
+      val bomEnv = "\uFEFF" +
+        "{\"requestId\":\"r\",\"records\":[{\"data\":\"eA==\"}]}"
+      val bom = s.sql(
+        "SELECT graft_dns_validity('\uFEFF{}'), " +
+          s"graft_envelope_validity('$bomEnv')").head()
+      assert(bom.getString(0) === "json", "BOM payload must fail as json")
+      assert(bom.getString(1) === "json", "BOM envelope must fail as json")
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)

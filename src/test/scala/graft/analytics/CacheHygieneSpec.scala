@@ -37,11 +37,25 @@ class CacheHygieneSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("q_dns_pipeline_full releases the decode cache after its action") {
+  test("q_dns_pipeline_full runs cache-free (single-output, no materialization)") {
     spark.catalog.clearCache()
     val n = SparkEntry.queries("q_dns_pipeline_full")(spark, sf).count()
     assert(n > 0)
     awaitEmptyCache("q_dns_pipeline_full")
+  }
+
+  test("a multi-output Pipeline consumer can scope the decode cache to its action") {
+    spark.catalog.clearCache()
+    val env = spark.range(1).select(
+      lit("r2").as("requestId"), lit(1L).as("timestamp"),
+      array(struct(lit("e30=").as("data"))).as("records"))
+    val out = graft.dns.Pipeline.process(env) // materialized decode
+    assert(out.cacheHandles.nonEmpty, "multi-output default must persist")
+    // the listener-path wiring a registered multi-output query would use
+    val lines =
+      QueryScopedCache.releaseAfter(out.lines, out.cacheHandles)
+    lines.count()
+    awaitEmptyCache("process + releaseAfter")
   }
 
   test("registry eviction: unexecuted builds beyond the cap release their handles") {
