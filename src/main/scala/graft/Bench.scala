@@ -19,17 +19,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session once (JIT, codegen compiler, parquet footers) so
-    // the first measured query doesn't absorb JVM startup costs. The
-    // sf0.001 dedup run compiles the heaviest codegen paths up front.
-    graft.analytics.Tables.names
-      .foreach(n => graft.analytics.Tables(spark, sfDir, n).count())
-    try {
-      SparkEntry.entry(spark).count()
-      graft.analytics.DedupQueries.qDedupMinhash
-        .run(spark, "/root/testdata/sf0.001").count()
-      spark.catalog.clearCache()
-    } catch { case _: Throwable => () }
     // Repetitions: single-shot timings confound JIT/cache/ordering noise
     // with real regressions. Three timed runs per query; the per-query
     // number reported is the MEDIAN, with [min,max] spread alongside so
@@ -50,12 +39,31 @@ object Bench {
       spark.stop()
       sys.exit(2)
     }
+    // Warm the session (JIT, codegen compiler, parquet footers) so the
+    // measured reps don't absorb JVM startup costs: table footers at
+    // the bench SF, then each SELECTED query once at sf0.001 — its
+    // codegen classes compile during warmup, not inside its first
+    // timed rep (per-query warmup measurably removed the bimodal
+    // first-rep tails vs warming only the two heaviest paths).
+    graft.analytics.Tables.names
+      .foreach(n => graft.analytics.Tables(spark, sfDir, n).count())
+    selected.foreach { case (_, fn) =>
+      try {
+        fn(spark, "/root/testdata/sf0.001").count()
+        spark.catalog.clearCache()
+      } catch { case _: Throwable => () }
+    }
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // intra-query persists don't leak
+        // settle the heap between reps: without it, garbage from a
+        // string-heavy rep lands as GC pauses inside the NEXT rep's
+        // timing (the bimodal mid-fleet inflation seen on the dns
+        // pipeline lines)
+        System.gc()
         dt
       }.sorted
       name -> times
