@@ -246,7 +246,14 @@ class Bind9PipelineSpec extends AnyFunSuite with SparkTestBase {
       (s"""{"requestId":"r","records":["$data"]}""", false),
       // root must be an object
       (s"""["$data"]""", false),
-      ("not json at all", false))
+      ("not json at all", false),
+      // json.loads parity on the byte parse path: a UTF-8 BOM raises
+      // in Python ("Unexpected UTF-8 BOM"), and a NUL anywhere in the
+      // first bytes (UTF-16-looking input) is never valid UTF-8 JSON
+      ("\uFEFF" + s"""{"requestId":"r","records":[{"data":"$data"}]}""",
+        false),
+      ("\u0000" + s"""{"requestId":"r","records":[{"data":"$data"}]}""",
+        false))
     cases.foreach { case (env, shouldAccept) =>
       val out = run(env)
       val accepted = out.rejectedEnvelopes.isEmpty
