@@ -30,17 +30,25 @@ object FrontDoor {
   private val mapper = new ObjectMapper()
   private val seq = new AtomicLong()
 
-  final case class Server(http: HttpServer, spoolDir: Path) {
+  final case class Server(http: HttpServer, spoolDir: Path,
+      pool: java.util.concurrent.ExecutorService) {
     def port: Int = http.getAddress.getPort
-    def stop(): Unit = http.stop(0)
+    def stop(): Unit = { http.stop(0); pool.shutdown() }
   }
 
   /** Start the front door on `port` (0 = ephemeral), spooling accepted
     * envelopes into `spoolDir` (one file per delivery, atomic rename so
-    * the streaming file source never lists a partial write). */
+    * the streaming file source never lists a partial write).
+    *
+    * Thread-per-request, like the reference's `app.run(threaded=True)`
+    * (app/app.py:279) — the JDK server's DEFAULT executor handles
+    * requests serially on the dispatch thread, so one slow client
+    * would head-of-line-block every producer. */
   def start(port: Int, spoolDir: Path): Server = {
     Files.createDirectories(spoolDir)
     val http = HttpServer.create(new InetSocketAddress(port), 0)
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    http.setExecutor(pool)
     http.createContext("/endpoint", (ex: HttpExchange) => handle(ex, spoolDir))
     http.createContext("/health", (ex: HttpExchange) => {
       val body = """{"status": "healthy"}""".getBytes(StandardCharsets.UTF_8)
@@ -50,7 +58,7 @@ object FrontDoor {
       ex.close()
     })
     http.start()
-    Server(http, spoolDir)
+    Server(http, spoolDir, pool)
   }
 
   /** The Firehose response contract (app/app.py:65-102): 405 on

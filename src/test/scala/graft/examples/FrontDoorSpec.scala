@@ -46,6 +46,24 @@ class FrontDoorSpec extends AnyFunSuite with SparkTestBase {
       assert(health.statusCode() === 200 &&
         health.body().contains("healthy"))
 
+      // thread-per-request like the reference's threaded Flask server:
+      // concurrent posts all succeed and all spool (and none corrupt
+      // each other's spool files — atomic rename per delivery)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val futures = (1 to 8).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            override def call(): Int = post(server.port,
+              s"""{"requestId":"conc-$i","records":[{"data":"${b64(record)}"}]}""")
+              .statusCode()
+          })
+        }
+        assert(futures.map(_.get()).forall(_ == 200),
+          "all concurrent posts must be accepted")
+      } finally pool.shutdown()
+      assert(Files.list(spool).count() === 8, "every delivery must spool")
+      Files.list(spool).forEach(p => Files.delete(p))
+
       // wrong Content-Type: 400 with the reference's exact error
       // message BEFORE any schema validation (app/app.py:69-74; the
       // reference's != comparison also rejects a charset suffix)
