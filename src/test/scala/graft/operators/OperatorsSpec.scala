@@ -100,4 +100,41 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         spark.read.parquet(s"$sf/lineitem.parquet").count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("AQE splits a skewed join partition at runtime (the 100 TB skew posture)") {
+    // The engine's big-join answer to key skew is AQE's runtime
+    // skew-join split (compile-time salting is reserved for
+    // aggregations, operators/SaltedAgg). Prove the claimed behavior
+    // actually fires: a 90%-one-key join, thresholds scaled to test
+    // data, must plan `skew=true` in the FINAL adaptive plan.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.shuffle.partitions" -> "8")
+    val prior = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 200000).select(
+        when(col("id") < 180000, lit(0L)).otherwise(col("id")).as("k"),
+        concat(lit("payload-"), col("id")).as("v"))
+      val right = spark.range(0, 2000).select(
+        col("id").as("k"), col("id").as("w"))
+      val joined = left.join(right, "k")
+      // collect(), not count(): count() builds its own QueryExecution,
+      // leaving `joined`'s adaptive plan unexecuted (isFinalPlan=false)
+      // k=0 matches once (180000 rows); ids >= 180000 have no match
+      assert(joined.collect().length === 180000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the skewed join split:\n$finalPlan")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
