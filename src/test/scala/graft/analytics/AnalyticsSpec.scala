@@ -90,6 +90,34 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(clusters.forall(_._3 >= 2), "singletons must not appear")
   }
 
+  test("dedup cluster: multi-hop chain resolves into one component") {
+    // Sliding 50-word windows on a 5-word stride: adjacent docs share
+    // ~0.81 jaccard, distant ones fall below the 0.5 edge threshold.
+    // With THIS exact token alphabet the (deterministic, md5-driven)
+    // LSH banding yields edges {1-2,1-3,1-4,2-3,2-4,3-4,4-5} — doc 5's
+    // ONLY edge is 4-5, so its membership in doc 1's cluster can come
+    // only from ≥2 propagation iterations (the multi-hop path no
+    // clique-shaped corpus exercises). md5 is stable forever, so the
+    // fixture cannot rot.
+    val words = (0 until 75).map(i => s"tok$i")
+    val docsData = (0 until 6).map { d =>
+      (d.toLong, words.slice(d * 5, d * 5 + 50).mkString(" "),
+        "en", "synthetic", 0L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("chain").toString
+    docsData.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = DedupQueries.qDedupMinhash.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((4L, 5L)) && !pairs.contains((1L, 5L)),
+      s"fixture drift: edges=$pairs")
+    val cl = DedupQueries.qDedupCluster.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(cl.get(_).contains(1L)),
+      s"docs 1..5 must share rep 1 (doc 5 via the multi-hop path): $cl")
+    assert(!cl.contains(0L), "doc 0 has no surviving edge in this fixture")
+  }
+
   test("langid predicts crafted multilingual fixtures") {
     val fixtures = Seq(
       (1L, "the cat sat on the mat and it is the best of all the things"),
