@@ -81,7 +81,23 @@ object Bench {
       "\"" + k + "\":[" + fmt(ts.head) + "," + fmt(ts.last) + "]"
     }.mkString("{", ",", "}")
     val total = results.values.map(median).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"sf":"$sfDir"}"""
+    // The driver parses a bounded TAIL of stdout; at 60+ queries the
+    // full line (medians + spreads) outgrew it two rounds running and
+    // medians arrived as `parsed: null`. So: full JSON first (humans,
+    // logs), a durable copy on disk, and a COMPACT line (no spread map,
+    // ~2.5× smaller) printed LAST so whatever tail survives always
+    // parses with the medians intact.
+    println(full)
+    val outFile = java.nio.file.Paths.get("target/bench.json")
+    try {
+      java.nio.file.Files.createDirectories(outFile.getParent)
+      java.nio.file.Files.writeString(outFile, full + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"WARN: could not write $outFile: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -222,10 +222,13 @@ object PrepQueries {
                          AS BIGINT) AS bucket
              FROM c)
       SELECT doc_id, chunk_idx, bucket,
-             COALESCE(SUM(n_tokens) OVER (
+             -- CAST: DuckDB widens SUM(BIGINT) OVER to HUGEINT and //
+             -- preserves it; uncast it reaches pandas as float64 and
+             -- hash-mismatches Spark's BIGINT on identical values.
+             CAST(COALESCE(SUM(n_tokens) OVER (
                  PARTITION BY bucket ORDER BY doc_id, chunk_idx
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               // 2000 AS shard_id,
+               // 2000 AS BIGINT) AS shard_id,
              n_tokens
       FROM ch ORDER BY doc_id, chunk_idx"""))
 

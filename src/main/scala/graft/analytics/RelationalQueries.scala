@@ -486,15 +486,65 @@ object RelationalQueries {
       ORDER BY c_custkey"""))
 
   /** RANGE frame: how many orders fall within 1000.0 below each
-    * order's price (value-based frame, not row-based). */
+    * order's price (value-based frame, not row-based).
+    *
+    * A literal `Window.orderBy(price).rangeBetween(-1000, 0)` has no
+    * partition key — the whole table lands in ONE window partition and
+    * one task sorts everything: correct at sf0.1, a scale-killer at
+    * 100 TB. Instead this plans the banded two-pass: band rows by
+    * `floor(price/1000)` (band width = frame width), then one
+    * band-partitioned window over the union of
+    *   - actual rows (weight 1), and
+    *   - probe rows placed in the PREVIOUS band at `price - 1000`
+    *     (weight 0)
+    * computes both halves of the count:
+    *   A (on actuals)  = Σweight over RANGE unboundedPreceding→current
+    *                   = rows in my band with price ≤ p, and
+    *   B (on probes)   = Σweight over ROWS current→unboundedFollowing
+    *                   = rows in the previous band with price ≥ p−1000
+    *     (probes sort BEFORE equal-priced actuals via the tag column,
+    *     so the ≥ is inclusive, matching RANGE 1000.0 PRECEDING),
+    * and a groupBy on the order key sums A + B. Every shuffle is keyed
+    * (band, then order key); no unpartitioned window survives — the
+    * PlanAuditSpec partition-less-window guard holds over ALL queries.
+    * Skewed bands (many rows per price band) spread like any other
+    * hot aggregation key; band width tracks the frame width by
+    * construction.
+    *
+    * Exactness: band(s) uses the same fl(p/1000) for every row, so the
+    * decomposition is exact unless a price sits within half an ulp of
+    * the quotient (~1e-11 for 6-digit prices) BELOW a multiple of
+    * 1000, where fl could round the quotient up across the band
+    * boundary. Two-decimal financial data is 9 orders of magnitude
+    * away from that; a corpus with adversarial sub-ulp prices would
+    * pick an irrational band width. */
   val qWindowRangeFrame = Q(
     "q_window_range_frame",
     (s, dir) => {
-      val w = Window.orderBy(col("o_totalprice"))
-        .rangeBetween(-1000L, Window.currentRow)
-      t(s, dir, "orders")
+      val base = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"),
-          count(lit(1)).over(w).as("n_in_band"))
+          floor(col("o_totalprice") / 1000d).cast("long").as("band"))
+      val actuals = base.select(col("o_orderkey"), col("o_totalprice"),
+        col("band"), col("o_totalprice").as("price"),
+        lit(1).as("tag"), lit(1L).as("weight"))
+      val probes = base.select(col("o_orderkey"), col("o_totalprice"),
+        (col("band") - 1).as("band"),
+        (col("o_totalprice") - 1000d).as("price"),
+        lit(0).as("tag"), lit(0L).as("weight"))
+      val byBand = Window.partitionBy(col("band"))
+        .orderBy(col("price"), col("tag"))
+      val upToPeers = byBand
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val fromHere = byBand
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      actuals.unionAll(probes)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          when(col("tag") === 1, sum(col("weight")).over(upToPeers))
+            .otherwise(sum(col("weight")).over(fromHere)).as("contrib"))
+        .groupBy(col("o_orderkey"))
+        .agg(max(col("o_totalprice")).as("o_totalprice"),
+          sum(col("contrib")).as("n_in_band"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("n_in_band"))
         .orderBy(col("o_orderkey"))
     },
     Some("""

@@ -69,6 +69,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"centroid assignment must not shuffle the corpus:\n$p")
   }
 
+  test("no query plans a partition-less window") {
+    // An unpartitioned Window puts the whole input into ONE window
+    // partition — one task sorts and scans everything. Since the
+    // q_window_range_frame banded rewrite, NO registered query may
+    // plan one (the global-frame semantics it needed are expressed as
+    // a band-partitioned window + groupBy recombine instead).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.flatMap { case (n, fn) =>
+      val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(n) else None
+    }
+    assert(offenders.isEmpty, s"partition-less windows in: $offenders")
+  }
+
   test("dimension joins broadcast the small side") {
     assert(plans("q_join_region_revenue").contains("BroadcastHashJoin"))
   }
