@@ -542,7 +542,72 @@ object DedupQueries {
       SELECT ia, ib, cos_sim FROM pairs
       WHERE cos_sim >= 0.4 ORDER BY ia, ib"""))
 
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): coarse-
+    * cluster the corpus embeddings, then prune any vector that has an
+    * intra-cluster neighbor with cosine ≥ 0.4 and a SMALLER id — the
+    * embedding-space analogue of [[qDedupCluster]], and the dedup step
+    * modern pretraining pipelines run after (or instead of) lexical
+    * near-dup removal. Deterministic end to end: the 16 coarse
+    * centroids are the md5-sample [[SimilarityQueries.ivfRanked]]
+    * already uses (no k-means float drift), assignment ties break on
+    * centroid id, and min-id keep is order-independent — which is what
+    * makes the DuckDB oracle able to hash-match every row.
+    *
+    * Keep rule: greedy-by-min-id over PAIRS (a vector survives iff no
+    * smaller-id cluster-mate scores ≥ τ), not transitive closure —
+    * chains a~b~c with cos(a,c) < τ keep c. [[qDedupCluster]] is the
+    * transitive variant for when that semantic is wanted.
+    *
+    * Scale shape: assignment is the narrow in-row broadcast-centroid
+    * scoring (no corpus shuffle); pair discovery is an equi-join keyed
+    * on cluster id, so the corpus-wide O(n²) never materializes —
+    * intra-cluster cost is Σ sizes², bounded by scaling the centroid
+    * count with the corpus (k ≈ n/targetClusterSize keeps cluster
+    * sizes ~constant; 16 here mirrors the oracle). A hot cluster is a
+    * hot aggregation key: raise k or salt-split it. */
+  val qDedupSemantic = Q(
+    "q_dedup_semantic",
+    (s, dir) => {
+      val e = SimilarityQueries.emb(s, dir)
+      val assigned = SimilarityQueries.ivfRanked(e)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          element_at(col("ranked16"), size(col("ranked16")))
+            .getField("cid").as("cid"))
+      val pruned = assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.cid") === col("b.cid") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .filter(round(
+            graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")) /
+              (sqrt(col("a.nrm")) * sqrt(col("b.nrm"))), 6) >= 0.4)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      assigned.join(pruned, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          coalesce(!col("is_dup"), lit(true)).as("keep_vec"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x)) AS nrm
+        FROM embeddings),${SimilarityQueries.ivfRankedSql},
+      assigned AS (
+        SELECT r.vec_id, r.cid, e.v, e.nrm
+        FROM ranked r JOIN e USING (vec_id) WHERE r.crank = 1),
+      pruned AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE ROUND(list_sum(list_transform(generate_series(1, len(a.v)),
+                      i -> a.v[i] * b.v[i]))
+                    / (SQRT(a.nrm) * SQRT(b.nrm)), 6) >= 0.4)
+      SELECT a.vec_id, a.cid, p.vec_id IS NULL AS keep_vec
+      FROM assigned a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+      ORDER BY a.vec_id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupCluster,
-    qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh)
+    qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic)
 }

@@ -30,6 +30,18 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * Listener callbacks arrive asynchronously (Spark delivers them off
   * the listener bus after the action returns), so "empty cache" is
   * eventually-observed; the hygiene spec polls.
+  *
+  * Known limitation — structural matching: release compares plans by
+  * `sameResult`, not DataFrame identity, so a STRUCTURALLY IDENTICAL
+  * concurrent action (a second run of the same query on the same dir,
+  * or a user-built equivalent plan) matches the registered key and
+  * releases another run's handles mid-action. Results stay correct —
+  * unpersist only forces recompute — but the shared cache evaporates
+  * exactly when two identical consumers overlap. Acceptable for the
+  * registered queries (driver runs them serially); a
+  * concurrent-duplicate-heavy deployment would key entries by plan
+  * identity (e.g. a no-op marker Project carrying a unique ExprId)
+  * instead of sameResult.
   */
 object QueryScopedCache {
 

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
   import RelationalQueries.Q
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[analytics] def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -210,32 +210,60 @@ object SimilarityQueries {
     * the inverted lists are the shuffle key and the quadratic pair
     * space never materializes. nprobe=4 of 16 lists scores ~1/4 of
     * the corpus per query. */
+  /** Coarse quantization against the 16 deterministic md5-sample
+    * centroids, kept NARROW: all 16 centroids ride in ONE broadcast
+    * row as an array, each vector scores them in-row and sorts the
+    * 16-element array — the per-vector argmax/top-nprobe never
+    * shuffles. Adds `ranked16` (ascending by (ccos, -cid, cid): last
+    * element = assignment, tail = probe list; `-cid` makes equal-ccos
+    * ties resolve to the SMALLER cid at the ascending tail, matching
+    * `ORDER BY ccos DESC, cid`; ascending native interpreted ordering
+    * = the same Double.compare a window sort would use, so -0.0/0.0
+    * edges rank identically). Shared by [[qSimIvfTopk]] and
+    * [[DedupQueries.qDedupSemantic]]. */
+  private[analytics] def ivfRanked(e: DataFrame): DataFrame = {
+    val cents = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    val centArr = cents.agg(
+      collect_list(struct(col("cid"), col("cv"), col("cnrm"))).as("cs"))
+    val scored16 = transform(col("cs"), c =>
+      struct(
+        round(dot(col("v"), c.getField("cv")) /
+          (sqrt(col("nrm")) * sqrt(c.getField("cnrm"))), 6).as("ccos"),
+        (-c.getField("cid")).as("tie"),
+        c.getField("cid").as("cid")))
+    e.crossJoin(broadcast(centArr))
+      .withColumn("ranked16", array_sort(scored16))
+      .drop("cs")
+  }
+
+  /** DuckDB mirror of [[ivfRanked]]'s centroid selection + assignment:
+    * CTEs `cents`, `scored`, `ranked` (crank 1 = assignment) over a
+    * CTE `e(vec_id, v, nrm)`. */
+  private[analytics] val ivfRankedSql: String = """
+      cents AS (
+        SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      scored AS (
+        SELECT e.vec_id, c.cid,
+               ROUND(list_sum(list_transform(generate_series(1, len(e.v)),
+                       i -> e.v[i] * c.cv[i]))
+                     / (SQRT(e.nrm) * SQRT(c.cnrm)), 6) AS ccos
+        FROM e CROSS JOIN cents c),
+      ranked AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cid) AS crank
+        FROM scored)"""
+
   val qSimIvfTopk = Q(
     "q_sim_ivf_topk",
     (s, dir) => {
       val e = emb(s, dir)
-      val cents = e
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(16)
-        .select(col("vec_id").as("cid"), col("v").as("cv"),
-          col("nrm").as("cnrm"))
-      val centArr = cents.agg(
-        collect_list(struct(col("cid"), col("cv"), col("cnrm"))).as("cs"))
-      // Per-vector ranking stays inside the row: score the 16 broadcast
-      // centroids into an array of (ccos, -cid, cid) and array_sort it.
-      // Default (ascending, native interpreted ordering = the same
-      // Double.compare the old window sort used, so -0.0/0.0 edges rank
-      // identically) — last element is the assignment, last 4 are the
-      // probe list; `-cid` makes equal-ccos ties resolve to the SMALLER
-      // cid at the ascending tail, matching `ORDER BY ccos DESC, cid`.
-      val scored16 = transform(col("cs"), c =>
-        struct(
-          round(dot(col("v"), c.getField("cv")) /
-            (sqrt(col("nrm")) * sqrt(c.getField("cnrm"))), 6).as("ccos"),
-          (-c.getField("cid")).as("tie"),
-          c.getField("cid").as("cid")))
-      val top = e.crossJoin(broadcast(centArr))
-        .withColumn("ranked16", array_sort(scored16))
+      val top = ivfRanked(e)
         // tail-indexed via size() so a corpus smaller than the centroid
         // sample count still ranks correctly
         .select(col("vec_id"),
@@ -268,26 +296,12 @@ object SimilarityQueries {
         .select(col("qid"), col("rank"), col("neighbor_id"), col("cos_sim"))
         .orderBy(col("qid"), col("rank"))
     },
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                  x -> x * x)) AS nrm
-        FROM embeddings),
-      cents AS (
-        SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
-        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-      scored AS (
-        SELECT e.vec_id, c.cid,
-               ROUND(list_sum(list_transform(generate_series(1, len(e.v)),
-                       i -> e.v[i] * c.cv[i]))
-                     / (SQRT(e.nrm) * SQRT(c.cnrm)), 6) AS ccos
-        FROM e CROSS JOIN cents c),
-      ranked AS (
-        SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY ccos DESC, cid) AS crank
-        FROM scored),
+        FROM embeddings),$ivfRankedSql,
       assigned AS (SELECT vec_id, cid FROM ranked WHERE crank = 1),
       probes AS (SELECT vec_id AS qid, cid FROM ranked
                  WHERE vec_id < 20 AND crank <= 4),

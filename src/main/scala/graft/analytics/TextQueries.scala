@@ -175,6 +175,40 @@ object TextQueries {
             FROM documents)
       GROUP BY w ORDER BY n_occurrences DESC, w LIMIT 100"""))
 
+  /** Heavy hitters over the token stream via the [[graft.operators
+    * .SpaceSaving]] typed `Aggregator` — the single-pass bounded-memory
+    * answer to "top talkers" when the key space doesn't fit a groupBy
+    * (the 100 TB case: at most `capacity` counters per partition
+    * buffer, counter-wise merge, no key-space shuffle — only sketch
+    * buffers move).
+    *
+    * Oracle-gated, not rows-only: capacity 64 exceeds this corpus's
+    * whole vocabulary (31 at every SF), so no counter is ever evicted
+    * and the sketch output IS the exact top-20 frequency table with
+    * the same (count DESC, token ASC) tie-break the exact SQL uses.
+    * The eviction/merge overestimate regime — where a sketch cannot
+    * hash-match any exact engine — is property-tested in OperatorsSpec
+    * (merge-tree bound) and AnalyticsSpec instead. */
+  val qHeavyHitters = Q(
+    "q_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok")).as[String]
+      toks.select(graft.operators.HeavyHitters.spaceSaving(64))
+        .toDF("hh")
+        .select(posexplode(col("hh")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col._1").as("token"), col("col._2").as("est_count"))
+        .filter(col("rank") <= 20)
+        .orderBy(col("rank"))
+    },
+    Some("""
+      SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rank,
+             tok AS token, COUNT(*) AS est_count
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok ORDER BY est_count DESC, token LIMIT 20"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
-    qTextFingerprint, qTextVocab)
+    qTextFingerprint, qTextVocab, qHeavyHitters)
 }

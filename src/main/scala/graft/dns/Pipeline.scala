@@ -87,9 +87,15 @@ object Pipeline {
     * for MULTI-OUTPUT consumers only: `process()` exposes lines +
     * quarantine + rejects, and a caller draining more than one would
     * otherwise re-run the decode per output. Single-output consumers
-    * pass `materialize = false` and pay zero cache build. */
+    * pass `materialize = false` and pay zero cache build.
+    *
+    * This thin wrapper is therefore cache-FREE: it cannot return the
+    * persist handle, and a dropped handle is a session-lifetime cache
+    * leak (the round-3 bug class). Multi-output callers use
+    * [[process]] (scoped release built in) or
+    * [[decodedRecordsScoped]] and unpersist the handles themselves. */
   def decodedRecords(envelopes: DataFrame): DataFrame =
-    decodedRecordsScoped(envelopes)._1
+    decodedRecordsScoped(envelopes, materialize = false)._1
 
   /** [[decodedRecords]] plus the persist handle (empty for streaming
     * plans or `materialize = false`), so callers can unpersist once

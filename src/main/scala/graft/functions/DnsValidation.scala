@@ -93,7 +93,18 @@ object DnsValidation {
     * front so the byte path keeps String-path/json.loads parity:
     * a leading EF BB BF (UTF-8 BOM), or any of FE/FF/00 among the
     * first bytes (UTF-16/32 BOMs and NUL-interleaved encodings — all
-    * invalid as UTF-8 JSON), are a parse failure. */
+    * invalid as UTF-8 JSON), are a parse failure.
+    *
+    * Parity scope: str-input `json.loads` — i.e. the RECORD path,
+    * where the reference decodes base64 to str first (app/app.py:225).
+    * On the ENVELOPE path the reference's Flask `get_json` hands
+    * json.loads raw BYTES, and bytes-input json.loads auto-detects
+    * utf-8-sig/UTF-16 — it would ACCEPT a BOM'd envelope this gate
+    * rejects. That divergence is deliberate: a BOM'd or UTF-16
+    * envelope from a Firehose HTTP delivery is malformed by the
+    * delivery contract, and accepting it only on the envelope path
+    * would make the two paths disagree about the same bytes. The
+    * acceptance table in Bind9PipelineSpec codifies reject-on-both. */
   private def nonUtf8JsonPrefix(b: Array[Byte], len: Int): Boolean = {
     if (len >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
       b(2) == 0xBF.toByte) return true
@@ -348,6 +359,16 @@ case class DnsRecordParse(child: Expression) extends UnaryExpression {
   // also blocked — exactly right here, nothing can be pushed below a
   // whole-payload parse). Cost: none — the expression sits in one
   // Project at a fixed pipeline position.
+  //
+  // CONSTRAINT (because the flag is a lie): a non-deterministic
+  // expression is only legal in Project/Filter/Aggregate/Window —
+  // placing this in a grouping key, join condition, or sort key throws
+  // AnalysisException at analysis time, and SQL-registering it would
+  // hand users that footgun plus re-evaluation Catalyst assumes is
+  // fine for nondeterministic expressions. It therefore stays internal
+  // to Decode's fixed Project position: never registered in
+  // GraftExtensions, never exposed as a Column helper. PlanAuditSpec
+  // guards the copy count; DnsPipelineSpec guards non-registration.
   override lazy val deterministic: Boolean = false
 
   override protected def nullSafeEval(input: Any): Any =

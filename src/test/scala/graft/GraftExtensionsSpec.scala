@@ -53,6 +53,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
           s"graft_envelope_validity('$bomEnv')").head()
       assert(bom.getString(0) === "json", "BOM payload must fail as json")
       assert(bom.getString(1) === "json", "BOM envelope must fail as json")
+      // DnsRecordParse lies `deterministic=false` to pin one evaluation
+      // per row; outside Project/Filter/Aggregate/Window that flag
+      // throws at analysis, so the expression must NEVER reach the SQL
+      // registry (users would put it in GROUP BY/JOIN keys). Guard the
+      // whole registry by prefix so a future registration fails here.
+      val graftFns = s.sessionState.functionRegistry.listFunction()
+        .map(_.funcName).filter(_.startsWith("graft_"))
+      assert(!graftFns.contains("graft_dns_parse"),
+        s"graft_dns_parse must stay internal; registered: $graftFns")
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)

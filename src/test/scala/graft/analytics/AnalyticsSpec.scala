@@ -70,6 +70,77 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       s"planted dup pairs missing from $found")
   }
 
+  test("heavy hitters: exact regime matches groupBy; eviction regime overestimates") {
+    // Exact regime (capacity 64 > vocab 31, the registered query):
+    // output must equal the exact top-20 frequency table.
+    val hh = TextQueries.qHeavyHitters.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val truth = Tables(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactTop = truth.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+    assert(hh.map(r => (r._2, r._3)).toSeq === exactTop)
+    assert(hh.map(_._1).toSeq === (1L to 20L))
+    // Eviction regime (capacity 16 < vocab 31): bounded buffer, and
+    // every surviving estimate must OVERestimate its true count — the
+    // SpaceSaving invariant that makes the sketch trustworthy for
+    // "count is at least X" style answers.
+    val toks = Tables(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("tok")).as[String]
+    val sk = toks.select(graft.operators.HeavyHitters.spaceSaving(16)).head()
+    assert(sk.size <= 16)
+    sk.foreach { case (tok, est) =>
+      assert(est >= truth(tok), s"$tok: est $est < true ${truth(tok)}")
+    }
+  }
+
+  test("semantic dedup: planted paraphrases pruned; keep rule matches brute force") {
+    // Planted pairs: v and 1.0001*v have cosine exactly 1 (uniform
+    // scaling), land in the same coarse cluster, and the higher id must
+    // be pruned. Fill with random vectors (cos concentrates near 0 at
+    // 64 dims, far below the 0.4 threshold; seed fixed → deterministic).
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val planted = (0 until 4).flatMap { i =>
+      val v = vec()
+      Seq((2L * i, v), (2L * i + 1, v.map(_ * 1.0001f)))
+    }
+    val rows = planted ++ (8L until 200L).map(i => (i, vec()))
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    rows.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = DedupQueries.qDedupSemantic.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length === 200)
+    val cid = out.map(r => r._1 -> r._2).toMap
+    val keep = out.map(r => r._1 -> r._3).toMap
+    (0 until 4).foreach { i =>
+      assert(cid(2L * i) === cid(2L * i + 1), s"pair $i split across clusters")
+      assert(keep(2L * i) && !keep(2L * i + 1),
+        s"pair $i: the jittered copy (higher id) must be the pruned one")
+    }
+    // Given the query's own cluster assignment, the keep rule must
+    // equal the brute-forced greedy-by-min-id rule over all
+    // intra-cluster pairs (same sequential-double cosine).
+    val vm = rows.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 64).foreach { i =>
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expectedPruned = (for {
+      b <- vm.keys
+      a <- vm.keys
+      if a < b && cid(a) == cid(b) && cos(vm(a), vm(b)) >= 0.4
+    } yield b).toSet
+    assert(out.filter(!_._3).map(_._1).toSet === expectedPruned)
+  }
+
   test("dedup cluster: components consistent with pairs; one survivor each") {
     val pairs = DedupQueries.qDedupMinhash.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
