@@ -314,6 +314,66 @@ object DedupQueries {
     * clusters (near-cliques) is 2-3. The corpus itself never enters
     * the loop. Output: (doc_id, cluster_rep, n_members) for every doc
     * in some pair; keep_doc marks the survivor. */
+  /** Min-label propagation to fixpoint over an undirected edge list
+    * `(src, dst)` (both directions present): each node repeatedly takes
+    * the smallest label among itself and its neighbors. Returns
+    * `(doc_id, cluster_rep, n_members, keep_doc)` for every node with
+    * at least one edge.
+    *
+    * Checkpointing TRUNCATES LINEAGE: the edge pipeline's (large) plan
+    * must not be re-analyzed and re-embedded in every iteration's join
+    * — measured ~2 min of driver-side planning at sf0.01 without this,
+    * seconds with. Same move GraphX's Pregel makes. Two modes:
+    *  - `reliable = false` (default): `localCheckpoint` — executor-
+    *    local blocks, zero external storage, right for single-job runs
+    *    where a lost executor fails the job anyway. Superseded
+    *    generations (KB-scale frontiers) are reclaimed by the
+    *    ContextCleaner once unreferenced.
+    *  - `reliable = true`: `checkpoint()` to the session's checkpoint
+    *    dir (`sparkContext.setCheckpointDir`, HDFS-class storage) —
+    *    the production mode on a real cluster, where an executor loss
+    *    mid-loop must replay from durable storage instead of from
+    *    lineage that was deliberately truncated. Superseded
+    *    generation files are removed by the ContextCleaner when
+    *    `spark.cleaner.referenceTracking.cleanCheckpoints=true`, or
+    *    swept with the dir by the job's lifecycle. */
+  def resolveClusters(edges0: DataFrame,
+      reliable: Boolean = false): DataFrame = {
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val edges = snap(edges0)
+    // lazy over the checkpointed edges: the O(1)-sized distinct folds
+    // into iteration 1's job instead of costing its own eager job
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    // The loop runs actions eagerly at build time (the iterative-
+    // algorithm shape on Spark); each iteration checkpoints its
+    // frontier, keeping every per-iteration plan O(1) in size.
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnsRenamed(
+          Map("doc_id" -> "dst", "label" -> "nlabel")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nlabel")).as("nmin"))
+      // the convergence flag rides IN the checkpointed frontier, so
+      // detecting a fixpoint is a trivial scan of the checkpoint
+      // instead of a join against the previous generation
+      val next = snap(labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("chg")))
+      changed = next.filter(col("chg")).limit(1).count()
+      labels = next.select(col("doc_id"), col("label"))
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("nm"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_rep"),
+        col("nm").as("n_members"),
+        (col("doc_id") === col("label")).as("keep_doc"))
+  }
+
   val qDedupCluster = Q(
     "q_dedup_cluster",
     (s, dir) => {
@@ -322,57 +382,12 @@ object DedupQueries {
       // both edge directions read the pair table; persist so the
       // verify-stage joins behind it run once, not twice
       val pairs = pairs0.persist(MEMORY_AND_DISK)
-      // Eager localCheckpoint TRUNCATES LINEAGE before the loop: the
-      // pair pipeline's (large) plan must not be re-analyzed and
-      // re-embedded in every iteration's join — measured ~2 min of
-      // driver-side planning at sf0.01 without this, seconds with.
-      // Same move GraphX's Pregel makes (periodic checkpointing); on a
-      // cluster the production variant is reliable checkpointing to
-      // the checkpoint dir for executor-loss recovery.
       val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
         .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
-        .localCheckpoint()
-      // lazy over the checkpointed edges: the O(1)-sized distinct folds
-      // into iteration 1's job instead of costing its own eager job
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
-      // Min-label propagation to fixpoint. The loop runs actions
-      // eagerly at build time (the iterative-algorithm shape on
-      // Spark); each iteration checkpoints its frontier, keeping every
-      // per-iteration plan O(1) in size. Superseded generations'
-      // checkpoint blocks (KB-scale: one (id,label,flag) row per
-      // clustered doc) are reclaimed by the ContextCleaner once
-      // unreferenced — a production-scale deployment on a deeper graph
-      // would checkpoint to the reliable checkpoint dir and unpersist
-      // generations explicitly, as GraphX Pregel does.
-      var changed = 1L
-      while (changed > 0) {
-        val neighborMin = edges
-          .join(labels.withColumnsRenamed(
-            Map("doc_id" -> "dst", "label" -> "nlabel")), "dst")
-          .groupBy(col("src").as("doc_id"))
-          .agg(min(col("nlabel")).as("nmin"))
-        // the convergence flag rides IN the checkpointed frontier, so
-        // detecting a fixpoint is a trivial scan of the checkpoint
-        // instead of a join against the previous generation
-        val next = labels.join(neighborMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nmin"), col("label")))
-              .as("label"),
-            (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
-          .localCheckpoint()
-        changed = next.filter(col("chg")).limit(1).count()
-        labels = next.select(col("doc_id"), col("label"))
-      }
-      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("nm"))
-      val result = labels.join(sizes, "label")
-        .select(col("doc_id"), col("label").as("cluster_rep"),
-          col("nm").as("n_members"),
-          (col("doc_id") === col("label")).as("keep_doc"))
-        .orderBy(col("doc_id"))
-      // edges/labels are localCheckpoint blocks — freed by the context
-      // cleaner once unreferenced; only cacheManager entries need the
-      // scoped release
+      val result = resolveClusters(edges).orderBy(col("doc_id"))
+      // frontier generations are checkpoint blocks — freed by the
+      // context cleaner once unreferenced; only cacheManager entries
+      // need the scoped release
       QueryScopedCache.releaseAfter(result, handles :+ pairs)
     },
     Some(s"""

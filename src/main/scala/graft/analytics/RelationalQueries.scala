@@ -517,36 +517,43 @@ object RelationalQueries {
     * 1000, where fl could round the quotient up across the band
     * boundary. Two-decimal financial data is 9 orders of magnitude
     * away from that; a corpus with adversarial sub-ulp prices would
-    * pick an irrational band width. */
+    * pick an irrational band width. AnalyticsSpec property-tests the
+    * decomposition against Spark's native global range frame on
+    * boundary-adversarial fixtures (exact band multiples, ties, empty
+    * previous bands). */
+  private[analytics] def bandedRangeCount(rows: DataFrame, key: String,
+      value: String, width: Double): DataFrame = {
+    val base = rows.select(col(key), col(value),
+      floor(col(value) / width).cast("long").as("band"))
+    val actuals = base.select(col(key), col(value),
+      col("band"), col(value).as("price"),
+      lit(1).as("tag"), lit(1L).as("weight"))
+    val probes = base.select(col(key), col(value),
+      (col("band") - 1).as("band"),
+      (col(value) - width).as("price"),
+      lit(0).as("tag"), lit(0L).as("weight"))
+    val byBand = Window.partitionBy(col("band"))
+      .orderBy(col("price"), col("tag"))
+    val upToPeers = byBand
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val fromHere = byBand
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    actuals.unionAll(probes)
+      .select(col(key), col(value),
+        when(col("tag") === 1, sum(col("weight")).over(upToPeers))
+          .otherwise(sum(col("weight")).over(fromHere)).as("contrib"))
+      .groupBy(col(key))
+      .agg(max(col(value)).as(value),
+        sum(col("contrib")).as("n_in_band"))
+      .select(col(key), col(value), col("n_in_band"))
+  }
+
   val qWindowRangeFrame = Q(
     "q_window_range_frame",
-    (s, dir) => {
-      val base = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_totalprice"),
-          floor(col("o_totalprice") / 1000d).cast("long").as("band"))
-      val actuals = base.select(col("o_orderkey"), col("o_totalprice"),
-        col("band"), col("o_totalprice").as("price"),
-        lit(1).as("tag"), lit(1L).as("weight"))
-      val probes = base.select(col("o_orderkey"), col("o_totalprice"),
-        (col("band") - 1).as("band"),
-        (col("o_totalprice") - 1000d).as("price"),
-        lit(0).as("tag"), lit(0L).as("weight"))
-      val byBand = Window.partitionBy(col("band"))
-        .orderBy(col("price"), col("tag"))
-      val upToPeers = byBand
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      val fromHere = byBand
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      actuals.unionAll(probes)
-        .select(col("o_orderkey"), col("o_totalprice"),
-          when(col("tag") === 1, sum(col("weight")).over(upToPeers))
-            .otherwise(sum(col("weight")).over(fromHere)).as("contrib"))
-        .groupBy(col("o_orderkey"))
-        .agg(max(col("o_totalprice")).as("o_totalprice"),
-          sum(col("contrib")).as("n_in_band"))
-        .select(col("o_orderkey"), col("o_totalprice"), col("n_in_band"))
-        .orderBy(col("o_orderkey"))
-    },
+    (s, dir) =>
+      bandedRangeCount(t(s, dir, "orders"), "o_orderkey", "o_totalprice",
+        1000d)
+        .orderBy(col("o_orderkey")),
     Some("""
       SELECT o_orderkey, o_totalprice,
              COUNT(*) OVER (ORDER BY o_totalprice

@@ -6,6 +6,7 @@ import graft.operators.AsOfJoin
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** Specs for operators whose outputs cannot hash-match a DuckDB oracle
   * (sketches, LSH, engine-specific kernels) plus unit semantics for the
@@ -187,6 +188,55 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert((1L to 5L).forall(cl.get(_).contains(1L)),
       s"docs 1..5 must share rep 1 (doc 5 via the multi-hop path): $cl")
     assert(!cl.contains(0L), "doc 0 has no surviving edge in this fixture")
+  }
+
+  test("banded range-frame count equals the native global range frame") {
+    // The banded two-pass must reproduce Spark's own (single-partition)
+    // RANGE BETWEEN width PRECEDING AND CURRENT ROW count on
+    // boundary-adversarial data: values exactly ON band multiples,
+    // duplicated values (peers), values whose probe lands exactly on a
+    // boundary, empty previous bands, and negatives.
+    import org.apache.spark.sql.expressions.{Window => W}
+    val crafted = Seq(0.0, 1000.0, 1000.0, 2000.0, 1999.99, 2000.01,
+      999.99, 1.0, -1000.0, -0.01, 5000.0, 7000.0, 6999.0, 6000.0)
+    val rnd = new scala.util.Random(13)
+    val fuzz = Seq.fill(300)(
+      math.floor(rnd.nextDouble() * 800000) / 100.0) // 2-decimal prices
+    val rows = (crafted ++ fuzz).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("k", "v")
+    val native = rows.select($"k", $"v",
+        count(lit(1)).over(W.orderBy($"v").rangeBetween(-1000L, W.currentRow))
+          .as("n_in_band"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val banded = RelationalQueries.bandedRangeCount(rows, "k", "v", 1000d)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(banded === native)
+  }
+
+  test("cluster resolution: reliable checkpoint mode matches local and lands durable files") {
+    // chain 1-2-3, pair 4-5, chain 10-11-12-13 (multi-hop): same
+    // fixpoint in both checkpoint modes, and reliable=true must write
+    // durable generation files under the session checkpoint dir (the
+    // executor-loss recovery mode for a real cluster).
+    val dirPairs = Seq((1L, 2L), (2L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 13L))
+    val edges = (dirPairs ++ dirPairs.map(_.swap)).toDF("src", "dst")
+    def run(reliable: Boolean) =
+      DedupQueries.resolveClusters(edges, reliable).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+    val local = run(reliable = false)
+    assert(local === Set(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (4L, 4L, 2L, true), (5L, 4L, 2L, false),
+      (10L, 10L, 4L, true), (11L, 10L, 4L, false),
+      (12L, 10L, 4L, false), (13L, 10L, 4L, false)))
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    assert(run(reliable = true) === local)
+    val rddDirs = java.nio.file.Files.walk(ckpt).iterator().asScala
+      .count(_.getFileName.toString.startsWith("rdd-"))
+    assert(rddDirs > 0, s"no durable checkpoints under $ckpt")
   }
 
   test("langid predicts crafted multilingual fixtures") {
