@@ -316,9 +316,25 @@ object DedupQueries {
     * in some pair; keep_doc marks the survivor. */
   /** Min-label propagation to fixpoint over an undirected edge list
     * `(src, dst)` (both directions present): each node repeatedly takes
-    * the smallest label among itself and its neighbors. Returns
-    * `(doc_id, cluster_rep, n_members, keep_doc)` for every node with
-    * at least one edge.
+    * the smallest label among itself and its neighbors, then COMPRESSES
+    * by jumping to its label's label (pointer jumping — the same
+    * shortcut Shiloach-Vishkin / large-star use). Propagation alone
+    * needs one iteration per hop of the component diameter — fine for
+    * near-clique dup clusters (d≈2-3), a scale trap for chain-shaped
+    * components (sliding-window boilerplate can chain thousands of
+    * docs); with compression the label front doubles each round, so
+    * convergence is O(log d). Compression is ADAPTIVE: the first two
+    * iterations run plain propagation (near-cliques converge inside
+    * them and must not pay the extra join — A/B at sf0.1 measured
+    * ~25% on the bench line for always-jumping), and from iteration 3
+    * — i.e. only when the graph has demonstrated depth — every
+    * iteration also jumps. The jump join touches only the label table
+    * (paired docs, ≪ corpus) and is safe: a node's label is always
+    * itself a node id, labels only decrease, and min-reachable-id is
+    * a fixpoint of propagate∘compress exactly as of propagate alone
+    * (the oracle's transitive closure).
+    * Returns `(doc_id, cluster_rep, n_members, keep_doc)` for every
+    * node with at least one edge.
     *
     * Checkpointing TRUNCATES LINEAGE: the edge pipeline's (large) plan
     * must not be re-analyzed and re-embedded in every iteration's join
@@ -338,7 +354,13 @@ object DedupQueries {
     *    `spark.cleaner.referenceTracking.cleanCheckpoints=true`, or
     *    swept with the dir by the job's lifecycle. */
   def resolveClusters(edges0: DataFrame,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false): DataFrame =
+    resolveClustersStats(edges0, reliable)._1
+
+  /** [[resolveClusters]] plus the iteration count it took to converge
+    * (observable so specs can pin the O(log d) claim). */
+  def resolveClustersStats(edges0: DataFrame,
+      reliable: Boolean = false): (DataFrame, Int) = {
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     val edges = snap(edges0)
@@ -350,28 +372,47 @@ object DedupQueries {
     // algorithm shape on Spark); each iteration checkpoints its
     // frontier, keeping every per-iteration plan O(1) in size.
     var changed = 1L
+    var iters = 0
     while (changed > 0) {
       val neighborMin = edges
         .join(labels.withColumnsRenamed(
           Map("doc_id" -> "dst", "label" -> "nlabel")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nlabel")).as("nmin"))
-      // the convergence flag rides IN the checkpointed frontier, so
-      // detecting a fixpoint is a trivial scan of the checkpoint
-      // instead of a join against the previous generation
-      val next = snap(labels.join(neighborMin, Seq("doc_id"), "left")
+      // propagate: take the smallest neighbor label. The convergence
+      // flag rides IN the checkpointed frontier, so detecting a
+      // fixpoint is a trivial scan of the checkpoint instead of a
+      // join against the previous generation.
+      val prop = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"),
-          (coalesce(col("nmin"), col("label")) < col("label")).as("chg")))
+          (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
+      // compress (adaptive, see scaladoc): jump to the label's own
+      // post-propagate label. Every label value is a node id present
+      // in `prop`, so the left join always matches; jlabel <= label
+      // because labels only decrease.
+      val stepped =
+        if (iters < 2) prop
+        else {
+          val jumpMap = prop
+            .select(col("doc_id").as("jkey"), col("label").as("jlabel"))
+          prop.join(jumpMap, prop("label") === jumpMap("jkey"), "left")
+            .select(col("doc_id"),
+              coalesce(col("jlabel"), col("label")).as("label"),
+              (col("chg") || col("jlabel") < col("label")).as("chg"))
+        }
+      val next = snap(stepped)
       changed = next.filter(col("chg")).limit(1).count()
       labels = next.select(col("doc_id"), col("label"))
+      iters += 1
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("nm"))
-    labels.join(sizes, "label")
+    val result = labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster_rep"),
         col("nm").as("n_members"),
         (col("doc_id") === col("label")).as("keep_doc"))
+    (result, iters)
   }
 
   val qDedupCluster = Q(

@@ -239,6 +239,21 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(rddDirs > 0, s"no durable checkpoints under $ckpt")
   }
 
+  test("cluster resolution: pointer jumping converges in O(log d) on a long chain") {
+    // A 64-node chain is the adversarial shape for plain min-label
+    // propagation (one iteration per hop = 64 rounds of shuffles at
+    // scale). With per-iteration compression the front doubles each
+    // round; everything must still collapse to rep 0.
+    val n = 64L
+    val chainPairs = (0L until n - 1).map(i => (i, i + 1))
+    val edges = (chainPairs ++ chainPairs.map(_.swap)).toDF("src", "dst")
+    val (df, iters) = DedupQueries.resolveClustersStats(edges)
+    val labels = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === n)
+    assert((0L until n).forall(labels(_) == 0L), s"bad labels: $labels")
+    assert(iters <= 12, s"expected O(log n) convergence, took $iters")
+  }
+
   test("langid predicts crafted multilingual fixtures") {
     val fixtures = Seq(
       (1L, "the cat sat on the mat and it is the best of all the things"),
