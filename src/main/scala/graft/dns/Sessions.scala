@@ -1,8 +1,8 @@
 package graft.dns
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import java.sql.Timestamp
 
 /** Per-client sessionization over the DNS stream — the custom-state
@@ -72,6 +72,88 @@ object Sessions {
           closed.reverseIterator
         }
     }
+  }
+
+  /** The same gap-session semantics on Spark 4's arbitrary-state API
+    * (`transformWithState`): a `ValueState` holds the open session and
+    * an explicit event-time TIMER (registered at `last + gap`, deleted
+    * and re-registered on extension) closes it when the watermark
+    * passes — timers replace the old API's single implicit timeout and
+    * compose with additional state variables (the API's point: one
+    * processor can hold value/list/map state with per-state TTL).
+    * Identical output to [[sessionize]] — SessionsSpec runs both on
+    * the same stream and compares. State is one entry + one timer per
+    * active client; both are freed on close, so the 100 TB posture
+    * matches [[sessionize]]. */
+  final class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[String, (String, Timestamp), SessionUpdate] {
+    @transient private var sess: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Timestamp)],
+        timers: TimerValues): Iterator[SessionUpdate] = {
+      val times = rows.map(_._2.getTime).toArray.sorted
+      var closed = List.empty[SessionUpdate]
+      var cur = if (sess.exists) Some(sess.get) else None
+      val prevDeadline = cur.map(_.last + gapMs)
+      times.foreach { t =>
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+          case Some(s) =>
+            closed ::= SessionUpdate(
+              key, new Timestamp(s.start), new Timestamp(s.last), s.n)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        sess.update(s)
+        val deadline = s.last + gapMs
+        if (!prevDeadline.contains(deadline)) {
+          prevDeadline.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(deadline)
+        }
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionUpdate] = {
+      if (!sess.exists) return Iterator.empty
+      val s = sess.get
+      // a stale timer from before an in-batch extension: ignore (the
+      // live deadline's timer is still registered)
+      if (expired.getExpiryTimeInMs < s.last + gapMs) Iterator.empty
+      else {
+        sess.clear()
+        Iterator.single(SessionUpdate(
+          key, new Timestamp(s.start), new Timestamp(s.last), s.n))
+      }
+    }
+  }
+
+  /** [[sessionize]] on the transformWithState API. Requires the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — the only backend the
+    * arbitrary-state operator supports. */
+  def sessionizeTws(cleanRecords: DataFrame, gapSeconds: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionUpdate] = {
+    val spark = cleanRecords.sparkSession
+    import spark.implicits._
+    Decode.projectDnsFields(cleanRecords)
+      .withWatermark("query_ts", watermarkDelay)
+      .select(col("srcaddr"), col("query_ts"))
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapSeconds * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Same sessions via the built-in `session_window` — the
