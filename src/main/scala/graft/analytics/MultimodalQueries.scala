@@ -60,5 +60,36 @@ object MultimodalQueries {
              CAST(8 AS BIGINT) AS dim
       FROM c ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFeatures)
+  /** Frame sampling over the binary column: 4 evenly spread 64-byte
+    * windows per document. Hash-matched at the byte level: Spark hexes
+    * the sliced binary; the oracle slices the hex expansion of the
+    * same UTF-8 bytes (2 hex chars per byte — DuckDB 1.0 has no BLOB
+    * substring, hex-string slicing is byte-exact and multibyte-safe
+    * where text substr would not be). One narrow generator stage,
+    * fan-out 4, no shuffle but the mandated ORDER BY. */
+  val qMultimodalFrames = Q(
+    "q_multimodal_frames",
+    (s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.binarize(Tables(s, dir, "documents")))
+        .select(col("doc_id"), col("frame_idx"), col("frame_start"),
+          hex(col("frame")).as("frame_hex"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+    Some("""
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents),
+      f AS (
+        SELECT doc_id, k,
+               CAST(1 + (k * greatest(n - 64, 0)) // 3 AS BIGINT)
+                 AS frame_start,
+               hx
+        FROM b CROSS JOIN generate_series(0, 3) t(k))
+      SELECT doc_id, CAST(k AS BIGINT) AS frame_idx, frame_start,
+             substr(hx, 2 * (frame_start - 1) + 1, 128) AS frame_hex
+      FROM f ORDER BY doc_id, frame_idx"""))
+
+  val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFeatures,
+    qMultimodalFrames)
 }

@@ -55,6 +55,30 @@ object Multimodal {
       FeatureRow(row.doc_id, hist.map(c => (c / total).toFloat))
     }
 
+  /** Deterministic frame sampling over the opaque binary column — the
+    * video/audio "sample N frames" primitive, expressed at the byte
+    * layer: `nFrames` windows of `frameBytes` bytes at evenly spread
+    * 1-based offsets `1 + (k * max(n_bytes - frameBytes, 0)) DIV
+    * max(nFrames - 1, 1)`. A real media pipeline replaces the byte
+    * window with a codec's keyframe/PCM extraction at the SAME
+    * (doc_id, frame_idx, frame_start) identity; everything around it —
+    * the generator explode, the pure-expression slicing, the narrow
+    * no-shuffle plan — is the production shape already. Frames of a
+    * media blob shorter than one frame are truncated, never padded
+    * (both engines' substring semantics). */
+  def sampleFrames(binarized: DataFrame, nFrames: Int = 4,
+      frameBytes: Int = 64): DataFrame =
+    binarized
+      .select(col("doc_id"), col("content"), col("n_bytes"),
+        posexplode(sequence(lit(0), lit(nFrames - 1))))
+      .withColumn("frame_start",
+        expr(s"1L + (pos * greatest(n_bytes - $frameBytes, 0L))" +
+          s" DIV ${math.max(nFrames - 1, 1)}"))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        col("frame_start"),
+        expr(s"substring(content, CAST(frame_start AS INT), $frameBytes)")
+          .as("frame"))
+
   /** Partition-wise batched feature extraction: groups each partition's
     * rows into `batchSize` chunks so a real kernel amortizes per-batch
     * setup (codec init, model weights) — the batch shape `mapInPandas`
