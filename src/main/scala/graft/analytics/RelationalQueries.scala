@@ -190,6 +190,31 @@ object RelationalQueries {
     },
     None)
 
+  /** GK quantile sketch (approx_percentile) — the third mergeable
+    * sketch in the family next to HLL distinct and SpaceSaving heavy
+    * hitters, and the one that answers "p50/p95/p99 latency" style
+    * questions in one pass with bounded memory (the exact
+    * [[qPercentile]] path sorts each group). Partial sketches merge
+    * map-side like any aggregate; accuracy = 1/relative-rank-error.
+    * Sketch summaries are partition-order-dependent and engine-
+    * specific → no oracle; AnalyticsSpec asserts the rank-error
+    * contract against the exact percentiles instead. */
+  val qQuantileSketch = Q(
+    "q_quantile_sketch",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D), 1000)")
+            .as("approx_p"))
+        .select(col("l_returnflag"),
+          element_at(col("approx_p"), 1).as("p50"),
+          element_at(col("approx_p"), 2).as("p95"),
+          element_at(col("approx_p"), 3).as("p99"))
+        .orderBy(col("l_returnflag"))
+    },
+    None)
+
   // ---------------------------------------------------------------
   // Join family
   // ---------------------------------------------------------------
@@ -937,7 +962,7 @@ object RelationalQueries {
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qRollup,
-    qGroupingSets, qHllDistinct,
+    qGroupingSets, qHllDistinct, qQuantileSketch,
     qJoinRegionRevenue, qJoinSemi, qJoinAnti, qJoinLeftOuter,
     qJoinFullOuter, qAggStringAgg, qThetaJoin, qRangeJoin,
     qAsofJoin, qTopkPerCustomer, qWindowRunning, qWindowRanks,

@@ -30,6 +30,32 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("quantile sketch honors the GK rank-error contract per group") {
+    // approx_percentile(accuracy=1000) guarantees the reported value's
+    // RANK is within n/1000 of the target rank — assert exactly that
+    // (value-distance bounds would be distribution-dependent).
+    val approx = RelationalQueries.qQuantileSketch.run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val groups = Tables(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(approx.keySet === groups.keySet)
+    val ps = Seq(0.5, 0.95, 0.99)
+    groups.foreach { case (g, sortedVals) =>
+      val n = sortedVals.length
+      val tol = math.max(1, n / 1000)
+      ps.zip(approx(g)).foreach { case (p, est) =>
+        // rank of the estimate among the exact values
+        val rank = sortedVals.count(_ <= est)
+        val target = math.ceil(p * n).toLong
+        assert(math.abs(rank - target) <= tol + 1,
+          s"group $g p$p: est $est has rank $rank, target $target (n=$n)")
+      }
+    }
+  }
+
   test("lsh ann: recall >= 0.25 vs brute force while pruning >= 30%") {
     val brute = SimilarityQueries.qSimTopkBrute.run(spark, sf)
       .select("qid", "neighbor_id").collect()
@@ -204,13 +230,15 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       math.floor(rnd.nextDouble() * 800000) / 100.0) // 2-decimal prices
     val rows = (crafted ++ fuzz).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("k", "v")
-    val native = rows.select($"k", $"v",
-        count(lit(1)).over(W.orderBy($"v").rangeBetween(-1000L, W.currentRow))
-          .as("n_in_band"))
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    val banded = RelationalQueries.bandedRangeCount(rows, "k", "v", 1000d)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert(banded === native)
+    Seq(1000.0, 250.0, 33.5).foreach { width =>
+      val native = rows.selectExpr("k", "v",
+          s"count(1) OVER (ORDER BY v RANGE BETWEEN $width PRECEDING" +
+            " AND CURRENT ROW) AS n_in_band")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val banded = RelationalQueries.bandedRangeCount(rows, "k", "v", width)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(banded === native, s"width $width")
+    }
   }
 
   test("cluster resolution: reliable checkpoint mode matches local and lands durable files") {
