@@ -323,12 +323,14 @@ object DedupQueries {
     * near-clique dup clusters (d≈2-3), a scale trap for chain-shaped
     * components (sliding-window boilerplate can chain thousands of
     * docs); with compression the label front doubles each round, so
-    * convergence is O(log d). Compression is ADAPTIVE: the first two
-    * iterations run plain propagation (near-cliques converge inside
-    * them and must not pay the extra join — A/B at sf0.1 measured
-    * ~25% on the bench line for always-jumping), and from iteration 3
-    * — i.e. only when the graph has demonstrated depth — every
-    * iteration also jumps. The jump join touches only the label table
+    * convergence is O(log d). Compression is ADAPTIVE: the first
+    * THREE iterations run plain propagation — near-clique dup graphs
+    * converge (including the final no-change detection round) inside
+    * them and must not pay the extra join (A/B at sf0.1: always-
+    * jumping cost ~25% on the bench line, and a threshold of 2 still
+    * taxed the detection round ~12%) — and from iteration 4, i.e.
+    * only when the graph has demonstrated real depth, every iteration
+    * also jumps. The jump join touches only the label table
     * (paired docs, ≪ corpus) and is safe: a node's label is always
     * itself a node id, labels only decrease, and min-reachable-id is
     * a fixpoint of propagate∘compress exactly as of propagate alone
@@ -391,18 +393,21 @@ object DedupQueries {
       // compress (adaptive, see scaladoc): jump to the label's own
       // post-propagate label. Every label value is a node id present
       // in `prop`, so the left join always matches; jlabel <= label
-      // because labels only decrease.
-      val stepped =
-        if (iters < 2) prop
+      // because labels only decrease. The propagate frontier is
+      // snapped FIRST so the self-join reads the materialized KB-scale
+      // frontier twice instead of executing the edges⋈labels+aggregate
+      // subtree on both sides.
+      val next =
+        if (iters < 3) snap(prop)
         else {
-          val jumpMap = prop
+          val p = snap(prop)
+          val jumpMap = p
             .select(col("doc_id").as("jkey"), col("label").as("jlabel"))
-          prop.join(jumpMap, prop("label") === jumpMap("jkey"), "left")
+          snap(p.join(jumpMap, p("label") === jumpMap("jkey"), "left")
             .select(col("doc_id"),
               coalesce(col("jlabel"), col("label")).as("label"),
-              (col("chg") || col("jlabel") < col("label")).as("chg"))
+              (col("chg") || col("jlabel") < col("label")).as("chg")))
         }
-      val next = snap(stepped)
       changed = next.filter(col("chg")).limit(1).count()
       labels = next.select(col("doc_id"), col("label"))
       iters += 1
@@ -624,11 +629,17 @@ object DedupQueries {
   val qDedupSemantic = Q(
     "q_dedup_semantic",
     (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val e = SimilarityQueries.emb(s, dir)
+      // assignment is consumed three times (both pair-join sides + the
+      // final keep join): persist so the corpus scan, the centroid
+      // sort-limit job, and the 16-way scoring run ONCE, released when
+      // the consuming action completes (the sibling queries' pattern)
       val assigned = SimilarityQueries.ivfRanked(e)
         .select(col("vec_id"), col("v"), col("nrm"),
           element_at(col("ranked16"), size(col("ranked16")))
             .getField("cid").as("cid"))
+        .persist(MEMORY_AND_DISK)
       val pruned = assigned.as("a")
         .join(assigned.as("b"),
           col("a.cid") === col("b.cid") &&
@@ -638,10 +649,11 @@ object DedupQueries {
               (sqrt(col("a.nrm")) * sqrt(col("b.nrm"))), 6) >= 0.4)
         .select(col("b.vec_id").as("vec_id")).distinct()
         .withColumn("is_dup", lit(true))
-      assigned.join(pruned, Seq("vec_id"), "left")
+      val result = assigned.join(pruned, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cid"),
           coalesce(!col("is_dup"), lit(true)).as("keep_vec"))
         .orderBy(col("vec_id"))
+      QueryScopedCache.releaseAfter(result, Seq(assigned))
     },
     Some(s"""
       WITH e AS (

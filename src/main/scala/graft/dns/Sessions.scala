@@ -26,6 +26,32 @@ object Sessions {
   /** Public: the state encoder's generated code instantiates it. */
   final case class SessionState(start: Long, last: Long, n: Long)
 
+  /** The gap-session fold shared by BOTH sessionizers: feed sorted
+    * event times into the open session, closing it whenever the gap
+    * elapses. One definition makes the two APIs' agreement structural
+    * (the spec's equivalence check can then only catch harness bugs,
+    * not silent divergence of copied logic). Returns the open session
+    * after the batch and the sessions closed within it, in order. */
+  private def foldSessions(key: String, sortedTimes: Array[Long],
+      open: Option[SessionState], gapMs: Long)
+    : (Option[SessionState], List[SessionUpdate]) = {
+    var closed = List.empty[SessionUpdate]
+    var cur = open
+    sortedTimes.foreach { t =>
+      cur match {
+        case Some(s) if t - s.last <= gapMs =>
+          cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+        case Some(s) =>
+          closed ::= SessionUpdate(
+            key, new Timestamp(s.start), new Timestamp(s.last), s.n)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    (cur, closed.reverse)
+  }
+
   /** Gap-based sessions via custom state. Input: clean decoded records
     * (Pipeline.decodedRecords filtered to reason IS NULL). */
   def sessionize(cleanRecords: DataFrame, gapSeconds: Long,
@@ -51,25 +77,12 @@ object Sessions {
             key, new Timestamp(s.start), new Timestamp(s.last), s.n))
         } else {
           val times = events.map(_._2.getTime).toArray.sorted
-          var closed = List.empty[SessionUpdate]
-          var cur = state.getOption
-          times.foreach { t =>
-            cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
-              case Some(s) =>
-                closed ::= SessionUpdate(
-                  key, new Timestamp(s.start), new Timestamp(s.last), s.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
-            }
-          }
+          val (cur, closed) = foldSessions(key, times, state.getOption, gapMs)
           cur.foreach { s =>
             state.update(s)
             state.setTimeoutTimestamp(s.last + gapMs)
           }
-          closed.reverseIterator
+          closed.iterator
         }
     }
   }
@@ -97,21 +110,9 @@ object Sessions {
         rows: Iterator[(String, Timestamp)],
         timers: TimerValues): Iterator[SessionUpdate] = {
       val times = rows.map(_._2.getTime).toArray.sorted
-      var closed = List.empty[SessionUpdate]
-      var cur = if (sess.exists) Some(sess.get) else None
-      val prevDeadline = cur.map(_.last + gapMs)
-      times.foreach { t =>
-        cur match {
-          case Some(s) if t - s.last <= gapMs =>
-            cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
-          case Some(s) =>
-            closed ::= SessionUpdate(
-              key, new Timestamp(s.start), new Timestamp(s.last), s.n)
-            cur = Some(SessionState(t, t, 1))
-          case None =>
-            cur = Some(SessionState(t, t, 1))
-        }
-      }
+      val open = if (sess.exists) Some(sess.get) else None
+      val prevDeadline = open.map(_.last + gapMs)
+      val (cur, closed) = foldSessions(key, times, open, gapMs)
       cur.foreach { s =>
         sess.update(s)
         val deadline = s.last + gapMs
@@ -120,7 +121,7 @@ object Sessions {
           getHandle.registerTimer(deadline)
         }
       }
-      closed.reverseIterator
+      closed.iterator
     }
 
     override def handleExpiredTimer(key: String, timers: TimerValues,

@@ -56,12 +56,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // DnsRecordParse lies `deterministic=false` to pin one evaluation
       // per row; outside Project/Filter/Aggregate/Window that flag
       // throws at analysis, so the expression must NEVER reach the SQL
-      // registry (users would put it in GROUP BY/JOIN keys). Guard the
-      // whole registry by prefix so a future registration fails here.
+      // registry (users would put it in GROUP BY/JOIN keys). Pin the
+      // EXACT registered set: any new registration — under any name —
+      // fails here and forces a conscious decision (and DnsRecordParse
+      // must never be the function behind it).
       val graftFns = s.sessionState.functionRegistry.listFunction()
-        .map(_.funcName).filter(_.startsWith("graft_"))
-      assert(!graftFns.contains("graft_dns_parse"),
-        s"graft_dns_parse must stay internal; registered: $graftFns")
+        .map(_.funcName).filter(_.startsWith("graft_")).sorted
+      assert(graftFns === Seq("graft_dns_validity", "graft_dot",
+        "graft_envelope_validity", "graft_shingles"),
+        s"unexpected graft_* SQL registration: $graftFns")
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)

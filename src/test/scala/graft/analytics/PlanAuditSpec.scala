@@ -16,10 +16,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private lazy val plans: Map[String, String] =
+  // build every query ONCE: some builders are eager (q_dedup_cluster
+  // runs its propagation loop at build time), so each test inspects
+  // this shared QueryExecution capture instead of rebuilding.
+  // executedPlan is FORCED at build time and the cache is cleared
+  // between builds: plan resolution applies cache substitution
+  // (withCachedData) lazily, and a sibling build's materialized
+  // sameResult-cached intermediates would otherwise leak in-memory
+  // size statistics into this query's join planning (flipping e.g.
+  // the minhash candidate semi-join to a compile-time broadcast,
+  // dependent on nothing but Map iteration order) — the audit must
+  // see the plan a FRESH session would produce for every query.
+  private lazy val qes: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, sf).queryExecution.executedPlan.toString
+      val qe = fn(spark, sf).queryExecution
+      qe.executedPlan
+      spark.catalog.clearCache()
+      name -> qe
     }
+
+  private lazy val plans: Map[String, String] =
+    qes.map { case (name, qe) => name -> qe.executedPlan.toString }
 
   test("no query plans an unbounded cartesian product") {
     val offenders = plans.collect {
@@ -78,8 +95,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // plan one (the global-frame semantics it needed are expressed as
     // a band-partitioned window + groupBy recombine instead).
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val offenders = SparkEntry.queries.flatMap { case (n, fn) =>
-      val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
+    val offenders = qes.flatMap { case (n, qe) =>
+      val bad = qe.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w
       }
       if (bad.nonEmpty) Some(n) else None
