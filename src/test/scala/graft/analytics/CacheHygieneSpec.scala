@@ -37,6 +37,15 @@ class CacheHygieneSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q_dedup_semantic twice, no clearCache: assignment cache drains") {
+    spark.catalog.clearCache()
+    (1 to 2).foreach { i =>
+      val n = SparkEntry.queries("q_dedup_semantic")(spark, sf).count()
+      assert(n > 0)
+      awaitEmptyCache(s"q_dedup_semantic run $i")
+    }
+  }
+
   test("q_dns_pipeline_full runs cache-free (single-output, no materialization)") {
     spark.catalog.clearCache()
     val n = SparkEntry.queries("q_dns_pipeline_full")(spark, sf).count()
