@@ -266,6 +266,54 @@ object PrepQueries {
         FROM documents)
       WHERE bucket < 51 ORDER BY doc_id"""))
 
+  /** Data-mixture assembly — the step [[qPrepSample]]'s scaladoc
+    * promises ("the per-stratum rate in production comes from a
+    * broadcast rate table joined on the stratum key"), made real: a
+    * per-language target rate table (the mixture spec a pretraining
+    * run fixes up front — here: keep all English, downsample the rest
+    * hard) broadcast-joins onto the corpus, and each document's fate
+    * is the deterministic md5 bucket against ITS stratum's rate.
+    * Salt '#m' keeps mixture draws independent of both the split
+    * ('') and sampling ('#s') hashes.
+    *
+    * Scale shape: the rate table is tiny by definition (one row per
+    * stratum) → broadcast; the corpus pass stays narrow; reruns and
+    * corpus growth never reshuffle the kept set (a doc's fate depends
+    * only on its id and its stratum's rate). Inner join = unknown
+    * strata are dropped, the conservative mixture default. */
+  val qPrepMixture = Q(
+    "q_prep_mixture",
+    (s, dir) => {
+      import s.implicits._
+      val rates = Seq(
+        ("en", 256L), ("de", 96L), ("es", 96L), ("fr", 64L), ("zh", 48L))
+        .toDF("lang", "rate")
+      docs(s, dir)
+        .withColumn("bucket",
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("#m"))), 1, 2), 16, 10).cast("long"))
+        .join(broadcast(rates), "lang")
+        .filter(col("bucket") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("rate"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH rates(lang, rate) AS (
+        VALUES ('en', 256), ('de', 96), ('es', 96), ('fr', 64), ('zh', 48)),
+      b AS (
+        SELECT doc_id, lang,
+               CAST((instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || '#m'), 1, 1)) - 1)
+                    * 16
+                  + instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || '#m'), 2, 1)) - 1
+                    AS BIGINT) AS bucket
+        FROM documents)
+      SELECT b.doc_id, b.lang, b.bucket, CAST(r.rate AS BIGINT) AS rate
+      FROM b JOIN rates r USING (lang)
+      WHERE b.bucket < r.rate
+      ORDER BY b.doc_id"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam, qPrepChunk,
-    qPrepShard, qPrepSample)
+    qPrepShard, qPrepSample, qPrepMixture)
 }
