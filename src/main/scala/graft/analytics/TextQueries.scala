@@ -209,6 +209,102 @@ object TextQueries {
       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
       GROUP BY tok ORDER BY est_count DESC, token LIMIT 20"""))
 
+  /** Repetition-quality signals (the Gopher-style repetition filters):
+    * per-document duplicate-bigram / duplicate-trigram fractions and
+    * the most frequent bigram with its mass fraction. Documents whose
+    * text is dominated by one repeated phrase are the classic
+    * boilerplate/spam failure mode these filters remove before
+    * pretraining.
+    *
+    * Scale shape: the n-gram lists are built IN-ROW (narrow HOFs —
+    * `zip_with` over shifted slices), so the duplicate fractions cost
+    * zero shuffle. The top-bigram argmax is the one distributed step:
+    * explode → map-side-combining groupBy keyed on (doc_id, bigram) —
+    * the shuffle carries bigram counts, never document text — then a
+    * doc_id-partitioned window picks rank 1 (count DESC, bigram ASC
+    * tie-break). A per-row O(len²) HOF argmax would avoid the shuffle
+    * but melts on real documents (10k tokens → 10⁸ compares/row);
+    * the keyed-aggregate shape is the one that survives 100 TB. */
+  val qTextRepetition = Q(
+    "q_text_repetition",
+    (s, dir) => {
+      val exploded = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          (size(col("ws")) - 1).cast("long").as("n_bigrams"),
+          when(size(col("ws")) >= 2,
+            zip_with(
+              slice(col("ws"), lit(1), size(col("ws")) - 1),
+              slice(col("ws"), lit(2), size(col("ws")) - 1),
+              (a, b) => concat(a, lit(" "), b)))
+            .otherwise(array().cast("array<string>")).as("bg"),
+          when(size(col("ws")) >= 3,
+            expr("""transform(sequence(0, size(ws) - 3),
+                      i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"""))
+            .otherwise(array().cast("array<string>")).as("tg"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(lit(1.0) - size(array_distinct(col("bg"))) * lit(1.0) /
+            size(col("bg")), 6).as("dup_bigram_frac"),
+          when(size(col("tg")) === 0, lit(0.0))
+            .otherwise(round(lit(1.0) -
+              size(array_distinct(col("tg"))) * lit(1.0) /
+              size(col("tg")), 6)).as("dup_trigram_frac"),
+          explode(col("bg")).as("bg"))
+      val counts = exploded
+        .groupBy("doc_id", "n_bigrams", "dup_bigram_frac",
+          "dup_trigram_frac", "bg")
+        .agg(count(lit(1)).as("n"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("n").desc, col("bg"))
+      counts
+        .withColumn("rn", row_number().over(byDoc))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"),
+          col("bg").as("top_bigram"),
+          col("n").as("top_bigram_n"),
+          round(col("n") * lit(1.0) / col("n_bigrams"), 6)
+            .as("top_bigram_frac"),
+          col("dup_bigram_frac"), col("dup_trigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      grams AS (
+        SELECT doc_id,
+               len(ws) - 1 AS n_bigrams,
+               CASE WHEN len(ws) >= 2
+                    THEN list_transform(range(1, len(ws)),
+                           i -> ws[i] || ' ' || ws[i+1])
+                    ELSE [] END AS bg,
+               CASE WHEN len(ws) >= 3
+                    THEN list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                    ELSE [] END AS tg
+        FROM base),
+      e AS (
+        SELECT doc_id, n_bigrams,
+               ROUND(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 6)
+                 AS dup_bigram_frac,
+               CASE WHEN len(tg) = 0 THEN 0.0
+                    ELSE ROUND(1.0 - len(list_distinct(tg)) * 1.0 / len(tg), 6)
+               END AS dup_trigram_frac,
+               unnest(bg) AS bg
+        FROM grams),
+      c AS (
+        SELECT doc_id, n_bigrams, dup_bigram_frac, dup_trigram_frac, bg,
+               COUNT(*) AS n
+        FROM e GROUP BY ALL),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY n DESC, bg) AS rn
+        FROM c)
+      SELECT doc_id, bg AS top_bigram, n AS top_bigram_n,
+             ROUND(n * 1.0 / n_bigrams, 6) AS top_bigram_frac,
+             dup_bigram_frac, dup_trigram_frac
+      FROM r WHERE rn = 1 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
-    qTextFingerprint, qTextVocab, qHeavyHitters)
+    qTextFingerprint, qTextVocab, qHeavyHitters, qTextRepetition)
 }

@@ -299,6 +299,36 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr"))
   }
 
+  test("repetition signals separate boilerplate from varied text") {
+    val fixtures = Seq(
+      // pure loop: one bigram carries all the mass, all trigrams dup
+      (1L, "buy now buy now buy now buy now buy now buy now buy now buy"),
+      // fully varied: every bigram and trigram unique
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // two-token doc: bigram exists, trigram list empty -> frac 0.0
+      (3L, "hello world"))
+    val dir = java.nio.file.Files.createTempDirectory("rep").toString
+    fixtures.toDF("doc_id", "text")
+      .withColumn("lang", lit("?")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.qTextRepetition.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val loop = out(1L)
+    assert(loop.getString(1) === "buy now", s"top bigram: $loop")
+    assert(loop.getDouble(3) >= 0.5, s"loop mass should dominate: $loop")
+    assert(loop.getDouble(4) > 0.8 && loop.getDouble(5) > 0.8,
+      s"loop dup fractions should be high: $loop")
+    val varied = out(2L)
+    assert(varied.getDouble(4) === 0.0 && varied.getDouble(5) === 0.0,
+      s"varied text has no duplicate n-grams: $varied")
+    // tie-break: all bigrams count 1 -> lexicographically first wins
+    assert(varied.getString(1) === "alpha beta", s"tie-break: $varied")
+    val tiny = out(3L)
+    assert(tiny.getString(1) === "hello world" &&
+      tiny.getDouble(5) === 0.0, s"2-token doc: $tiny")
+  }
+
   test("simhash: identical text → identical signature; near-dup close") {
     def hamming(a: String, b: String): Int =
       a.zip(b).count { case (x, y) => x != y }
