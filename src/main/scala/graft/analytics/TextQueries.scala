@@ -305,6 +305,67 @@ object TextQueries {
              dup_bigram_frac, dup_trigram_frac
       FROM r WHERE rn = 1 ORDER BY doc_id"""))
 
+  /** Unigram-LM quality score: per-document mean negative log
+    * likelihood under the corpus's own unigram distribution — the
+    * cheap stand-in for the KenLM/CCNet perplexity filter every
+    * pretraining pipeline runs (low = generic/repetitive text, high =
+    * rare-token-heavy).
+    *
+    * Scale shape: two map-side-combining aggregations over the token
+    * stream — the LM table keyed on token, the doc profile keyed on
+    * (doc_id, token) — so shuffles carry counts, never text. The LM
+    * table is bounded by the vocabulary and broadcast to the scoring
+    * join; the corpus-total scalar rides a single-row broadcast cross
+    * join (whitelisted BNLJ site, same pattern as the dedup stop-
+    * shingle threshold).
+    *
+    * Cross-engine parity: per-token NLL is rounded to 6dp (absorbing
+    * libm `ln` last-ulp differences) and accumulated as DECIMAL so the
+    * per-doc sum is exact and order-independent in both engines; only
+    * the final mean returns to double (parity rule: decimal sums). */
+  val qTextLogprob = Q(
+    "q_text_logprob",
+    (s, dir) => {
+      def toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      val total = vocab.agg(sum(col("n_w")).cast("long").as("n_total"))
+      val lm = vocab.crossJoin(broadcast(total))
+        .select(col("w"),
+          round(-log(col("n_w") * lit(1.0) / col("n_total")), 6)
+            .cast("decimal(25,6)").as("nll"))
+      val perDoc = toks.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("n"))
+      perDoc.join(broadcast(lm), "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).cast("long").as("n_tokens"),
+          round(sum(col("nll") * col("n").cast("decimal(12,0)"))
+            .cast("double") / sum(col("n")).cast("long"), 6)
+            .as("mean_nll"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      vocab AS (
+        SELECT w, COUNT(*) AS n_w FROM toks GROUP BY w),
+      total AS (
+        SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM vocab),
+      lm AS (
+        SELECT w, CAST(ROUND(-LN(n_w * 1.0 / n_total), 6)
+                       AS DECIMAL(25,6)) AS nll
+        FROM vocab, total),
+      per_doc AS (
+        SELECT doc_id, w, COUNT(*) AS n FROM toks GROUP BY doc_id, w)
+      SELECT d.doc_id,
+             CAST(SUM(d.n) AS BIGINT) AS n_tokens,
+             ROUND(CAST(SUM(lm.nll * CAST(d.n AS DECIMAL(12,0))) AS DOUBLE)
+                   / CAST(SUM(d.n) AS BIGINT), 6) AS mean_nll
+      FROM per_doc d JOIN lm USING (w)
+      GROUP BY d.doc_id ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
-    qTextFingerprint, qTextVocab, qHeavyHitters, qTextRepetition)
+    qTextFingerprint, qTextVocab, qHeavyHitters, qTextRepetition,
+    qTextLogprob)
 }

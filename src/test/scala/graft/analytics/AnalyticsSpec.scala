@@ -329,6 +329,28 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       tiny.getDouble(5) === 0.0, s"2-token doc: $tiny")
   }
 
+  test("unigram logprob: rare-token docs score above common-token docs; hand check") {
+    // corpus: 'a' x 8, 'b' x 2 -> p(a)=0.8, p(b)=0.2
+    val fixtures = Seq(
+      (1L, "a a a a a a"), // 6 common tokens
+      (2L, "a a b b"))     // mixes in the rare token
+    val dir = java.nio.file.Files.createTempDirectory("nll").toString
+    fixtures.toDF("doc_id", "text")
+      .withColumn("lang", lit("?")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.qTextLogprob.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val nllA = r6(-math.log(0.8))
+    val nllB = r6(-math.log(0.2))
+    assert(out(1L) === ((6L, r6(nllA))),
+      s"pure-common doc mean must equal nll(a): ${out(1L)}")
+    assert(out(2L) === ((4L, r6((2 * nllA + 2 * nllB) / 4))),
+      s"mixed doc hand value: ${out(2L)}")
+    assert(out(2L)._2 > out(1L)._2, "rare tokens must raise the score")
+  }
+
   test("simhash: identical text → identical signature; near-dup close") {
     def hamming(a: String, b: String): Int =
       a.zip(b).count { case (x, y) => x != y }

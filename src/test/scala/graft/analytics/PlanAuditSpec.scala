@@ -54,10 +54,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // the same single-row corpus-count broadcast.
     // q_dedup_semantic shares q_sim_ivf_topk's 16-row broadcast
     // centroid-array cross join for cluster assignment.
+    // q_text_logprob: the BNLJ is the single-row corpus-token-total
+    // scalar broadcast into the unigram LM table.
     val allowed = Set("q_dedup_embedding", "q_sim_topk_brute",
       "q_sim_lsh_topk", "q_theta_join",
       "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_dedup_cluster",
-      "q_sim_ivf_topk", "q_dedup_semantic")
+      "q_sim_ivf_topk", "q_dedup_semantic", "q_text_logprob")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
