@@ -1,0 +1,43 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-layout helpers: pre-shuffle a table ONCE at write time so
+  * every later join/aggregate on the bucket key is shuffle-free.
+  *
+  * This is the "reuse a partitioning across stages" lever at 100 TB:
+  * a fact table that is joined on the same key by many downstream
+  * queries (orders ⋈ lineitem on the order key, token tables on
+  * doc_id, pair graphs on cluster id) pays the exchange once, at
+  * ingest, instead of per query. Both sides bucketed by the same key
+  * into the same bucket count let Catalyst plan a SortMergeJoin whose
+  * children are already hash-distributed — no Exchange on either side
+  * (asserted in BucketingSpec) — and a groupBy on the bucket key
+  * aggregates in place the same way.
+  *
+  * Sizing rule for real clusters: buckets ≈ total table bytes /
+  * target partition size (128–512 MB), rounded to a multiple of the
+  * executor-core count; both join sides MUST agree on (key, count) or
+  * Spark re-shuffles the mismatched side.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, per-bucket-sorted parquet table in the
+    * session catalog. Sorting by the key lets SortMergeJoin skip the
+    * per-task sort as well (the scan yields sorted runs). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Join two co-bucketed catalog tables on their shared bucket key.
+    * With both sides bucketed by `key` into the same count, the plan
+    * carries no Exchange (verified by plan audit, BucketingSpec). */
+  def colocatedJoin(s: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    s.table(left).join(s.table(right), key)
+}
