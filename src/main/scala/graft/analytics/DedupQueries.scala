@@ -24,7 +24,7 @@ object DedupQueries {
   import RelationalQueries.Q
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    Tables.spread(Tables(s, dir, "documents"))
 
   /** Distinct word-3-gram shingles per doc (docs with <3 words yield
     * none — mirrored by generate_series emptiness in the oracle),

@@ -13,7 +13,7 @@ object MultimodalQueries {
   val qMultimodalMeta = Q(
     "q_multimodal_meta",
     (s, dir) =>
-      Multimodal.binarize(Tables(s, dir, "documents"))
+      Multimodal.binarize(Tables.spread(Tables(s, dir, "documents")))
         .select(col("doc_id"), col("n_bytes"), col("content_hash"),
           col("media_type"))
         .orderBy(col("doc_id")),
@@ -36,7 +36,7 @@ object MultimodalQueries {
     "q_multimodal_features",
     (s, dir) => {
       val feats = Multimodal.extractFeatures(
-        Multimodal.binarize(Tables(s, dir, "documents")))
+        Multimodal.binarize(Tables.spread(Tables(s, dir, "documents"))))
       feats.select(col("doc_id"),
           round(element_at(col("features"), 1).cast("double"), 6)
             .as("f0"),
@@ -71,7 +71,7 @@ object MultimodalQueries {
     "q_multimodal_frames",
     (s, dir) =>
       Multimodal.sampleFrames(
-          Multimodal.binarize(Tables(s, dir, "documents")))
+          Multimodal.binarize(Tables.spread(Tables(s, dir, "documents"))))
         .select(col("doc_id"), col("frame_idx"), col("frame_start"),
           hex(col("frame")).as("frame_hex"))
         .orderBy(col("doc_id"), col("frame_idx")),

@@ -20,32 +20,10 @@ object PipelineQueries {
   /** The decode path is CPU-bound, and a one-file bench fixture
     * arrives as a single input split that would otherwise run on one
     * core. Spread ONLY when the scan's own split count can't feed
-    * every core; with production split counts (anything at real scale)
-    * this is a no-op, so the registered query carries no unconditional
-    * full-input shuffle. */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // Split count comes from the planned scan itself (FileScanRDD
-    // partition packing) — NOT from df.rdd, which would run a second
-    // full planning pass and build the whole RDD DAG per invocation.
-    // AQE wraps the whole plan in AdaptiveSparkPlanExec (itself a leaf
-    // node), so unwrap it first; DSv2 sources plan as BatchScanExec —
-    // both arms matched so a source-strategy change can't silently
-    // leave the single-split fixture on one core (round-3 ADVICE #1).
-    val plan = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
-    }
-    val splits = plan.collectLeaves().map {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-        s.inputRDDs().map(_.getNumPartitions).sum
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.inputPartitions.size
-      case _ => target // non-file source: assume production split count
-    }.sum
-    if (splits < target) df.repartition(target) else df
-  }
+    * every core (round-3 ADVICE #1) — shared logic in
+    * [[Tables.spread]], now also applied to the documents/embeddings
+    * families. */
+  private def spread(df: DataFrame): DataFrame = Tables.spread(df)
 
   val qDnsPipelineFull = Q(
     "q_dns_pipeline_full",

@@ -19,7 +19,7 @@ object PrepQueries {
   import RelationalQueries.Q
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    Tables.spread(Tables(s, dir, "documents"))
 
   /** Deterministic train/val/test assignment: bucket = the first two
     * hex digits of md5(doc_id) as an integer in [0, 256) — train

@@ -25,7 +25,7 @@ object SimilarityQueries {
   import RelationalQueries.Q
 
   private[analytics] def emb(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings")
+    Tables.spread(Tables(s, dir, "embeddings"))
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", graft.functions.VectorFunctions.dot(col("v"), col("v")))

@@ -22,4 +22,40 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
   }
+
+  /** Round-robin a scan across the cluster ONLY when the planned scan
+    * yields fewer splits than cores — a single-file local fixture
+    * otherwise runs every narrow stage (shingling, hashing, n-gram
+    * explode, partial aggregation) on one task. At production scale a
+    * 100 TB table is thousands of splits and this is a no-op; the
+    * guard is plan-derived, so a multi-split input is NEVER re-
+    * shuffled (asserted in PlanAuditSpec for both the DNS pipeline
+    * and the documents family).
+    *
+    * Projections still prune through the added Repartition node
+    * (ColumnPruning pushes the needed-column set below it), so scans
+    * keep reading only the referenced columns. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // Split count comes from the planned scan itself (FileScanRDD
+    // partition packing) — NOT from df.rdd, which would run a second
+    // full planning pass and build the whole RDD DAG per invocation.
+    // AQE wraps the whole plan in AdaptiveSparkPlanExec (itself a leaf
+    // node), so unwrap it first; DSv2 sources plan as BatchScanExec —
+    // both arms matched so a source-strategy change can't silently
+    // leave the single-split fixture on one core.
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val splits = plan.collectLeaves().map {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.inputRDDs().map(_.getNumPartitions).sum
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+      case _ => target // non-file source: assume production split count
+    }.sum
+    if (splits < target) df.repartition(target) else df
+  }
 }

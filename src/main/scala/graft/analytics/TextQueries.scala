@@ -14,7 +14,7 @@ object TextQueries {
   import RelationalQueries.Q
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    Tables.spread(Tables(s, dir, "documents"))
 
   /** Stopword profiles for the n-gram language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
@@ -311,13 +311,16 @@ object TextQueries {
     * pretraining pipeline runs (low = generic/repetitive text, high =
     * rare-token-heavy).
     *
-    * Scale shape: two map-side-combining aggregations over the token
-    * stream — the LM table keyed on token, the doc profile keyed on
-    * (doc_id, token) — so shuffles carry counts, never text. The LM
-    * table is bounded by the vocabulary and broadcast to the scoring
-    * join; the corpus-total scalar rides a single-row broadcast cross
-    * join (whitelisted BNLJ site, same pattern as the dedup stop-
-    * shingle threshold).
+    * Scale shape: ONE map-side-combining aggregation over the token
+    * stream builds the (doc_id, token) profile; the LM table derives
+    * from that profile by a second, much smaller aggregation keyed on
+    * token — both consumers sit on the SAME (doc_id, token) exchange,
+    * so Catalyst's ReuseExchange scans and explodes the corpus once.
+    * Shuffles carry counts, never text. The LM table is bounded by
+    * the vocabulary and broadcast to the scoring join; the corpus-
+    * total scalar rides a single-row broadcast cross join
+    * (whitelisted BNLJ site, same pattern as the dedup stop-shingle
+    * threshold).
     *
     * Cross-engine parity: per-token NLL is rounded to 6dp (absorbing
     * libm `ln` last-ulp differences) and accumulated as DECIMAL so the
@@ -326,16 +329,16 @@ object TextQueries {
   val qTextLogprob = Q(
     "q_text_logprob",
     (s, dir) => {
-      def toks = docs(s, dir)
+      val toks = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      val perDoc = toks.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("n"))
+      val vocab = perDoc.groupBy(col("w")).agg(sum(col("n")).as("n_w"))
       val total = vocab.agg(sum(col("n_w")).cast("long").as("n_total"))
       val lm = vocab.crossJoin(broadcast(total))
         .select(col("w"),
           round(-log(col("n_w") * lit(1.0) / col("n_total")), 6)
             .cast("decimal(25,6)").as("nll"))
-      val perDoc = toks.groupBy(col("doc_id"), col("w"))
-        .agg(count(lit(1)).as("n"))
       perDoc.join(broadcast(lm), "w")
         .groupBy(col("doc_id"))
         .agg(sum(col("n")).cast("long").as("n_tokens"),

@@ -163,6 +163,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("documents family spreads a single-split scan but never re-shuffles a multi-split one") {
+    // Same contract as the DNS gate, now on the documents loader: the
+    // one-file fixture must fan out to every core before the CPU-bound
+    // shingle/n-gram work...
+    val single = SparkEntry.queries("q_text_repetition")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(single.contains("RoundRobinPartitioning"),
+      s"single-split documents scan should spread:\n$single")
+    // ...but a production-shaped scan (>= cores splits) must pass
+    // through untouched — no unconditional full-input shuffle.
+    val dir = java.nio.file.Files.createTempDirectory("manydoc").toString
+    Tables(spark, sf, "documents").repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val prior = (spark.conf.get("spark.sql.files.maxPartitionBytes"),
+      spark.conf.get("spark.sql.files.openCostInBytes"))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    spark.conf.set("spark.sql.files.openCostInBytes", "16384")
+    try {
+      val multi = SparkEntry.queries("q_text_repetition")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!multi.contains("RoundRobinPartitioning"),
+        s"multi-split documents scan must not re-shuffle:\n$multi")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prior._1)
+      spark.conf.set("spark.sql.files.openCostInBytes", prior._2)
+    }
+  }
+
   test("the dns pipeline plan is shuffle-free") {
     import org.apache.spark.sql.functions._
     val env = spark.range(1).select(
