@@ -40,4 +40,23 @@ object Bucketing {
   def colocatedJoin(s: SparkSession, left: String, right: String,
       key: String): DataFrame =
     s.table(left).join(s.table(right), key)
+
+  /** Hive-style partitioned layout — the FILTER-key complement to the
+    * bucketed JOIN-key layout. Writing a corpus partitioned by its
+    * hot predicate columns (language, source, date) turns every
+    * `WHERE lang = 'en'` into directory pruning: non-matching
+    * partitions are never listed, opened, or scanned
+    * (`PartitionFilters` in the scan node, asserted in BucketingSpec).
+    * At 100 TB this is the difference between reading one language's
+    * share and reading everything.
+    *
+    * Keep partition columns low-cardinality (≤ a few thousand
+    * directories); high-cardinality keys belong in bucketing or
+    * file-level min/max stats instead. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: String*): Unit =
+    df.write
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
 }

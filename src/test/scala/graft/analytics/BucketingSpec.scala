@@ -54,6 +54,35 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    Bucketing.writePartitioned(
+      Tables(spark, sf, "documents").select("doc_id", "n_chars", "lang"),
+      s"$dir/docs", "lang")
+    val langs = Tables(spark, sf, "documents")
+      .select("lang").distinct().collect().map(_.getString(0))
+    assert(langs.length > 1, "fixture needs several languages to prune")
+    val one = spark.read.parquet(s"$dir/docs")
+      .filter(col("lang") === langs.head)
+    val scan = one.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    // the predicate lands as a partition filter, and the scan's file
+    // selection shrinks to the one matching directory
+    assert(scan.partitionFilters.nonEmpty,
+      s"lang predicate should prune partitions: $scan")
+    val relation = scan.relation.location
+    assert(relation.inputFiles.count(_.contains(s"lang=${langs.head}")) > 0)
+    val selected = scan.selectedPartitions.totalNumberOfFiles
+    val total = relation.inputFiles.length.toLong
+    assert(selected < total,
+      s"pruned scan should read a strict subset: $selected of $total")
+    // and the pruned read returns exactly the filtered rows
+    val expected = Tables(spark, sf, "documents")
+      .filter(col("lang") === langs.head).count()
+    assert(one.count() === expected)
+  }
+
   test("groupBy on the bucket key aggregates in place (no Exchange)") {
     prepared
     val agg = spark.table("lineitem_b")
