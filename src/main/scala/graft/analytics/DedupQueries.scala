@@ -675,7 +675,72 @@ object DedupQueries {
       FROM assigned a LEFT JOIN pruned p ON a.vec_id = p.vec_id
       ORDER BY a.vec_id"""))
 
+  /** Cross-document duplicated-passage profile (the ExactSubstr-lite
+    * pass): per document, the fraction of its distinct word-8-grams
+    * that also occur in at least one OTHER document. Whole-doc dedup
+    * ([[qDedupExact]]/[[qDedupMinhash]]) misses shared boilerplate —
+    * headers, license blocks, templated paragraphs — inside otherwise
+    * distinct documents; this is the signal that finds it (the
+    * suffix-array ExactSubstr dedup of Lee et al. answers the same
+    * question exactly; per-doc-distinct 8-gram hashing is its
+    * shuffle-friendly approximation, sharing [[graft.functions
+    * .TextFunctions.shingles]]' first-occurrence dedup).
+    *
+    * Scale shape: the corpus text is reduced to 32-byte md5 hashes of
+    * the 8-gram instances before anything shuffles — both the
+    * cross-document-frequency aggregation and the join back are keyed
+    * on the hash, so the shuffles carry hashes and counts, never text,
+    * and the quadratic pair space never materializes (same discipline
+    * as the shingle/band/centroid keying in the sibling queries). The
+    * instance table feeds two consumers (the dup-hash aggregation and
+    * the join back), so it persists for exactly one action via
+    * [[QueryScopedCache]]. */
+  val qDedupPassage = Q(
+    "q_dedup_passage",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val ps = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.shingles(col("ws"), 8))
+            .as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("h"))
+        .persist(MEMORY_AND_DISK)
+      val dup = ps.groupBy(col("h"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("h").as("dh"))
+      val result = ps.join(dup, col("h") === col("dh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(col("dh")).as("n_dup"),
+          round(count(col("dh")) * lit(1.0) / count(lit(1)), 6)
+            .as("dup_frac"))
+        .filter(col("n_dup") > 0)
+        .orderBy(col("doc_id"))
+      QueryScopedCache.releaseAfter(result, Seq(ps))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      ps AS (
+        SELECT DISTINCT doc_id, md5(sh) AS h FROM (
+          SELECT doc_id,
+                 unnest([array_to_string(ws[i:i+7], ' ')
+                         for i in generate_series(1, len(ws) - 7)]) AS sh
+          FROM w)),
+      dup AS (SELECT h FROM ps GROUP BY h
+              HAVING COUNT(DISTINCT doc_id) >= 2)
+      SELECT p.doc_id,
+             COUNT(*) AS n_shingles,
+             COUNT(d.h) AS n_dup,
+             ROUND(COUNT(d.h) * 1.0 / COUNT(*), 6) AS dup_frac
+      FROM ps p LEFT JOIN dup d USING (h)
+      GROUP BY p.doc_id HAVING COUNT(d.h) > 0
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupCluster,
-    qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic)
+    qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic,
+    qDedupPassage)
 }

@@ -368,7 +368,47 @@ object TextQueries {
       FROM per_doc d JOIN lm USING (w)
       GROUP BY d.doc_id ORDER BY d.doc_id"""))
 
+  /** BPE merge-pair learning step: the frequency table of adjacent
+    * character pairs inside words, weighted by word frequency — the
+    * statistic one iteration of byte-pair-encoding vocabulary learning
+    * maximizes (the top row IS the first BPE merge; re-running after a
+    * merge yields the next).
+    *
+    * Scale shape — the insight that makes BPE learnable on a 100 TB
+    * corpus: aggregate the token stream to its (word, count) frequency
+    * table FIRST (map-side-combining groupBy; the shuffle shrinks from
+    * corpus size to vocabulary size), then enumerate pairs IN-ROW over
+    * the tiny vocabulary and run the pair aggregation over
+    * vocab × pairs-per-word rows — the corpus text is never exploded
+    * into character pairs. Ties rank deterministically by pair text. */
+  val qTextBpePairs = Q(
+    "q_text_bpe_pairs",
+    (s, dir) =>
+      docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .filter(length(col("w")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("n")).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("pair"))
+        .limit(30),
+    Some("""
+      WITH w AS (
+        SELECT w, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w),
+      p AS (
+        SELECT substr(w, i, 2) AS pair, n
+        FROM (SELECT w, n, unnest(generate_series(1, length(w) - 1)) AS i
+              FROM w WHERE length(w) >= 2))
+      SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+      FROM p GROUP BY pair
+      ORDER BY n_occurrences DESC, pair LIMIT 30"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
     qTextFingerprint, qTextVocab, qHeavyHitters, qTextRepetition,
-    qTextLogprob)
+    qTextLogprob, qTextBpePairs)
 }

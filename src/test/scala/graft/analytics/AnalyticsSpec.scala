@@ -67,6 +67,73 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.25, s"recall $recall")
   }
 
+  test("pq ann: recall >= 0.5 vs brute force; planted near-copy is rank 1") {
+    // corpus: the (M=32, K=64) split's measured recall is 0.70; assert
+    // with margin (deterministic pipeline on fixed data — margin guards
+    // only future parameter changes, not run noise)
+    val brute = SimilarityQueries.qSimTopkBrute.run(spark, sf)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SimilarityQueries.qSimPqTopk.run(spark, sf)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+    // a planted near-copy encodes to the SAME 32 codes, so its ADC
+    // distance equals the query's own quantization floor — nothing can
+    // rank above it, and ties break to the smaller id
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val base = vec()
+    val rows = Seq((0L, base, 0), (21L, base.map(_ * 1.0001f), 0)) ++
+      (22L until 200L).map(i => (i, vec(), 1))
+    val dir = java.nio.file.Files.createTempDirectory("pqann").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top1 = SimilarityQueries.qSimPqTopk.run(spark, dir)
+      .filter($"qid" === 0L && $"rank" === 1L)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(top1 === Seq(21L), s"planted near-copy not rank 1: $top1")
+  }
+
+  test("passage dedup: planted shared passage flagged, disjoint doc absent") {
+    // docs 1 and 2 share a 10-word passage (→ 3 common distinct
+    // 8-grams) inside otherwise disjoint text; doc 3 shares nothing
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fixtures = Seq(
+      (1L, s"a1 b1 c1 d1 $passage e1 f1 g1 h1"),
+      (2L, s"a2 b2 c2 d2 e2 $passage f2 g2 h2"),
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 m12 m13 m14"))
+    val dir = java.nio.file.Files.createTempDirectory("passage").toString
+    fixtures.toDF("doc_id", "text")
+      .withColumn("lang", lit("?")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupQueries.qDedupPassage.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === Set(1L, 2L), s"flagged docs: ${out.keySet}")
+    // 18-word docs carry 11 distinct 8-grams each; the 3 fully inside
+    // the shared passage are the duplicated ones
+    assert(out(1L) === ((11L, 3L)), s"doc 1 profile: ${out(1L)}")
+    assert(out(2L) === ((11L, 3L)), s"doc 2 profile: ${out(2L)}")
+  }
+
+  test("bpe pairs: hand-computed weighted pair counts") {
+    // words: aaab ×2, ab ×1, ba ×1. In-word pairs: aaab → aa,aa,ab —
+    // the repeated 'aa' within one word must count twice (position
+    // enumeration, not distinct pairs). Weighted totals:
+    // aa = 2×2 = 4, ab = 2×1 + 1 = 3, ba = 1.
+    val fixtures = Seq((1L, "aaab ab aaab"), (2L, "ba"))
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    fixtures.toDF("doc_id", "text")
+      .withColumn("lang", lit("?")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.qTextBpePairs.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("aa", 4L), ("ab", 3L), ("ba", 1L)), s"got $out")
+  }
+
   test("lsh embedding dedup: agrees with exact in-block; finds planted dups") {
     // corpus: any emitted in-block pair must agree with the exact query
     val exact = DedupQueries.qDedupEmbedding.run(spark, sf)

@@ -56,10 +56,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // centroid-array cross join for cluster assignment.
     // q_text_logprob: the BNLJ is the single-row corpus-token-total
     // scalar broadcast into the unigram LM table.
+    // q_sim_pq_topk: the 1-row broadcast codebook array rides a cross
+    // join into encode and LUT build (bounded by construction), and
+    // the 20 broadcast query LUTs join the corpus codes on a pure
+    // self-exclusion inequality — the qSimTopkBrute pattern.
     val allowed = Set("q_dedup_embedding", "q_sim_topk_brute",
       "q_sim_lsh_topk", "q_theta_join",
       "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_dedup_cluster",
-      "q_sim_ivf_topk", "q_dedup_semantic", "q_text_logprob")
+      "q_sim_ivf_topk", "q_dedup_semantic", "q_text_logprob",
+      "q_sim_pq_topk")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
