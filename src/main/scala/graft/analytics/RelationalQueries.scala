@@ -603,6 +603,69 @@ object RelationalQueries {
              CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1 ORDER BY bucket"""))
 
+  /** Batch sessionization: gap-based sessions (30-minute inactivity
+    * timeout) via the classic two-window pattern — a lag() flags
+    * session starts, a running sum numbers them, a groupBy rolls each
+    * session up. The batch twin of the streaming sessionizers
+    * (`dns/Sessions.scala`), and the one that CAN hash-match an
+    * oracle (streaming state ops cannot).
+    *
+    * Scale shape: ONE shuffle. Both windows and the final aggregate
+    * key on user_id (the aggregate on (user_id, session_idx), whose
+    * clustering the user_id hash partitioning already satisfies), so
+    * Catalyst plans a single hash exchange for the whole chain —
+    * PlanAuditSpec pins that. Gap compares use exact integer
+    * microseconds (`unix_micros`/`epoch_us`) — the events timestamps
+    * carry sub-second precision, and float epoch seconds would
+    * disagree across engines at session boundaries; the value rollup
+    * accumulates in DECIMAL (parity rule: decimal sums). */
+  val qSessionizeBatch = Q(
+    "q_sessionize_batch",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev
+        .withColumn("new_s",
+          when(col("us") - lag(col("us"), 1).over(w) <= 1800L * 1000000L,
+            lit(0L)).otherwise(lit(1L)))
+        .withColumn("session_idx", sum(col("new_s")).over(frame))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          sum(col("value").cast(DecimalType(25, 6))).cast("double")
+            .as("session_value"))
+        .orderBy(col("user_id"), col("session_idx"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      f AS (
+        SELECT *, CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                               ORDER BY us, event_id)
+                            <= 1800 * 1000000
+                       THEN 0 ELSE 1 END AS new_s
+        FROM e),
+      s AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS session_idx
+        FROM f)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             COUNT(*) AS n_events,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+               AS session_value
+      FROM s GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""))
+
   /** Global sort + limit (top-k by price, unique tie-break). */
   val qSortLimit = Q(
     "q_sort_limit",
@@ -966,7 +1029,7 @@ object RelationalQueries {
     qJoinRegionRevenue, qJoinSemi, qJoinAnti, qJoinLeftOuter,
     qJoinFullOuter, qAggStringAgg, qThetaJoin, qRangeJoin,
     qAsofJoin, qTopkPerCustomer, qWindowRunning, qWindowRanks,
-    qWindowRangeFrame, qWindowHourly,
+    qWindowRangeFrame, qWindowHourly, qSessionizeBatch,
     qSortLimit, qSetopsNations, qScalarString, qScalarDate, qScalarMath,
     qScalarRegex, qScalarConditional, qScalarArray, qSaltedAgg,
     qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events)

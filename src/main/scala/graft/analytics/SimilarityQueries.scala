@@ -355,14 +355,14 @@ object SimilarityQueries {
     *
     * Cross-engine parity: every subspace distance is rounded once to
     * integer MICRO-units (`round(d2 * 1e6)` as long), so the ADC sum
-    * of 8 terms is exact integer arithmetic — order-independent in
+    * of 32 terms is exact integer arithmetic — order-independent in
     * DuckDB's unordered SUM and Spark's sequential `aggregate` alike
     * (the float-sum ordering trap the decimal-NLL query dodges the
     * same way); argmin ties break to the smaller position. Encoding
-    * ranks a 16-element in-row array (the [[ivfRanked]] shape — no
+    * ranks a 64-element in-row array (the [[ivfRanked]] shape — no
     * corpus shuffle); scoring joins the 20 broadcast query LUTs
     * against the codes, so the only corpus-wide state in flight is
-    * 8 codes per vector. At production scale codes are computed once
+    * 32 codes per vector. At production scale codes are computed once
     * at ingest and STORED (that is the point of PQ); the bench derives
     * them inline so the query is self-contained. */
   val qSimPqTopk = Q(
@@ -374,21 +374,23 @@ object SimilarityQueries {
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(64)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val centArr = cents.agg(
-        sort_array(collect_list(struct(col("cid"), col("cv")))).as("cs"))
+      // codebook as a cid-sorted plain array<array<double>>: position
+      // IS the code, in both the native encoder and the SQL LUT
+      val centArr = cents.agg(expr(
+        "transform(array_sort(collect_list(struct(cid, cv))), c -> c.cv)")
+        .as("cs"))
       val withCs = e.crossJoin(broadcast(centArr))
       // micro-unit subspace L2² between v's m-th slice and codebook
-      // position k's slice (shared by encode and LUT; 1-based k)
+      // position k's slice (LUT build; the corpus-side encode runs the
+      // same arithmetic in the native PqCodes loop)
       def d2m(m: String, k: String) =
         s"""cast(round(aggregate(zip_with(
               slice(v, $m * 2 + 1, 2),
-              slice(element_at(cs, $k).cv, $m * 2 + 1, 2),
+              slice(element_at(cs, $k), $m * 2 + 1, 2),
               (a, b) -> (a - b) * (a - b)),
             cast(0 as double), (acc, x) -> acc + x) * 1000000) as bigint)"""
-      val coded = withCs.withColumn("codes", expr(
-        s"""transform(sequence(0, 31), m ->
-              element_at(array_sort(transform(sequence(1, 64), k ->
-                struct(${d2m("m", "k")} as d2m, k as k))), 1).k)"""))
+      val coded = withCs.withColumn("codes",
+          graft.functions.VectorFunctions.pqCodes(col("v"), col("cs"), 2))
         .select(col("vec_id"), col("codes"))
       val qlut = withCs.filter(col("vec_id") < 20)
         .withColumn("lut", expr(

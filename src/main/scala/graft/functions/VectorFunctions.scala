@@ -154,6 +154,87 @@ object LshSignature {
   }
 }
 
+/** Product-quantization encoder: per `subDim`-wide subspace, the
+  * 1-based index of the codebook vector whose subspace slice is
+  * nearest (squared L2) to the input's — the 32-codes-per-vector
+  * compression at the heart of [[graft.analytics.SimilarityQueries
+  * .qSimPqTopk]].
+  *
+  * Why native: the HOF formulation (`transform` over subspaces of
+  * `array_sort` over `transform` over codebook entries of
+  * `aggregate(zip_with(slice, slice))`) evaluates ~2k interpreted
+  * closures and allocates ~4k slice arrays PER ROW — measured 3.3 s
+  * of the sf0.1 bench on 2 000 vectors. This loop is the same
+  * arithmetic in one pass: sequential ascending-index double adds per
+  * subspace, distances rounded once to integer micro-units
+  * (`Math.round(d2 * 1e6)` — positive inputs, so identical to the
+  * HALF_UP the SQL `round` and the DuckDB oracle apply), ties to the
+  * smaller codebook index. The query-side LUT keeps the HOF form (20
+  * rows); both paths round identically so ADC lookups stay exact.
+  *
+  * `left`: array<double> (the vector); `right`: array<array<double>>
+  * (the codebook, cid-sorted — position IS the code). */
+case class PqCodes(left: Expression, right: Expression, subDim: Int)
+  extends BinaryExpression {
+
+  require(subDim >= 1, "subDim >= 1")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_pq_codes"
+
+  override protected def nullSafeEval(vec: Any, cents: Any): Any = {
+    val v = vec.asInstanceOf[ArrayData]
+    val cs = cents.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val k = cs.numElements()
+    val m = dim / subDim
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val off = mi * subDim
+      var best = Long.MaxValue
+      var bestK = 0
+      var ki = 0
+      while (ki < k) {
+        val cv = cs.getArray(ki)
+        var d2 = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = v.getDouble(off + i) - cv.getDouble(off + i)
+          d2 += diff * diff
+          i += 1
+        }
+        val micro = Math.round(d2 * 1000000.0)
+        // strict <: equal micro distances keep the earlier (smaller)
+        // codebook index — the (d2m, k) ascending tie-break
+        if (micro < best) { best = micro; bestK = ki + 1 }
+        ki += 1
+      }
+      codes(mi) = bestK
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  /** Called from generated code. */
+  def codesEval(v: ArrayData, cs: ArrayData): ArrayData =
+    nullSafeEval(v, cs).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("pqExpr", this)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $expr.codesEval($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product over two array<double> columns. */
   def dot(a: Column, b: Column): Column =
@@ -163,4 +244,10 @@ object VectorFunctions {
   /** Codegen'd sign-LSH signature (`bits` sign bits as a long). */
   def lshSignature(v: Column, bits: Int): Column =
     ExprBridge.column(LshSignature(ExprBridge.expression(v), bits))
+
+  /** Codegen'd PQ encode: 1-based nearest-codebook-slice index per
+    * `subDim`-wide subspace. */
+  def pqCodes(v: Column, codebook: Column, subDim: Int): Column =
+    ExprBridge.column(PqCodes(
+      ExprBridge.expression(v), ExprBridge.expression(codebook), subDim))
 }

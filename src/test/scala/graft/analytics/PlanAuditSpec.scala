@@ -111,6 +111,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(offenders.isEmpty, s"partition-less windows in: $offenders")
   }
 
+  test("batch sessionization plans exactly one hash exchange") {
+    // lag-flag window, session-numbering window, and the session
+    // rollup all key on user_id — the whole chain must ride ONE
+    // user_id hash partitioning (the final orderBy's range exchange
+    // is the only other allowed shuffle)
+    val hashEx = plans("q_sessionize_batch").linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"expected one hash exchange:\n${plans("q_sessionize_batch")}")
+  }
+
   test("dimension joins broadcast the small side") {
     assert(plans("q_join_region_revenue").contains("BroadcastHashJoin"))
   }
