@@ -408,7 +408,59 @@ object TextQueries {
       FROM p GROUP BY pair
       ORDER BY n_occurrences DESC, pair LIMIT 30"""))
 
+  /** Corpus data card: the per-stratum profile (documents, tokens,
+    * length percentiles, lexical diversity) a pretraining pipeline
+    * publishes alongside the dataset and re-checks after every filter
+    * step — the summary that makes mixture decisions ([[PrepQueries
+    * .qPrepMixture]]) evidence-based.
+    *
+    * Scale shape: one narrow pass computes per-doc stats, then one
+    * aggregation keyed on the (tiny) stratum key. The length
+    * percentiles here are EXACT (`percentile` sorts each group's
+    * values) because the oracle must hash-match; at 100 TB swap in
+    * the mergeable GK sketch ([[RelationalQueries.qQuantileSketch]]'s
+    * `approx_percentile`) — same query shape, bounded memory. The
+    * mean TTR stays in integer MICRO-units end to end (per-doc
+    * `n_vocab·1e6 DIV n_words`, mean by integer division): a
+    * float-rounded mean landed exactly on a .5 micro boundary on this
+    * corpus, where Spark's shortest-decimal HALF_UP and DuckDB's
+    * binary-value rounding disagree by one ulp — integer arithmetic
+    * has no such edge, in any engine, at any scale. */
+  val qStatsDatacard = Q(
+    "q_stats_datacard",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), col("source"), split(col("text"), " ").as("ws"))
+        .select(col("lang"), col("source"),
+          size(col("ws")).cast("long").as("n_words"),
+          expr("CAST(size(array_distinct(ws)) AS BIGINT) * 1000000" +
+            " DIV size(ws)").as("ttr_micro"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_tokens"),
+          round(expr("percentile(n_words, 0.5D)"), 6).as("p50_words"),
+          round(expr("percentile(n_words, 0.9D)"), 6).as("p90_words"),
+          sum(col("ttr_micro")).as("s_ttr"))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+          col("p50_words"), col("p90_words"),
+          expr("s_ttr DIV n_docs").as("mean_ttr_micro"))
+        .orderBy(col("lang"), col("source")),
+    Some("""
+      WITH d AS (
+        SELECT lang, source, len(ws) AS n_words,
+               CAST(len(list_distinct(ws)) AS BIGINT) * 1000000 // len(ws)
+                 AS ttr_micro
+        FROM (SELECT lang, source, string_split(text, ' ') AS ws
+              FROM documents))
+      SELECT lang, source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+             ROUND(quantile_cont(n_words, 0.5), 6) AS p50_words,
+             ROUND(quantile_cont(n_words, 0.9), 6) AS p90_words,
+             CAST(SUM(ttr_micro) // COUNT(*) AS BIGINT) AS mean_ttr_micro
+      FROM d GROUP BY lang, source ORDER BY lang, source"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
     qTextFingerprint, qTextVocab, qHeavyHitters, qTextRepetition,
-    qTextLogprob, qTextBpePairs)
+    qTextLogprob, qTextBpePairs, qStatsDatacard)
 }
