@@ -169,9 +169,12 @@ object DedupQueries {
     *
     * Returns the verified pair table (ia, ib, jaccard ≥ 0.5, unsorted)
     * plus the persist handles behind it — shared by [[qDedupMinhash]]
-    * (which just orders it) and [[qDedupCluster]] (which resolves its
-    * connected components). */
-  private def minhashPairs(s: SparkSession, dir: String)
+    * (which just orders it), [[qDedupCluster]] (which resolves its
+    * connected components), and [[qDedupIncremental]] (which swaps the
+    * symmetric `ia < ib` candidate predicate for an asymmetric
+    * old-side/new-side one via `pairCond`). */
+  private def minhashPairs(s: SparkSession, dir: String,
+      pairCond: (Column, Column) => Column = _ < _)
       : (DataFrame, Seq[DataFrame]) = {
       val (sh, shHandles) = shingles(docs(s, dir), persistJoined = true)
       // One shuffle, no row blowup: the 16 permutation minima are 16
@@ -205,7 +208,7 @@ object DedupQueries {
       val cand = sig.as("p")
         .join(sig.as("q"),
           col("p.band") === col("q.band") && col("p.bh") === col("q.bh") &&
-            col("p.doc_id") < col("q.doc_id"))
+            pairCond(col("p.doc_id"), col("q.doc_id")))
         .select(col("p.doc_id").as("ia"), col("q.doc_id").as("ib"))
         .distinct()
         // tiny (banding already killed O(n²)); persisting it stops the
@@ -245,7 +248,7 @@ object DedupQueries {
 
   /** Shared oracle CTE chain ending in `pairs(ia, ib, jaccard)` — the
     * SQL mirror of [[minhashPairs]]. Callers prepend WITH [RECURSIVE]. */
-  private val minhashPairsSql = s"""
+  private def minhashPairsSql(pred: String = "p.doc_id < q.doc_id"): String = s"""
       $shinglesSql,
       hv AS (SELECT doc_id,
                     ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
@@ -270,7 +273,7 @@ object DedupQueries {
       cand AS (SELECT DISTINCT p.doc_id AS ia, q.doc_id AS ib
                FROM sig p JOIN sig q
                  ON p.band = q.band AND p.bh = q.bh
-                AND p.doc_id < q.doc_id),
+                AND $pred),
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
       cand_sh AS (SELECT c.ia, c.ib, s1.sh
                   FROM cand c JOIN sh s1 ON s1.doc_id = c.ia),
@@ -294,7 +297,7 @@ object DedupQueries {
         pairs.orderBy(col("ia"), col("ib")), handles)
     },
     Some(s"""
-      WITH $minhashPairsSql
+      WITH ${minhashPairsSql()}
       SELECT ia, ib, jaccard FROM pairs ORDER BY ia, ib"""))
 
   /** Duplicate-cluster resolution — the step every dedup pipeline runs
@@ -437,7 +440,7 @@ object DedupQueries {
       QueryScopedCache.releaseAfter(result, handles :+ pairs)
     },
     Some(s"""
-      WITH RECURSIVE $minhashPairsSql,
+      WITH RECURSIVE ${minhashPairsSql()},
       edges AS (SELECT ia AS src, ib AS dst FROM pairs
                 UNION ALL SELECT ib, ia FROM pairs),
       reach(src, dst) AS (
@@ -739,8 +742,57 @@ object DedupQueries {
       GROUP BY p.doc_id HAVING COUNT(d.h) > 0
       ORDER BY doc_id"""))
 
+  /** Incremental dedup — the daily-ingest shape: screen an arriving
+    * BATCH against the EXISTING corpus without re-pairing the world.
+    * The batch (stand-in boundary: doc_id ≡ 0 mod 10, ~10% of docs)
+    * band-probes the existing docs' MinHash signatures; only old↔new
+    * band collisions become candidates, only candidates get the exact
+    * Jaccard verify. Output: one verdict row per contaminated new doc
+    * (its duplicate count, best existing match, and that match's
+    * Jaccard).
+    *
+    * Why this is its own operator and not a filter over
+    * [[qDedupMinhash]]: the candidate predicate changes the JOIN SPACE,
+    * not just the output — old↔old and new↔new band collisions never
+    * become candidate rows, never enter the verify join, never shuffle.
+    * At 100 TB the existing corpus's signatures and shingle table are
+    * precomputed at ingest and STORED (the write-once bucketed layout
+    * `Bucketing.writeBucketed` models); a daily run then computes
+    * signatures only for the batch and probes — the full-history
+    * re-pair this query avoids is the difference between a daily job
+    * that scans 0.1% of the corpus and one that scans all of it. */
+  val qDedupIncremental = Q(
+    "q_dedup_incremental",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (pairs, handles) = minhashPairs(s, dir,
+        (old, nw) => old % 10 =!= 0 && nw % 10 === 0)
+      val byNew = Window.partitionBy(col("ib"))
+      val result = pairs
+        .withColumn("rn",
+          row_number().over(byNew.orderBy(col("jaccard").desc, col("ia"))))
+        .withColumn("n_dups", count(lit(1)).over(byNew))
+        .filter(col("rn") === 1)
+        .select(col("ib").as("new_id"), col("n_dups"),
+          col("ia").as("best_match"), col("jaccard").as("best_jaccard"))
+        .orderBy(col("new_id"))
+      QueryScopedCache.releaseAfter(result, handles)
+    },
+    Some(s"""
+      WITH ${minhashPairsSql(
+        "p.doc_id % 10 <> 0 AND q.doc_id % 10 = 0")},
+      r AS (
+        SELECT ib, ia, jaccard,
+               ROW_NUMBER() OVER (PARTITION BY ib
+                                  ORDER BY jaccard DESC, ia) AS rn,
+               COUNT(*) OVER (PARTITION BY ib) AS n_dups
+        FROM pairs)
+      SELECT ib AS new_id, n_dups, ia AS best_match,
+             jaccard AS best_jaccard
+      FROM r WHERE rn = 1 ORDER BY new_id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupCluster,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic,
-    qDedupPassage)
+    qDedupPassage, qDedupIncremental)
 }

@@ -96,6 +96,41 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(top1 === Seq(21L), s"planted near-copy not rank 1: $top1")
   }
 
+  test("pq codes: native encoder matches the HOF formulation bit-for-bit") {
+    // the corpus-side encode moved from higher-order functions to the
+    // PqCodes loop for speed; this pins the two formulations to the
+    // same codes on 300 random vectors (same slices, same sequential
+    // accumulation, same micro-rounding, same tie-break) — the LUT
+    // side still runs the HOF form, so divergence would silently skew
+    // every ADC distance
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 300L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val e = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val cb = e.filter($"vec_id" < 64)
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(vec_id, v))), c -> c.v)")
+        .as("cs"))
+    val withCs = e.crossJoin(broadcast(cb))
+    val hofExpr = """transform(sequence(0, 31), m ->
+        element_at(array_sort(transform(sequence(1, 64), k ->
+          struct(cast(round(aggregate(zip_with(
+            slice(v, m * 2 + 1, 2), slice(element_at(cs, k), m * 2 + 1, 2),
+            (a, b) -> (a - b) * (a - b)),
+            cast(0 as double), (acc, x) -> acc + x) * 1000000) as bigint)
+            as d2m, k as k))), 1).k)"""
+    def collectCodes(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val hof = collectCodes(withCs
+      .select(col("vec_id"), expr(hofExpr).as("codes")))
+    val native = collectCodes(withCs.select(col("vec_id"),
+      graft.functions.VectorFunctions.pqCodes($"v", $"cs", 2).as("codes")))
+    assert(native.size === 300)
+    assert(native === hof)
+  }
+
   test("passage dedup: planted shared passage flagged, disjoint doc absent") {
     // docs 1 and 2 share a 10-word passage (→ 3 common distinct
     // 8-grams) inside otherwise disjoint text; doc 3 shares nothing
@@ -116,6 +151,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     // the shared passage are the duplicated ones
     assert(out(1L) === ((11L, 3L)), s"doc 1 profile: ${out(1L)}")
     assert(out(2L) === ((11L, 3L)), s"doc 2 profile: ${out(2L)}")
+  }
+
+  test("incremental dedup: batch-vs-corpus only — old↔old and new↔new invisible") {
+    def txt(tag: String) = (0 until 12).map(j => s"${tag}w$j").mkString(" ")
+    val olds = (1L to 9L).map(i => (i, txt(s"o$i")))
+    val fixtures = olds ++ Seq(
+      (11L, txt("o1")),  // old↔old dup pair (1, 11) → absent
+      (40L, txt("o7")),  // new doc duplicating old doc 7 → flagged
+      (50L, txt("n50")), // unique new doc → absent
+      (60L, txt("x")), (70L, txt("x"))) // new↔new dup pair → absent
+    val dir = java.nio.file.Files.createTempDirectory("incdedup").toString
+    fixtures.toDF("doc_id", "text")
+      .withColumn("lang", lit("?")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupQueries.qDedupIncremental.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // ONLY the contaminated new doc appears: the unique new doc has no
+    // old match, and the new↔new / old↔old duplicate pairs never enter
+    // the candidate space by construction
+    assert(out.keySet === Set(40L), s"verdicts: $out")
+    assert(out(40L) === ((1L, 7L, 1.0)), s"verdict for 40: ${out(40L)}")
   }
 
   test("bpe pairs: hand-computed weighted pair counts") {

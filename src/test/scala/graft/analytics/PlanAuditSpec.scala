@@ -60,11 +60,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // join into encode and LUT build (bounded by construction), and
     // the 20 broadcast query LUTs join the corpus codes on a pure
     // self-exclusion inequality — the qSimTopkBrute pattern.
+    // q_dedup_incremental embeds the same minhash pipeline as
+    // q_dedup_minhash, so it carries the same single-row corpus-count
+    // broadcast for the stop-shingle threshold.
     val allowed = Set("q_dedup_embedding", "q_sim_topk_brute",
       "q_sim_lsh_topk", "q_theta_join",
       "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_dedup_cluster",
       "q_sim_ivf_topk", "q_dedup_semantic", "q_text_logprob",
-      "q_sim_pq_topk")
+      "q_sim_pq_topk", "q_dedup_incremental")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
