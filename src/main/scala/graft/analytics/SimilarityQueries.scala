@@ -259,19 +259,24 @@ object SimilarityQueries {
                                   ORDER BY ccos DESC, cid) AS crank
         FROM scored)"""
 
+  /** IVF coarse assignment + probe lists from [[ivfRanked]]:
+    * (vec_id, best_cid, probe4) — tail-indexed via size() so a corpus
+    * smaller than the centroid sample count still ranks correctly.
+    * Shared by [[qSimIvfTopk]] and [[qSimIvfPqTopk]]. */
+  private def ivfAssignments(e: DataFrame): DataFrame =
+    ivfRanked(e)
+      .select(col("vec_id"),
+        element_at(col("ranked16"), size(col("ranked16")))
+          .getField("cid").as("best_cid"),
+        slice(col("ranked16"),
+          greatest(size(col("ranked16")) - 3, lit(1)), lit(4))
+          .as("probe4"))
+
   val qSimIvfTopk = Q(
     "q_sim_ivf_topk",
     (s, dir) => {
       val e = emb(s, dir)
-      val top = ivfRanked(e)
-        // tail-indexed via size() so a corpus smaller than the centroid
-        // sample count still ranks correctly
-        .select(col("vec_id"),
-          element_at(col("ranked16"), size(col("ranked16")))
-            .getField("cid").as("best_cid"),
-          slice(col("ranked16"),
-            greatest(size(col("ranked16")) - 3, lit(1)), lit(4))
-            .as("probe4"))
+      val top = ivfAssignments(e)
       val assigned = top.select(col("vec_id"), col("best_cid").as("cid"))
       val probes = top.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"),
@@ -450,5 +455,133 @@ object SimilarityQueries {
       SELECT qid, rank, neighbor_id, adc_micro / 1000000.0 AS approx_l2
       FROM rk WHERE rank <= 5 ORDER BY qid, rank"""))
 
-  val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk)
+  /** IVFADC — the production ANN layout ([[qSimPqTopk]]'s scaladoc
+    * promise made real): IVF coarse quantization prunes the candidate
+    * space to the query's `nprobe` inverted lists, then PQ asymmetric
+    * distance ranks ONLY those candidates from stored codes — the
+    * Jégou et al. composition that serves billion-vector corpora from
+    * RAM. Versus [[qSimPqTopk]] (which ADC-ranks the whole corpus)
+    * the scored set shrinks to ~nprobe/k of the corpus; versus
+    * [[qSimIvfTopk]] (which scores candidates against ORIGINAL
+    * vectors) the per-candidate cost drops from a 64-dim float scan
+    * to 32 table lookups and the candidate state in flight from 256 B
+    * to 32 codes.
+    *
+    * Both stages reuse the proven deterministic pieces unchanged:
+    * [[ivfAssignments]] (cosine coarse assignment, 16 md5-sampled
+    * centroids, in-row argmax) and the PQ codebook/encode/LUT
+    * machinery (normalized vectors, 64-entry codebook, micro-unit
+    * integer distances, native [[graft.functions.PqCodes]] encode).
+    * Non-residual PQ: codes quantize the vector itself, not the
+    * IVF residual — residual coding would couple the two codebooks
+    * and break the stage-by-stage oracle mirror; the recall cost on a
+    * normalized corpus is modest and the composition shape is
+    * identical. */
+  val qSimIvfPqTopk = Q(
+    "q_sim_ivfpq_topk",
+    (s, dir) => {
+      val e0 = emb(s, dir)
+      // coarse: IVF assignment + per-query probe lists (nprobe = 4)
+      val top = ivfAssignments(e0)
+      val assigned = top.select(col("vec_id"), col("best_cid").as("cid"))
+      val probes = top.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"),
+          explode(transform(col("probe4"), p => p.getField("cid")))
+            .as("cid"))
+      val cand = probes.join(assigned, "cid")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("neighbor_id"))
+        .distinct()
+      // fine: PQ codes + query LUTs over the normalized vectors
+      val en = e0.select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(nrm))").as("v"))
+      val cents = en
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(64)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val centArr = cents.agg(expr(
+        "transform(array_sort(collect_list(struct(cid, cv))), c -> c.cv)")
+        .as("cs"))
+      val withCs = en.crossJoin(broadcast(centArr))
+      val coded = withCs
+        .withColumn("codes",
+          graft.functions.VectorFunctions.pqCodes(col("v"), col("cs"), 2))
+        .select(col("vec_id").as("neighbor_id"), col("codes"))
+      def d2m(m: String, k: String) =
+        s"""cast(round(aggregate(zip_with(
+              slice(v, $m * 2 + 1, 2),
+              slice(element_at(cs, $k), $m * 2 + 1, 2),
+              (a, b) -> (a - b) * (a - b)),
+            cast(0 as double), (acc, x) -> acc + x) * 1000000) as bigint)"""
+      val qlut = withCs.filter(col("vec_id") < 20)
+        .withColumn("lut", expr(
+          s"""transform(sequence(0, 31), m ->
+                transform(sequence(1, 64), k -> ${d2m("m", "k")}))"""))
+        .select(col("vec_id").as("qid"), col("lut"))
+      // ADC over candidates only: codes ride the equi-join, LUTs
+      // broadcast — per-candidate work is 32 integer lookups
+      val scored = cand.join(coded, "neighbor_id")
+        .join(broadcast(qlut), "qid")
+        .select(col("qid"), col("neighbor_id"),
+          expr("""aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c)),
+                  cast(0 as bigint), (acc, x) -> acc + x)""").as("adc_micro"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("adc_micro"), col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("neighbor_id"),
+          (col("adc_micro") / lit(1000000.0)).as("approx_l2"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x)) AS nrm
+        FROM embeddings),${ivfRankedSql},
+      assigned AS (SELECT vec_id, cid FROM ranked WHERE crank = 1),
+      probes AS (SELECT vec_id AS qid, cid FROM ranked
+                 WHERE vec_id < 20 AND crank <= 4),
+      cand AS (
+        SELECT DISTINCT p.qid, a.vec_id AS neighbor_id
+        FROM probes p JOIN assigned a ON a.cid = p.cid
+        WHERE a.vec_id <> p.qid),
+      en AS (
+        SELECT vec_id, list_transform(v, x -> x / sqrt(nrm)) AS v
+        FROM e),
+      pcents AS (
+        SELECT vec_id AS cid, v AS cv FROM en
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+      pck AS (SELECT cid, cv, ROW_NUMBER() OVER (ORDER BY cid) AS k
+              FROM pcents),
+      pd AS (
+        SELECT en.vec_id, tm.m, pck.k,
+               CAST(ROUND(list_sum(list_transform(generate_series(1, 2),
+                 i -> (en.v[tm.m * 2 + i] - pck.cv[tm.m * 2 + i])
+                    * (en.v[tm.m * 2 + i] - pck.cv[tm.m * 2 + i])))
+                 * 1000000) AS BIGINT) AS d2m
+        FROM en CROSS JOIN generate_series(0, 31) tm(m) CROSS JOIN pck),
+      pcodes AS (
+        SELECT vec_id, m, k FROM (
+          SELECT vec_id, m, k,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                    ORDER BY d2m, k) AS r
+          FROM pd) WHERE r = 1),
+      adc AS (
+        SELECT c.qid, c.neighbor_id,
+               CAST(SUM(dq.d2m) AS BIGINT) AS adc_micro
+        FROM cand c
+        JOIN pcodes cd ON cd.vec_id = c.neighbor_id
+        JOIN pd dq ON dq.vec_id = c.qid AND dq.m = cd.m AND dq.k = cd.k
+        GROUP BY 1, 2),
+      rk AS (
+        SELECT qid, neighbor_id, adc_micro,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc_micro, neighbor_id) AS rank
+        FROM adc)
+      SELECT qid, rank, neighbor_id, adc_micro / 1000000.0 AS approx_l2
+      FROM rk WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
+    qSimIvfPqTopk)
 }

@@ -96,6 +96,21 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(top1 === Seq(21L), s"planted near-copy not rank 1: $top1")
   }
 
+  test("ivfpq ann: composed pruning still recalls >= 0.35 vs brute force") {
+    // IVFADC scores only ~nprobe/k of the corpus from 32-code PQ
+    // approximations; measured recall@5 is 0.47 here (0.52 at sf0.01)
+    // — below PQ-alone's 0.70 by the IVF pruning, far above chance
+    // (0.01). Margin guards parameter changes, not noise.
+    val brute = SimilarityQueries.qSimTopkBrute.run(spark, sf)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = SimilarityQueries.qSimIvfPqTopk.run(spark, sf)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.35, s"recall $recall")
+  }
+
   test("pq codes: native encoder matches the HOF formulation bit-for-bit") {
     // the corpus-side encode moved from higher-order functions to the
     // PqCodes loop for speed; this pins the two formulations to the
