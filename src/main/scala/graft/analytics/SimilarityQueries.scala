@@ -582,6 +582,69 @@ object SimilarityQueries {
       SELECT qid, rank, neighbor_id, adc_micro / 1000000.0 AS approx_l2
       FROM rk WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  /** ANN top-5 via int8 scalar quantization (SQ8) — the fourth
+    * compression point on the ANN spectrum (brute float32 → SQ8 → PQ
+    * → IVFADC): each normalized component quantizes independently to
+    * `round(127·x)` ∈ [-127, 127], a 4× memory cut that preserves
+    * ranking far better than PQ (quantization error per DIMENSION,
+    * not per 2-dim cell), and the similarity becomes an INTEGER dot
+    * product — exact in both engines by construction, so unlike every
+    * float-scored sibling there is no rounding discipline to manage
+    * at all. The production trade faiss documents: SQ8 when memory
+    * allows 64 B/vector, PQ/IVFADC when it doesn't.
+    *
+    * Parity note: `round` here is SCALE-0, which is safe — the .5
+    * boundary values are exactly binary-representable, so Spark's
+    * shortest-decimal HALF_UP and DuckDB's round-half-away agree on
+    * every double (the one-ulp divergence the data-card query hit is
+    * specific to scale-k rounding, whose boundary decimals are NOT
+    * representable). Quantized components are carried as int-valued
+    * doubles so the codegen [[graft.functions.DotProduct]] scores
+    * pairs (products ≤ 127², sums ≤ 64·127² — exact in double);
+    * production stores them as 1-byte ints, which is the point. */
+  val qSimSqTopk = Q(
+    "q_sim_sq_topk",
+    (s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id"),
+          expr("transform(v, x -> cast(round(127 * x / sqrt(nrm)) as double))")
+            .as("q8"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("q8").as("qq8"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("neighbor_id"),
+          dot(col("qq8"), col("q8")).cast("long").as("score"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("neighbor_id"), col("score"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""
+      WITH e0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x)) AS nrm
+        FROM embeddings),
+      e AS (
+        SELECT vec_id,
+               list_transform(v, x -> ROUND(127 * x / sqrt(nrm))) AS q8
+        FROM e0),
+      q AS (SELECT vec_id AS qid, q8 AS qq8 FROM e WHERE vec_id < 20),
+      scored AS (
+        SELECT q.qid, e.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, len(q.qq8)),
+                      i -> q.qq8[i] * e.q8[i])) AS BIGINT) AS score
+        FROM e JOIN q ON e.vec_id <> q.qid),
+      rk AS (
+        SELECT qid, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT qid, rank, neighbor_id, score FROM rk
+      WHERE rank <= 5 ORDER BY qid, rank"""))
+
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
-    qSimIvfPqTopk)
+    qSimIvfPqTopk, qSimSqTopk)
 }
