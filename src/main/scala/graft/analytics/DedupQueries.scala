@@ -169,14 +169,45 @@ object DedupQueries {
     *
     * Returns the verified pair table (ia, ib, jaccard ≥ 0.5, unsorted)
     * plus the persist handles behind it — shared by [[qDedupMinhash]]
-    * (which just orders it), [[qDedupCluster]] (which resolves its
-    * connected components), and [[qDedupIncremental]] (which swaps the
-    * symmetric `ia < ib` candidate predicate for an asymmetric
-    * old-side/new-side one via `pairCond`). */
-  private def minhashPairs(s: SparkSession, dir: String,
-      pairCond: (Column, Column) => Column = _ < _)
+    * (which just orders it) and [[qDedupCluster]] (which resolves its
+    * connected components). */
+  private def minhashPairs(s: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) =
+    pairDiscovery(docs(s, dir), batchIds = None)
+
+  /** Screen an arriving `batch` against an existing `corpus` for
+    * MinHash near-duplicates — the two-frame public face of the pair
+    * pipeline, usable anywhere a caller holds DataFrames rather than
+    * table paths: [[qDedupIncremental]] delegates here, and a
+    * Structured Streaming ingest calls it per micro-batch from
+    * `foreachBatch` (spec-asserted in AnalyticsSpec). Both frames
+    * carry (doc_id, text); doc_id must be unique ACROSS frames.
+    *
+    * Returns (pairs(ia = corpus doc, ib = batch doc, jaccard ≥ 0.5),
+    * persist handles) — tie the handles to the consuming action via
+    * [[QueryScopedCache.releaseAfter]] or unpersist them after it.
+    * Corpus↔corpus and batch↔batch band collisions never become
+    * candidate rows (the sig table splits before the band join), so
+    * the join space — and the shuffle — scales with the batch, not
+    * the corpus history. */
+  def screenBatch(corpus: DataFrame, batch: DataFrame)
       : (DataFrame, Seq[DataFrame]) = {
-      val (sh, shHandles) = shingles(docs(s, dir), persistJoined = true)
+    val cols = Seq(col("doc_id"), col("text"))
+    pairDiscovery(
+      corpus.select(cols: _*).unionByName(batch.select(cols: _*)),
+      batchIds = Some(batch.select(col("doc_id"))))
+  }
+
+  /** Core band-candidate + Jaccard-verify pipeline over `d`. With
+    * `batchIds = None`, candidates are the symmetric `ia < ib` band
+    * collisions; with `Some(ids)`, the signature table splits into
+    * corpus/batch sides first and ONLY corpus×batch collisions become
+    * candidates. The stop-shingle set and minhash signatures always
+    * derive from the whole of `d` (corpus ∪ batch) so a screened
+    * batch sees the same hash geometry a full-corpus run would. */
+  private def pairDiscovery(d: DataFrame, batchIds: Option[DataFrame])
+      : (DataFrame, Seq[DataFrame]) = {
+      val (sh, shHandles) = shingles(d, persistJoined = true)
       // One shuffle, no row blowup: the 16 permutation minima are 16
       // columns aggregated with map-side-combining MIN — not a 16×
       // explode (measured ~3× faster, same values as the oracle's
@@ -205,10 +236,17 @@ object DedupQueries {
       val sig = mh.select(Seq(col("doc_id")) ++ bandCols: _*)
         .select(col("doc_id"), expr(
           "stack(4, 0, bh0, 1, bh1, 2, bh2, 3, bh3) AS (band, bh)"))
-      val cand = sig.as("p")
-        .join(sig.as("q"),
+      val (sigP, sigQ, pairPred) = batchIds match {
+        case None =>
+          (sig, sig, col("p.doc_id") < col("q.doc_id"))
+        case Some(ids) =>
+          (sig.join(ids, Seq("doc_id"), "left_anti"),
+            sig.join(ids, Seq("doc_id"), "left_semi"), lit(true))
+      }
+      val cand = sigP.as("p")
+        .join(sigQ.as("q"),
           col("p.band") === col("q.band") && col("p.bh") === col("q.bh") &&
-            pairCond(col("p.doc_id"), col("q.doc_id")))
+            pairPred)
         .select(col("p.doc_id").as("ia"), col("q.doc_id").as("ib"))
         .distinct()
         // tiny (banding already killed O(n²)); persisting it stops the
@@ -752,9 +790,10 @@ object DedupQueries {
     * Jaccard).
     *
     * Why this is its own operator and not a filter over
-    * [[qDedupMinhash]]: the candidate predicate changes the JOIN SPACE,
-    * not just the output — old↔old and new↔new band collisions never
-    * become candidate rows, never enter the verify join, never shuffle.
+    * [[qDedupMinhash]]: [[screenBatch]]'s corpus/batch split changes
+    * the JOIN SPACE, not just the output — old↔old and new↔new band
+    * collisions never become candidate rows, never enter the verify
+    * join, never shuffle.
     * At 100 TB the existing corpus's signatures and shingle table are
     * precomputed at ingest and STORED (the write-once bucketed layout
     * `Bucketing.writeBucketed` models); a daily run then computes
@@ -765,8 +804,10 @@ object DedupQueries {
     "q_dedup_incremental",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val (pairs, handles) = minhashPairs(s, dir,
-        (old, nw) => old % 10 =!= 0 && nw % 10 === 0)
+      val d = docs(s, dir)
+      val (pairs, handles) = screenBatch(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0))
       val byNew = Window.partitionBy(col("ib"))
       val result = pairs
         .withColumn("rn",

@@ -205,6 +205,36 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(40L) === ((1L, 7L, 1.0)), s"verdict for 40: ${out(40L)}")
   }
 
+  test("screenBatch from foreachBatch: streaming ingest screens against a corpus") {
+    // the production loop q_dedup_incremental models, actually run on
+    // a stream: each micro-batch of arriving docs band-probes the
+    // static corpus via the public two-frame API
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def txt(tag: String) = (0 until 12).map(j => s"${tag}w$j").mkString(" ")
+    val corpus = (1L to 9L).map(i => (i, txt(s"c$i"))).toDF("doc_id", "text")
+    val found = scala.collection.mutable.Set[(Long, Long)]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (pairs, handles) = DedupQueries.screenBatch(corpus, b)
+        val rows = QueryScopedCache.releaseAfter(pairs, handles).collect()
+        found.synchronized {
+          found ++= rows.map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }
+      .start()
+    in.addData((101L, txt("c7")), (102L, txt("fresh")))
+    q.processAllAvailable()
+    in.addData((103L, txt("c2")))
+    q.processAllAvailable()
+    q.stop()
+    // batch dups against the corpus surface with corpus-side ids;
+    // the unique doc stays silent
+    assert(found.toSet === Set((7L, 101L), (2L, 103L)), s"found: $found")
+  }
+
   test("bpe pairs: hand-computed weighted pair counts") {
     // words: aaab ×2, ab ×1, ba ×1. In-word pairs: aaab → aa,aa,ab —
     // the repeated 'aa' within one word must count twice (position
