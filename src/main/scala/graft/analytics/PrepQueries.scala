@@ -314,6 +314,55 @@ object PrepQueries {
       WHERE b.bucket < r.rate
       ORDER BY b.doc_id"""))
 
+  /** Token-id encoding — the last prep step before training shards:
+    * map every token position to its id in the corpus top-100
+    * frequency vocabulary (count DESC, token ASC; OOV → 0). Output is
+    * one (doc_id, pos, token_id) row per token, the long-form of the
+    * id arrays a shard writer packs.
+    *
+    * Scale shape: the vocabulary is BOUNDED by construction (top-K),
+    * so its id assignment uses the in-row bounded ranking pattern
+    * (single-row `collect_list` → `sort_array` → `posexplode`) rather
+    * than a partition-less window — PlanAuditSpec forbids those
+    * corpus-wide, and a top-K vocab never needs one — and the encode
+    * join broadcasts the id table over one narrow pass of the token
+    * stream. The frequency aggregation is the same map-side-combining
+    * vocabulary shuffle [[TextQueries.qTextVocab]] runs. */
+  val qPrepTokenize = Q(
+    "q_prep_tokenize",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "w")
+      val vocabArr = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .agg(slice(sort_array(collect_list(
+          struct((-col("n")).as("negn"), col("w")))), 1, 100).as("vs"))
+      val ids = vocabArr.select(posexplode(col("vs")))
+        .select((col("pos") + 1).cast("long").as("token_id"),
+          col("col.w").as("w"))
+      toks.join(broadcast(ids), Seq("w"), "left")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          coalesce(col("token_id"), lit(0L)).as("token_id"))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      toks AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS w
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+              FROM w)),
+      vc AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY w),
+      ids AS (
+        SELECT w, token_id FROM (
+          SELECT w, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS token_id
+          FROM vc)
+        WHERE token_id <= 100)
+      SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+             COALESCE(i.token_id, 0) AS token_id
+      FROM toks t LEFT JOIN ids i USING (w)
+      ORDER BY doc_id, pos"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam, qPrepChunk,
-    qPrepShard, qPrepSample, qPrepMixture)
+    qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize)
 }

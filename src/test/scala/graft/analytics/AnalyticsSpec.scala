@@ -235,6 +235,28 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(found.toSet === Set((7L, 101L), (2L, 103L)), s"found: $found")
   }
 
+  test("tokenize: ids follow frequency order, beyond-top-100 maps to 0") {
+    // 100 words ×2 fill the vocabulary (ids by count DESC, token ASC
+    // → w000=1 … w099=100); a singleton ranks 101st → OOV id 0
+    val common = (0 until 100).map(i => f"w$i%03d")
+    val fixtures = Seq(
+      (1L, (common ++ common).mkString(" ")),
+      (2L, s"${common(7)} rare ${common(0)}"))
+    val dir = java.nio.file.Files.createTempDirectory("tok").toString
+    fixtures.toDF("doc_id", "text")
+      .withColumn("lang", lit("?")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PrepQueries.qPrepTokenize.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // counts: w000=3, w007=3 (the doc-2 extras), the rest 2, rare=1 —
+    // so ids: w000=1, w007=2, w001=3, …, and rare ranks 101st
+    assert(out((1L, 0L)) === 1L, "w000 → id 1 (count 3, first by text)")
+    assert(out((2L, 0L)) === 2L, "w007 → id 2 (count 3, second by text)")
+    assert(out((2L, 1L)) === 0L, "101st-ranked singleton → OOV id 0")
+    assert(out((2L, 2L)) === 1L)
+  }
+
   test("bpe pairs: hand-computed weighted pair counts") {
     // words: aaab ×2, ab ×1, ba ×1. In-word pairs: aaab → aa,aa,ab —
     // the repeated 'aa' within one word must count twice (position
