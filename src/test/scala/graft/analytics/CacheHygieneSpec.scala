@@ -46,6 +46,18 @@ class CacheHygieneSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q_dedup_passage and q_dedup_incremental: caches drain after each run") {
+    // passage persists its 8-gram instance table; incremental rides
+    // screenBatch's shingle/minhash/candidate persists — both release
+    // via QueryScopedCache like the minhash/semantic siblings
+    spark.catalog.clearCache()
+    Seq("q_dedup_passage", "q_dedup_incremental").foreach { q =>
+      val n = SparkEntry.queries(q)(spark, sf).count()
+      assert(n > 0)
+      awaitEmptyCache(q)
+    }
+  }
+
   test("q_dns_pipeline_full runs cache-free (single-output, no materialization)") {
     spark.catalog.clearCache()
     val n = SparkEntry.queries("q_dns_pipeline_full")(spark, sf).count()
