@@ -97,7 +97,14 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"WARN: could not write $outFile: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}""")
+    // 3-decimal medians on the tail line: at 77 queries every byte of
+    // the driver's bounded tail capture counts, and ms precision is
+    // spread-level noise anyway (target/bench.json keeps 4 decimals)
+    def fmt3(d: Double): String = f"$d%.3f"
+    val qs3 = results.map { case (k, ts) =>
+      "\"" + k + "\":" + fmt3(median(ts))
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
