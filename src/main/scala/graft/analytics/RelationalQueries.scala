@@ -603,6 +603,44 @@ object RelationalQueries {
              CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1 ORDER BY bucket"""))
 
+  /** Navigation window functions — lead, first/last value, nth value —
+    * over per-user event streams, with explicit ROWS frames (the
+    * default RANGE frame makes last_value the current row, a classic
+    * correctness trap both engines share; stating the frame makes the
+    * intent portable). Unique (ts, event_id) tie-break keeps every
+    * navigation deterministic. One user-keyed window partition — the
+    * same single-exchange shape as the sibling window queries. */
+  val qWindowNavigation = Q(
+    "q_window_navigation",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val upToHere = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fromHere = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          first(col("event_type")).over(upToHere).as("first_type"),
+          last(col("event_type")).over(fromHere).as("last_type"),
+          nth_value(col("event_type"), 2).over(upToHere).as("second_type"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id, ts, event_type,
+             LEAD(event_type, 1) OVER w AS next_type,
+             FIRST_VALUE(event_type) OVER (w ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS first_type,
+             LAST_VALUE(event_type) OVER (w ROWS BETWEEN CURRENT ROW
+               AND UNBOUNDED FOLLOWING) AS last_type,
+             NTH_VALUE(event_type, 2) OVER (w ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS second_type
+      FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   event_type
+            FROM events) e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, ts, event_id"""))
+
   /** Batch sessionization: gap-based sessions (30-minute inactivity
     * timeout) via the classic two-window pattern — a lag() flags
     * session starts, a running sum numbers them, a groupBy rolls each
@@ -1029,7 +1067,7 @@ object RelationalQueries {
     qJoinRegionRevenue, qJoinSemi, qJoinAnti, qJoinLeftOuter,
     qJoinFullOuter, qAggStringAgg, qThetaJoin, qRangeJoin,
     qAsofJoin, qTopkPerCustomer, qWindowRunning, qWindowRanks,
-    qWindowRangeFrame, qWindowHourly, qSessionizeBatch,
+    qWindowRangeFrame, qWindowHourly, qWindowNavigation, qSessionizeBatch,
     qSortLimit, qSetopsNations, qScalarString, qScalarDate, qScalarMath,
     qScalarRegex, qScalarConditional, qScalarArray, qSaltedAgg,
     qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events)
