@@ -136,7 +136,7 @@ object SimilarityQueries {
       val e = emb(s, dir).withColumn("sig", lshBucket(col("v"), 16))
       val bandCols = (0 until 4).map(i =>
         expr(s"shiftright(sig, ${i * 4}) & 15").as(s"band_$i"))
-      val eb = e.select((e.columns.map(col) ++ bandCols): _*)
+      val eb = e.select(e.columns.toIndexedSeq.map(col) ++ bandCols: _*)
       val q = eb.filter(col("vec_id") < 20)
         .select(Seq(col("vec_id").as("qid"), col("v").as("qv"),
           col("nrm").as("qnrm")) ++

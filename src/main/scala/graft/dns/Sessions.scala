@@ -110,7 +110,7 @@ object Sessions {
         rows: Iterator[(String, Timestamp)],
         timers: TimerValues): Iterator[SessionUpdate] = {
       val times = rows.map(_._2.getTime).toArray.sorted
-      val open = if (sess.exists) Some(sess.get) else None
+      val open = if (sess.exists()) Some(sess.get()) else None
       val prevDeadline = open.map(_.last + gapMs)
       val (cur, closed) = foldSessions(key, times, open, gapMs)
       cur.foreach { s =>
@@ -126,11 +126,11 @@ object Sessions {
 
     override def handleExpiredTimer(key: String, timers: TimerValues,
         expired: ExpiredTimerInfo): Iterator[SessionUpdate] = {
-      if (!sess.exists) return Iterator.empty
-      val s = sess.get
+      if (!sess.exists()) return Iterator.empty
+      val s = sess.get()
       // a stale timer from before an in-batch extension: ignore (the
       // live deadline's timer is still registered)
-      if (expired.getExpiryTimeInMs < s.last + gapMs) Iterator.empty
+      if (expired.getExpiryTimeInMs() < s.last + gapMs) Iterator.empty
       else {
         sess.clear()
         Iterator.single(SessionUpdate(

@@ -480,7 +480,8 @@ object DnsRecordParse {
     val srcids = root.get("srcids")
     val keys = new scala.collection.mutable.ArrayBuffer[Any]
     val vals = new scala.collection.mutable.ArrayBuffer[Any]
-    val fields = srcids.fields()
+    // properties(): fields() is deprecated in the shipped Jackson
+    val fields = srcids.properties().iterator()
     while (fields.hasNext) {
       val e = fields.next()
       keys += UTF8String.fromString(e.getKey)
