@@ -177,6 +177,31 @@ object RelationalQueries {
                           WHERE c_acctbal > 9000)
       ORDER BY o_orderkey"""))
 
+  /** Correlated scalar subquery — each order against ITS customer's
+    * maximum — exercising Catalyst's decorrelation (the subquery
+    * rewrites to an aggregate + join; a naive engine would re-run it
+    * per row). Same ANSI text runs on both engines; the ratio divides
+    * identical doubles once, rounded to 6. */
+  val qSubqueryCorrelated = Q(
+    "q_subquery_correlated",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_sqc")
+      s.sql("""
+        SELECT o_orderkey, o_custkey,
+               ROUND(o_totalprice /
+                     (SELECT MAX(o2.o_totalprice) FROM orders_sqc o2
+                      WHERE o2.o_custkey = o.o_custkey), 6) AS cust_ratio
+        FROM orders_sqc o
+        ORDER BY o_orderkey""")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey,
+             ROUND(o_totalprice /
+                   (SELECT MAX(o2.o_totalprice) FROM orders o2
+                    WHERE o2.o_custkey = o.o_custkey), 6) AS cust_ratio
+      FROM orders o
+      ORDER BY o_orderkey"""))
+
   /** HLL sketch (approx_count_distinct). Engine-specific estimates
     * cannot hash-match DuckDB → no oracle; accuracy is spec-asserted
     * against exact distinct instead. */
@@ -1062,7 +1087,7 @@ object RelationalQueries {
 
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
-    qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qRollup,
+    qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
     qGroupingSets, qHllDistinct, qQuantileSketch,
     qJoinRegionRevenue, qJoinSemi, qJoinAnti, qJoinLeftOuter,
     qJoinFullOuter, qAggStringAgg, qThetaJoin, qRangeJoin,

@@ -12,7 +12,7 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("registry: full query count, sketches are the only oracle-less entries") {
     val qs = SparkEntry.queries.keySet
-    assert(qs.size === 78, s"registered query count changed: ${qs.size}")
+    assert(qs.size === 79, s"registered query count changed: ${qs.size}")
     // the two sketch queries cannot hash-match another engine and are
     // error-bound spec-tested instead (AnalyticsSpec); everything else
     // MUST carry a DuckDB oracle for the driver's differential gate
