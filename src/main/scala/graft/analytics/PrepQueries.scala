@@ -320,23 +320,28 @@ object PrepQueries {
     * one (doc_id, pos, token_id) row per token, the long-form of the
     * id arrays a shard writer packs.
     *
-    * Scale shape: the vocabulary is BOUNDED by construction (top-K),
-    * so its id assignment uses the in-row bounded ranking pattern
-    * (single-row `collect_list` → `sort_array` → `posexplode`) rather
-    * than a partition-less window — PlanAuditSpec forbids those
-    * corpus-wide, and a top-K vocab never needs one — and the encode
-    * join broadcasts the id table over one narrow pass of the token
-    * stream. The frequency aggregation is the same map-side-combining
-    * vocabulary shuffle [[TextQueries.qTextVocab]] runs. */
+    * Scale shape: the top-K selection runs as `orderBy(count).limit(K)`
+    * — Catalyst plans TakeOrderedAndProject, which keeps at most K rows
+    * in EVERY task and on the driver, so the full distinct vocabulary
+    * (10⁸–10⁹ tokens at 100 TB) is never materialized anywhere. Only
+    * the already-bounded K-row result is then collected into one row
+    * for in-row id ranking (`sort_array` → `posexplode` — a 100-element
+    * array, not a partition-less window, which PlanAuditSpec forbids
+    * corpus-wide; its unbounded-single-row-collect guard pins this
+    * boundedness). The encode join broadcasts the id table over one
+    * narrow pass of the token stream. The frequency aggregation is the
+    * same map-side-combining vocabulary shuffle
+    * [[TextQueries.qTextVocab]] runs. */
   val qPrepTokenize = Q(
     "q_prep_tokenize",
     (s, dir) => {
       val toks = docs(s, dir)
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .withColumnRenamed("col", "w")
-      val vocabArr = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
-        .agg(slice(sort_array(collect_list(
-          struct((-col("n")).as("negn"), col("w")))), 1, 100).as("vs"))
+      val top = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(100)
+      val vocabArr = top.agg(sort_array(collect_list(
+        struct((-col("n")).as("negn"), col("w")))).as("vs"))
       val ids = vocabArr.select(posexplode(col("vs")))
         .select((col("pos") + 1).cast("long").as("token_id"),
           col("col.w").as("w"))

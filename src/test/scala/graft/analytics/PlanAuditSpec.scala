@@ -115,6 +115,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(offenders.isEmpty, s"partition-less windows in: $offenders")
   }
 
+  test("no query plans an unbounded single-row collect aggregate") {
+    // A grouping-less Aggregate holding collect_list/collect_set puts
+    // its ENTIRE input into one task's aggregation buffer — an OOM at
+    // 100 TB unless something below it already bounds the row count
+    // (a GlobalLimit, i.e. an orderBy().limit(K) TakeOrdered input).
+    // Round-5's q_prep_tokenize collected the whole corpus vocabulary
+    // this way; this guard pins the fix and forbids regressions.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
+    def bounded(p: LogicalPlan): Boolean =
+      p.collectFirst { case g: GlobalLimit => g }.nonEmpty
+    val offenders = qes.flatMap { case (n, qe) =>
+      val bad = qe.optimizedPlan.collect {
+        case a: Aggregate if a.groupingExpressions.isEmpty &&
+          a.aggregateExpressions.exists(_.exists {
+            case _: CollectList | _: CollectSet => true
+            case _ => false
+          }) && !bounded(a.child) => a
+      }
+      if (bad.nonEmpty) Some(n) else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded single-row collect aggregates in: $offenders")
+  }
+
   test("batch sessionization plans exactly one hash exchange") {
     // lag-flag window, session-numbering window, and the session
     // rollup all key on user_id — the whole chain must ride ONE
