@@ -39,32 +39,44 @@ object DedupQueries {
     * caller ties the handle to its final result via
     * [[QueryScopedCache.releaseAfter]] so the cache lives exactly as
     * long as the one action that uses it. */
-  private def shingles(d: DataFrame,
-      persistJoined: Boolean = false): (DataFrame, Seq[DataFrame]) = {
-    val sh0 = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+  /** Raw distinct word-3-gram shingle instances of `d`, unfiltered —
+    * the input to both the stop-set aggregation and the per-doc
+    * shingle table. Shared with [[SignatureStore.ingest]]. */
+  private[analytics] def rawShingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.shingles(col("ws"), 3))
           .as("sh"))
+
+  /** The stop-shingle set of `d` given its raw shingle table. The SET
+    * is tiny and bounded independent of corpus size: |stop| <= total
+    * instances / threshold ≈ (shingles per doc) / 0.05, a function of
+    * document length only. So compute df with a map-side-combining
+    * groupBy (shuffles one row per distinct shingle per map partition)
+    * — the full shingle table is never shuffled or sorted for the
+    * filter (the previous whole-partition window shuffled AND sorted
+    * every instance row: measured 3.0s → 1.3s on the shingle build at
+    * sf0.1). Shared with [[SignatureStore.ingest]], which persists it
+    * so daily screens reuse the ingest-time hash geometry. */
+  private[analytics] def stopShingles(sh0: DataFrame, d: DataFrame): DataFrame = {
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > greatest(lit(10.0), lit(0.05) * col("n_docs")))
+      .select(col("sh"))
+  }
+
+  private def shingles(d: DataFrame,
+      persistJoined: Boolean = false): (DataFrame, Seq[DataFrame]) = {
+    val sh0 = rawShingles(d)
       // The raw shingle table feeds the stop-set aggregation plus every
       // downstream subtree (minhash aggs, join sides, sizes); without
       // materialization Spark re-runs the scan+explode for each — same
       // persist a production dedup pipeline applies to its shingle
       // table. Released after the consuming action (QueryScopedCache).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDocs = d.agg(count(lit(1)).as("n_docs"))
-    // The stop-shingle SET is tiny and bounded independent of corpus
-    // size: |stop| <= total instances / threshold ≈ (shingles per doc)
-    // / 0.05, a function of document length only. So compute df with a
-    // map-side-combining groupBy (shuffles one row per distinct shingle
-    // per map partition) and remove stop shingles with a broadcast
-    // anti-join — the full shingle table is never shuffled or sorted
-    // for the filter (the previous whole-partition window shuffled AND
-    // sorted every instance row: measured 3.0s → 1.3s on the shingle
-    // build at sf0.1).
-    val stop = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") > greatest(lit(10.0), lit(0.05) * col("n_docs")))
-      .select(col("sh"))
+    // stop shingles removed with a broadcast anti-join (the set is tiny)
+    val stop = stopShingles(sh0, d)
     // persistJoined: minhash also caches the POST-anti-join table (its
     // consumers sit behind aggregation/semi-join barriers, so the cache
     // saves full recomputes); jaccard does NOT — its self-join streams
@@ -188,8 +200,13 @@ object DedupQueries {
     * [[QueryScopedCache.releaseAfter]] or unpersist them after it.
     * Corpus↔corpus and batch↔batch band collisions never become
     * candidate rows (the sig table splits before the band join), so
-    * the join space — and the shuffle — scales with the batch, not
-    * the corpus history. */
+    * the CANDIDATE and VERIFY join space — and their shuffles — scale
+    * with the batch, not the corpus history. The SIGNATURE stage,
+    * however, recomputes shingles and minima over corpus ∪ batch each
+    * call — the right tool when both frames are transient, but a
+    * repeated ingest loop should pay that once: [[SignatureStore]]
+    * persists the corpus's signatures at ingest and its screen
+    * computes them for the batch only. */
   def screenBatch(corpus: DataFrame, batch: DataFrame)
       : (DataFrame, Seq[DataFrame]) = {
     val cols = Seq(col("doc_id"), col("text"))
@@ -205,37 +222,49 @@ object DedupQueries {
     * candidates. The stop-shingle set and minhash signatures always
     * derive from the whole of `d` (corpus ∪ batch) so a screened
     * batch sees the same hash geometry a full-corpus run would. */
+  /** Per-doc MinHash aggregation over a stop-filtered shingle table:
+    * (doc_id, n = shingle-set size, m0..m15 = permutation minima).
+    * One shuffle, no row blowup: the 16 permutation minima are 16
+    * columns aggregated with map-side-combining MIN — not a 16×
+    * explode (measured ~3× faster, same values as the oracle's
+    * min-per-(doc,i) formulation). The doc shingle-set SIZE rides
+    * in the same aggregation for free, so the verify stage's size
+    * lookups cost no extra pass over the shingle table.
+    * v is pre-reduced mod p so a_i·v stays far from Long overflow
+    * (ANSI mode would error loudly otherwise).
+    * Shared with [[SignatureStore]]. */
+  private[analytics] def minhashAgg(sh: DataFrame): DataFrame = {
+    val hv = sh.select(col("doc_id"),
+      (conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+        % lit(MinhashP)).as("v"))
+    val minCols = (0 until 16).map(i =>
+      min((lit(minhashA(i)) * col("v") + lit(minhashB(i)))
+        % lit(MinhashP)).as(s"m$i"))
+    hv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"), minCols: _*)
+  }
+
+  /** LSH band signatures from a minhash table: 4 bands of 4 minima →
+    * (doc_id, band, bh). '|' separator: long values have variable
+    * digit counts, so bare concatenation would be ambiguous
+    * (1||23 = 12||3). Shared with [[SignatureStore]]. */
+  private[analytics] def bandSig(mh: DataFrame): DataFrame = {
+    val bandCols = (0 until 4).map(b =>
+      md5(concat_ws("|", (0 until 4).map(j => col(s"m${b * 4 + j}")): _*))
+        .as(s"bh$b"))
+    mh.select(Seq(col("doc_id")) ++ bandCols: _*)
+      .select(col("doc_id"), expr(
+        "stack(4, 0, bh0, 1, bh1, 2, bh2, 3, bh3) AS (band, bh)"))
+  }
+
   private def pairDiscovery(d: DataFrame, batchIds: Option[DataFrame])
       : (DataFrame, Seq[DataFrame]) = {
       val (sh, shHandles) = shingles(d, persistJoined = true)
-      // One shuffle, no row blowup: the 16 permutation minima are 16
-      // columns aggregated with map-side-combining MIN — not a 16×
-      // explode (measured ~3× faster, same values as the oracle's
-      // min-per-(doc,i) formulation). The doc shingle-set SIZE rides
-      // in the same aggregation for free, so the verify stage's size
-      // lookups cost no extra pass over the shingle table.
-      // v is pre-reduced mod p so a_i·v stays far from Long overflow
-      // (ANSI mode would error loudly otherwise).
-      val hv = sh.select(col("doc_id"),
-        (conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
-          % lit(MinhashP)).as("v"))
-      val minCols = (0 until 16).map(i =>
-        min((lit(minhashA(i)) * col("v") + lit(minhashB(i)))
-          % lit(MinhashP)).as(s"m$i"))
-      val mh = hv.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n"), minCols: _*)
+      val mh = minhashAgg(sh)
         // n_docs rows × 17 narrow cols; feeds the band signatures AND
         // both size lookups — persisting stops the minhash aggregation
         // from running three times.
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // '|' separator: long values have variable digit counts, so bare
-      // concatenation would be ambiguous (1||23 = 12||3)
-      val bandCols = (0 until 4).map(b =>
-        md5(concat_ws("|", (0 until 4).map(j => col(s"m${b * 4 + j}")): _*))
-          .as(s"bh$b"))
-      val sig = mh.select(Seq(col("doc_id")) ++ bandCols: _*)
-        .select(col("doc_id"), expr(
-          "stack(4, 0, bh0, 1, bh1, 2, bh2, 3, bh3) AS (band, bh)"))
+      val sig = bandSig(mh)
       val (sigP, sigQ, pairPred) = batchIds match {
         case None =>
           (sig, sig, col("p.doc_id") < col("q.doc_id"))
@@ -286,8 +315,9 @@ object DedupQueries {
 
   /** Shared oracle CTE chain ending in `pairs(ia, ib, jaccard)` — the
     * SQL mirror of [[minhashPairs]]. Callers prepend WITH [RECURSIVE]. */
-  private def minhashPairsSql(pred: String = "p.doc_id < q.doc_id"): String = s"""
-      $shinglesSql,
+  private def minhashPairsSql(pred: String = "p.doc_id < q.doc_id",
+      shSql: String = shinglesSql): String = s"""
+      $shSql,
       hv AS (SELECT doc_id,
                     ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
                    + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
@@ -832,8 +862,79 @@ object DedupQueries {
              jaccard AS best_jaccard
       FROM r WHERE rn = 1 ORDER BY new_id"""))
 
+  /** Frozen-geometry shingle CTE for the STORED incremental path: the
+    * stop set and document-frequency threshold derive from the CORPUS
+    * ONLY (doc_id % 10 <> 0 — the ingest-time state), and batch
+    * shingles absent from the corpus pass the filter (df NULL → 0).
+    * Mirrors [[SignatureStore]]'s ingest-then-screen semantics. */
+  private val frozenShinglesSql = """
+    sh0 AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       for i in generate_series(1, len(ws)-2)]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+    shdf AS (SELECT sh, COUNT(*) AS df FROM sh0
+             WHERE doc_id % 10 <> 0 GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id % 10 <> 0),
+    sh AS (SELECT s.doc_id, s.sh
+           FROM sh0 s LEFT JOIN shdf USING (sh) CROSS JOIN nd
+           WHERE COALESCE(shdf.df, 0) <= GREATEST(10.0, 0.05 * nd.n_docs))"""
+
+  /** The STORED incremental-dedup path, end to end: ingest the corpus
+    * (doc_id ≢ 0 mod 10) into a [[SignatureStore]] — stop set,
+    * bucketed shingles, sizes, band signatures written as catalog
+    * tables — then screen the batch (doc_id ≡ 0 mod 10) against the
+    * STORE, computing signatures only for the batch. Output: the same
+    * per-contaminated-doc verdict shape as [[qDedupIncremental]].
+    *
+    * What the oracle gate proves here: the persisted layout is
+    * LOSSLESS — signatures that round-trip through parquet tables
+    * screen identically to signatures computed inline by an engine
+    * that never stored anything. The semantic difference vs
+    * [[qDedupIncremental]] is the frozen geometry (stop set from the
+    * corpus at ingest time, not corpus ∪ batch — see
+    * [[frozenShinglesSql]]); the oracle mirrors exactly that.
+    *
+    * Scale: this query pays the full ingest (it must be
+    * self-contained); a production pipeline pays it once and then
+    * runs only [[SignatureStore.screen]] per batch — the screen
+    * plan's corpus-text-free shape is spec-asserted in AnalyticsSpec. */
+  val qDedupIncrementalStored = Q(
+    "q_dedup_incremental_stored",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val store = "graft_sigstore"
+      SignatureStore.ingest(d.filter(col("doc_id") % 10 =!= 0), store)
+      val (pairs, handles) =
+        SignatureStore.screen(s, store, d.filter(col("doc_id") % 10 === 0))
+      val byNew = Window.partitionBy(col("ib"))
+      val result = pairs
+        .withColumn("rn",
+          row_number().over(byNew.orderBy(col("jaccard").desc, col("ia"))))
+        .withColumn("n_dups", count(lit(1)).over(byNew))
+        .filter(col("rn") === 1)
+        .select(col("ib").as("new_id"), col("n_dups"),
+          col("ia").as("best_match"), col("jaccard").as("best_jaccard"))
+        .orderBy(col("new_id"))
+      QueryScopedCache.releaseAfter(result, handles)
+    },
+    Some(s"""
+      WITH ${minhashPairsSql(
+        "p.doc_id % 10 <> 0 AND q.doc_id % 10 = 0", frozenShinglesSql)},
+      r AS (
+        SELECT ib, ia, jaccard,
+               ROW_NUMBER() OVER (PARTITION BY ib
+                                  ORDER BY jaccard DESC, ia) AS rn,
+               COUNT(*) OVER (PARTITION BY ib) AS n_dups
+        FROM pairs)
+      SELECT ib AS new_id, n_dups, ia AS best_match,
+             jaccard AS best_jaccard
+      FROM r WHERE rn = 1 ORDER BY new_id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupCluster,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic,
-    qDedupPassage, qDedupIncremental)
+    qDedupPassage, qDedupIncremental, qDedupIncrementalStored)
 }

@@ -1,0 +1,157 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+/** Persisted MinHash signature store — the production layout behind
+  * incremental dedup: compute the corpus's shingles, stop-set, sizes,
+  * and LSH band signatures ONCE at ingest, write them as catalog
+  * tables, and let every later batch screen probe the stored tables
+  * without ever touching the corpus text again.
+  *
+  * This is the difference between a daily ingest job that scans 0.1%
+  * of a 100 TB corpus and one that rescans all of it:
+  * [[DedupQueries.screenBatch]] (the two-DataFrame API) recomputes
+  * corpus signatures from text per call — correct, and the right tool
+  * when the caller already holds both frames in memory — while
+  * [[screen]] computes signatures ONLY for the arriving batch and
+  * joins them against the stored tables. The screen plan contains no
+  * scan of the corpus source at all (spec-asserted in AnalyticsSpec).
+  *
+  * Layout (catalog tables under the `store` name prefix):
+  *   - `{store}_stop`       (sh)           — the ingest-time stop-shingle set
+  *   - `{store}_shingles`   (doc_id, sh)   — post-stop-filter, bucketed by doc_id
+  *   - `{store}_sizes`      (doc_id, n)    — shingle-set sizes
+  *   - `{store}_signatures` (doc_id, band, bh) — LSH band rows, bucketed by bh
+  *
+  * Bucketing pays the exchange at write time: the verify stage's
+  * candidate semi-join and ia-join hit `{store}_shingles` on doc_id
+  * with no shuffle on the (large) stored side, and the band probe
+  * hits `{store}_signatures` with the (small) batch side broadcast by
+  * AQE — the corpus-scale tables never move
+  * (the [[Bucketing.writeBucketed]] write-once-shuffle-never story).
+  *
+  * Frozen hash geometry: the batch is screened against the INGEST-TIME
+  * stop-shingle set, so a stored signature never goes stale — exactly
+  * what a production pipeline wants (signatures computed once must
+  * stay comparable forever). This differs deliberately from
+  * [[DedupQueries.screenBatch]], which derives the stop set from
+  * corpus ∪ batch: under frozen geometry a batch cannot shift document
+  * frequencies across the stop threshold and silently re-key history.
+  * Re-run [[ingest]] to refresh geometry when the corpus drifts.
+  */
+object SignatureStore {
+
+  private def t(store: String, part: String) = s"${store}_$part"
+
+  /** Compute and persist the corpus's dedup signatures as catalog
+    * tables under the `store` prefix (overwriting any prior ingest).
+    * One pass over the corpus text; everything written is narrow
+    * (hashes, ids, counts — never text). `buckets` sizes the bucketed
+    * tables: at 100 TB use table bytes / 128–512 MB, a multiple of
+    * the executor-core count. */
+  def ingest(corpus: DataFrame, store: String, buckets: Int = 8): Unit = {
+    // Re-ingest must be idempotent across JVMs: with the in-memory
+    // catalog a fresh session doesn't know the PREVIOUS process's
+    // managed tables, so saveAsTable(Overwrite) refuses their
+    // still-on-disk locations (LOCATION_ALREADY_EXISTS). Drop what the
+    // catalog knows, then clear stale unregistered directories.
+    Seq("stop", "shingles", "sizes", "signatures")
+      .foreach(p => dropStale(corpus.sparkSession, t(store, p)))
+    val sh0 = DedupQueries.rawShingles(corpus).persist(MEMORY_AND_DISK)
+    try {
+      DedupQueries.stopShingles(sh0, corpus)
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(t(store, "stop"))
+      // read the WRITTEN set back so ingest filters with exactly the
+      // bytes a later screen will read
+      val stop = corpus.sparkSession.table(t(store, "stop"))
+      val sh = sh0.join(broadcast(stop), Seq("sh"), "left_anti")
+        .persist(MEMORY_AND_DISK)
+      try {
+        Bucketing.writeBucketed(sh, t(store, "shingles"), "doc_id", buckets)
+        val mh = DedupQueries.minhashAgg(sh).persist(MEMORY_AND_DISK)
+        try {
+          mh.select(col("doc_id"), col("n"))
+            .write.mode("overwrite").format("parquet")
+            .saveAsTable(t(store, "sizes"))
+          DedupQueries.bandSig(mh)
+            .write.bucketBy(buckets, "bh").sortBy("bh")
+            .format("parquet").mode("overwrite")
+            .saveAsTable(t(store, "signatures"))
+        } finally mh.unpersist()
+      } finally sh.unpersist()
+    } finally sh0.unpersist()
+  }
+
+  private def dropStale(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(
+      wh, name.toLowerCase(java.util.Locale.ROOT))
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  /** Screen an arriving `batch` (doc_id, text; ids unique vs the
+    * stored corpus) against a previously [[ingest]]ed store. Returns
+    * (pairs(ia = stored corpus doc, ib = batch doc, jaccard ≥ 0.5),
+    * persist handles) — the [[DedupQueries.screenBatch]] contract; tie
+    * the handles to the consuming action via
+    * [[QueryScopedCache.releaseAfter]].
+    *
+    * Scale shape: signatures are computed for the BATCH ONLY (one
+    * narrow pass over batch text, filtered by the stored stop set);
+    * the band probe joins the stored signature table with the tiny
+    * batch signature side (AQE broadcasts it), only stored↔batch
+    * collisions become candidates, and the Jaccard verify semi-joins
+    * the stored shingle table down to candidate docs before anything
+    * wide happens. Nothing in the plan scans corpus text. */
+  def screen(s: SparkSession, store: String, batch: DataFrame)
+      : (DataFrame, Seq[DataFrame]) = {
+    val stop = s.table(t(store, "stop"))
+    val corpusSig = s.table(t(store, "signatures"))
+    val corpusSh = s.table(t(store, "shingles"))
+    val corpusSizes = s.table(t(store, "sizes"))
+    // batch-side signatures under the stored (frozen) geometry; the
+    // batch shingle table feeds the verify join AND the batch size
+    // lookup, so persist it for the query's lifetime
+    val bsh = DedupQueries.rawShingles(batch)
+      .join(broadcast(stop), Seq("sh"), "left_anti")
+      .persist(MEMORY_AND_DISK)
+    val bmh = DedupQueries.minhashAgg(bsh).persist(MEMORY_AND_DISK)
+    val bsig = DedupQueries.bandSig(bmh)
+    // only stored↔batch band collisions ever become candidate rows
+    val cand = corpusSig.as("p")
+      .join(bsig.as("q"),
+        col("p.band") === col("q.band") && col("p.bh") === col("q.bh"))
+      .select(col("p.doc_id").as("ia"), col("q.doc_id").as("ib"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    // verify ONLY candidate corpus docs: semi-join the stored shingle
+    // table down to the candidate id set first (bucketed on doc_id —
+    // the stored side reads in place, no exchange). NO broadcast hint
+    // on the candidate set: on a dup-heavy corpus it grows toward
+    // O(batch) — AQE converts at runtime when actually small.
+    val candIa = cand.select(col("ia").as("doc_id")).distinct()
+    val shC = corpusSh.join(candIa, Seq("doc_id"), "left_semi")
+      .persist(MEMORY_AND_DISK)
+    val candSh = cand.join(shC.as("s1"), col("ia") === col("s1.doc_id"))
+      .select(col("ia"), col("ib"), col("s1.sh").as("sh"))
+    val ni = candSh.as("cs")
+      .join(bsh.as("s2"),
+        col("s2.doc_id") === col("cs.ib") && col("s2.sh") === col("cs.sh"))
+      .groupBy(col("cs.ia").as("ia"), col("cs.ib").as("ib"))
+      .agg(count(lit(1)).as("ni"))
+    val pairs = ni
+      .join(corpusSizes.as("sa"), col("ia") === col("sa.doc_id"))
+      .join(bmh.select(col("doc_id"), col("n")).as("sb"),
+        col("ib") === col("sb.doc_id"))
+      .select(col("ia"), col("ib"),
+        round(col("ni") * lit(1.0) /
+          (col("sa.n") + col("sb.n") - col("ni")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    (pairs, Seq(bsh, bmh, cand, shC))
+  }
+}

@@ -235,6 +235,67 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(found.toSet === Set((7L, 101L), (2L, 103L)), s"found: $found")
   }
 
+  test("signature store: screen probes stored tables, never the corpus source") {
+    def txt(tag: String) = (0 until 12).map(j => s"${tag}w$j").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    (1L to 9L).map(i => (i, txt(s"c$i"))).toDF("doc_id", "text")
+      .withColumn("lang", lit("?")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    SignatureStore.ingest(corpus, "sigstore_spec", buckets = 4)
+    val batch = Seq((101L, txt("c7")), (102L, txt("fresh")))
+      .toDF("doc_id", "text")
+    val (pairs, handles) = SignatureStore.screen(spark, "sigstore_spec", batch)
+    // THE stored-layout claim: the screen plan reads the store tables,
+    // not the corpus source — the ingested text is never rescanned
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains(dir),
+      s"screen must not rescan the corpus source:\n$plan")
+    assert(plan.contains("sigstore_spec_signatures"),
+      s"screen should probe the stored signature table:\n$plan")
+    // the shingle/signature tables persisted bucketed (exchange paid
+    // once at ingest, not per screen)
+    Seq("sigstore_spec_shingles", "sigstore_spec_signatures").foreach { tb =>
+      val desc = spark.sql(s"DESCRIBE EXTENDED $tb").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc.get("Num Buckets").contains("4"), s"$tb not bucketed: $desc")
+    }
+    val rows = QueryScopedCache.releaseAfter(pairs, handles).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((7L, 101L)), s"pairs: $rows")
+  }
+
+  test("signature store from foreachBatch: micro-batches screen without corpus recompute") {
+    // the daily-ingest loop at production shape: signatures ingested
+    // ONCE before the stream starts; every micro-batch computes only
+    // its own signatures and probes the store
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def txt(tag: String) = (0 until 12).map(j => s"${tag}w$j").mkString(" ")
+    val corpus = (1L to 9L).map(i => (i, txt(s"c$i"))).toDF("doc_id", "text")
+    SignatureStore.ingest(corpus, "sigstore_stream", buckets = 4)
+    val found = scala.collection.mutable.Set[(Long, Long)]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (pairs, handles) =
+          SignatureStore.screen(spark, "sigstore_stream", b)
+        val rows = QueryScopedCache.releaseAfter(pairs, handles).collect()
+        found.synchronized {
+          found ++= rows.map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }
+      .start()
+    in.addData((101L, txt("c7")), (102L, txt("fresh")))
+    q.processAllAvailable()
+    in.addData((103L, txt("c2")))
+    q.processAllAvailable()
+    q.stop()
+    assert(found.toSet === Set((7L, 101L), (2L, 103L)), s"found: $found")
+  }
+
   test("tokenize: ids follow frequency order, beyond-top-100 maps to 0") {
     // 100 words ×2 fill the vocabulary (ids by count DESC, token ASC
     // → w000=1 … w099=100); a singleton ranks 101st → OOV id 0

@@ -51,7 +51,10 @@ class CacheHygieneSpec extends AnyFunSuite with SparkTestBase {
     // screenBatch's shingle/minhash/candidate persists — both release
     // via QueryScopedCache like the minhash/semantic siblings
     spark.catalog.clearCache()
-    Seq("q_dedup_passage", "q_dedup_incremental").foreach { q =>
+    // incremental_stored additionally covers SignatureStore: ingest's
+    // persists release in its own try/finally, screen's via the handles
+    Seq("q_dedup_passage", "q_dedup_incremental",
+        "q_dedup_incremental_stored").foreach { q =>
       val n = SparkEntry.queries(q)(spark, sf).count()
       assert(n > 0)
       awaitEmptyCache(q)
