@@ -694,37 +694,71 @@ object DedupQueries {
     * scoring (no corpus shuffle); pair discovery is an equi-join keyed
     * on cluster id, so the corpus-wide O(n²) never materializes —
     * intra-cluster cost is Σ sizes², bounded by scaling the centroid
-    * count with the corpus (k ≈ n/targetClusterSize keeps cluster
-    * sizes ~constant; 16 here mirrors the oracle). A hot cluster is a
-    * hot aggregation key: raise k or salt-split it. */
-  val qDedupSemantic = Q(
-    "q_dedup_semantic",
-    (s, dir) => {
-      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val e = SimilarityQueries.emb(s, dir)
-      // assignment is consumed three times (both pair-join sides + the
-      // final keep join): persist so the corpus scan, the centroid
-      // sort-limit job, and the 16-way scoring run ONCE, released when
-      // the consuming action completes (the sibling queries' pattern)
-      val assigned = SimilarityQueries.ivfRanked(e)
-        .select(col("vec_id"), col("v"), col("nrm"),
-          element_at(col("ranked16"), size(col("ranked16")))
-            .getField("cid").as("cid"))
-        .persist(MEMORY_AND_DISK)
-      val pruned = assigned.as("a")
+    * count with the corpus via [[semanticDedup]]'s `k` knob
+    * (k ≈ n/targetClusterSize keeps cluster sizes ~constant; the
+    * registered query keeps k=16 to mirror the oracle), and a hot
+    * cluster — one centroid soaking up a skewed share of the corpus —
+    * is split LOSSLESSLY with the `saltGroups` knob. */
+  def semanticDedup(e: DataFrame, k: Int = 16, tau: Double = 0.4,
+      saltGroups: Int = 1): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // assignment is consumed three times (both pair-join sides + the
+    // final keep join): persist so the corpus scan, the centroid
+    // sort-limit job, and the k-way scoring run ONCE, released when
+    // the consuming action completes (the sibling queries' pattern)
+    val assigned = SimilarityQueries.ivfRanked(e, k)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        element_at(col("ranked16"), size(col("ranked16")))
+          .getField("cid").as("cid"))
+      .persist(MEMORY_AND_DISK)
+    val simExpr = round(
+      graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")) /
+        (sqrt(col("a.nrm")) * sqrt(col("b.nrm"))), 6) >= tau
+    val pruned = (if (saltGroups <= 1) {
+      assigned.as("a")
         .join(assigned.as("b"),
           col("a.cid") === col("b.cid") &&
             col("a.vec_id") < col("b.vec_id"))
-        .filter(round(
-            graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")) /
-              (sqrt(col("a.nrm")) * sqrt(col("b.nrm"))), 6) >= 0.4)
-        .select(col("b.vec_id").as("vec_id")).distinct()
-        .withColumn("is_dup", lit(true))
-      val result = assigned.join(pruned, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cid"),
-          coalesce(!col("is_dup"), lit(true)).as("keep_vec"))
-        .orderBy(col("vec_id"))
-      QueryScopedCache.releaseAfter(result, Seq(assigned))
+    } else {
+      // Lossless salt-split of the intra-cluster self-join: a hot
+      // cluster is ONE join key, so one task pays its whole sizes²
+      // cost. Give each row a deterministic salt in [0, g) and make
+      // the join key (cid, saltA, saltB): each side replicates g ways
+      // (every row meets every salt of the other side exactly once),
+      // so every intra-cluster pair still meets at EXACTLY one of the
+      // g² keys — same pairs, same result — but the hot key's work is
+      // spread over g² tasks of (size/g)² each. g² × replication
+      // trade: size g so that (hottest cluster / g)² fits a task.
+      val g = saltGroups
+      val salted = assigned.withColumn("salt",
+        (conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % g).cast("int"))
+      val a = salted.withColumn("bs",
+        explode(sequence(lit(0), lit(g - 1))))
+      val b = salted.withColumn("as_",
+        explode(sequence(lit(0), lit(g - 1))))
+      a.as("a").join(b.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("a.salt") === col("b.as_") &&
+          col("a.bs") === col("b.salt") &&
+          col("a.vec_id") < col("b.vec_id"))
+    })
+      .filter(simExpr)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    val result = assigned.join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(!col("is_dup"), lit(true)).as("keep_vec"))
+      .orderBy(col("vec_id"))
+    (result, Seq(assigned))
+  }
+
+  val qDedupSemantic = Q(
+    "q_dedup_semantic",
+    (s, dir) => {
+      val (result, handles) =
+        semanticDedup(SimilarityQueries.emb(s, dir))
+      QueryScopedCache.releaseAfter(result, handles)
     },
     Some(s"""
       WITH e AS (

@@ -210,21 +210,23 @@ object SimilarityQueries {
     * the inverted lists are the shuffle key and the quadratic pair
     * space never materializes. nprobe=4 of 16 lists scores ~1/4 of
     * the corpus per query. */
-  /** Coarse quantization against the 16 deterministic md5-sample
-    * centroids, kept NARROW: all 16 centroids ride in ONE broadcast
-    * row as an array, each vector scores them in-row and sorts the
-    * 16-element array — the per-vector argmax/top-nprobe never
-    * shuffles. Adds `ranked16` (ascending by (ccos, -cid, cid): last
+  /** Coarse quantization against k (default 16) deterministic
+    * md5-sample centroids, kept NARROW: all k centroids ride in ONE
+    * broadcast row as an array, each vector scores them in-row and
+    * sorts the k-element array — the per-vector argmax/top-nprobe
+    * never shuffles. At scale pick k ≈ n / targetClusterSize so
+    * cluster sizes stay ~constant as the corpus grows (the in-row
+    * scoring stays narrow until k reaches broadcast limits, ~10⁵). Adds `ranked16` (ascending by (ccos, -cid, cid): last
     * element = assignment, tail = probe list; `-cid` makes equal-ccos
     * ties resolve to the SMALLER cid at the ascending tail, matching
     * `ORDER BY ccos DESC, cid`; ascending native interpreted ordering
     * = the same Double.compare a window sort would use, so -0.0/0.0
     * edges rank identically). Shared by [[qSimIvfTopk]] and
     * [[DedupQueries.qDedupSemantic]]. */
-  private[analytics] def ivfRanked(e: DataFrame): DataFrame = {
+  private[analytics] def ivfRanked(e: DataFrame, k: Int = 16): DataFrame = {
     val cents = e
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(16)
+      .limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cnrm"))
     val centArr = cents.agg(

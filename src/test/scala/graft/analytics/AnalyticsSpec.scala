@@ -435,6 +435,26 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.filter(!_._3).map(_._1).toSet === expectedPruned)
   }
 
+  test("semantic dedup: salt-split and k knobs are lossless vs the plain self-join") {
+    // the hot-cluster salt decomposition must find EXACTLY the same
+    // intra-cluster pairs (every pair meets at exactly one of the g²
+    // salted keys), and k must flow through to the assignment
+    val e = SimilarityQueries.emb(spark, sf)
+    def run(k: Int, g: Int) = {
+      val (res, handles) = DedupQueries.semanticDedup(e, k = k, saltGroups = g)
+      val rows = QueryScopedCache.releaseAfter(res, handles).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      rows
+    }
+    val plain = run(8, 1)
+    assert(run(8, 4) === plain, "salt-split changed the result")
+    // k flows through to the assignment: at most k distinct clusters
+    val cids = plain.map(_._2)
+    assert(cids.size <= 8 && cids.size >= 2, s"k=8 clustering: $cids")
+    // and the registered query's k=16 default is a different clustering
+    assert(run(16, 1).map(_._2).size > cids.size)
+  }
+
   test("dedup cluster: components consistent with pairs; one survivor each") {
     val pairs = DedupQueries.qDedupMinhash.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
