@@ -202,18 +202,58 @@ object RelationalQueries {
       FROM orders o
       ORDER BY o_orderkey"""))
 
-  /** HLL sketch (approx_count_distinct). Engine-specific estimates
-    * cannot hash-match DuckDB → no oracle; accuracy is spec-asserted
-    * against exact distinct instead. */
+  /** Raw per-group HLL estimates — the PRODUCTION shape of
+    * [[qHllDistinct]] (one pass, no exact aggregation). Kept as its
+    * own method because the registered query below composes it with
+    * an exact pass into an oracle-gateable bound check; a real
+    * pipeline selects just this. */
+  def hllEstimates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** HLL sketch (approx_count_distinct), shaped for the differential
+    * gate: an estimate can never hash-match another engine, but the
+    * CONTRACT can — Spark computes the estimate AND the exact distinct
+    * in one aggregation and emits whether the estimate honors the
+    * 5%-relative-error bound (the default rsd) next to the exact
+    * count; DuckDB emits the exact count and a literal true. A wrong
+    * estimate, a wrong exact count, or a broken bound all fail the
+    * hash-match. [[hllEstimates]] is the one-pass production shape;
+    * AnalyticsSpec asserts the same 5% contract against it directly. */
   val qHllDistinct = Q(
     "q_hll_distinct",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
       li.groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count_distinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            greatest(lit(1L), (lit(0.05) * col("exact_parts")).cast("long")))
+            .as("within_bound"))
         .orderBy(col("l_returnflag"))
     },
-    None)
+    Some("""
+      SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+             TRUE AS within_bound
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
+
+  /** Raw per-group GK quantile estimates — the PRODUCTION shape of
+    * [[qQuantileSketch]] (one pass, bounded memory, no exact rank
+    * verification). */
+  def quantileEstimates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D), 1000)")
+          .as("approx_p"))
+      .select(col("l_returnflag"),
+        element_at(col("approx_p"), 1).as("p50"),
+        element_at(col("approx_p"), 2).as("p95"),
+        element_at(col("approx_p"), 3).as("p99"))
+      .orderBy(col("l_returnflag"))
 
   /** GK quantile sketch (approx_percentile) — the third mergeable
     * sketch in the family next to HLL distinct and SpaceSaving heavy
@@ -221,24 +261,46 @@ object RelationalQueries {
     * questions in one pass with bounded memory (the exact
     * [[qPercentile]] path sorts each group). Partial sketches merge
     * map-side like any aggregate; accuracy = 1/relative-rank-error.
-    * Sketch summaries are partition-order-dependent and engine-
-    * specific → no oracle; AnalyticsSpec asserts the rank-error
-    * contract against the exact percentiles instead. */
+    *
+    * Shaped for the differential gate like [[qHllDistinct]]: the
+    * sketch VALUES are partition-order-dependent and engine-specific,
+    * but the GK contract — the reported value's RANK in its group is
+    * within n/accuracy of the target rank — is checkable exactly.
+    * Spark ranks each estimate with a second pass over the group
+    * (count of values ≤ estimate) and emits the per-percentile
+    * verdicts next to the group size; DuckDB emits the size and
+    * literal trues. [[quantileEstimates]] is the one-pass production
+    * shape; AnalyticsSpec asserts the same rank contract against it. */
   val qQuantileSketch = Q(
     "q_quantile_sketch",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-      li.groupBy(col("l_returnflag"))
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val ap = li.groupBy(col("l_returnflag"))
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D), 1000)")
-            .as("approx_p"))
-        .select(col("l_returnflag"),
-          element_at(col("approx_p"), 1).as("p50"),
-          element_at(col("approx_p"), 2).as("p95"),
-          element_at(col("approx_p"), 3).as("p99"))
+            .as("ap"))
+      def rankOf(i: Int) = sum(
+        when(col("l_extendedprice") <= element_at(col("ap"), i), 1L)
+          .otherwise(0L)).as(s"r$i")
+      // tolerance mirrors the spec's proven contract check:
+      // |rank - ceil(p*n)| <= max(1, n/1000) + 1
+      def ok(p: Double, rc: String) =
+        abs(col(rc) - ceil(lit(p) * col("n_rows")).cast("long")) <=
+          greatest(lit(1L), floor(col("n_rows") / lit(1000)).cast("long")) +
+            lit(1L)
+      li.join(broadcast(ap), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), rankOf(1), rankOf(2), rankOf(3))
+        .select(col("l_returnflag"), col("n_rows"),
+          ok(0.5, "r1").as("p50_ok"), ok(0.95, "r2").as("p95_ok"),
+          ok(0.99, "r3").as("p99_ok"))
         .orderBy(col("l_returnflag"))
     },
-    None)
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS p50_ok,
+             TRUE AS p95_ok, TRUE AS p99_ok
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
 
   // ---------------------------------------------------------------
   // Join family

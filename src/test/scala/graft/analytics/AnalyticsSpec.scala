@@ -18,7 +18,9 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
   private val sf = "/root/testdata/sf0.001"
 
   test("hll approx distinct is within 5% of exact per group") {
-    val approx = RelationalQueries.qHllDistinct.run(spark, sf)
+    // the one-pass production shape; the registered query re-checks
+    // the same bound in-engine under the DuckDB gate
+    val approx = RelationalQueries.hllEstimates(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables(spark, sf, "lineitem")
       .groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("n"))
@@ -34,7 +36,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     // approx_percentile(accuracy=1000) guarantees the reported value's
     // RANK is within n/1000 of the target rank — assert exactly that
     // (value-distance bounds would be distribution-dependent).
-    val approx = RelationalQueries.qQuantileSketch.run(spark, sf).collect()
+    val approx = RelationalQueries.quantileEstimates(spark, sf).collect()
       .map(r => r.getString(0) ->
         Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val groups = Tables(spark, sf, "lineitem")
