@@ -9,6 +9,14 @@ object Verify {
     // optional trailing args select a query subset (dev iteration);
     // the driver's 2-arg call dumps the full registry
     val subset = args.drop(2).toSet
+    // a typo'd subset name would otherwise run a PARTIAL gate that
+    // looks like a passing one — fail fast instead
+    val unknown = subset.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
     val selected =
       if (subset.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => subset(n) }

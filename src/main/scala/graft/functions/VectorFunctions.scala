@@ -190,6 +190,21 @@ case class PqCodes(left: Expression, right: Expression, subDim: Int)
     val cs = cents.asInstanceOf[ArrayData]
     val dim = v.numElements()
     val k = cs.numElements()
+    // loud, named failures beat an executor-side AIOOBE (short
+    // codebook entry) or silently dropped trailing dims (dim not a
+    // multiple of subDim); the O(k) length sweep is negligible next
+    // to the O(dim·k) distance work
+    if (dim % subDim != 0)
+      throw new IllegalArgumentException(
+        s"graft_pq_codes: vector length $dim is not a multiple of subDim $subDim")
+    var kc = 0
+    while (kc < k) {
+      val clen = cs.getArray(kc).numElements()
+      if (clen < dim)
+        throw new IllegalArgumentException(
+          s"graft_pq_codes: codebook entry $kc has $clen dims but the vector has $dim")
+      kc += 1
+    }
     val m = dim / subDim
     val codes = new Array[Int](m)
     var mi = 0

@@ -162,6 +162,32 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(native === hof)
   }
 
+  test("pq codes: malformed inputs fail loudly with the function named") {
+    def messages(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    // vector length not a multiple of subDim: previously the trailing
+    // dims silently dropped out of every distance
+    val odd = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("id", "v")
+      .withColumn("cs", expr("array(array(1.0D, 2.0D, 3.0D))"))
+    val e1 = intercept[Throwable] {
+      odd.select(graft.functions.VectorFunctions.pqCodes($"v", $"cs", 2))
+        .collect()
+    }
+    assert(messages(e1).exists(m => m.contains("graft_pq_codes") &&
+      m.contains("multiple of subDim")), s"got: ${messages(e1)}")
+    // codebook entry shorter than the vector: previously an opaque
+    // executor-side ArrayIndexOutOfBoundsException
+    val short = Seq((1L, Array(1.0, 2.0, 3.0, 4.0))).toDF("id", "v")
+      .withColumn("cs", expr("array(array(1.0D, 2.0D))"))
+    val e2 = intercept[Throwable] {
+      short.select(graft.functions.VectorFunctions.pqCodes($"v", $"cs", 2))
+        .collect()
+    }
+    assert(messages(e2).exists(m => m.contains("graft_pq_codes") &&
+      m.contains("codebook entry")), s"got: ${messages(e2)}")
+  }
+
   test("passage dedup: planted shared passage flagged, disjoint doc absent") {
     // docs 1 and 2 share a 10-word passage (→ 3 common distinct
     // 8-grams) inside otherwise disjoint text; doc 3 shares nothing
