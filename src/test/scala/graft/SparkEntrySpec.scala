@@ -10,15 +10,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * removing a query must touch this file too. */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry: full query count, sketches are the only oracle-less entries") {
+  test("registry: full query count, every query carries an oracle") {
     val qs = SparkEntry.queries.keySet
-    assert(qs.size === 79, s"registered query count changed: ${qs.size}")
-    // the two sketch queries cannot hash-match another engine and are
-    // error-bound spec-tested instead (AnalyticsSpec); everything else
-    // MUST carry a DuckDB oracle for the driver's differential gate
+    assert(qs.size === 80, s"registered query count changed: ${qs.size}")
+    // since the sketch queries were reshaped into in-engine bound
+    // checks (round 6), EVERY registered query must carry a DuckDB
+    // oracle for the driver's differential gate — a new oracle-less
+    // entry is a gate regression, not a style choice
     val noOracle = qs -- SparkEntry.oracleSql.keySet
-    assert(noOracle === Set("q_hll_distinct", "q_quantile_sketch"),
-      s"oracle-less queries changed: $noOracle")
+    assert(noOracle.isEmpty, s"oracle-less queries: $noOracle")
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs),
       "oracle entries must reference registered queries")
     // name hygiene: stable snake-case slugs (the driver keys artifacts
