@@ -32,6 +32,10 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   * AQE — the corpus-scale tables never move
   * (the [[Bucketing.writeBucketed]] write-once-shuffle-never story).
   *
+  * The daily loop: [[ingest]] once, then per batch [[screen]] →
+  * drop/keep → [[admit]] the survivors, so tomorrow's batch probes
+  * today's — the store grows by appends, never a recompute.
+  *
   * Frozen hash geometry: the batch is screened against the INGEST-TIME
   * stop-shingle set, so a stored signature never goes stale — exactly
   * what a production pipeline wants (signatures computed once must
@@ -84,6 +88,50 @@ object SignatureStore {
       } finally sh.unpersist()
     } finally sh0.unpersist()
   }
+
+  /** Admit a (screened) batch into the store: append its shingles,
+    * sizes, and band signatures — computed under the store's FROZEN
+    * geometry, exactly as [[screen]] saw them — so later batches
+    * screen against corpus ∪ admitted history. This closes the daily
+    * loop: screen the arrivals, keep the survivors, admit them, and
+    * tomorrow's batch probes today's. doc_ids must be new to the
+    * store (the store is append-only; dedup upstream guarantees
+    * uniqueness). The stop set is deliberately NOT updated — frozen
+    * geometry keeps every stored signature comparable forever; re-run
+    * [[ingest]] when corpus drift warrants a re-key. */
+  def admit(s: SparkSession, store: String, batch: DataFrame): Unit = {
+    val stop = s.table(t(store, "stop"))
+    val shB = t(store, "shingles")
+    val sigB = t(store, "signatures")
+    val bsh = DedupQueries.rawShingles(batch)
+      .join(broadcast(stop), Seq("sh"), "left_anti")
+      .persist(MEMORY_AND_DISK)
+    try {
+      val bmh = DedupQueries.minhashAgg(bsh).persist(MEMORY_AND_DISK)
+      try {
+        bsh.write.format("parquet").mode("append")
+          .bucketBy(bucketCount(s, shB), "doc_id").sortBy("doc_id")
+          .saveAsTable(shB)
+        bmh.select(col("doc_id"), col("n"))
+          .write.format("parquet").mode("append")
+          .saveAsTable(t(store, "sizes"))
+        DedupQueries.bandSig(bmh)
+          .write.format("parquet").mode("append")
+          .bucketBy(bucketCount(s, sigB), "bh").sortBy("bh")
+          .saveAsTable(sigB)
+      } finally bmh.unpersist()
+    } finally bsh.unpersist()
+  }
+
+  /** The bucket count an append must match (reads the catalog — the
+    * ingest-time `buckets` choice is authoritative). */
+  private def bucketCount(s: SparkSession, name: String): Int =
+    s.sql(s"DESCRIBE EXTENDED $name").collect()
+      .collectFirst {
+        case r if r.getString(0) == "Num Buckets" => r.getString(1).trim.toInt
+      }
+      .getOrElse(throw new IllegalStateException(
+        s"$name is not a bucketed store table — run ingest first"))
 
   private def dropStale(s: SparkSession, name: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $name")

@@ -294,6 +294,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows === Set((7L, 101L)), s"pairs: $rows")
   }
 
+  test("signature store: admitted batches join the screening corpus") {
+    def txt(tag: String) = (0 until 12).map(j => s"${tag}w$j").mkString(" ")
+    val corpus = (1L to 9L).map(i => (i, txt(s"c$i"))).toDF("doc_id", "text")
+    SignatureStore.ingest(corpus, "sigstore_admit", buckets = 4)
+    val batch1 = Seq((101L, txt("fresh1"))).toDF("doc_id", "text")
+    val (p1, h1) = SignatureStore.screen(spark, "sigstore_admit", batch1)
+    assert(QueryScopedCache.releaseAfter(p1, h1).collect().isEmpty,
+      "unique first batch must screen clean")
+    SignatureStore.admit(spark, "sigstore_admit", batch1)
+    // the second batch duplicates an ADMITTED doc and an original
+    // corpus doc — both must surface now
+    val batch2 = Seq((201L, txt("fresh1")), (202L, txt("c3")))
+      .toDF("doc_id", "text")
+    val (p2, h2) = SignatureStore.screen(spark, "sigstore_admit", batch2)
+    val found = QueryScopedCache.releaseAfter(p2, h2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found === Set((101L, 201L), (3L, 202L)), s"found: $found")
+    // appends must not degrade the bucketed layout
+    val desc = spark.sql("DESCRIBE EXTENDED sigstore_admit_shingles")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("Num Buckets").contains("4"), s"bucketing lost: $desc")
+  }
+
   test("signature store from foreachBatch: micro-batches screen without corpus recompute") {
     // the daily-ingest loop at production shape: signatures ingested
     // ONCE before the stream starts; every micro-batch computes only
