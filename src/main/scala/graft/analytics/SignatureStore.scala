@@ -135,9 +135,13 @@ object SignatureStore {
 
   private def dropStale(s: SparkSession, name: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $name")
-    val wh = s.conf.get("spark.sql.warehouse.dir")
+    // ask the CATALOG where the managed table would land — the conf's
+    // warehouse dir diverges from it when a persistent metastore (e.g.
+    // spark-shell's Hive+derby default) pinned the default database's
+    // location in an earlier session
     val path = new org.apache.hadoop.fs.Path(
-      wh, name.toLowerCase(java.util.Locale.ROOT))
+      s.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(name)))
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
   }
