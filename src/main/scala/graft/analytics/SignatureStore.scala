@@ -133,7 +133,7 @@ object SignatureStore {
       .getOrElse(throw new IllegalStateException(
         s"$name is not a bucketed store table — run ingest first"))
 
-  private def dropStale(s: SparkSession, name: String): Unit = {
+  private[analytics] def dropStale(s: SparkSession, name: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $name")
     // ask the CATALOG where the managed table would land — the conf's
     // warehouse dir diverges from it when a persistent metastore (e.g.

@@ -30,7 +30,7 @@ object SimilarityQueries {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", graft.functions.VectorFunctions.dot(col("v"), col("v")))
 
-  private def dot(a: Column, b: Column): Column =
+  private[analytics] def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dot(a, b)
 
   /** Exact top-5 neighbors (by cosine) for query vectors vec_id < 20. */
@@ -479,6 +479,60 @@ object SimilarityQueries {
     * and break the stage-by-stage oracle mirror; the recall cost on a
     * normalized corpus is modest and the composition shape is
     * identical. */
+  /** Shared DuckDB mirror of the IVFADC composition — referenced by
+    * both [[qSimIvfPqTopk]] (inline derivation) and
+    * [[qSimIvfPqStored]] ([[VectorIndex]] ingest-then-search): the two
+    * must produce IDENTICAL rows, so one oracle gates both and the
+    * stored index is proven lossless. */
+  private lazy val ivfPqOracleSql: String = s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x)) AS nrm
+        FROM embeddings),${ivfRankedSql},
+      assigned AS (SELECT vec_id, cid FROM ranked WHERE crank = 1),
+      probes AS (SELECT vec_id AS qid, cid FROM ranked
+                 WHERE vec_id < 20 AND crank <= 4),
+      cand AS (
+        SELECT DISTINCT p.qid, a.vec_id AS neighbor_id
+        FROM probes p JOIN assigned a ON a.cid = p.cid
+        WHERE a.vec_id <> p.qid),
+      en AS (
+        SELECT vec_id, list_transform(v, x -> x / sqrt(nrm)) AS v
+        FROM e),
+      pcents AS (
+        SELECT vec_id AS cid, v AS cv FROM en
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+      pck AS (SELECT cid, cv, ROW_NUMBER() OVER (ORDER BY cid) AS k
+              FROM pcents),
+      pd AS (
+        SELECT en.vec_id, tm.m, pck.k,
+               CAST(ROUND(list_sum(list_transform(generate_series(1, 2),
+                 i -> (en.v[tm.m * 2 + i] - pck.cv[tm.m * 2 + i])
+                    * (en.v[tm.m * 2 + i] - pck.cv[tm.m * 2 + i])))
+                 * 1000000) AS BIGINT) AS d2m
+        FROM en CROSS JOIN generate_series(0, 31) tm(m) CROSS JOIN pck),
+      pcodes AS (
+        SELECT vec_id, m, k FROM (
+          SELECT vec_id, m, k,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                    ORDER BY d2m, k) AS r
+          FROM pd) WHERE r = 1),
+      adc AS (
+        SELECT c.qid, c.neighbor_id,
+               CAST(SUM(dq.d2m) AS BIGINT) AS adc_micro
+        FROM cand c
+        JOIN pcodes cd ON cd.vec_id = c.neighbor_id
+        JOIN pd dq ON dq.vec_id = c.qid AND dq.m = cd.m AND dq.k = cd.k
+        GROUP BY 1, 2),
+      rk AS (
+        SELECT qid, neighbor_id, adc_micro,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc_micro, neighbor_id) AS rank
+        FROM adc)
+      SELECT qid, rank, neighbor_id, adc_micro / 1000000.0 AS approx_l2
+      FROM rk WHERE rank <= 5 ORDER BY qid, rank"""
+
   val qSimIvfPqTopk = Q(
     "q_sim_ivfpq_topk",
     (s, dir) => {
@@ -535,54 +589,24 @@ object SimilarityQueries {
           (col("adc_micro") / lit(1000000.0)).as("approx_l2"))
         .orderBy(col("qid"), col("rank"))
     },
-    Some(s"""
-      WITH e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                 x -> x * x)) AS nrm
-        FROM embeddings),${ivfRankedSql},
-      assigned AS (SELECT vec_id, cid FROM ranked WHERE crank = 1),
-      probes AS (SELECT vec_id AS qid, cid FROM ranked
-                 WHERE vec_id < 20 AND crank <= 4),
-      cand AS (
-        SELECT DISTINCT p.qid, a.vec_id AS neighbor_id
-        FROM probes p JOIN assigned a ON a.cid = p.cid
-        WHERE a.vec_id <> p.qid),
-      en AS (
-        SELECT vec_id, list_transform(v, x -> x / sqrt(nrm)) AS v
-        FROM e),
-      pcents AS (
-        SELECT vec_id AS cid, v AS cv FROM en
-        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
-      pck AS (SELECT cid, cv, ROW_NUMBER() OVER (ORDER BY cid) AS k
-              FROM pcents),
-      pd AS (
-        SELECT en.vec_id, tm.m, pck.k,
-               CAST(ROUND(list_sum(list_transform(generate_series(1, 2),
-                 i -> (en.v[tm.m * 2 + i] - pck.cv[tm.m * 2 + i])
-                    * (en.v[tm.m * 2 + i] - pck.cv[tm.m * 2 + i])))
-                 * 1000000) AS BIGINT) AS d2m
-        FROM en CROSS JOIN generate_series(0, 31) tm(m) CROSS JOIN pck),
-      pcodes AS (
-        SELECT vec_id, m, k FROM (
-          SELECT vec_id, m, k,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                                    ORDER BY d2m, k) AS r
-          FROM pd) WHERE r = 1),
-      adc AS (
-        SELECT c.qid, c.neighbor_id,
-               CAST(SUM(dq.d2m) AS BIGINT) AS adc_micro
-        FROM cand c
-        JOIN pcodes cd ON cd.vec_id = c.neighbor_id
-        JOIN pd dq ON dq.vec_id = c.qid AND dq.m = cd.m AND dq.k = cd.k
-        GROUP BY 1, 2),
-      rk AS (
-        SELECT qid, neighbor_id, adc_micro,
-               ROW_NUMBER() OVER (PARTITION BY qid
-                                  ORDER BY adc_micro, neighbor_id) AS rank
-        FROM adc)
-      SELECT qid, rank, neighbor_id, adc_micro / 1000000.0 AS approx_l2
-      FROM rk WHERE rank <= 5 ORDER BY qid, rank"""))
+    Some(ivfPqOracleSql))
+
+  /** The stored-index twin of [[qSimIvfPqTopk]]: [[VectorIndex]]
+    * ingest (centroids + codebook + codes persisted as catalog
+    * tables) then search against the STORE — sharing the inline
+    * query's oracle VERBATIM, so the hash-match proves the persisted
+    * index searches identically to an engine that derives everything
+    * inline. The self-contained registered query pays the ingest; a
+    * production pipeline pays it once and serves every search from
+    * the tables ([[SignatureStore]]'s economics, for ANN). */
+  val qSimIvfPqStored = Q(
+    "q_sim_ivfpq_stored",
+    (s, dir) => {
+      val e = emb(s, dir)
+      VectorIndex.ingest(e, "graft_vecindex")
+      VectorIndex.search(s, "graft_vecindex", e.filter(col("vec_id") < 20))
+    },
+    Some(ivfPqOracleSql))
 
   /** ANN top-5 via int8 scalar quantization (SQ8) — the fourth
     * compression point on the ANN spectrum (brute float32 → SQ8 → PQ
@@ -648,5 +672,5 @@ object SimilarityQueries {
       WHERE rank <= 5 ORDER BY qid, rank"""))
 
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
-    qSimIvfPqTopk, qSimSqTopk)
+    qSimIvfPqTopk, qSimIvfPqStored, qSimSqTopk)
 }

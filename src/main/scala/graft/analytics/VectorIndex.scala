@@ -1,0 +1,151 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVFADC index — the ANN sibling of [[SignatureStore]]:
+  * the inline [[SimilarityQueries.qSimIvfPqTopk]] derives centroids,
+  * codebook, and PQ codes from the corpus on every run (so the query
+  * is self-contained under the oracle gate); a production corpus
+  * computes them ONCE at ingest and serves every search from the
+  * stored tables — that layout is what makes billion-vector serving
+  * possible (Jégou et al.'s premise: codes live in RAM, originals on
+  * cold storage). This object makes that layout code.
+  *
+  * Layout (catalog tables under the `store` name prefix):
+  *   - `{store}_ivf`   one row: `cents` array<struct<cid,cv,cnrm>> —
+  *     the k coarse centroids in the in-row broadcast shape the
+  *     assignment scoring consumes directly
+  *   - `{store}_pq`    one row: `cs` array<array<double>> — the
+  *     64-entry PQ codebook over normalized vectors (position = code)
+  *   - `{store}_codes` (vec_id, cid, codes array<int>) — every corpus
+  *     vector's coarse assignment + 32 PQ codes, bucketed by cid so
+  *     the probe equi-join reads inverted lists in place
+  *
+  * [[search]] touches ONLY these tables: queries rank the broadcast
+  * centroid array in-row (no corpus scan), probe `nprobe` inverted
+  * lists through the cid equi-join, and ADC-rank candidates from
+  * stored codes with a broadcast per-query LUT — per candidate, 32
+  * integer lookups and never an original corpus vector. Determinism
+  * matches the inline query exactly (md5-sampled centroids/codebook,
+  * micro-unit integer distances), which is how the registered
+  * `q_sim_ivfpq_stored` can share `q_sim_ivfpq_topk`'s DuckDB oracle:
+  * the gate proves the persisted index SEARCHES IDENTICALLY to an
+  * engine that never stored anything. */
+object VectorIndex {
+
+  private def t(store: String, part: String) = s"${store}_$part"
+
+  /** Micro-unit subspace L2² between the row's normalized vector `v`
+    * and codebook position `k`'s m-th 2-dim slice (the LUT build —
+    * identical arithmetic to the native PqCodes encode loop). */
+  private def d2m(m: String, k: String) =
+    s"""cast(round(aggregate(zip_with(
+          slice(v, $m * 2 + 1, 2),
+          slice(element_at(cs, $k), $m * 2 + 1, 2),
+          (a, b) -> (a - b) * (a - b)),
+        cast(0 as double), (acc, x) -> acc + x) * 1000000) as bigint)"""
+
+  /** Build and persist the index for an `e` frame in the
+    * (vec_id, v, nrm) shape of [[SimilarityQueries.emb]]: k md5-sample
+    * IVF centroids, the 64-entry PQ codebook, and per-vector
+    * (assignment, codes) — one narrow corpus pass for assignment and
+    * one for encoding, both against broadcast single-row tables.
+    * `buckets` sizes the codes table (at scale: corpus rows / a few
+    * million per bucket, multiple of executor cores). */
+  def ingest(e: DataFrame, store: String, k: Int = 16,
+      buckets: Int = 8): Unit = {
+    val s = e.sparkSession
+    Seq("ivf", "pq", "codes").foreach(p =>
+      SignatureStore.dropStale(s, t(store, p)))
+    // coarse centroids, stored pre-assembled in the broadcast shape
+    e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+      .agg(collect_list(struct(col("cid"), col("cv"), col("cnrm")))
+        .as("cents"))
+      .write.mode("overwrite").format("parquet").saveAsTable(t(store, "ivf"))
+    // PQ codebook over normalized vectors (position = code)
+    val en = e.select(col("vec_id"),
+      expr("transform(v, x -> x / sqrt(nrm))").as("v"))
+    en.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(64)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(cid, cv))), c -> c.cv)")
+        .as("cs"))
+      .write.mode("overwrite").format("parquet").saveAsTable(t(store, "pq"))
+    // per-vector coarse assignment + codes, bucketed by the list id
+    val assigned = rankCentroids(e, s.table(t(store, "ivf")))
+      .select(col("vec_id"),
+        element_at(col("ranked"), size(col("ranked")))
+          .getField("cid").as("cid"))
+    val coded = en.crossJoin(broadcast(s.table(t(store, "pq"))))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.pqCodes(col("v"), col("cs"), 2)
+          .as("codes"))
+    assigned.join(coded, "vec_id")
+      .write.bucketBy(buckets, "cid").sortBy("cid")
+      .format("parquet").mode("overwrite").saveAsTable(t(store, "codes"))
+  }
+
+  /** Rank the stored centroid array per row of `e` (ascending by
+    * (ccos, -cid): last element = assignment, tail = probe list) —
+    * [[SimilarityQueries.ivfRanked]]'s scoring against a stored
+    * single-row centroid table instead of an inline sample. */
+  private def rankCentroids(e: DataFrame, ivf: DataFrame): DataFrame = {
+    val scored = transform(col("cents"), c =>
+      struct(
+        round(SimilarityQueries.dot(col("v"), c.getField("cv")) /
+          (sqrt(col("nrm")) * sqrt(c.getField("cnrm"))), 6).as("ccos"),
+        (-c.getField("cid")).as("tie"),
+        c.getField("cid").as("cid")))
+    e.crossJoin(broadcast(ivf))
+      .withColumn("ranked", array_sort(scored))
+      .drop("cents")
+  }
+
+  /** ANN top-k for `queries` (vec_id, v, nrm) against a previously
+    * [[ingest]]ed index. Output (qid, rank, neighbor_id, approx_l2) —
+    * the [[SimilarityQueries.qSimIvfPqTopk]] shape. Nothing here scans
+    * the corpus embeddings: coarse ranking reads the one-row centroid
+    * table, candidates ride the cid equi-join against the bucketed
+    * codes table, and scoring is 32 integer lookups per candidate in a
+    * broadcast LUT. A query whose vec_id exists in the corpus is
+    * excluded from its own results (self-exclusion, matching the
+    * inline query). */
+  def search(s: SparkSession, store: String, queries: DataFrame,
+      nprobe: Int = 4, topk: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = s.table(t(store, "codes"))
+    val probes = rankCentroids(queries, s.table(t(store, "ivf")))
+      .select(col("vec_id").as("qid"),
+        explode(transform(
+          slice(col("ranked"),
+            greatest(size(col("ranked")) - (nprobe - 1), lit(1)),
+            lit(nprobe)),
+          p => p.getField("cid"))).as("cid"))
+    val qlut = queries
+      .select(col("vec_id"), expr("transform(v, x -> x / sqrt(nrm))").as("v"))
+      .crossJoin(broadcast(s.table(t(store, "pq"))))
+      .withColumn("lut", expr(
+        s"""transform(sequence(0, 31), m ->
+              transform(sequence(1, 64), k -> ${d2m("m", "k")}))"""))
+      .select(col("vec_id").as("qid"), col("lut"))
+    val cand = probes.join(codes, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("codes"))
+    val scored = cand.join(broadcast(qlut), "qid")
+      .select(col("qid"), col("neighbor_id"),
+        expr("""aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c)),
+                cast(0 as bigint), (acc, x) -> acc + x)""").as("adc_micro"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_micro"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topk)
+      .select(col("qid"), col("rank"), col("neighbor_id"),
+        (col("adc_micro") / lit(1000000.0)).as("approx_l2"))
+      .orderBy(col("qid"), col("rank"))
+  }
+}

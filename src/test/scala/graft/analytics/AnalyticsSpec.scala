@@ -506,6 +506,34 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(run(16, 1).map(_._2).size > cids.size)
   }
 
+  test("vector index: external queries search the stored tables, never the corpus source") {
+    val e = SimilarityQueries.emb(spark, sf)
+    VectorIndex.ingest(e, "vecindex_spec", buckets = 4)
+    // query vectors that never touched the corpus parquet: the whole
+    // corpus side of the search must come from the stored tables
+    val dim = e.select(size($"v")).first().getInt(0)
+    val qs = Seq((9001L, Array.fill(dim)(0.25)),
+        (9002L, (0 until dim).map(i => if (i % 2 == 0) 1.0 else -1.0).toArray))
+      .toDF("vec_id", "v")
+      .withColumn("nrm",
+        expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)"))
+    val res = VectorIndex.search(spark, "vecindex_spec", qs, topk = 3)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"),
+      s"search must not scan the corpus source:\n$plan")
+    assert(plan.contains("vecindex_spec_codes"),
+      s"search should probe the stored codes table:\n$plan")
+    val rows = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // each query gets a full top-k, ranked by ascending ADC distance
+    Seq(9001L, 9002L).foreach { q =>
+      val mine = rows.filter(_._1 == q).sortBy(_._2)
+      assert(mine.map(_._2).toSeq === Seq(1L, 2L, 3L), s"ranks for $q: $mine")
+      assert(mine.map(_._4).toSeq == mine.map(_._4).sorted.toSeq,
+        s"approx_l2 not ascending for $q: $mine")
+    }
+  }
+
   test("dedup cluster: components consistent with pairs; one survivor each") {
     val pairs = DedupQueries.qDedupMinhash.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
