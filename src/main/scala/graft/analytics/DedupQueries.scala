@@ -66,28 +66,22 @@ object DedupQueries {
       .select(col("sh"))
   }
 
-  private def shingles(d: DataFrame,
-      persistJoined: Boolean = false): (DataFrame, Seq[DataFrame]) = {
+  private def shingles(d: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val sh0 = rawShingles(d)
       // The raw shingle table feeds the stop-set aggregation plus every
       // downstream subtree (minhash aggs, join sides, sizes); without
       // materialization Spark re-runs the scan+explode for each — same
       // persist a production dedup pipeline applies to its shingle
       // table. Released after the consuming action (QueryScopedCache).
+      // The POST-anti-join table is deliberately NOT persisted here:
+      // jaccard's self-join streams the cheap anti-join recompute
+      // straight from the sh0 cache (a barrier there measured ~0.7s
+      // SLOWER at sf0.1), and minhash persists its own narrower
+      // all-hashed projection instead.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stop shingles removed with a broadcast anti-join (the set is tiny)
     val stop = stopShingles(sh0, d)
-    // persistJoined: minhash also caches the POST-anti-join table (its
-    // consumers sit behind aggregation/semi-join barriers, so the cache
-    // saves full recomputes); jaccard does NOT — its self-join streams
-    // the cheap anti-join recompute straight from the sh0 cache, and a
-    // materialization barrier there measured ~0.7s SLOWER at sf0.1.
-    val joined = sh0.join(broadcast(stop), Seq("sh"), "left_anti")
-    if (persistJoined) {
-      val sh = joined
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (sh, Seq(sh0, sh))
-    } else (joined, Seq(sh0))
+    (sh0.join(broadcast(stop), Seq("sh"), "left_anti"), Seq(sh0))
   }
 
   private val shinglesSql = """
@@ -251,15 +245,27 @@ object DedupQueries {
     * v is pre-reduced mod p so a_i·v stays far from Long overflow
     * (ANSI mode would error loudly otherwise).
     * Shared with [[SignatureStore]]. */
-  private[analytics] def minhashAgg(sh: DataFrame): DataFrame = {
-    val hv = sh.select(col("doc_id"),
+  private[analytics] def minhashAgg(sh: DataFrame): DataFrame =
+    minhashAggV(sh.select(col("doc_id"),
       (conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
-        % lit(MinhashP)).as("v"))
+        % lit(MinhashP)).as("v")))
+
+  /** [[minhashAgg]] over an already-hashed (doc_id, v) table — the
+    * path [[pairDiscovery]] takes, where one md5 per instance yields
+    * BOTH the minhash input v and the verify fingerprint h. */
+  private[analytics] def minhashAggV(hv: DataFrame): DataFrame = {
     val minCols = (0 until 16).map(i =>
       min((lit(minhashA(i)) * col("v") + lit(minhashB(i)))
         % lit(MinhashP)).as(s"m$i"))
     hv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"), minCols: _*)
   }
+
+  /** 60-bit shingle fingerprint — the verify-join key (integer SMJ
+    * compares, ~half the shuffle bytes of the string; the
+    * [[qDedupNgramJaccard]] collision math applies). Both engines
+    * derive it as the first 15 md5 hex digits. */
+  private[analytics] def fingerprint(sh: Column): Column =
+    conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
 
   /** LSH band signatures from a minhash table: 4 bands of 4 minima →
     * (doc_id, band, bh). '|' separator: long values have variable
@@ -276,8 +282,20 @@ object DedupQueries {
 
   private def pairDiscovery(d: DataFrame, batchIds: Option[DataFrame])
       : (DataFrame, Seq[DataFrame]) = {
-      val (sh, shHandles) = shingles(d, persistJoined = true)
-      val mh = minhashAgg(sh)
+      val (sh, shHandles) = shingles(d)
+      // ONE md5 per shingle instance yields both the minhash input v
+      // (first 8 hex digits mod p) and the 60-bit verify fingerprint h
+      // (first 15); persisting THIS table instead of the string
+      // shingles makes every downstream consumer — minhash aggregation
+      // and both verify-join sides — read two longs per instance,
+      // never the shingle text.
+      val hsh = sh.select(col("doc_id"), md5(col("sh")).as("md"))
+        .select(col("doc_id"),
+          (conv(substring(col("md"), 1, 8), 16, 10).cast("long")
+            % lit(MinhashP)).as("v"),
+          conv(substring(col("md"), 1, 15), 16, 10).cast("long").as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mh = minhashAggV(hsh)
         // n_docs rows × 17 narrow cols; feeds the band signatures AND
         // both size lookups — persisting stops the minhash aggregation
         // from running three times.
@@ -308,17 +326,18 @@ object DedupQueries {
       // join to broadcast at runtime when the set is actually small.
       val candIds = cand.select(col("ia").as("doc_id"))
         .union(cand.select(col("ib").as("doc_id"))).distinct()
-      // candidate-doc shingles are read by BOTH sides of the
+      // candidate-doc fingerprints are read by BOTH sides of the
       // intersection join; persisting the (tiny) table runs the
       // semi-join once instead of twice
-      val shC = sh.join(candIds, Seq("doc_id"), "left_semi")
+      val shC = hsh.select(col("doc_id"), col("h"))
+        .join(candIds, Seq("doc_id"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = mh.select(col("doc_id"), col("n"))
       val candSh = cand.join(shC.as("s1"), col("ia") === col("s1.doc_id"))
-        .select(col("ia"), col("ib"), col("s1.sh").as("sh"))
+        .select(col("ia"), col("ib"), col("s1.h").as("h"))
       val ni = candSh.as("cs")
         .join(shC.as("s2"),
-          col("s2.doc_id") === col("cs.ib") && col("s2.sh") === col("cs.sh"))
+          col("s2.doc_id") === col("cs.ib") && col("s2.h") === col("cs.h"))
         .groupBy(col("cs.ia").as("ia"), col("cs.ib").as("ib"))
         .agg(count(lit(1)).as("ni"))
       val pairs = ni
@@ -328,7 +347,7 @@ object DedupQueries {
           round(col("ni") * lit(1.0) /
             (col("sa.n") + col("sb.n") - col("ni")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-      (pairs, shHandles ++ Seq(mh, cand, shC))
+      (pairs, shHandles ++ Seq(hsh, mh, cand, shC))
   }
 
   /** Shared oracle CTE chain ending in `pairs(ia, ib, jaccard)` — the
@@ -336,22 +355,16 @@ object DedupQueries {
   private def minhashPairsSql(pred: String = "p.doc_id < q.doc_id",
       shSql: String = shinglesSql): String = s"""
       $shSql,
-      hv AS (SELECT doc_id,
-                    ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
-                   + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
-                   + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
-                   + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
-                   + (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
-                   + (instr('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
-                   + (instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
-                   + (instr('0123456789abcdef', substr(h, 8, 1)) - 1))
-                      % 2147483647 AS v
+      hh AS (SELECT doc_id,
+                    CAST(('0x' || substr(h, 1, 8)) AS BIGINT)
+                      % 2147483647 AS v,
+                    CAST(('0x' || substr(h, 1, 15)) AS BIGINT) AS hk
              FROM (SELECT doc_id, MD5(sh) AS h FROM sh)),
       mh AS (SELECT doc_id, i,
                     MIN((((2654435761 * (i + 1)) % 2147483647) * v
                          + (40503 * (i + 1)) % 2147483647)
                         % 2147483647) AS m
-             FROM hv CROSS JOIN generate_series(0, 15) AS t(i)
+             FROM hh CROSS JOIN generate_series(0, 15) AS t(i)
              GROUP BY 1, 2),
       sig AS (SELECT doc_id, i // 4 AS band,
                      MD5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS bh
@@ -360,12 +373,12 @@ object DedupQueries {
                FROM sig p JOIN sig q
                  ON p.band = q.band AND p.bh = q.bh
                 AND $pred),
-      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-      cand_sh AS (SELECT c.ia, c.ib, s1.sh
-                  FROM cand c JOIN sh s1 ON s1.doc_id = c.ia),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY 1),
+      cand_sh AS (SELECT c.ia, c.ib, s1.hk
+                  FROM cand c JOIN hh s1 ON s1.doc_id = c.ia),
       ni AS (SELECT ia, ib, COUNT(*) AS ni
-             FROM cand_sh cs JOIN sh s2
-               ON s2.doc_id = cs.ib AND s2.sh = cs.sh
+             FROM cand_sh cs JOIN hh s2
+               ON s2.doc_id = cs.ib AND s2.hk = cs.hk
              GROUP BY 1, 2),
       pairs AS (
         SELECT ia, ib,

@@ -21,7 +21,9 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   *
   * Layout (catalog tables under the `store` name prefix):
   *   - `{store}_stop`       (sh)           — the ingest-time stop-shingle set
-  *   - `{store}_shingles`   (doc_id, sh)   — post-stop-filter, bucketed by doc_id
+  *   - `{store}_shingles`   (doc_id, h)    — post-stop-filter 60-bit md5
+  *     fingerprints ([[DedupQueries.fingerprint]] — never the text;
+  *     integer verify joins, half the bytes), bucketed by doc_id
   *   - `{store}_sizes`      (doc_id, n)    — shingle-set sizes
   *   - `{store}_signatures` (doc_id, band, bh) — LSH band rows, bucketed by bh
   *
@@ -74,7 +76,10 @@ object SignatureStore {
       val sh = sh0.join(broadcast(stop), Seq("sh"), "left_anti")
         .persist(MEMORY_AND_DISK)
       try {
-        Bucketing.writeBucketed(sh, t(store, "shingles"), "doc_id", buckets)
+        Bucketing.writeBucketed(
+          sh.select(col("doc_id"),
+            DedupQueries.fingerprint(col("sh")).as("h")),
+          t(store, "shingles"), "doc_id", buckets)
         val mh = DedupQueries.minhashAgg(sh).persist(MEMORY_AND_DISK)
         try {
           mh.select(col("doc_id"), col("n"))
@@ -109,7 +114,9 @@ object SignatureStore {
     try {
       val bmh = DedupQueries.minhashAgg(bsh).persist(MEMORY_AND_DISK)
       try {
-        bsh.write.format("parquet").mode("append")
+        bsh.select(col("doc_id"),
+            DedupQueries.fingerprint(col("sh")).as("h"))
+          .write.format("parquet").mode("append")
           .bucketBy(bucketCount(s, shB), "doc_id").sortBy("doc_id")
           .saveAsTable(shB)
         bmh.select(col("doc_id"), col("n"))
@@ -190,10 +197,14 @@ object SignatureStore {
     val shC = corpusSh.join(candIa, Seq("doc_id"), "left_semi")
       .persist(MEMORY_AND_DISK)
     val candSh = cand.join(shC.as("s1"), col("ia") === col("s1.doc_id"))
-      .select(col("ia"), col("ib"), col("s1.sh").as("sh"))
+      .select(col("ia"), col("ib"), col("s1.h").as("h"))
+    // the batch side hashes to the same 60-bit fingerprint the store
+    // holds — the intersection join is integer-keyed end to end
+    val bshH = bsh.select(col("doc_id"),
+      DedupQueries.fingerprint(col("sh")).as("h"))
     val ni = candSh.as("cs")
-      .join(bsh.as("s2"),
-        col("s2.doc_id") === col("cs.ib") && col("s2.sh") === col("cs.sh"))
+      .join(bshH.as("s2"),
+        col("s2.doc_id") === col("cs.ib") && col("s2.h") === col("cs.h"))
       .groupBy(col("cs.ia").as("ia"), col("cs.ib").as("ib"))
       .agg(count(lit(1)).as("ni"))
     val pairs = ni
