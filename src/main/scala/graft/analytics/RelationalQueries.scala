@@ -217,11 +217,16 @@ object RelationalQueries {
     * gate: an estimate can never hash-match another engine, but the
     * CONTRACT can — Spark computes the estimate AND the exact distinct
     * in one aggregation and emits whether the estimate honors the
-    * 5%-relative-error bound (the default rsd) next to the exact
-    * count; DuckDB emits the exact count and a literal true. A wrong
-    * estimate, a wrong exact count, or a broken bound all fail the
-    * hash-match. [[hllEstimates]] is the one-pass production shape;
-    * AnalyticsSpec asserts the same 5% contract against it directly. */
+    * error bound next to the exact count; DuckDB emits the exact
+    * count and a literal true. A wrong estimate, a wrong exact
+    * count, or a broken bound all fail the hash-match. The gate
+    * tolerance is 3× the default rsd (0.05): rsd is a standard
+    * DEVIATION, not a guarantee, so a hard 1×-rsd gate would be
+    * stable only for the pinned dataset — 3σ makes the gate hold for
+    * any healthy sketch at any scale factor (observed error on the
+    * test data is well inside 1×; AnalyticsSpec asserts that tighter
+    * empirical bound against [[hllEstimates]], the one-pass
+    * production shape). */
   val qHllDistinct = Q(
     "q_hll_distinct",
     (s, dir) => {
@@ -231,7 +236,7 @@ object RelationalQueries {
           count_distinct(col("l_partkey")).as("exact_parts"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_parts") - col("exact_parts")) <=
-            greatest(lit(1L), (lit(0.05) * col("exact_parts")).cast("long")))
+            greatest(lit(1L), (lit(0.15) * col("exact_parts")).cast("long")))
             .as("within_bound"))
         .orderBy(col("l_returnflag"))
     },
@@ -266,6 +271,9 @@ object RelationalQueries {
     * sketch VALUES are partition-order-dependent and engine-specific,
     * but the GK contract — the reported value's RANK in its group is
     * within n/accuracy of the target rank — is checkable exactly.
+    * Unlike HLL's probabilistic rsd, this bound is the algorithm's
+    * DETERMINISTIC worst-case guarantee (+1 for duplicate-value rank
+    * ties), so the gate is scale-factor-safe without widening.
     * Spark ranks each estimate with a second pass over the group
     * (count of values ≤ estimate) and emits the per-percentile
     * verdicts next to the group size; DuckDB emits the size and

@@ -70,6 +70,7 @@ object SignatureStore {
       DedupQueries.stopShingles(sh0, corpus)
         .write.mode("overwrite").format("parquet")
         .saveAsTable(t(store, "stop"))
+      markStoreTable(corpus.sparkSession, t(store, "stop"))
       // read the WRITTEN set back so ingest filters with exactly the
       // bytes a later screen will read
       val stop = corpus.sparkSession.table(t(store, "stop"))
@@ -80,15 +81,18 @@ object SignatureStore {
           sh.select(col("doc_id"),
             DedupQueries.fingerprint(col("sh")).as("h")),
           t(store, "shingles"), "doc_id", buckets)
+        markStoreTable(corpus.sparkSession, t(store, "shingles"))
         val mh = DedupQueries.minhashAgg(sh).persist(MEMORY_AND_DISK)
         try {
           mh.select(col("doc_id"), col("n"))
             .write.mode("overwrite").format("parquet")
             .saveAsTable(t(store, "sizes"))
+          markStoreTable(corpus.sparkSession, t(store, "sizes"))
           DedupQueries.bandSig(mh)
             .write.bucketBy(buckets, "bh").sortBy("bh")
             .format("parquet").mode("overwrite")
             .saveAsTable(t(store, "signatures"))
+          markStoreTable(corpus.sparkSession, t(store, "signatures"))
         } finally mh.unpersist()
       } finally sh.unpersist()
     } finally sh0.unpersist()
@@ -132,7 +136,7 @@ object SignatureStore {
 
   /** The bucket count an append must match (reads the catalog — the
     * ingest-time `buckets` choice is authoritative). */
-  private def bucketCount(s: SparkSession, name: String): Int =
+  private[analytics] def bucketCount(s: SparkSession, name: String): Int =
     s.sql(s"DESCRIBE EXTENDED $name").collect()
       .collectFirst {
         case r if r.getString(0) == "Num Buckets" => r.getString(1).trim.toInt
@@ -140,7 +144,25 @@ object SignatureStore {
       .getOrElse(throw new IllegalStateException(
         s"$name is not a bucketed store table — run ingest first"))
 
+  /** Brand `name` as a graft store table (TBLPROPERTIES marker) —
+    * called after every store write so [[dropStale]] can tell a stale
+    * store generation from an UNRELATED table whose name happens to
+    * collide with the prefix, and refuse to destroy the latter. */
+  private[analytics] def markStoreTable(s: SparkSession, name: String): Unit =
+    s.sql(s"ALTER TABLE $name SET TBLPROPERTIES ('graft.store' = 'true')")
+
   private[analytics] def dropStale(s: SparkSession, name: String): Unit = {
+    val cat = s.sessionState.catalog
+    val id = org.apache.spark.sql.catalyst.TableIdentifier(name)
+    // a catalog-known table WITHOUT the ingest-time marker is not ours
+    // to drop: fail loudly instead of silently destroying a user table
+    // that collides with the store prefix
+    if (cat.tableExists(id) &&
+        !cat.getTableMetadata(id).properties.contains("graft.store"))
+      throw new IllegalStateException(
+        s"table $name exists but was not written by a graft store " +
+          "(missing 'graft.store' table property) — refusing to drop it; " +
+          "choose a different store name")
     s.sql(s"DROP TABLE IF EXISTS $name")
     // ask the CATALOG where the managed table would land — the conf's
     // warehouse dir diverges from it when a persistent metastore (e.g.

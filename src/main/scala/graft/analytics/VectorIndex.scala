@@ -66,6 +66,7 @@ object VectorIndex {
       .agg(collect_list(struct(col("cid"), col("cv"), col("cnrm")))
         .as("cents"))
       .write.mode("overwrite").format("parquet").saveAsTable(t(store, "ivf"))
+    SignatureStore.markStoreTable(s, t(store, "ivf"))
     // PQ codebook over normalized vectors (position = code)
     val en = e.select(col("vec_id"),
       expr("transform(v, x -> x / sqrt(nrm))").as("v"))
@@ -76,6 +77,7 @@ object VectorIndex {
         "transform(array_sort(collect_list(struct(cid, cv))), c -> c.cv)")
         .as("cs"))
       .write.mode("overwrite").format("parquet").saveAsTable(t(store, "pq"))
+    SignatureStore.markStoreTable(s, t(store, "pq"))
     // per-vector coarse assignment + codes, bucketed by the list id
     val assigned = rankCentroids(e, s.table(t(store, "ivf")))
       .select(col("vec_id"),
@@ -88,6 +90,39 @@ object VectorIndex {
     assigned.join(coded, "vec_id")
       .write.bucketBy(buckets, "cid").sortBy("cid")
       .format("parquet").mode("overwrite").saveAsTable(t(store, "codes"))
+    SignatureStore.markStoreTable(s, t(store, "codes"))
+  }
+
+  /** Admit a batch of new vectors into a previously [[ingest]]ed
+    * index — the ANN twin of [[SignatureStore.admit]]: under the
+    * store's FROZEN centroids and codebook, an append is just coarse
+    * assignment + PQ encoding of the arriving batch, appended to
+    * `{store}_codes` with the ingest-time bucket count (read from the
+    * catalog so the append matches the stored layout). This is what a
+    * daily embedding-ingest pipeline runs: the corpus-scale tables
+    * never rewrite, the append costs one narrow pass over the batch,
+    * and every stored code stays comparable forever. vec_ids must be
+    * new to the store (append-only; dedup upstream). Geometry is
+    * deliberately NOT refreshed — identical to the signature store's
+    * frozen-geometry contract: re-run [[ingest]] when corpus drift
+    * warrants new centroids (AnalyticsSpec proves search-after-admit
+    * ≡ search-after-full-re-ingest under equal geometry). */
+  def admit(s: SparkSession, store: String, batch: DataFrame): Unit = {
+    val codesT = t(store, "codes")
+    val assigned = rankCentroids(batch, s.table(t(store, "ivf")))
+      .select(col("vec_id"),
+        element_at(col("ranked"), size(col("ranked")))
+          .getField("cid").as("cid"))
+    val coded = batch
+      .select(col("vec_id"), expr("transform(v, x -> x / sqrt(nrm))").as("v"))
+      .crossJoin(broadcast(s.table(t(store, "pq"))))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.pqCodes(col("v"), col("cs"), 2)
+          .as("codes"))
+    assigned.join(coded, "vec_id")
+      .write.format("parquet").mode("append")
+      .bucketBy(SignatureStore.bucketCount(s, codesT), "cid").sortBy("cid")
+      .saveAsTable(codesT)
   }
 
   /** Rank the stored centroid array per row of `e` (ascending by
@@ -129,9 +164,13 @@ object VectorIndex {
     val qlut = queries
       .select(col("vec_id"), expr("transform(v, x -> x / sqrt(nrm))").as("v"))
       .crossJoin(broadcast(s.table(t(store, "pq"))))
+      // LUT entries 1..size(cs), not a hard 1..64: a corpus smaller
+      // than the codebook capacity stores a shorter `cs`, and codes
+      // only ever reference stored positions — an unconditional 64
+      // would drive element_at out of range (ANSI error)
       .withColumn("lut", expr(
         s"""transform(sequence(0, 31), m ->
-              transform(sequence(1, 64), k -> ${d2m("m", "k")}))"""))
+              transform(sequence(1, size(cs)), k -> ${d2m("m", "k")}))"""))
       .select(col("vec_id").as("qid"), col("lut"))
     val cand = probes.join(codes, "cid")
       .filter(col("vec_id") =!= col("qid"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -119,10 +119,29 @@ private[sources] class ReplayMicroBatchStream(rowsPerBatch: Long,
   /** The admission-control form — start comes from the engine's
     * checkpoint state, so a fresh source instance resumes correctly
     * after restart (the no-arg variant below is never called when
-    * this one is implemented). */
+    * this one is implemented). The ENGINE's limit is authoritative
+    * when it carries a row cap (Trigger.AvailableNow wraps the
+    * default limit in a composite; a changed trigger may pass a
+    * different cap than this instance's rowsPerBatch), and the
+    * result clamps to ≥ start so a restart with a smaller maxRows
+    * than the checkpointed offset yields an empty batch, never a
+    * negative range. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ReplayOffset].index
-    ReplayOffset(math.min(from + rowsPerBatch, maxRows))
+    ReplayOffset(math.max(from, math.min(from + admitted(limit), maxRows)))
+  }
+
+  /** Rows this trigger admits: the smallest maxRows cap in the
+    * engine-supplied limit; everything available for
+    * ReadAllAvailable; this source's configured batch size when the
+    * limit carries no row semantics (ReadMinRows etc.). */
+  private def admitted(limit: ReadLimit): Long = limit match {
+    case m: ReadMaxRows => m.maxRows()
+    case _: ReadAllAvailable => maxRows
+    case c: CompositeReadLimit =>
+      val caps = c.getReadLimits.collect { case m: ReadMaxRows => m.maxRows() }
+      if (caps.nonEmpty) caps.min else rowsPerBatch
+    case _ => rowsPerBatch
   }
 
   override def latestOffset(): Offset =

@@ -534,6 +534,57 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("vector index: admit appends under frozen geometry, search ≡ full re-ingest") {
+    val e = SimilarityQueries.emb(spark, sf)
+    // pick a batch whose ids sit OUTSIDE the md5-ordered top-64 sample
+    // of corpus ∪ batch: corpus-only ingest then derives the SAME
+    // centroids/codebook a full re-ingest over corpus ∪ batch would —
+    // the equal-geometry premise under which admit claims identity
+    // (and ≥ 20 so the query set below stays corpus-side)
+    val ordered = e.orderBy(md5($"vec_id".cast("string")), $"vec_id")
+      .select($"vec_id").collect().map(_.getLong(0))
+    val batchIds = ordered.drop(64).filter(_ >= 20L).take(7).toSet
+    val corpus = e.filter(!$"vec_id".isInCollection(batchIds))
+    val batch = e.filter($"vec_id".isInCollection(batchIds))
+    VectorIndex.ingest(corpus, "vecidx_adm_a", buckets = 4)
+    VectorIndex.admit(spark, "vecidx_adm_a", batch)
+    VectorIndex.ingest(e, "vecidx_adm_b", buckets = 4)
+    // admit's coarse assignment + PQ encoding must be bit-identical to
+    // what a full ingest computes for the same vectors
+    def codes(tb: String) = spark.table(tb)
+      .filter($"vec_id".isInCollection(batchIds)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)).toSet
+    val admitted = codes("vecidx_adm_a_codes")
+    assert(admitted.nonEmpty && admitted === codes("vecidx_adm_b_codes"),
+      "admitted codes diverge from full-ingest codes")
+    val qs = e.filter($"vec_id" < 20)
+    def res(st: String) = VectorIndex.search(spark, st, qs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(res("vecidx_adm_a") === res("vecidx_adm_b"),
+      "search after admit diverges from search after full re-ingest")
+    // the append must not degrade the ingest-time bucketed layout
+    val desc = spark.sql("DESCRIBE EXTENDED vecidx_adm_a_codes").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("Num Buckets").contains("4"), s"bucketing lost: $desc")
+  }
+
+  test("store ingest refuses to destroy an unrelated table colliding with the prefix") {
+    def txt(tag: String) = (0 until 12).map(j => s"${tag}w$j").mkString(" ")
+    val corpus = (1L to 9L).map(i => (i, txt(s"c$i"))).toDF("doc_id", "text")
+    // a user table that happens to sit where the store would write
+    Seq((1L, "keep me")).toDF("k", "v")
+      .write.format("parquet").saveAsTable("sigstore_guard_stop")
+    val ex = intercept[IllegalStateException] {
+      SignatureStore.ingest(corpus, "sigstore_guard", buckets = 4)
+    }
+    assert(ex.getMessage.contains("sigstore_guard_stop"), ex.getMessage)
+    // the colliding table survives, data intact
+    val kept = spark.table("sigstore_guard_stop").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept === Set((1L, "keep me")))
+  }
+
   test("dedup cluster: components consistent with pairs; one survivor each") {
     val pairs = DedupQueries.qDedupMinhash.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
