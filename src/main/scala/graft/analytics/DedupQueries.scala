@@ -267,6 +267,39 @@ object DedupQueries {
   private[analytics] def fingerprint(sh: Column): Column =
     conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
 
+  /** Raw shingles hashed once: ONE md5 per distinct (doc, shingle)
+    * instance yields BOTH the minhash input `v` (first 8 hex digits
+    * mod p) and the 60-bit fingerprint `h` (first 15) — the
+    * projection [[pairDiscovery]] persists inline, shared with
+    * [[SignatureStore]] so store ingest/screen/admit never hash a
+    * shingle twice and never carry text past this point. */
+  private[analytics] def hashedShingles(d: DataFrame): DataFrame =
+    rawShingles(d).select(col("doc_id"), md5(col("sh")).as("md"))
+      .select(col("doc_id"),
+        (conv(substring(col("md"), 1, 8), 16, 10).cast("long")
+          % lit(MinhashP)).as("v"),
+        conv(substring(col("md"), 1, 15), 16, 10).cast("long").as("h"))
+
+  /** [[stopShingles]]'s document-frequency semantics keyed on the
+    * 60-bit fingerprint instead of the text — collision-equivalent at
+    * 2^-60 per shingle pair, halves the broadcast bytes, and is what
+    * lets [[SignatureStore.reingest]] refresh geometry from stored
+    * fingerprints without rereading corpus text. */
+  private[analytics] def stopFingerprints(hsh: DataFrame, d: DataFrame)
+      : DataFrame = {
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    hsh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > greatest(lit(10.0), lit(0.05) * col("n_docs")))
+      .select(col("h"))
+  }
+
+  /** Recover the minhash input `v` from a stored fingerprint `h`: the
+    * first 8 of the 15 md5 hex digits are `h div 16^7`. Integral long
+    * arithmetic — double division would lose bits beyond 2^53. */
+  private[analytics] def minhashInputFromFingerprint: Column =
+    expr(s"(h div ${1L << 28}) % $MinhashP")
+
   /** LSH band signatures from a minhash table: 4 bands of 4 minima →
     * (doc_id, band, bh). '|' separator: long values have variable
     * digit counts, so bare concatenation would be ambiguous

@@ -20,7 +20,10 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   * scan of the corpus source at all (spec-asserted in AnalyticsSpec).
   *
   * Layout (catalog tables under the `store` name prefix):
-  *   - `{store}_stop`       (sh)           — the ingest-time stop-shingle set
+  *   - `{store}_stop`       (h)            — the stop-shingle set as 60-bit
+  *     fingerprints (df semantics keyed on h — collision-equivalent at
+  *     2^-60, half the broadcast bytes, and the representation that lets
+  *     [[reingest]] refresh geometry without corpus text)
   *   - `{store}_shingles`   (doc_id, h)    — post-stop-filter 60-bit md5
   *     fingerprints ([[DedupQueries.fingerprint]] — never the text;
   *     integer verify joins, half the bytes), bucketed by doc_id
@@ -45,7 +48,9 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   * [[DedupQueries.screenBatch]], which derives the stop set from
   * corpus ∪ batch: under frozen geometry a batch cannot shift document
   * frequencies across the stop threshold and silently re-key history.
-  * Re-run [[ingest]] to refresh geometry when the corpus drifts.
+  * When accumulated drift warrants a re-key, [[reingest]] refreshes
+  * geometry from STORED fingerprints (monotone stop growth, no text
+  * rescan); only a stop-set shrink needs a full-text [[ingest]].
   */
 object SignatureStore {
 
@@ -65,24 +70,26 @@ object SignatureStore {
     // catalog knows, then clear stale unregistered directories.
     Seq("stop", "shingles", "sizes", "signatures")
       .foreach(p => dropStale(corpus.sparkSession, t(store, p)))
-    val sh0 = DedupQueries.rawShingles(corpus).persist(MEMORY_AND_DISK)
+    // ONE md5 per shingle instance yields both the minhash input v and
+    // the stored fingerprint h; nothing past this point carries text
+    val hsh0 = DedupQueries.hashedShingles(corpus).persist(MEMORY_AND_DISK)
     try {
-      DedupQueries.stopShingles(sh0, corpus)
+      DedupQueries.stopFingerprints(hsh0, corpus)
         .write.mode("overwrite").format("parquet")
         .saveAsTable(t(store, "stop"))
       markStoreTable(corpus.sparkSession, t(store, "stop"))
       // read the WRITTEN set back so ingest filters with exactly the
       // bytes a later screen will read
       val stop = corpus.sparkSession.table(t(store, "stop"))
-      val sh = sh0.join(broadcast(stop), Seq("sh"), "left_anti")
+      val sh = hsh0.join(broadcast(stop), Seq("h"), "left_anti")
         .persist(MEMORY_AND_DISK)
       try {
-        Bucketing.writeBucketed(
-          sh.select(col("doc_id"),
-            DedupQueries.fingerprint(col("sh")).as("h")),
+        Bucketing.writeBucketed(sh.select(col("doc_id"), col("h")),
           t(store, "shingles"), "doc_id", buckets)
         markStoreTable(corpus.sparkSession, t(store, "shingles"))
-        val mh = DedupQueries.minhashAgg(sh).persist(MEMORY_AND_DISK)
+        val mh = DedupQueries
+          .minhashAggV(sh.select(col("doc_id"), col("v")))
+          .persist(MEMORY_AND_DISK)
         try {
           mh.select(col("doc_id"), col("n"))
             .write.mode("overwrite").format("parquet")
@@ -95,7 +102,7 @@ object SignatureStore {
           markStoreTable(corpus.sparkSession, t(store, "signatures"))
         } finally mh.unpersist()
       } finally sh.unpersist()
-    } finally sh0.unpersist()
+    } finally hsh0.unpersist()
   }
 
   /** Admit a (screened) batch into the store: append its shingles,
@@ -106,20 +113,21 @@ object SignatureStore {
     * tomorrow's batch probes today's. doc_ids must be new to the
     * store (the store is append-only; dedup upstream guarantees
     * uniqueness). The stop set is deliberately NOT updated — frozen
-    * geometry keeps every stored signature comparable forever; re-run
-    * [[ingest]] when corpus drift warrants a re-key. */
+    * geometry keeps every stored signature comparable forever;
+    * [[reingest]] re-keys from stored state when drift warrants. */
   def admit(s: SparkSession, store: String, batch: DataFrame): Unit = {
     val stop = s.table(t(store, "stop"))
     val shB = t(store, "shingles")
     val sigB = t(store, "signatures")
-    val bsh = DedupQueries.rawShingles(batch)
-      .join(broadcast(stop), Seq("sh"), "left_anti")
+    val bsh = DedupQueries.hashedShingles(batch)
+      .join(broadcast(stop), Seq("h"), "left_anti")
       .persist(MEMORY_AND_DISK)
     try {
-      val bmh = DedupQueries.minhashAgg(bsh).persist(MEMORY_AND_DISK)
+      val bmh = DedupQueries
+        .minhashAggV(bsh.select(col("doc_id"), col("v")))
+        .persist(MEMORY_AND_DISK)
       try {
-        bsh.select(col("doc_id"),
-            DedupQueries.fingerprint(col("sh")).as("h"))
+        bsh.select(col("doc_id"), col("h"))
           .write.format("parquet").mode("append")
           .bucketBy(bucketCount(s, shB), "doc_id").sortBy("doc_id")
           .saveAsTable(shB)
@@ -132,6 +140,74 @@ object SignatureStore {
           .saveAsTable(sigB)
       } finally bmh.unpersist()
     } finally bsh.unpersist()
+  }
+
+  /** Refresh the store's frozen geometry from STORED state — no
+    * corpus text read, no corpus re-shingling. As [[admit]]ted batches
+    * accumulate, document frequencies drift: shingles that were rare
+    * at ingest time can become corpus-common and SHOULD join the stop
+    * set (they bloat signatures and stack the band hashes with
+    * uninformative minima). Everything needed to re-key is already
+    * stored: df per fingerprint comes from `{store}_shingles`, the
+    * minhash input v is recovered from each 60-bit fingerprint
+    * ([[DedupQueries.minhashInputFromFingerprint]] — the first 8 md5
+    * hex digits are `h div 16^7`), and sizes/band signatures recompute
+    * from the re-filtered shingle table. Cost: one pass over the
+    * narrow (doc_id, h) table — at 100 TB of text that table is ~2
+    * longs per distinct shingle instance, orders of magnitude smaller
+    * than the corpus.
+    *
+    * The refresh is MONOTONE: the new stop set is the old one UNION
+    * newly-common fingerprints. The reverse direction — releasing a
+    * shingle the original ingest stopped — is the one thing stored
+    * state cannot express: stopped shingles were never written to
+    * `{store}_shingles`, so their (doc_id, h) instances are gone. A
+    * threshold drop or stop-set shrink therefore requires a full-text
+    * [[ingest]]. On an undrifted corpus (no fingerprint crossed the
+    * threshold) the refresh is a no-op: screens before and after
+    * return identical pairs (spec-asserted). */
+  def reingest(s: SparkSession, store: String): Unit = {
+    val buckets = bucketCount(s, t(store, "shingles"))
+    // snapshot stored state out of the tables about to be overwritten
+    // (localCheckpoint: these frames must survive dropStale; both are
+    // narrow — (doc_id, h) and (h) — never text)
+    val sh = s.table(t(store, "shingles")).localCheckpoint(true)
+    val stopOld = s.table(t(store, "stop")).localCheckpoint(true)
+    val nDocs = s.table(t(store, "sizes")).count()
+    // fingerprints that crossed the df threshold since ingest; the
+    // stored shingle table holds every instance of every non-stopped
+    // shingle (corpus + admitted), so df here IS current document
+    // frequency for them
+    val newStop = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > greatest(lit(10.0), lit(0.05) * lit(nDocs.toDouble)))
+      .select(col("h"))
+    val sh2 = sh.join(broadcast(newStop), Seq("h"), "left_anti")
+      .persist(MEMORY_AND_DISK)
+    try {
+      Seq("stop", "shingles", "sizes", "signatures")
+        .foreach(p => dropStale(s, t(store, p)))
+      stopOld.union(newStop).distinct()
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(t(store, "stop"))
+      markStoreTable(s, t(store, "stop"))
+      Bucketing.writeBucketed(sh2.select(col("doc_id"), col("h")),
+        t(store, "shingles"), "doc_id", buckets)
+      markStoreTable(s, t(store, "shingles"))
+      val mh = DedupQueries.minhashAggV(sh2.select(col("doc_id"),
+          DedupQueries.minhashInputFromFingerprint.as("v")))
+        .persist(MEMORY_AND_DISK)
+      try {
+        mh.select(col("doc_id"), col("n"))
+          .write.mode("overwrite").format("parquet")
+          .saveAsTable(t(store, "sizes"))
+        markStoreTable(s, t(store, "sizes"))
+        DedupQueries.bandSig(mh)
+          .write.bucketBy(buckets, "bh").sortBy("bh")
+          .format("parquet").mode("overwrite")
+          .saveAsTable(t(store, "signatures"))
+        markStoreTable(s, t(store, "signatures"))
+      } finally mh.unpersist()
+    } finally sh2.unpersist()
   }
 
   /** The bucket count an append must match (reads the catalog — the
@@ -197,11 +273,14 @@ object SignatureStore {
     val corpusSizes = s.table(t(store, "sizes"))
     // batch-side signatures under the stored (frozen) geometry; the
     // batch shingle table feeds the verify join AND the batch size
-    // lookup, so persist it for the query's lifetime
-    val bsh = DedupQueries.rawShingles(batch)
-      .join(broadcast(stop), Seq("sh"), "left_anti")
+    // lookup, so persist it for the query's lifetime. One md5 per
+    // batch shingle: v and h come out of the same hash.
+    val bsh = DedupQueries.hashedShingles(batch)
+      .join(broadcast(stop), Seq("h"), "left_anti")
       .persist(MEMORY_AND_DISK)
-    val bmh = DedupQueries.minhashAgg(bsh).persist(MEMORY_AND_DISK)
+    val bmh = DedupQueries
+      .minhashAggV(bsh.select(col("doc_id"), col("v")))
+      .persist(MEMORY_AND_DISK)
     val bsig = DedupQueries.bandSig(bmh)
     // only stored↔batch band collisions ever become candidate rows
     val cand = corpusSig.as("p")
@@ -220,10 +299,9 @@ object SignatureStore {
       .persist(MEMORY_AND_DISK)
     val candSh = cand.join(shC.as("s1"), col("ia") === col("s1.doc_id"))
       .select(col("ia"), col("ib"), col("s1.h").as("h"))
-    // the batch side hashes to the same 60-bit fingerprint the store
-    // holds — the intersection join is integer-keyed end to end
-    val bshH = bsh.select(col("doc_id"),
-      DedupQueries.fingerprint(col("sh")).as("h"))
+    // the batch side already carries the store's 60-bit fingerprint —
+    // the intersection join is integer-keyed end to end
+    val bshH = bsh.select(col("doc_id"), col("h"))
     val ni = candSh.as("cs")
       .join(bshH.as("s2"),
         col("s2.doc_id") === col("cs.ib") && col("s2.h") === col("cs.h"))

@@ -317,6 +317,101 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(desc.get("Num Buckets").contains("4"), s"bucketing lost: $desc")
   }
 
+  test("signature store: reingest refreshes geometry from stored fingerprints, never text") {
+    def txt(tag: String, shared: Boolean) =
+      (if (shared) "p0 p1 p2 " else "") +
+        (0 until 12).map(j => s"${tag}w$j").mkString(" ")
+    // 15 docs share a 3-gram (df 15 > 10 → stopped at ingest), 15 unique
+    val dir = java.nio.file.Files.createTempDirectory("resig").toString
+    (1L to 30L).map(i => (i, txt(s"c$i", i <= 15))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    SignatureStore.ingest(corpus, "sigstore_re", buckets = 4)
+    val stop0 = spark.table("sigstore_re_stop").count()
+    assert(stop0 >= 1, "fixture should stop the shared shingle at ingest")
+    val batch = Seq((101L, txt("c20", shared = false))).toDF("doc_id", "text")
+    def screenPairs() = {
+      val (p, h) = SignatureStore.screen(spark, "sigstore_re", batch)
+      QueryScopedCache.releaseAfter(p, h).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val before = screenPairs()
+    assert(before.map(p => (p._1, p._2)) === Set((20L, 101L)), s"$before")
+    // delete the corpus source BEFORE refreshing: the refresh must
+    // succeed from stored fingerprints alone
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    SignatureStore.reingest(spark, "sigstore_re")
+    // undrifted corpus: the refresh is a no-op for stop set and screens
+    assert(spark.table("sigstore_re_stop").count() === stop0)
+    assert(screenPairs() === before,
+      "undrifted refresh must screen identically")
+  }
+
+  test("signature store: reingest stops newly-common shingles after admits") {
+    def txt(tag: String, shared: Boolean) =
+      (if (shared) "p0 p1 p2 " else "") +
+        (0 until 12).map(j => s"${tag}w$j").mkString(" ")
+    // 9 docs share a 3-gram: df 9 ≤ max(10, 0.05·9) → NOT stopped yet
+    val corpus = (1L to 9L).map(i => (i, txt(s"c$i", shared = true)))
+      .toDF("doc_id", "text")
+    SignatureStore.ingest(corpus, "sigstore_drift", buckets = 4)
+    assert(spark.table("sigstore_drift_stop").count() === 0)
+    val hShared = Seq("p0 p1 p2").toDF("sh")
+      .select(DedupQueries.fingerprint($"sh")).first().getLong(0)
+    assert(spark.table("sigstore_drift_shingles")
+      .filter($"h" === hShared).count() === 9)
+    // 6 admitted docs also carry it → df 15 of 15 docs > threshold 10
+    SignatureStore.admit(spark, "sigstore_drift",
+      (101L to 106L).map(i => (i, txt(s"a$i", shared = true)))
+        .toDF("doc_id", "text"))
+    SignatureStore.reingest(spark, "sigstore_drift")
+    // the drifted shingle is now stopped and purged from the store
+    assert(spark.table("sigstore_drift_stop")
+      .filter($"h" === hShared).count() === 1)
+    assert(spark.table("sigstore_drift_shingles")
+      .filter($"h" === hShared).count() === 0)
+    // screens under the refreshed geometry: sizes/signatures were
+    // re-derived consistently, so an exact dup still scores 1.0
+    val (p, hs) = SignatureStore.screen(spark, "sigstore_drift",
+      Seq((201L, txt("a103", shared = true))).toDF("doc_id", "text"))
+    val found = QueryScopedCache.releaseAfter(p, hs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(found === Set((103L, 201L, 1.0)), s"found: $found")
+  }
+
+  test("signature stores: prefixes coexist; stale reader vs re-ingest never blends") {
+    def txt(tag: String) = (0 until 12).map(j => s"${tag}w$j").mkString(" ")
+    val c1 = (1L to 9L).map(i => (i, txt(s"x$i"))).toDF("doc_id", "text")
+    val c2 = (1L to 9L).map(i => (i, txt(s"y$i"))).toDF("doc_id", "text")
+    SignatureStore.ingest(c1, "sigstore_two_a", buckets = 4)
+    SignatureStore.ingest(c2, "sigstore_two_b", buckets = 4)
+    def run(store: String, b: org.apache.spark.sql.DataFrame) = {
+      val (p, h) = SignatureStore.screen(spark, store, b)
+      QueryScopedCache.releaseAfter(p, h).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val bx = Seq((101L, txt("x3")), (102L, txt("y5"))).toDF("doc_id", "text")
+    // two stores in one session answer from their own corpora only
+    assert(run("sigstore_two_a", bx) === Set((3L, 101L)))
+    assert(run("sigstore_two_b", bx) === Set((5L, 102L)))
+    // a reader planned against the OLD generation while the store
+    // re-ingests a different corpus: the documented guarantee is
+    // fail-cleanly-or-one-generation — never a partial/blended answer
+    val (stale, handles) = SignatureStore.screen(spark, "sigstore_two_a", bx)
+    SignatureStore.ingest(c2, "sigstore_two_a", buckets = 4)
+    scala.util.Try(QueryScopedCache.releaseAfter(stale, handles).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet) match {
+      case scala.util.Success(rows) =>
+        assert(rows === Set((3L, 101L)) || rows === Set((5L, 102L)),
+          s"blended generations: $rows")
+      case scala.util.Failure(_) =>
+        handles.foreach(h => scala.util.Try(h.unpersist()))
+    }
+    // the new generation is complete and serves fresh screens
+    assert(run("sigstore_two_a", bx) === Set((5L, 102L)))
+  }
+
   test("signature store from foreachBatch: micro-batches screen without corpus recompute") {
     // the daily-ingest loop at production shape: signatures ingested
     // ONCE before the stream starts; every micro-batch computes only
