@@ -998,25 +998,39 @@ object DedupQueries {
     * self-contained); a production pipeline pays it once and then
     * runs only [[SignatureStore.screen]] per batch — the screen
     * plan's corpus-text-free shape is spec-asserted in AnalyticsSpec. */
+  /** The ingest phase of [[qDedupIncrementalStored]] (corpus = doc_id
+    * ≢ 0 mod 10) — exposed separately so Bench can time the one-off
+    * store build apart from the per-batch screen, which is the number
+    * a production pipeline actually pays daily. */
+  def storedIngest(s: SparkSession, dir: String,
+      store: String = "graft_sigstore"): Unit =
+    SignatureStore.ingest(docs(s, dir).filter(col("doc_id") % 10 =!= 0),
+      store)
+
+  /** The screen phase of [[qDedupIncrementalStored]] (batch = doc_id
+    * ≡ 0 mod 10) against an already-built store. */
+  def storedScreen(s: SparkSession, dir: String,
+      store: String = "graft_sigstore"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (pairs, handles) = SignatureStore.screen(s, store,
+      docs(s, dir).filter(col("doc_id") % 10 === 0))
+    val byNew = Window.partitionBy(col("ib"))
+    val result = pairs
+      .withColumn("rn",
+        row_number().over(byNew.orderBy(col("jaccard").desc, col("ia"))))
+      .withColumn("n_dups", count(lit(1)).over(byNew))
+      .filter(col("rn") === 1)
+      .select(col("ib").as("new_id"), col("n_dups"),
+        col("ia").as("best_match"), col("jaccard").as("best_jaccard"))
+      .orderBy(col("new_id"))
+    QueryScopedCache.releaseAfter(result, handles)
+  }
+
   val qDedupIncrementalStored = Q(
     "q_dedup_incremental_stored",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val d = docs(s, dir)
-      val store = "graft_sigstore"
-      SignatureStore.ingest(d.filter(col("doc_id") % 10 =!= 0), store)
-      val (pairs, handles) =
-        SignatureStore.screen(s, store, d.filter(col("doc_id") % 10 === 0))
-      val byNew = Window.partitionBy(col("ib"))
-      val result = pairs
-        .withColumn("rn",
-          row_number().over(byNew.orderBy(col("jaccard").desc, col("ia"))))
-        .withColumn("n_dups", count(lit(1)).over(byNew))
-        .filter(col("rn") === 1)
-        .select(col("ib").as("new_id"), col("n_dups"),
-          col("ia").as("best_match"), col("jaccard").as("best_jaccard"))
-        .orderBy(col("new_id"))
-      QueryScopedCache.releaseAfter(result, handles)
+      storedIngest(s, dir)
+      storedScreen(s, dir)
     },
     Some(s"""
       WITH ${minhashPairsSql(

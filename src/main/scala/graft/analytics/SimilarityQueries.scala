@@ -599,12 +599,23 @@ object SimilarityQueries {
     * inline. The self-contained registered query pays the ingest; a
     * production pipeline pays it once and serves every search from
     * the tables ([[SignatureStore]]'s economics, for ANN). */
+  /** The ingest phase of [[qSimIvfPqStored]] — exposed separately so
+    * Bench can time the one-off index build apart from the per-query
+    * search, the number a serving pipeline pays per request. */
+  def storedIngest(s: SparkSession, dir: String,
+      store: String = "graft_vecindex"): Unit =
+    VectorIndex.ingest(emb(s, dir), store)
+
+  /** The search phase of [[qSimIvfPqStored]] against a built index. */
+  def storedSearch(s: SparkSession, dir: String,
+      store: String = "graft_vecindex"): DataFrame =
+    VectorIndex.search(s, store, emb(s, dir).filter(col("vec_id") < 20))
+
   val qSimIvfPqStored = Q(
     "q_sim_ivfpq_stored",
     (s, dir) => {
-      val e = emb(s, dir)
-      VectorIndex.ingest(e, "graft_vecindex")
-      VectorIndex.search(s, "graft_vecindex", e.filter(col("vec_id") < 20))
+      storedIngest(s, dir)
+      storedSearch(s, dir)
     },
     Some(ivfPqOracleSql))
 
