@@ -388,6 +388,127 @@ object TextQueries {
       FROM p GROUP BY pair
       ORDER BY n_occurrences DESC, pair LIMIT 30"""))
 
+  /** Greedy left-to-right application of one learned merge (a, b) →
+    * "ab" to a symbol array — the classical BPE re-tokenization fold:
+    * walk the symbols once, gluing the current symbol onto the
+    * accumulator's tail when the tail/current pair matches the merge
+    * (so "aaa" under (a,a) becomes [aa, a], first-occurrence-wins,
+    * exactly the reference implementations' behavior). Pure Column
+    * expression — codegen'd, no UDF. */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 &&
+          element_at(acc, lit(-1)) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Learn `steps` BPE merges from the corpus — the iterative loop
+    * [[qTextBpePairs]] computes one step of. Returns
+    * (step, left, right, pair_count) in learned order; stops early if
+    * the vocabulary runs out of adjacent pairs.
+    *
+    * Scale shape, per iteration: the corpus collapsed to its (word,
+    * count) vocabulary ONCE up front (the shuffle shrinks from corpus
+    * to vocabulary size and never grows back); pair statistics
+    * aggregate vocab × pairs-per-word rows with a map-side combine;
+    * only the single argmax row ever reaches the driver (TakeOrdered,
+    * the q_prep_tokenize discipline). Each merge rewrites the symbol
+    * column and `localCheckpoint`s it — the [[DedupQueries
+    * .resolveClusters]] iteration discipline: lineage stays O(1) deep
+    * instead of O(steps), so step 50 plans as fast as step 1.
+    * Symbols are strings, so a merged symbol is its concatenation —
+    * faithful to BPE as published (Sennrich et al. 2016), where pair
+    * counts include overlapping occurrences. */
+  def learnMerges(d: DataFrame, steps: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = d.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(split(col("w"), "").as("syms"), col("n"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var exhausted = false
+    (1 to steps).foreach { i =>
+      if (!exhausted) {
+        val top = vocab
+          .filter(size(col("syms")) >= 2)
+          .select(col("n"), explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+                 j -> struct(element_at(syms, j) AS a,
+                             element_at(syms, j + 1) AS b))""")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, cnt) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          out += ((i, a, b, cnt))
+          // superseded vocab generations are checkpoint blocks — the
+          // context cleaner frees them once unreferenced (the
+          // resolveClusters discipline; nothing enters cacheManager)
+          vocab = vocab
+            .select(applyMerge(col("syms"), a, b).as("syms"), col("n"))
+            .localCheckpoint(true)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** The learned-merge contract, shaped for the differential gate the
+    * way the sketch queries are ([[RelationalQueries.qHllDistinct]]):
+    * DuckDB cannot replay an iterative driver loop, but the loop's
+    * CONTRACT is independently checkable in-engine — for each learned
+    * step i, re-derive the vocabulary state from scratch (base symbols
+    * + merges 1..i-1 applied in one plan, no checkpoint chain) and
+    * verify that merge i is that state's argmax pair under the
+    * (count desc, pair asc) order, emitting the verdict; the oracle
+    * emits literal trues. A wrong merge choice, a mis-applied
+    * re-tokenization, or a broken tie-break all flip a verdict and
+    * fail the hash-match. */
+  val qTextBpeMerges = Q(
+    "q_text_bpe_merges",
+    (s, dir) => {
+      import s.implicits._
+      val steps = 3
+      val merges = learnMerges(docs(s, dir), steps)
+      // materialized once: each step's independent re-derivation folds
+      // over this base instead of re-collapsing the corpus
+      val base = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .select(split(col("w"), "").as("syms"), col("n"))
+        .localCheckpoint(true)
+      val verdicts = merges.map { case (i, a, b, cnt) =>
+        // state before step i, re-derived in ONE independent plan
+        val state = merges.takeWhile(_._1 < i).foldLeft(base) {
+          case (v, (_, pa, pb, _)) =>
+            v.select(applyMerge(col("syms"), pa, pb).as("syms"), col("n"))
+        }
+        val top = state
+          .filter(size(col("syms")) >= 2)
+          .select(col("n"), explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+                 j -> struct(element_at(syms, j) AS a,
+                             element_at(syms, j + 1) AS b))""")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()(0)
+        (i.toLong,
+          top.getString(0) == a && top.getString(1) == b &&
+            top.getLong(2) == cnt)
+      }
+      verdicts.toDF("step", "is_argmax").orderBy(col("step"))
+    },
+    Some("""
+      SELECT CAST(unnest(generate_series(1, 3)) AS BIGINT) AS step,
+             TRUE AS is_argmax
+      ORDER BY step"""))
+
   /** Corpus data card: the per-stratum profile (documents, tokens,
     * length percentiles, lexical diversity) a pretraining pipeline
     * publishes alongside the dataset and re-checks after every filter
@@ -442,5 +563,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
     qTextFingerprint, qTextVocab, qHeavyHitters, qTextRepetition,
-    qTextLogprob, qTextBpePairs, qStatsDatacard)
+    qTextLogprob, qTextBpePairs, qTextBpeMerges, qStatsDatacard)
 }

@@ -442,6 +442,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(found.toSet === Set((7L, 101L), (2L, 103L)), s"found: $found")
   }
 
+  test("bpe: learnMerges reproduces the hand-computed merge sequence") {
+    // corpus = "aaab aaab ab": vocab {aaab: 2, ab: 1}
+    //  state 0: [a,a,a,b]×2 [a,b]×1 → pairs (a,a): 2·2=4, (a,b): 2+1=3
+    //    → merge 1 = (a,a) count 4
+    //  state 1: [aa,a,b]×2 [a,b]×1 (greedy left-to-right: aaa → aa,a)
+    //    → pairs (aa,a): 2, (a,b): 3 → merge 2 = (a,b) count 3
+    //  state 2: [aa,ab]×2 [ab]×1 → pairs (aa,ab): 2
+    //    → merge 3 = (aa,ab) count 2
+    val d = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val merges = TextQueries.learnMerges(d, 3)
+    assert(merges === Seq((1, "a", "a", 4L), (2, "a", "b", 3L),
+      (3, "aa", "ab", 2L)), s"merges: $merges")
+    // exhaustion: after merge 3 both words are single symbols ([aaab],
+    // [ab]) — no adjacent pairs remain, so the loop stops early
+    val all = TextQueries.learnMerges(d, 10)
+    assert(all === merges, s"all: $all")
+  }
+
   test("tokenize: ids follow frequency order, beyond-top-100 maps to 0") {
     // 100 words ×2 fill the vocabulary (ids by count DESC, token ASC
     // → w000=1 … w099=100); a singleton ranks 101st → OOV id 0
