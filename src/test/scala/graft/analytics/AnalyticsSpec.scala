@@ -925,6 +925,55 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("multimodal: arbitrary binary (0x00/0xFF/invalid UTF-8) flows byte-exact") {
+    // bytes no UTF-8 decoder accepts — NULs, 0xFF, truncated multi-byte
+    // sequences, lone continuation bytes: the content a real media
+    // column carries and a text-typed path would silently corrupt.
+    // binarize is the TEXT adapter for this corpus; the pipeline
+    // contract is over the binary content column, so feed it directly
+    // in the binarized shape.
+    val rnd = new scala.util.Random(7)
+    val blobs: Seq[(Long, Array[Byte])] = Seq(
+      1L -> Array.tabulate(300)(i => ((i * 7) % 256).toByte),
+      2L -> Array[Byte](0x00, -1, 0x00, -1, 0xC3.toByte, 0x28), // C3 28 invalid
+      3L -> Array.fill(5)(0x80.toByte), // lone continuations, < one frame
+      4L -> { val a = new Array[Byte](257); rnd.nextBytes(a); a })
+    val df = blobs.toDF("doc_id", "content")
+      .withColumn("n_bytes", octet_length($"content").cast("long"))
+    // frame slices must be BYTE-exact against the documented offset
+    // formula computed in-JVM on the original arrays (pins that
+    // substring over BinaryType slices bytes, never characters)
+    val frames = Multimodal.sampleFrames(df, nFrames = 4, frameBytes = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getAs[Array[Byte]]("frame")))).toMap
+    assert(frames.size === blobs.size * 4)
+    blobs.foreach { case (id, bytes) =>
+      val n = bytes.length
+      (0 until 4).foreach { k =>
+        val start = 1L + k.toLong * math.max(n - 64, 0) / 3
+        val expected = bytes.slice(start.toInt - 1,
+          math.min(start.toInt - 1 + 64, n))
+        val (gotStart, got) = frames((id, k.toLong))
+        assert(gotStart === start, s"doc $id frame $k start")
+        assert(java.util.Arrays.equals(got, expected),
+          s"doc $id frame $k bytes differ (truncated-never-padded)")
+      }
+    }
+    // features must equal the reference histogram of the ORIGINAL
+    // bytes — any en/decode step in transit would shift buckets
+    def refFeat(bytes: Array[Byte]): Seq[Float] = {
+      val hist = new Array[Long](8)
+      bytes.foreach(b => hist((b & 0xff) % 8) += 1)
+      hist.map(c => (c / math.max(1, bytes.length).toDouble).toFloat).toSeq
+    }
+    val feats = Multimodal.extractFeatures(df, dim = 8, batchSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    blobs.foreach { case (id, bytes) =>
+      assert(feats(id) === refFeat(bytes), s"features for doc $id")
+    }
+  }
+
   test("asof join: picks latest right row at or before left ts, inner") {
     def ts(s: String) = Timestamp.valueOf(s)
     val left = Seq(
