@@ -619,6 +619,35 @@ object SimilarityQueries {
     },
     Some(ivfPqOracleSql))
 
+  /** The append path of the stored index under the SAME oracle: build
+    * the index over the corpus MINUS a held-out batch, [[VectorIndex
+    * .admit]] the batch under the frozen geometry, and search — sharing
+    * [[qSimIvfPqTopk]]'s oracle VERBATIM, so the hash-match proves the
+    * append is LOSSLESS: a store grown by admits searches identically
+    * to one ingested whole (the daily-embedding-ingest economics, now
+    * differentially gated rather than only spec-asserted).
+    *
+    * Why the held-out batch is the md5-order TAIL: ingest samples
+    * centroids (top-16) and codebook (top-64) by ascending
+    * md5(vec_id); holding out the DESCENDING-order tail (50 of ≥500
+    * ids) provably leaves both samples untouched, so corpus-only
+    * ingest freezes exactly the geometry a full ingest would — the
+    * equal-geometry premise under which admit claims identity, here
+    * made deterministic enough for a cross-engine oracle. */
+  val qSimIvfPqAdmitted = Q(
+    "q_sim_ivfpq_admitted",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val store = "graft_vecindex_adm"
+      val batchIds = e
+        .orderBy(md5(col("vec_id").cast("string")).desc, col("vec_id").desc)
+        .limit(50).select(col("vec_id"))
+      VectorIndex.ingest(e.join(batchIds, Seq("vec_id"), "left_anti"), store)
+      VectorIndex.admit(s, store, e.join(batchIds, Seq("vec_id"), "left_semi"))
+      VectorIndex.search(s, store, e.filter(col("vec_id") < 20))
+    },
+    Some(ivfPqOracleSql))
+
   /** ANN top-5 via int8 scalar quantization (SQ8) — the fourth
     * compression point on the ANN spectrum (brute float32 → SQ8 → PQ
     * → IVFADC): each normalized component quantizes independently to
@@ -683,5 +712,5 @@ object SimilarityQueries {
       WHERE rank <= 5 ORDER BY qid, rank"""))
 
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
-    qSimIvfPqTopk, qSimIvfPqStored, qSimSqTopk)
+    qSimIvfPqTopk, qSimIvfPqStored, qSimIvfPqAdmitted, qSimSqTopk)
 }
