@@ -140,6 +140,13 @@ object SignatureStore {
           .saveAsTable(sigB)
       } finally bmh.unpersist()
     } finally bsh.unpersist()
+    // The writes above ran on the BATCH's session — inside foreachBatch
+    // that is the micro-batch clone, whose automatic refreshTable only
+    // invalidates ITS OWN relation cache. Refresh through the caller's
+    // session too, or its next screen would read a stale cached file
+    // index and silently miss everything just admitted (caught live by
+    // the streaming daily-loop spec).
+    Seq(shB, t(store, "sizes"), sigB).foreach(n => s.catalog.refreshTable(n))
   }
 
   /** Refresh the store's frozen geometry from STORED state — no

@@ -123,6 +123,10 @@ object VectorIndex {
       .write.format("parquet").mode("append")
       .bucketBy(SignatureStore.bucketCount(s, codesT), "cid").sortBy("cid")
       .saveAsTable(codesT)
+    // invalidate the CALLER session's relation cache — the write ran on
+    // the batch's session, which inside foreachBatch is the micro-batch
+    // clone (see SignatureStore.admit)
+    s.catalog.refreshTable(codesT)
   }
 
   /** Rank the stored centroid array per row of `e` (ascending by

@@ -317,6 +317,43 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(desc.get("Num Buckets").contains("4"), s"bucketing lost: $desc")
   }
 
+  test("signature store: the full daily loop runs on a stream (screen → admit per batch)") {
+    // the production loop end to end: every micro-batch screens against
+    // the store, keeps the clean docs, and ADMITS them — so a later
+    // batch's dup of an earlier batch's doc is caught without any
+    // corpus recompute between batches
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def txt(tag: String) = (0 until 12).map(j => s"${tag}w$j").mkString(" ")
+    val corpus = (1L to 9L).map(i => (i, txt(s"c$i"))).toDF("doc_id", "text")
+    SignatureStore.ingest(corpus, "sigstore_loop", buckets = 4)
+    val found = scala.collection.mutable.Set[(Long, Long)]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (pairs, handles) = SignatureStore.screen(spark, "sigstore_loop", b)
+        val rows = QueryScopedCache.releaseAfter(pairs, handles).collect()
+        found.synchronized {
+          found ++= rows.map(r => (r.getLong(0), r.getLong(1)))
+        }
+        val dupIds = rows.map(_.getLong(1)).toSet
+        SignatureStore.admit(spark, "sigstore_loop",
+          b.filter(!col("doc_id").isin(dupIds.toSeq: _*)))
+        ()
+      }
+      .start()
+    in.addData((101L, txt("fresh")), (102L, txt("c4")))
+    q.processAllAvailable()
+    // 201 duplicates ADMITTED doc 101; 202 duplicates corpus doc 2;
+    // 203 duplicates 102 — but 102 was a dup itself, NOT admitted, so
+    // 203 must surface against the original corpus doc 4 instead
+    in.addData((201L, txt("fresh")), (202L, txt("c2")), (203L, txt("c4")))
+    q.processAllAvailable()
+    q.stop()
+    assert(found.toSet === Set((4L, 102L), (101L, 201L), (2L, 202L),
+      (4L, 203L)), s"found: $found")
+  }
+
   test("signature store: reingest refreshes geometry from stored fingerprints, never text") {
     def txt(tag: String, shared: Boolean) =
       (if (shared) "p0 p1 p2 " else "") +
