@@ -719,6 +719,38 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(desc.get("Num Buckets").contains("4"), s"bucketing lost: $desc")
   }
 
+  test("vector index: foreachBatch admits are searchable from the outer session") {
+    // the ANN daily loop with the session-cache pitfall the signature
+    // store hit: admit runs on the micro-batch CLONE session, search
+    // on the outer one — without admit's refreshTable the outer
+    // session's cached file index would never see the appended codes
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = SimilarityQueries.emb(spark, sf)
+    VectorIndex.ingest(e.filter($"vec_id" <= 400), "vecidx_loop", buckets = 4)
+    val in = MemoryStream[Long]
+    val q = in.toDS().toDF("src_id").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // arriving vectors: known embeddings under fresh ids
+        val batch = b.join(e, b("src_id") === e("vec_id"))
+          .select(($"src_id" + 10000L).as("vec_id"), $"v", $"nrm")
+        VectorIndex.admit(spark, "vecidx_loop", batch)
+        ()
+      }
+      .start()
+    in.addData(450L)
+    q.processAllAvailable()
+    q.stop()
+    // query with vec 450's exact vector under an external id: the
+    // admitted twin (10450) must appear among its neighbors
+    val qs = e.filter($"vec_id" === 450L)
+      .select(lit(9001L).as("vec_id"), $"v", $"nrm")
+    val neighbors = VectorIndex.search(spark, "vecidx_loop", qs)
+      .collect().map(_.getLong(2)).toSet
+    assert(neighbors.contains(10450L),
+      s"admitted vector invisible to the outer session: $neighbors")
+  }
+
   test("store ingest refuses to destroy an unrelated table colliding with the prefix") {
     def txt(tag: String) = (0 until 12).map(j => s"${tag}w$j").mkString(" ")
     val corpus = (1L to 9L).map(i => (i, txt(s"c$i"))).toDF("doc_id", "text")
