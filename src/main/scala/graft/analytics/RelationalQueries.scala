@@ -736,6 +736,43 @@ object RelationalQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY user_id, ts, event_id"""))
 
+  /** Distribution window functions — ntile / percent_rank / cume_dist
+    * — the statistical third of the window family next to ranking and
+    * navigation: quartile bucketing and within-group percentile
+    * position over order values per priority class (what "price
+    * percentile within its priority tier" reports). ntile assigns by
+    * ROW POSITION, so a non-unique ordering would be engine-dependent
+    * — the (o_totalprice, o_orderkey) composite makes every position
+    * (and thus every bucket edge) deterministic in both engines.
+    * percent_rank and cume_dist are exact integer ratios divided once
+    * in double; rounded to 6dp per the parity rule. Five coarse
+    * partitions at 100 TB would skew one task each — the partition
+    * key's cardinality is the scale lever, and the plan still carries
+    * exactly one exchange (the sibling-window shape PlanAuditSpec
+    * pins). */
+  val qWindowDistribution = Q(
+    "q_window_distribution",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cum_dist"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             NTILE(4) OVER w AS quartile,
+             ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+             ROUND(CUME_DIST() OVER w, 6) AS cum_dist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey"""))
+
   /** Batch sessionization: gap-based sessions (30-minute inactivity
     * timeout) via the classic two-window pattern — a lag() flags
     * session starts, a running sum numbers them, a groupBy rolls each
@@ -1162,7 +1199,8 @@ object RelationalQueries {
     qJoinRegionRevenue, qJoinSemi, qJoinAnti, qJoinLeftOuter,
     qJoinFullOuter, qAggStringAgg, qThetaJoin, qRangeJoin,
     qAsofJoin, qTopkPerCustomer, qWindowRunning, qWindowRanks,
-    qWindowRangeFrame, qWindowHourly, qWindowNavigation, qSessionizeBatch,
+    qWindowRangeFrame, qWindowHourly, qWindowNavigation,
+    qWindowDistribution, qSessionizeBatch,
     qSortLimit, qSetopsNations, qScalarString, qScalarDate, qScalarMath,
     qScalarRegex, qScalarConditional, qScalarArray, qSaltedAgg,
     qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events)
