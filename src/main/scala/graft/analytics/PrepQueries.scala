@@ -123,6 +123,103 @@ object PrepQueries {
       GROUP BY 1 HAVING COUNT(*) >= 20
       ORDER BY doc_id"""))
 
+  /** Bloom-filter decontamination — [[qPrepDecontam]]'s shape at the
+    * scale where the benchmark shingle SET no longer broadcasts: a
+    * public test suite can carry billions of distinct shingles
+    * (strings), but its Bloom filter is a fixed m-bit array. The
+    * filter here is pure DataFrame algebra — each shingle's 60-bit
+    * md5 fingerprint yields k=3 bit positions by double hashing
+    * (h1 = fp mod m, h2 = odd stride from the next 15 fingerprint
+    * bits; md5 bits are uniform, so no further mixing is needed and
+    * every step stays far from Long overflow under ANSI) — and
+    * therefore DETERMINISTIC: DuckDB rebuilds the identical filter
+    * from the same arithmetic, so unlike the HLL/GK sketches this
+    * sketch query is gated by full value hash-match, false positives
+    * included.
+    *
+    * The probe is a broadcast join of corpus shingle positions
+    * against the ≤ 2^16-row set-bit table, then two map-side-combined
+    * aggregations: a shingle hits iff all 3 of its positions are set
+    * (no false negatives by construction — the gate emits the exact
+    * overlap next to the Bloom count so the superset invariant is
+    * hash-checked), a doc is flagged at the same ≥ 20 threshold. At
+    * 100 TB only the Bloom side runs (the exact column exists for the
+    * differential gate, as in the sketch queries); flagged docs then
+    * re-verify against the exact set, which is the standard two-tier
+    * decontamination economics. */
+  val qPrepDecontamBloom = Q(
+    "q_prep_decontam_bloom",
+    (s, dir) => {
+      val posExpr =
+        """transform(sequence(0, 2), i ->
+             (fp % 65536 + i * (2 * ((fp div 1048576) % 32768) + 1))
+               % 65536)"""
+      val sh = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.shingles(col("ws"), 3))
+            .as("sh"))
+      val fp = sh.withColumn("fp", DedupQueries.fingerprint(col("sh")))
+      val bloomPos = fp.filter(col("doc_id") < 10)
+        .select(explode(expr(posExpr)).as("pos")).distinct()
+      // a shingle hits iff ALL 3 probe positions are set — and the odd
+      // h2 stride over the power-of-two m makes the 3 positions
+      // provably distinct, so the surviving-row count is the test
+      val bloomHits = fp.filter(col("doc_id") >= 10)
+        .select(col("doc_id"), col("sh"), explode(expr(posExpr)).as("pos"))
+        .join(broadcast(bloomPos), "pos")
+        .groupBy(col("doc_id"), col("sh"))
+        .agg(count(lit(1)).as("n_probe"))
+        .filter(col("n_probe") === 3)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bloom"))
+      val exact = fp.filter(col("doc_id") >= 10)
+        .join(broadcast(
+          fp.filter(col("doc_id") < 10).select(col("sh")).distinct()), "sh")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      bloomHits.filter(col("n_bloom") >= 20)
+        .join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bloom"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (col("n_bloom") >= coalesce(col("n_shared"), lit(0L)))
+            .as("no_false_negative"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id,
+                 unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                         for i in generate_series(1, len(ws)-2)]) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents))),
+      fp AS (
+        SELECT doc_id, sh,
+               CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS fp
+        FROM sh),
+      pos AS (
+        SELECT doc_id, sh,
+               (fp % 65536 + i * (2 * ((fp // 1048576) % 32768) + 1))
+                 % 65536 AS pos
+        FROM fp, generate_series(0, 2) AS g(i)),
+      bloom AS (SELECT DISTINCT pos FROM pos WHERE doc_id < 10),
+      hits AS (
+        SELECT p.doc_id, p.sh
+        FROM pos p JOIN bloom b ON p.pos = b.pos
+        WHERE p.doc_id >= 10
+        GROUP BY p.doc_id, p.sh HAVING COUNT(*) = 3),
+      nb AS (SELECT doc_id, COUNT(*) AS n_bloom FROM hits
+             GROUP BY doc_id HAVING COUNT(*) >= 20),
+      bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10),
+      ex AS (SELECT s.doc_id, COUNT(*) AS n_shared
+             FROM sh s JOIN bench b ON s.sh = b.sh
+             WHERE s.doc_id >= 10 GROUP BY 1)
+      SELECT nb.doc_id, nb.n_bloom,
+             COALESCE(ex.n_shared, 0) AS n_shared,
+             nb.n_bloom >= COALESCE(ex.n_shared, 0) AS no_false_negative
+      FROM nb LEFT JOIN ex ON nb.doc_id = ex.doc_id
+      ORDER BY nb.doc_id"""))
+
   /** Shared chunk frame (doc_id, ws, chunk_idx, start): 50-word
     * windows on a 40-word stride — ONE definition so [[qPrepChunk]]
     * and [[qPrepShard]] can never desynchronize on the chunk
@@ -368,6 +465,7 @@ object PrepQueries {
       FROM toks t LEFT JOIN ids i USING (w)
       ORDER BY doc_id, pos"""))
 
-  val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam, qPrepChunk,
+  val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
+    qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize)
 }
