@@ -175,6 +175,79 @@ object TextQueries {
             FROM documents)
       GROUP BY w ORDER BY n_occurrences DESC, w LIMIT 100"""))
 
+  /** Count-min sketch over the token stream — the point-query sibling
+    * of the SpaceSaving top-k: d=3 counter rows × w=1024 counters,
+    * positions by the same deterministic double-hash the Bloom
+    * decontamination uses (Kirsch–Mitzenmacher: h1 + i·h2 over a
+    * power-of-two width, odd stride, md5-uniform inputs, every step
+    * ANSI-overflow-safe), counters built with ONE map-side-combined
+    * aggregation over the vocabulary (never the raw token stream), a
+    * point estimate = min over the 3 row counters. Mergeability is the
+    * production story: counter tables from corpus shards ADD — the
+    * shuffle carries at most 3·1024 rows per shard regardless of
+    * corpus size.
+    *
+    * Like the Bloom filter — and unlike HLL/GK, whose buffers are
+    * engine-private — every counter is deterministic integer algebra,
+    * so DuckDB rebuilds the IDENTICAL sketch and the gate is a full
+    * value hash-match: estimates, collisions, overestimates and all,
+    * with the exact count alongside hash-checking the
+    * never-underestimates invariant. */
+  val qTextCountmin = Q(
+    "q_text_countmin",
+    (s, dir) => {
+      val posExpr =
+        """transform(sequence(0, 2), i ->
+             (fp % 1024 + i * (2 * ((fp div 1048576) % 512) + 1))
+               % 1024)"""
+      val toks = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .withColumn("fp", DedupQueries.fingerprint(col("w")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hashed = toks
+        .select(col("w"), col("n"), posexplode(expr(posExpr)))
+        .select(col("w"), col("n"), col("pos").as("row_i"),
+          col("col").as("cpos"))
+      val counters = hashed
+        .groupBy(col("row_i"), col("cpos")).agg(sum(col("n")).as("cnt"))
+      val top = toks.orderBy(col("n").desc, col("w")).limit(30)
+      val result = top
+        .join(hashed.select(col("w"), col("row_i"), col("cpos")), "w")
+        .join(counters, Seq("row_i", "cpos"))
+        .groupBy(col("w"), col("n"))
+        .agg(min(col("cnt")).as("cm_estimate"))
+        .select(col("w"), col("n").as("n_exact"), col("cm_estimate"),
+          (col("cm_estimate") >= col("n")).as("never_underestimates"))
+        .orderBy(col("w"))
+      QueryScopedCache.releaseAfter(result, Seq(toks))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT w, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w),
+      fp AS (
+        SELECT w, n,
+               CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS fp
+        FROM toks),
+      pos AS (
+        SELECT w, n, i AS row_i,
+               (fp % 1024 + i * (2 * ((fp // 1048576) % 512) + 1)) % 1024
+                 AS cpos
+        FROM fp, generate_series(0, 2) AS g(i)),
+      counters AS (
+        SELECT row_i, cpos, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM pos GROUP BY 1, 2),
+      top AS (SELECT w, n FROM toks ORDER BY n DESC, w LIMIT 30)
+      SELECT t.w, t.n AS n_exact, MIN(c.cnt) AS cm_estimate,
+             MIN(c.cnt) >= t.n AS never_underestimates
+      FROM top t
+      JOIN pos p ON t.w = p.w
+      JOIN counters c ON p.row_i = c.row_i AND p.cpos = c.cpos
+      GROUP BY t.w, t.n
+      ORDER BY t.w"""))
+
   /** Heavy hitters over the token stream via the [[graft.operators
     * .SpaceSaving]] typed `Aggregator` — the single-pass bounded-memory
     * answer to "top talkers" when the key space doesn't fit a groupBy
@@ -562,6 +635,7 @@ object TextQueries {
       FROM d GROUP BY lang, source ORDER BY lang, source"""))
 
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
-    qTextFingerprint, qTextVocab, qHeavyHitters, qTextRepetition,
+    qTextFingerprint, qTextVocab, qHeavyHitters, qTextCountmin,
+    qTextRepetition,
     qTextLogprob, qTextBpePairs, qTextBpeMerges, qStatsDatacard)
 }
