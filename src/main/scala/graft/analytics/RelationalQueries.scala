@@ -1095,6 +1095,67 @@ object RelationalQueries {
              GREATEST(o_totalprice - 150000.0, 0.0) AS excess
       FROM orders ORDER BY o_orderkey"""))
 
+  /** NULL semantics — the #1 cross-engine hazard a user switching
+    * engines hits: COUNT(*) vs COUNT(col) vs COUNT(DISTINCT col) over
+    * nulls, SUM/MIN over an all-NULL group returning NULL (never 0),
+    * NULL group keys collapsing into one group, null-safe equality
+    * (Spark `<=>` = SQL IS NOT DISTINCT FROM), and NULL SORT ORDER —
+    * Spark defaults to NULLS FIRST ascending while DuckDB defaults to
+    * NULLS LAST, so the oracle pins NULLS FIRST explicitly; leaving
+    * either default implicit is exactly the silent-divergence this
+    * query exists to catch. Nulls are synthesized deterministically
+    * (o_orderkey mod patterns) since TPC-H data carries none. Money
+    * sums ride integer cents (micro-unit parity rule). */
+  val qScalarNullSemantics = Q(
+    "q_scalar_null_semantics",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(
+          when(col("o_orderkey") % 5 === 0, lit(null))
+            .otherwise(col("o_orderpriority")).as("nk"),
+          // round BEFORE the long cast: Spark's double→long cast
+          // truncates while DuckDB's rounds, and 123.45·100 lands a
+          // hair under the integer — scale-0 round is parity-safe
+          when(col("o_orderkey") % 7 === 0, lit(null))
+            .otherwise(round(col("o_totalprice") * 100).cast("long"))
+            .as("cents"),
+          when(col("o_orderkey") % 3 === 0, lit(null))
+            .otherwise(col("o_orderstatus")).as("ns"))
+      o.groupBy(col("nk"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("cents")).as("n_priced"),
+          count_distinct(col("ns")).as("n_status"),
+          sum(when(col("ns").isNull && col("nk").isNull, col("cents")))
+            .as("allnull_sum"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("ns")).as("min_status"),
+          sum((col("ns") <=> col("nk")).cast("long")).as("n_nullsafe_eq"))
+        .orderBy(asc_nulls_first("nk"))
+    },
+    Some("""
+      SELECT nk,
+             COUNT(*) AS n_rows,
+             COUNT(cents) AS n_priced,
+             COUNT(DISTINCT ns) AS n_status,
+             CAST(SUM(CASE WHEN ns IS NULL AND nk IS NULL THEN cents END)
+               AS BIGINT) AS allnull_sum,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             MIN(ns) AS min_status,
+             CAST(SUM(CASE WHEN ns IS NOT DISTINCT FROM nk
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq
+      FROM (
+        SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_orderpriority END AS nk,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               END AS cents,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE o_orderstatus END AS ns
+        FROM orders)
+      GROUP BY nk
+      ORDER BY nk NULLS FIRST"""))
+
   /** Array family over split words (slice / element access / contains /
     * negative indexing — DuckDB list ops mirror Spark array ops). */
   val qScalarArray = Q(
@@ -1202,6 +1263,7 @@ object RelationalQueries {
     qWindowRangeFrame, qWindowHourly, qWindowNavigation,
     qWindowDistribution, qSessionizeBatch,
     qSortLimit, qSetopsNations, qScalarString, qScalarDate, qScalarMath,
-    qScalarRegex, qScalarConditional, qScalarArray, qSaltedAgg,
+    qScalarRegex, qScalarConditional, qScalarNullSemantics,
+    qScalarArray, qSaltedAgg,
     qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events)
 }
