@@ -496,6 +496,37 @@ object RelationalQueries {
        AND l_shipdate < o_orderdate + INTERVAL 90 DAY
       GROUP BY o_orderkey ORDER BY o_orderkey"""))
 
+  /** LATERAL correlated table subquery — top-2 orders per customer
+    * via a per-row ORDER BY … LIMIT subquery, the SQL-standard
+    * "for each row, run this query" shape (and the idiom engines
+    * without window functions use for grouped top-k). Catalyst
+    * decorrelates the correlated LIMIT into a ranked window under a
+    * DomainJoin rather than re-running the subquery per customer —
+    * the same single-shuffle plan [[qTopkPerCustomer]] writes by
+    * hand, which is exactly the decorrelation claim this query
+    * gates. Identical ANSI text runs on both engines; the unique
+    * o_orderkey tie-break keeps the per-customer cut deterministic. */
+  val qJoinLateral = Q(
+    "q_join_lateral",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_lat")
+      t(s, dir, "orders").createOrReplaceTempView("orders_lat")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lat c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    },
+    Some("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""))
+
   /** As-of join ([[AsOfJoin]]): each click matched to the user's most
     * recent prior purchase — one shuffle, no range probe. */
   val qAsofJoin = Q(
@@ -1258,7 +1289,7 @@ object RelationalQueries {
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
     qGroupingSets, qHllDistinct, qQuantileSketch,
     qJoinRegionRevenue, qJoinSemi, qJoinAnti, qJoinLeftOuter,
-    qJoinFullOuter, qAggStringAgg, qThetaJoin, qRangeJoin,
+    qJoinFullOuter, qAggStringAgg, qThetaJoin, qRangeJoin, qJoinLateral,
     qAsofJoin, qTopkPerCustomer, qWindowRunning, qWindowRanks,
     qWindowRangeFrame, qWindowHourly, qWindowNavigation,
     qWindowDistribution, qSessionizeBatch,
