@@ -144,6 +144,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"unbounded single-row collect aggregates in: $offenders")
   }
 
+  test("lateral correlated LIMIT decorrelates to a ranked window") {
+    // the q_join_lateral claim: Catalyst rewrites the per-row
+    // ORDER BY … LIMIT subquery into a window rank over one join —
+    // never a per-outer-row re-execution (which would surface as a
+    // nested-loop over the full orders subtree)
+    val p = plans("q_join_lateral")
+    assert(p.contains("Window"),
+      s"expected a decorrelated ranked-window plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"lateral subquery must not plan a per-row loop:\n$p")
+  }
+
   test("batch sessionization plans exactly one hash exchange") {
     // lag-flag window, session-numbering window, and the session
     // rollup all key on user_id — the whole chain must ride ONE
