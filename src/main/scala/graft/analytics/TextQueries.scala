@@ -530,6 +530,30 @@ object TextQueries {
     out.toSeq
   }
 
+  /** Tokenize a corpus with a learned merge list — the APPLY side of
+    * [[learnMerges]], completing the BPE story: split each word to
+    * character symbols and replay the merges IN LEARNED ORDER, each
+    * one the same greedy fold the learner used (so training and
+    * inference tokenize identically — the property BPE deployments
+    * depend on). The whole merge chain composes into ONE narrow
+    * projection — no shuffle, no per-merge pass over the corpus; at
+    * 100 TB this is a map-only stage whose cost is merges × word
+    * length per row (spec-asserted exchange-free). Output:
+    * (doc_id, word_pos, token_pos, token). */
+  def encodeWithMerges(d: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val syms = merges.sortBy(_._1).foldLeft(split(col("w"), "")) {
+      case (c, (_, a, b, _)) => applyMerge(c, a, b)
+    }
+    d.select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("word_pos"),
+        col("col").as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(col("doc_id"), col("word_pos"), posexplode(syms))
+      .select(col("doc_id"), col("word_pos"),
+        col("pos").cast("long").as("token_pos"), col("col").as("token"))
+  }
+
   /** The learned-merge contract, shaped for the differential gate the
     * way the sketch queries are ([[RelationalQueries.qHllDistinct]]):
     * DuckDB cannot replay an iterative driver loop, but the loop's

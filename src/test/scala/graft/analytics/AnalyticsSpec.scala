@@ -497,6 +497,23 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(all === merges, s"all: $all")
   }
 
+  test("bpe: encodeWithMerges replays learned merges identically at inference") {
+    val d = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val merges = TextQueries.learnMerges(d, 3)
+    // training-time states (hand-computed in the learnMerges spec)
+    // predict: "aaab" → [aaab] after all 3 merges, "ab" → [ab]
+    val enc = TextQueries.encodeWithMerges(
+      Seq((7L, "aaab ab ba")).toDF("doc_id", "text"), merges)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"the merge-chain replay must stay a narrow map-only stage:\n$plan")
+    val toks = enc.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).sorted.toList
+    // "ba" never merges: (b,a) was not learned — order matters in BPE
+    assert(toks === List((0L, 0L, "aaab"), (1L, 0L, "ab"),
+      (2L, 0L, "b"), (2L, 1L, "a")), s"tokens: $toks")
+  }
+
   test("tokenize: ids follow frequency order, beyond-top-100 maps to 0") {
     // 100 words ×2 fill the vocabulary (ids by count DESC, token ASC
     // → w000=1 … w099=100); a singleton ranks 101st → OOV id 0
