@@ -406,8 +406,8 @@ object SimilarityQueries {
         .select(col("vec_id").as("qid"), col("lut"))
       val scored = coded.join(broadcast(qlut), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("neighbor_id"),
-          expr("""aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c)),
-                  cast(0 as bigint), (acc, x) -> acc + x)""").as("adc_micro"))
+          graft.functions.VectorFunctions.adcScore(col("codes"), col("lut"))
+            .as("adc_micro"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("adc_micro"), col("neighbor_id"))
       scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -579,8 +579,8 @@ object SimilarityQueries {
       val scored = cand.join(coded, "neighbor_id")
         .join(broadcast(qlut), "qid")
         .select(col("qid"), col("neighbor_id"),
-          expr("""aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c)),
-                  cast(0 as bigint), (acc, x) -> acc + x)""").as("adc_micro"))
+          graft.functions.VectorFunctions.adcScore(col("codes"), col("lut"))
+            .as("adc_micro"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("adc_micro"), col("neighbor_id"))
       scored.withColumn("rank", row_number().over(w).cast("long"))

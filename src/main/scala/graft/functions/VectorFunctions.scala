@@ -250,6 +250,67 @@ case class PqCodes(left: Expression, right: Expression, subDim: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Asymmetric-distance (ADC) score: codes (array<int>, 1-based PQ
+  * codebook positions — [[PqCodes]]' output convention) indexed into a
+  * per-query lookup table (array<array<bigint>>, one row of micro-unit
+  * subspace distances per code cell), summed as a long.
+  *
+  * This is THE per-candidate hot loop of the PQ/IVFADC family — at
+  * scale every probed candidate pays exactly this: |cells| integer
+  * array lookups and adds. The HOF formulation
+  * (`aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c)))`)
+  * evaluates its lambdas interpreted AND materializes a zipped
+  * struct-array per candidate row; this expression keeps the whole
+  * scoring stage inside whole-stage codegen with zero per-row
+  * allocation. Identical arithmetic (integer adds in cell order), so
+  * swapping it in changed no oracle-gated result. Out-of-range codes
+  * fail loudly with the expression name, never an executor AIOOBE. */
+case class AdcScore(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_adc_score"
+
+  override protected def nullSafeEval(codes: Any, lut: Any): Any = {
+    val c = codes.asInstanceOf[ArrayData]
+    val t = lut.asInstanceOf[ArrayData]
+    scoreEval(c, t)
+  }
+
+  /** Shared by eval and codegen (referenced object — same pattern as
+    * [[PqCodes.codesEval]]). */
+  def scoreEval(c: ArrayData, t: ArrayData): Long = {
+    val n = c.numElements()
+    if (t.numElements() < n)
+      throw new IllegalArgumentException(
+        s"graft_adc_score: ${t.numElements()} LUT rows for $n codes")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val code = c.getInt(i)
+      val row = t.getArray(i)
+      if (code < 1 || code > row.numElements())
+        throw new IllegalArgumentException(
+          s"graft_adc_score: code $code out of range 1..${row.numElements()}" +
+            s" in cell $i")
+      acc += row.getLong(code - 1)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("adcExpr", this)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $expr.scoreEval($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product over two array<double> columns. */
   def dot(a: Column, b: Column): Column =
@@ -265,4 +326,10 @@ object VectorFunctions {
   def pqCodes(v: Column, codebook: Column, subDim: Int): Column =
     ExprBridge.column(PqCodes(
       ExprBridge.expression(v), ExprBridge.expression(codebook), subDim))
+
+  /** Codegen'd ADC score: 1-based codes indexed into per-cell LUT rows,
+    * summed as a long. */
+  def adcScore(codes: Column, lut: Column): Column =
+    ExprBridge.column(AdcScore(
+      ExprBridge.expression(codes), ExprBridge.expression(lut)))
 }

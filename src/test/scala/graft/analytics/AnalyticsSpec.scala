@@ -673,6 +673,34 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(run(16, 1).map(_._2).size > cids.size)
   }
 
+  test("adc score: native expression matches the HOF formulation bit-for-bit") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 50).map { i =>
+      val codes = Array.fill(32)(rnd.nextInt(64) + 1) // 1-based positions
+      val lut = Array.fill(32)(Array.fill(64)(rnd.nextLong() % 1000000L))
+      (i.toLong, codes, lut)
+    }
+    val both = rows.toDF("id", "codes", "lut").select($"id",
+        graft.functions.VectorFunctions.adcScore($"codes", $"lut")
+          .as("native"),
+        expr("""aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c)),
+                cast(0 as bigint), (acc, x) -> acc + x)""").as("hof"))
+      .collect()
+    both.foreach(r =>
+      assert(r.getLong(1) === r.getLong(2), s"row ${r.getLong(0)}"))
+    // an out-of-range code fails loudly with the expression's name,
+    // never an anonymous executor AIOOBE
+    val bad = Seq((1L, Array(65), Array(Array(1L, 2L))))
+      .toDF("id", "codes", "lut")
+    val ex = intercept[Exception] {
+      bad.select(graft.functions.VectorFunctions.adcScore($"codes", $"lut"))
+        .collect()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(messages.contains("graft_adc_score"), messages)
+  }
+
   test("vector index: external queries search the stored tables, never the corpus source") {
     val e = SimilarityQueries.emb(spark, sf)
     VectorIndex.ingest(e, "vecindex_spec", buckets = 4)
