@@ -68,11 +68,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_dedup_cluster",
       "q_sim_ivf_topk", "q_dedup_semantic", "q_text_logprob",
       "q_sim_pq_topk", "q_dedup_incremental",
-      // q_sim_ivfpq_stored/_admitted: the 1-row stored centroid/
-      // codebook tables ride broadcast cross joins into ranking and
-      // LUT build — bounded by construction, the qSimIvfPqTopk pattern
+      // q_sim_ivfpq_stored/_admitted/_rerank: the 1-row stored
+      // centroid/codebook tables ride broadcast cross joins into
+      // ranking and LUT build — bounded by construction, the
+      // qSimIvfPqTopk pattern (rerank's second tier adds only
+      // broadcast HASH joins: topR and the query side are equi-keyed)
       "q_sim_ivfpq_topk", "q_sim_ivfpq_stored", "q_sim_ivfpq_admitted",
-      "q_sim_sq_topk")
+      "q_sim_ivfpq_rerank", "q_sim_sq_topk")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
