@@ -45,18 +45,27 @@ object Bench {
     // codegen classes compile during warmup, not inside its first
     // timed rep (per-query warmup measurably removed the bimodal
     // first-rep tails vs warming only the two heaviest paths).
-    graft.analytics.Tables.names
-      .foreach(n => graft.analytics.Tables(spark, sfDir, n).count())
+    graft.analytics.Tables.names.foreach { n =>
+      try graft.analytics.Tables(spark, sfDir, n).count()
+      catch { case e: Throwable =>
+        // don't kill the fleet for one broken table — the queries that
+        // need it will record -1 and land in "failed"
+        System.err.println(s"WARN: footer warmup failed for $n: ${e.getMessage}")
+      }
+    }
     selected.foreach { case (_, fn) =>
       try {
         fn(spark, "/root/testdata/sf0.001").count()
         spark.catalog.clearCache()
       } catch { case _: Throwable => () }
     }
+    // A rep that throws records -1 (NOT its time-to-throw): a broken
+    // query must read as broken in the JSON, never as implausibly fast.
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // intra-query persists don't leak
         // settle the heap between reps: without it, garbage from a
@@ -64,7 +73,7 @@ object Bench {
         // timing (the bimodal mid-fleet inflation seen on the dns
         // pipeline lines)
         System.gc()
-        dt
+        if (ok) dt else -1.0
       }.sorted
       name -> times
     }
@@ -87,14 +96,25 @@ object Bench {
           "search" -> ((s: SparkSession, d: String) => {
             graft.analytics.SimilarityQueries.storedSearch(s, d).count(); ()
           })))
+    // A failing phase records -1, and every LATER phase of that rep is
+    // skipped and records -1 too: a screen/search against the missing
+    // or stale store a failed ingest left behind would otherwise time
+    // a fiction (the round-7 advice finding).
     val phaseResults = phased
       .filter { case (q, _) => selected.contains(q) }
       .map { case (q, phases) =>
         val perRep = (1 to reps).map { _ =>
+          var broken = false
           val ts = phases.map { case (pn, fn) =>
-            val t0 = System.nanoTime()
-            try fn(spark, sfDir) catch { case _: Throwable => () }
-            pn -> (System.nanoTime() - t0) / 1e9
+            if (broken) pn -> -1.0
+            else {
+              val t0 = System.nanoTime()
+              val ok = try { fn(spark, sfDir); true }
+                catch { case _: Throwable => false }
+              val dt = (System.nanoTime() - t0) / 1e9
+              if (!ok) broken = true
+              pn -> (if (ok) dt else -1.0)
+            }
           }
           spark.catalog.clearCache()
           System.gc()
@@ -106,9 +126,13 @@ object Bench {
       }
     def fmt(d: Double): String = f"$d%.4f"
     // true median: even rep counts average the two middle samples
-    // (ts is sorted) instead of reporting the upper-middle one
+    // (ts is sorted) instead of reporting the upper-middle one.
+    // Any failed rep (-1 sorts first) poisons the whole entry to -1:
+    // a number next to a failure marker would still be read as a
+    // duration.
     def median(ts: Seq[Double]): Double =
-      if (ts.length % 2 == 1) ts(ts.length / 2)
+      if (ts.head < 0) -1.0
+      else if (ts.length % 2 == 1) ts(ts.length / 2)
       else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2.0
     val qs = results.map { case (k, ts) =>
       "\"" + k + "\":" + fmt(median(ts))
@@ -116,14 +140,28 @@ object Bench {
     val spread = results.map { case (k, ts) =>
       "\"" + k + "\":[" + fmt(ts.head) + "," + fmt(ts.last) + "]"
     }.mkString("{", ",", "}")
-    val total = results.values.map(median).sum
+    val failed = results.collect {
+      case (k, ts) if ts.head < 0 => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    // explicit totals the driver's bounded tail can never lose to
+    // truncation: overall sum, per-family sums (family = the q_<fam>_
+    // name prefix), and the benched-query count — failures excluded
+    // from sums and listed in "failed"
+    val medians = results.map { case (k, ts) => k -> median(ts) }
+    val total = medians.values.filter(_ >= 0).sum
+    val families = medians.toSeq
+      .groupBy { case (k, _) => k.split("_").lift(1).getOrElse("other") }
+      .toSeq.sortBy(_._1)
+      .map { case (f, ms) =>
+        "\"" + f + "\":" + fmt(ms.map(_._2).filter(_ >= 0).sum)
+      }.mkString("{", ",", "}")
     val phasesJson = phaseResults.map { case (q, ps) =>
       "\"" + q + "\":" + ps.map { case (pn, ts) =>
         "\"" + pn + "\":" + fmt(median(ts))
       }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"phases":$phasesJson,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"families":$families,"queries":$qs,"spread":$spread,"phases":$phasesJson,"reps":$reps,"sf":"$sfDir"}"""
     // The driver parses a bounded TAIL of stdout; at 60+ queries the
     // full line (medians + spreads) outgrew it two rounds running and
     // medians arrived as `parsed: null`. So: full JSON first (humans,
@@ -150,7 +188,7 @@ object Bench {
         "\"" + pn + "\":" + fmt3(median(ts))
       }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"phases":$phases3,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","n":${results.size},"failed":$failed,"families":$families,"queries":$qs3,"phases":$phases3,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
