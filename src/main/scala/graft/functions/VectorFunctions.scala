@@ -1,11 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ExprBridge
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+
 
 /** Native Catalyst expression for the vector hot path: dot product of
   * two array<double> columns with whole-stage-codegen support.
@@ -22,11 +24,21 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  // Inputs are produced internally and always array<double>; no
-  // ExpectsInputTypes (its AbstractDataType is private[sql]).
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "graft_dot"
+
+  // getDouble on ArrayData silently misreads a wrong-typed column;
+  // reject at analysis time (ExpectsInputTypes can't express this —
+  // its AbstractDataType is private[sql])
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<double>), " +
+          s"got (${l.sql}, ${r.sql})")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -88,6 +100,13 @@ case class LshSignature(child: Expression, bits: Int)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
   override def prettyName: String = "graft_lsh_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${t.sql}")
+    }
 
   @transient private lazy val planeCache =
     new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
@@ -185,6 +204,15 @@ case class PqCodes(left: Expression, right: Expression, subDim: Int)
 
   override def prettyName: String = "graft_pq_codes"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<array<double>>), " +
+          s"got (${l.sql}, ${r.sql})")
+    }
+
   override protected def nullSafeEval(vec: Any, cents: Any): Any = {
     val v = vec.asInstanceOf[ArrayData]
     val cs = cents.asInstanceOf[ArrayData]
@@ -271,6 +299,17 @@ case class AdcScore(left: Expression, right: Expression)
   override def dataType: DataType = LongType
 
   override def prettyName: String = "graft_adc_score"
+
+  // scoreEval's getInt/getLong accessors assume exactly these shapes;
+  // anything else must fail at analysis, not as an executor miscast
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(LongType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int>, array<array<bigint>>), " +
+          s"got (${l.sql}, ${r.sql})")
+    }
 
   override protected def nullSafeEval(codes: Any, lut: Any): Any = {
     val c = codes.asInstanceOf[ArrayData]

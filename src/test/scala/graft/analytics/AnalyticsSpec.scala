@@ -739,6 +739,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(messages.contains("graft_adc_score"), messages)
   }
 
+  test("native expressions reject wrong-typed inputs at analysis time") {
+    // each expression's ArrayData accessors (getDouble/getInt/getLong)
+    // would misread or ClassCastException on the executor for a
+    // wrong-typed column; checkInputDataTypes must catch it in analysis
+    import org.apache.spark.sql.AnalysisException
+    val df = Seq((Array(1L, 2L), Array(Array(1.5, 2.5))))
+      .toDF("longs", "dblmat")
+    def analysisMsg(c: org.apache.spark.sql.Column): String = {
+      val ex = intercept[AnalysisException](df.select(c).collect())
+      ex.getMessage
+    }
+    import graft.functions.VectorFunctions._
+    assert(analysisMsg(dot($"longs", $"longs")).contains("graft_dot"))
+    assert(analysisMsg(lshSignature($"longs", 16))
+      .contains("graft_lsh_sig"))
+    assert(analysisMsg(pqCodes($"longs", $"dblmat", 2))
+      .contains("graft_pq_codes"))
+    // array<bigint> codes (not array<int>) and array<array<double>>
+    // LUT rows (not bigint) — the exact miscast classes from advice
+    assert(analysisMsg(adcScore($"longs", $"dblmat"))
+      .contains("graft_adc_score"))
+  }
+
   test("vector index: external queries search the stored tables, never the corpus source") {
     val e = SimilarityQueries.emb(spark, sf)
     VectorIndex.ingest(e, "vecindex_spec", buckets = 4)
