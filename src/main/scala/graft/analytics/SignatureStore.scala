@@ -51,10 +51,20 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   * When accumulated drift warrants a re-key, [[reingest]] refreshes
   * geometry from STORED fingerprints (monotone stop growth, no text
   * rescan); only a stop-set shrink needs a full-text [[ingest]].
-  */
+  *
+  * Generations ([[StoreMeta]]): the part names above are LOGICAL —
+  * each physical table is generation-suffixed (`{store}_stop_g{N}`),
+  * writers build the next generation beside the current one, and a
+  * single atomic catalog op publishes it. A reader that resolved its
+  * generation keeps complete tables through one concurrent
+  * refresh (keep-two retention), so racing [[screen]]s are
+  * always-consistent, never partial. Writers stay single-writer per
+  * store: concurrent admit-vs-reingest is NOT arbitrated (an admit
+  * appended to generation N while a reingest derives N+1 from its
+  * own snapshot of N would be silently absent from N+1). */
 object SignatureStore {
 
-  private def t(store: String, part: String) = s"${store}_$part"
+  private[analytics] val parts = Seq("stop", "shingles", "sizes", "signatures")
 
   /** Compute and persist the corpus's dedup signatures as catalog
     * tables under the `store` prefix (overwriting any prior ingest).
@@ -63,46 +73,54 @@ object SignatureStore {
     * tables: at 100 TB use table bytes / 128–512 MB, a multiple of
     * the executor-core count. */
   def ingest(corpus: DataFrame, store: String, buckets: Int = 8): Unit = {
-    // Re-ingest must be idempotent across JVMs: with the in-memory
-    // catalog a fresh session doesn't know the PREVIOUS process's
-    // managed tables, so saveAsTable(Overwrite) refuses their
-    // still-on-disk locations (LOCATION_ALREADY_EXISTS). Drop what the
-    // catalog knows, then clear stale unregistered directories.
-    Seq("stop", "shingles", "sizes", "signatures")
-      .foreach(p => dropStale(corpus.sparkSession, t(store, p)))
+    val s = corpus.sparkSession
+    // Write the NEXT generation beside any current one; readers keep
+    // answering from the committed generation until the atomic pointer
+    // swap at the end. dropStale per target table covers crashed prior
+    // writers and cross-JVM leftovers (the in-memory catalog forgets a
+    // previous process's managed tables, whose still-on-disk locations
+    // would fail saveAsTable with LOCATION_ALREADY_EXISTS).
+    val g = StoreMeta.begin(s, store)
+    def gt(p: String) = StoreMeta.name(store, p, g)
+    parts.foreach(p => dropStale(s, gt(p)))
+    // the RAW corpus document count — persisted so reingest's
+    // df-threshold basis never drifts toward a stored-derived count
+    // that excludes all-stopped docs
+    val nDocs = corpus.count()
     // ONE md5 per shingle instance yields both the minhash input v and
     // the stored fingerprint h; nothing past this point carries text
     val hsh0 = DedupQueries.hashedShingles(corpus).persist(MEMORY_AND_DISK)
     try {
       DedupQueries.stopFingerprints(hsh0, corpus)
         .write.mode("overwrite").format("parquet")
-        .saveAsTable(t(store, "stop"))
-      markStoreTable(corpus.sparkSession, t(store, "stop"))
+        .saveAsTable(gt("stop"))
+      markStoreTable(s, gt("stop"))
       // read the WRITTEN set back so ingest filters with exactly the
       // bytes a later screen will read
-      val stop = corpus.sparkSession.table(t(store, "stop"))
+      val stop = s.table(gt("stop"))
       val sh = hsh0.join(broadcast(stop), Seq("h"), "left_anti")
         .persist(MEMORY_AND_DISK)
       try {
         Bucketing.writeBucketed(sh.select(col("doc_id"), col("h")),
-          t(store, "shingles"), "doc_id", buckets)
-        markStoreTable(corpus.sparkSession, t(store, "shingles"))
+          gt("shingles"), "doc_id", buckets)
+        markStoreTable(s, gt("shingles"))
         val mh = DedupQueries
           .minhashAggV(sh.select(col("doc_id"), col("v")))
           .persist(MEMORY_AND_DISK)
         try {
           mh.select(col("doc_id"), col("n"))
             .write.mode("overwrite").format("parquet")
-            .saveAsTable(t(store, "sizes"))
-          markStoreTable(corpus.sparkSession, t(store, "sizes"))
+            .saveAsTable(gt("sizes"))
+          markStoreTable(s, gt("sizes"))
           DedupQueries.bandSig(mh)
             .write.bucketBy(buckets, "bh").sortBy("bh")
             .format("parquet").mode("overwrite")
-            .saveAsTable(t(store, "signatures"))
-          markStoreTable(corpus.sparkSession, t(store, "signatures"))
+            .saveAsTable(gt("signatures"))
+          markStoreTable(s, gt("signatures"))
         } finally mh.unpersist()
       } finally sh.unpersist()
     } finally hsh0.unpersist()
+    StoreMeta.commit(s, store, g, parts, Some(nDocs))
   }
 
   /** Admit a (screened) batch into the store: append its shingles,
@@ -116,9 +134,13 @@ object SignatureStore {
     * geometry keeps every stored signature comparable forever;
     * [[reingest]] re-keys from stored state when drift warrants. */
   def admit(s: SparkSession, store: String, batch: DataFrame): Unit = {
-    val stop = s.table(t(store, "stop"))
-    val shB = t(store, "shingles")
-    val sigB = t(store, "signatures")
+    // one generation resolve for the whole operation (see StoreMeta)
+    val gen = StoreMeta.genOrFail(s, store)
+    def gt(p: String) = StoreMeta.name(store, p, gen)
+    val stop = s.table(gt("stop"))
+    val shB = gt("shingles")
+    val sigB = gt("signatures")
+    val nBatch = batch.count()
     val bsh = DedupQueries.hashedShingles(batch)
       .join(broadcast(stop), Seq("h"), "left_anti")
       .persist(MEMORY_AND_DISK)
@@ -133,20 +155,23 @@ object SignatureStore {
           .saveAsTable(shB)
         bmh.select(col("doc_id"), col("n"))
           .write.format("parquet").mode("append")
-          .saveAsTable(t(store, "sizes"))
+          .saveAsTable(gt("sizes"))
         DedupQueries.bandSig(bmh)
           .write.format("parquet").mode("append")
           .bucketBy(bucketCount(s, sigB), "bh").sortBy("bh")
           .saveAsTable(sigB)
       } finally bmh.unpersist()
     } finally bsh.unpersist()
+    // keep the persisted raw-document count current — reingest's
+    // df-threshold basis covers corpus + every admitted batch
+    StoreMeta.addDocs(s, store, nBatch)
     // The writes above ran on the BATCH's session — inside foreachBatch
     // that is the micro-batch clone, whose automatic refreshTable only
     // invalidates ITS OWN relation cache. Refresh through the caller's
     // session too, or its next screen would read a stale cached file
     // index and silently miss everything just admitted (caught live by
     // the streaming daily-loop spec).
-    Seq(shB, t(store, "sizes"), sigB).foreach(n => s.catalog.refreshTable(n))
+    Seq(shB, gt("sizes"), sigB).foreach(n => s.catalog.refreshTable(n))
   }
 
   /** Refresh the store's frozen geometry from STORED state — no
@@ -174,13 +199,24 @@ object SignatureStore {
     * threshold) the refresh is a no-op: screens before and after
     * return identical pairs (spec-asserted). */
   def reingest(s: SparkSession, store: String): Unit = {
-    val buckets = bucketCount(s, t(store, "shingles"))
-    // snapshot stored state out of the tables about to be overwritten
-    // (localCheckpoint: these frames must survive dropStale; both are
-    // narrow — (doc_id, h) and (h) — never text)
-    val sh = s.table(t(store, "shingles")).localCheckpoint(true)
-    val stopOld = s.table(t(store, "stop")).localCheckpoint(true)
-    val nDocs = s.table(t(store, "sizes")).count()
+    val gen = StoreMeta.genOrFail(s, store)
+    val next = gen + 1
+    def cur(p: String) = StoreMeta.name(store, p, gen)
+    def nxt(p: String) = StoreMeta.name(store, p, next)
+    val buckets = bucketCount(s, cur("shingles"))
+    // the refresh READS generation `gen` and WRITES generation `next`
+    // — no snapshot/checkpoint needed: the source tables stay intact
+    // until a later commit retires them, and racing readers keep
+    // answering from `gen` until the atomic pointer swap
+    val sh = s.table(cur("shingles"))
+    val stopOld = s.table(cur("stop"))
+    // the df-threshold basis is the PERSISTED raw document count
+    // (corpus + admits), not a stored-derived count that would exclude
+    // docs whose shingles were all stopped and compound toward
+    // over-stopping across refresh cycles; the sizes fallback covers
+    // only migrated legacy stores whose true count is lost
+    val nDocs = StoreMeta.docCount(s, store)
+      .getOrElse(s.table(cur("sizes")).count())
     // fingerprints that crossed the df threshold since ingest; the
     // stored shingle table holds every instance of every non-stopped
     // shingle (corpus + admitted), so df here IS current document
@@ -191,30 +227,40 @@ object SignatureStore {
     val sh2 = sh.join(broadcast(newStop), Seq("h"), "left_anti")
       .persist(MEMORY_AND_DISK)
     try {
-      Seq("stop", "shingles", "sizes", "signatures")
-        .foreach(p => dropStale(s, t(store, p)))
+      parts.foreach(p => dropStale(s, nxt(p)))
       stopOld.union(newStop).distinct()
         .write.mode("overwrite").format("parquet")
-        .saveAsTable(t(store, "stop"))
-      markStoreTable(s, t(store, "stop"))
+        .saveAsTable(nxt("stop"))
+      markStoreTable(s, nxt("stop"))
       Bucketing.writeBucketed(sh2.select(col("doc_id"), col("h")),
-        t(store, "shingles"), "doc_id", buckets)
-      markStoreTable(s, t(store, "shingles"))
+        nxt("shingles"), "doc_id", buckets)
+      markStoreTable(s, nxt("shingles"))
       val mh = DedupQueries.minhashAggV(sh2.select(col("doc_id"),
           DedupQueries.minhashInputFromFingerprint.as("v")))
         .persist(MEMORY_AND_DISK)
       try {
         mh.select(col("doc_id"), col("n"))
           .write.mode("overwrite").format("parquet")
-          .saveAsTable(t(store, "sizes"))
-        markStoreTable(s, t(store, "sizes"))
+          .saveAsTable(nxt("sizes"))
+        markStoreTable(s, nxt("sizes"))
         DedupQueries.bandSig(mh)
           .write.bucketBy(buckets, "bh").sortBy("bh")
           .format("parquet").mode("overwrite")
-          .saveAsTable(t(store, "signatures"))
-        markStoreTable(s, t(store, "signatures"))
+          .saveAsTable(nxt("signatures"))
+        markStoreTable(s, nxt("signatures"))
       } finally mh.unpersist()
     } finally sh2.unpersist()
+    StoreMeta.commit(s, store, next, parts, None)
+  }
+
+  /** Upgrade a pre-generation store layout in place (see
+    * [[StoreMeta.migrate]]). The recorded document count falls back to
+    * the stored sizes count — the closest basis a legacy store can
+    * offer (its true raw count was never persisted; documented
+    * approximation, excludes docs whose shingles were all stopped). */
+  def migrate(s: SparkSession, store: String): Unit = {
+    val nDocs = s.table(s"${store}_sizes").count()
+    StoreMeta.migrate(s, store, parts, Some(nDocs))
   }
 
   /** The bucket count an append must match (reads the catalog — the
@@ -274,10 +320,15 @@ object SignatureStore {
     * wide happens. Nothing in the plan scans corpus text. */
   def screen(s: SparkSession, store: String, batch: DataFrame)
       : (DataFrame, Seq[DataFrame]) = {
-    val stop = s.table(t(store, "stop"))
-    val corpusSig = s.table(t(store, "signatures"))
-    val corpusSh = s.table(t(store, "shingles"))
-    val corpusSizes = s.table(t(store, "sizes"))
+    // resolve the generation ONCE: all four tables come from the same
+    // committed generation, so a concurrent refresh can never blend
+    // into this screen's answer (keep-two retention guarantees the
+    // resolved tables survive one racing swap — see StoreMeta)
+    val gen = StoreMeta.genOrFail(s, store)
+    val stop = s.table(StoreMeta.name(store, "stop", gen))
+    val corpusSig = s.table(StoreMeta.name(store, "signatures", gen))
+    val corpusSh = s.table(StoreMeta.name(store, "shingles", gen))
+    val corpusSizes = s.table(StoreMeta.name(store, "sizes", gen))
     // batch-side signatures under the stored (frozen) geometry; the
     // batch shingle table feeds the verify join AND the batch size
     // lookup, so persist it for the query's lifetime. One md5 per

@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   * engine that never stored anything. */
 object VectorIndex {
 
-  private def t(store: String, part: String) = s"${store}_$part"
+  private[analytics] val parts = Seq("ivf", "pq", "codes")
 
   /** Micro-unit subspace L2² between the row's normalized vector `v`
     * and codebook position `k`'s m-th 2-dim slice (the LUT build —
@@ -56,8 +56,12 @@ object VectorIndex {
   def ingest(e: DataFrame, store: String, k: Int = 16,
       buckets: Int = 8): Unit = {
     val s = e.sparkSession
-    Seq("ivf", "pq", "codes").foreach(p =>
-      SignatureStore.dropStale(s, t(store, p)))
+    // next generation beside the current one; atomic pointer swap at
+    // the end — racing searches keep answering from the committed
+    // generation (see StoreMeta)
+    val g = StoreMeta.begin(s, store)
+    def gt(p: String) = StoreMeta.name(store, p, g)
+    parts.foreach(p => SignatureStore.dropStale(s, gt(p)))
     // coarse centroids, stored pre-assembled in the broadcast shape
     e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(k)
@@ -65,8 +69,8 @@ object VectorIndex {
         col("nrm").as("cnrm"))
       .agg(collect_list(struct(col("cid"), col("cv"), col("cnrm")))
         .as("cents"))
-      .write.mode("overwrite").format("parquet").saveAsTable(t(store, "ivf"))
-    SignatureStore.markStoreTable(s, t(store, "ivf"))
+      .write.mode("overwrite").format("parquet").saveAsTable(gt("ivf"))
+    SignatureStore.markStoreTable(s, gt("ivf"))
     // PQ codebook over normalized vectors (position = code)
     val en = e.select(col("vec_id"),
       expr("transform(v, x -> x / sqrt(nrm))").as("v"))
@@ -76,22 +80,49 @@ object VectorIndex {
       .agg(expr(
         "transform(array_sort(collect_list(struct(cid, cv))), c -> c.cv)")
         .as("cs"))
-      .write.mode("overwrite").format("parquet").saveAsTable(t(store, "pq"))
-    SignatureStore.markStoreTable(s, t(store, "pq"))
+      .write.mode("overwrite").format("parquet").saveAsTable(gt("pq"))
+    SignatureStore.markStoreTable(s, gt("pq"))
     // per-vector coarse assignment + codes, bucketed by the list id
-    val assigned = rankCentroids(e, s.table(t(store, "ivf")))
+    val assigned = rankCentroids(e, s.table(gt("ivf")))
       .select(col("vec_id"),
         element_at(col("ranked"), size(col("ranked")))
           .getField("cid").as("cid"))
-    val coded = en.crossJoin(broadcast(s.table(t(store, "pq"))))
+    val coded = en.crossJoin(broadcast(s.table(gt("pq"))))
       .select(col("vec_id"),
         graft.functions.VectorFunctions.pqCodes(col("v"), col("cs"), 2)
           .as("codes"))
     assigned.join(coded, "vec_id")
       .write.bucketBy(buckets, "cid").sortBy("cid")
-      .format("parquet").mode("overwrite").saveAsTable(t(store, "codes"))
-    SignatureStore.markStoreTable(s, t(store, "codes"))
+      .format("parquet").mode("overwrite").saveAsTable(gt("codes"))
+    SignatureStore.markStoreTable(s, gt("codes"))
+    StoreMeta.commit(s, store, g, parts, None)
   }
+
+  /** Refresh the index geometry — the deliberate ASYMMETRY with
+    * [[SignatureStore.reingest]], made explicit in the signature:
+    * PQ codes are LOSSY, so new centroids and a new codebook cannot
+    * be derived from stored state (a stored code names a codebook
+    * cell, not a vector) — the refresh needs the ORIGINAL embeddings,
+    * and `originals` makes that re-read the caller's visible,
+    * auditable act. Implementation-wise a geometry refresh IS a full
+    * [[ingest]] of the retained embeddings table into the next
+    * generation (k and the bucket count are re-read from the current
+    * store so the refresh preserves layout choices); the atomic
+    * generation swap means searches racing the refresh still answer
+    * consistently from the old geometry. */
+  def reingest(s: SparkSession, store: String, originals: DataFrame): Unit = {
+    val gen = StoreMeta.genOrFail(s, store)
+    val k = s.table(StoreMeta.name(store, "ivf", gen))
+      .select(size(col("cents"))).head.getInt(0)
+    val buckets = SignatureStore.bucketCount(
+      s, StoreMeta.name(store, "codes", gen))
+    ingest(originals, store, k, buckets)
+  }
+
+  /** Upgrade a pre-generation index layout in place (see
+    * [[StoreMeta.migrate]]). */
+  def migrate(s: SparkSession, store: String): Unit =
+    StoreMeta.migrate(s, store, parts, None)
 
   /** Admit a batch of new vectors into a previously [[ingest]]ed
     * index — the ANN twin of [[SignatureStore.admit]]: under the
@@ -108,14 +139,17 @@ object VectorIndex {
     * warrants new centroids (AnalyticsSpec proves search-after-admit
     * ≡ search-after-full-re-ingest under equal geometry). */
   def admit(s: SparkSession, store: String, batch: DataFrame): Unit = {
-    val codesT = t(store, "codes")
-    val assigned = rankCentroids(batch, s.table(t(store, "ivf")))
+    // one generation resolve for the whole append (see StoreMeta)
+    val gen = StoreMeta.genOrFail(s, store)
+    val codesT = StoreMeta.name(store, "codes", gen)
+    val assigned = rankCentroids(batch,
+        s.table(StoreMeta.name(store, "ivf", gen)))
       .select(col("vec_id"),
         element_at(col("ranked"), size(col("ranked")))
           .getField("cid").as("cid"))
     val coded = batch
       .select(col("vec_id"), expr("transform(v, x -> x / sqrt(nrm))").as("v"))
-      .crossJoin(broadcast(s.table(t(store, "pq"))))
+      .crossJoin(broadcast(s.table(StoreMeta.name(store, "pq", gen))))
       .select(col("vec_id"),
         graft.functions.VectorFunctions.pqCodes(col("v"), col("cs"), 2)
           .as("codes"))
@@ -172,8 +206,12 @@ object VectorIndex {
     * (qid, neighbor_id, adc_micro). */
   private def adcScored(s: SparkSession, store: String,
       queries: DataFrame, nprobe: Int): DataFrame = {
-    val codes = s.table(t(store, "codes"))
-    val probes = rankCentroids(queries, s.table(t(store, "ivf")))
+    // one generation resolve per search (see StoreMeta): all three
+    // tables from the same committed generation, so a racing refresh
+    // can never blend geometries into one answer
+    val gen = StoreMeta.genOrFail(s, store)
+    val codes = s.table(StoreMeta.name(store, "codes", gen))
+    val probes = rankCentroids(queries, s.table(StoreMeta.name(store, "ivf", gen)))
       .select(col("vec_id").as("qid"),
         explode(transform(
           slice(col("ranked"),
@@ -182,7 +220,7 @@ object VectorIndex {
           p => p.getField("cid"))).as("cid"))
     val qlut = queries
       .select(col("vec_id"), expr("transform(v, x -> x / sqrt(nrm))").as("v"))
-      .crossJoin(broadcast(s.table(t(store, "pq"))))
+      .crossJoin(broadcast(s.table(StoreMeta.name(store, "pq", gen))))
       // LUT entries 1..size(cs), not a hard 1..64: a corpus smaller
       // than the codebook capacity stores a shorter `cs`, and codes
       // only ever reference stored positions — an unconditional 64

@@ -322,7 +322,8 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       s"screen should probe the stored signature table:\n$plan")
     // the shingle/signature tables persisted bucketed (exchange paid
     // once at ingest, not per screen)
-    Seq("sigstore_spec_shingles", "sigstore_spec_signatures").foreach { tb =>
+    Seq(StoreMeta.table(spark, "sigstore_spec", "shingles"),
+        StoreMeta.table(spark, "sigstore_spec", "signatures")).foreach { tb =>
       val desc = spark.sql(s"DESCRIBE EXTENDED $tb").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       assert(desc.get("Num Buckets").contains("4"), s"$tb not bucketed: $desc")
@@ -350,7 +351,8 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(found === Set((101L, 201L), (3L, 202L)), s"found: $found")
     // appends must not degrade the bucketed layout
-    val desc = spark.sql("DESCRIBE EXTENDED sigstore_admit_shingles")
+    val desc = spark.sql("DESCRIBE EXTENDED " +
+        StoreMeta.table(spark, "sigstore_admit", "shingles"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(desc.get("Num Buckets").contains("4"), s"bucketing lost: $desc")
   }
@@ -402,7 +404,9 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .write.mode("overwrite").parquet(s"$dir/corpus")
     val corpus = spark.read.parquet(s"$dir/corpus")
     SignatureStore.ingest(corpus, "sigstore_re", buckets = 4)
-    val stop0 = spark.table("sigstore_re_stop").count()
+    def stopCount() =
+      spark.table(StoreMeta.table(spark, "sigstore_re", "stop")).count()
+    val stop0 = stopCount()
     assert(stop0 >= 1, "fixture should stop the shared shingle at ingest")
     val batch = Seq((101L, txt("c20", shared = false))).toDF("doc_id", "text")
     def screenPairs() = {
@@ -418,7 +422,8 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
     SignatureStore.reingest(spark, "sigstore_re")
     // undrifted corpus: the refresh is a no-op for stop set and screens
-    assert(spark.table("sigstore_re_stop").count() === stop0)
+    // (stopCount() re-resolves: it now reads the NEW generation)
+    assert(stopCount() === stop0)
     assert(screenPairs() === before,
       "undrifted refresh must screen identically")
   }
@@ -431,21 +436,21 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     val corpus = (1L to 9L).map(i => (i, txt(s"c$i", shared = true)))
       .toDF("doc_id", "text")
     SignatureStore.ingest(corpus, "sigstore_drift", buckets = 4)
-    assert(spark.table("sigstore_drift_stop").count() === 0)
+    def part(p: String) =
+      spark.table(StoreMeta.table(spark, "sigstore_drift", p))
+    assert(part("stop").count() === 0)
     val hShared = Seq("p0 p1 p2").toDF("sh")
       .select(DedupQueries.fingerprint($"sh")).first().getLong(0)
-    assert(spark.table("sigstore_drift_shingles")
-      .filter($"h" === hShared).count() === 9)
+    assert(part("shingles").filter($"h" === hShared).count() === 9)
     // 6 admitted docs also carry it → df 15 of 15 docs > threshold 10
     SignatureStore.admit(spark, "sigstore_drift",
       (101L to 106L).map(i => (i, txt(s"a$i", shared = true)))
         .toDF("doc_id", "text"))
     SignatureStore.reingest(spark, "sigstore_drift")
     // the drifted shingle is now stopped and purged from the store
-    assert(spark.table("sigstore_drift_stop")
-      .filter($"h" === hShared).count() === 1)
-    assert(spark.table("sigstore_drift_shingles")
-      .filter($"h" === hShared).count() === 0)
+    // (part() re-resolves to the refreshed generation)
+    assert(part("stop").filter($"h" === hShared).count() === 1)
+    assert(part("shingles").filter($"h" === hShared).count() === 0)
     // screens under the refreshed geometry: sizes/signatures were
     // re-derived consistently, so an exact dup still scores 1.0
     val (p, hs) = SignatureStore.screen(spark, "sigstore_drift",
@@ -455,7 +460,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(found === Set((103L, 201L, 1.0)), s"found: $found")
   }
 
-  test("signature stores: prefixes coexist; stale reader vs re-ingest never blends") {
+  test("signature stores: prefixes coexist; reader racing re-ingest is always-consistent") {
     def txt(tag: String) = (0 until 12).map(j => s"${tag}w$j").mkString(" ")
     val c1 = (1L to 9L).map(i => (i, txt(s"x$i"))).toDF("doc_id", "text")
     val c2 = (1L to 9L).map(i => (i, txt(s"y$i"))).toDF("doc_id", "text")
@@ -471,20 +476,26 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(run("sigstore_two_a", bx) === Set((3L, 101L)))
     assert(run("sigstore_two_b", bx) === Set((5L, 102L)))
     // a reader planned against the OLD generation while the store
-    // re-ingests a different corpus: the documented guarantee is
-    // fail-cleanly-or-one-generation — never a partial/blended answer
+    // re-ingests a different corpus: generation-suffixed tables + the
+    // atomic pointer swap + keep-two retention mean the reader ALWAYS
+    // completes, answering entirely from the generation it resolved —
+    // never a failure, never a partial/blended answer
     val (stale, handles) = SignatureStore.screen(spark, "sigstore_two_a", bx)
     SignatureStore.ingest(c2, "sigstore_two_a", buckets = 4)
-    scala.util.Try(QueryScopedCache.releaseAfter(stale, handles).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet) match {
-      case scala.util.Success(rows) =>
-        assert(rows === Set((3L, 101L)) || rows === Set((5L, 102L)),
-          s"blended generations: $rows")
-      case scala.util.Failure(_) =>
-        handles.foreach(h => scala.util.Try(h.unpersist()))
-    }
-    // the new generation is complete and serves fresh screens
+    val rows = QueryScopedCache.releaseAfter(stale, handles).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((3L, 101L)),
+      s"racing reader must answer from its resolved generation: $rows")
+    // the new generation serves fresh screens
     assert(run("sigstore_two_a", bx) === Set((5L, 102L)))
+    // the keep-two bound: a reader lagging TWO refreshes loses its
+    // generation (gen 1 is retired when gen 3 commits) — that reader
+    // fails cleanly; one refresh behind remains fully readable
+    val (lag, lagHandles) = SignatureStore.screen(spark, "sigstore_two_a", bx)
+    SignatureStore.ingest(c1, "sigstore_two_a", buckets = 4) // gen 3
+    assert(QueryScopedCache.releaseAfter(lag, lagHandles).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((5L, 102L)),
+      "one-generation-behind reader must still answer")
   }
 
   test("signature store from foreachBatch: micro-batches screen without corpus recompute") {
@@ -810,8 +821,9 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     def codes(tb: String) = spark.table(tb)
       .filter($"vec_id".isInCollection(batchIds)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)).toSet
-    val admitted = codes("vecidx_adm_a_codes")
-    assert(admitted.nonEmpty && admitted === codes("vecidx_adm_b_codes"),
+    val admitted = codes(StoreMeta.table(spark, "vecidx_adm_a", "codes"))
+    assert(admitted.nonEmpty &&
+      admitted === codes(StoreMeta.table(spark, "vecidx_adm_b", "codes")),
       "admitted codes diverge from full-ingest codes")
     val qs = e.filter($"vec_id" < 20)
     def res(st: String) = VectorIndex.search(spark, st, qs).collect()
@@ -820,7 +832,8 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(res("vecidx_adm_a") === res("vecidx_adm_b"),
       "search after admit diverges from search after full re-ingest")
     // the append must not degrade the ingest-time bucketed layout
-    val desc = spark.sql("DESCRIBE EXTENDED vecidx_adm_a_codes").collect()
+    val desc = spark.sql("DESCRIBE EXTENDED " +
+        StoreMeta.table(spark, "vecidx_adm_a", "codes")).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(desc.get("Num Buckets").contains("4"), s"bucketing lost: $desc")
   }
@@ -857,20 +870,94 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       s"admitted vector invisible to the outer session: $neighbors")
   }
 
+  test("store migrate: a legacy unsuffixed layout upgrades in place") {
+    def txt(tag: String) = (0 until 12).map(j => s"${tag}w$j").mkString(" ")
+    val corpus = (1L to 9L).map(i => (i, txt(s"c$i"))).toDF("doc_id", "text")
+    SignatureStore.ingest(corpus, "sigstore_leg", buckets = 4)
+    // devolve to the exact legacy layout: unsuffixed marked part
+    // tables, no meta (what a pre-generation store left on disk)
+    SignatureStore.parts.foreach(p => spark.sql(
+      s"ALTER TABLE sigstore_leg_${p}_g1 RENAME TO sigstore_leg_$p"))
+    spark.sql("DROP TABLE sigstore_leg_meta")
+    // screens against the devolved store must fail loudly, with the
+    // migrate pointer in the message
+    val ex = intercept[IllegalStateException] {
+      SignatureStore.screen(spark, "sigstore_leg",
+        Seq((101L, txt("c3"))).toDF("doc_id", "text"))
+    }
+    assert(ex.getMessage.contains("migrate"), ex.getMessage)
+    SignatureStore.migrate(spark, "sigstore_leg")
+    // migrated store serves screens; bucketing survived the renames
+    val (p, h) = SignatureStore.screen(spark, "sigstore_leg",
+      Seq((101L, txt("c3"))).toDF("doc_id", "text"))
+    assert(QueryScopedCache.releaseAfter(p, h).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((3L, 101L)))
+    val desc = spark.sql("DESCRIBE EXTENDED " +
+        StoreMeta.table(spark, "sigstore_leg", "shingles")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("Num Buckets").contains("4"), s"bucketing lost: $desc")
+    // and the upgraded store refreshes like a native one
+    SignatureStore.reingest(spark, "sigstore_leg")
+    assert(StoreMeta.gen(spark, "sigstore_leg").contains(2L))
+  }
+
+  test("vector index: reingest takes the originals explicitly; racing search is always-consistent") {
+    // the drift-contract asymmetry with SignatureStore.reingest: PQ
+    // codes are lossy, so geometry refresh NEEDS the original
+    // embeddings — the signature makes that re-read explicit
+    val e = SimilarityQueries.emb(spark, sf)
+    VectorIndex.ingest(e.filter($"vec_id" <= 300), "vecidx_re",
+      buckets = 4)
+    val qs = e.filter($"vec_id" < 20)
+    val before = VectorIndex.search(spark, "vecidx_re", qs)
+    // a search planned against generation 1 while reingest (with a
+    // GROWN retained-embeddings table) commits generation 2: the
+    // racing reader completes, entirely from generation 1
+    VectorIndex.reingest(spark, "vecidx_re", e)
+    val raced = before.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(raced.nonEmpty, "racing search must complete")
+    assert(StoreMeta.gen(spark, "vecidx_re").contains(2L))
+    // the refreshed geometry serves fresh searches over the full
+    // corpus, preserving the stored k and bucket layout
+    val after = VectorIndex.search(spark, "vecidx_re", qs).collect()
+    assert(after.nonEmpty)
+    val desc = spark.sql("DESCRIBE EXTENDED " +
+        StoreMeta.table(spark, "vecidx_re", "codes")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("Num Buckets").contains("4"),
+      s"reingest must preserve the bucket layout: $desc")
+    // refreshed-store results match a from-scratch ingest of the same
+    // embeddings (deterministic geometry ⇒ identical searches)
+    VectorIndex.ingest(e, "vecidx_re_fresh", buckets = 4)
+    val fresh = VectorIndex.search(spark, "vecidx_re_fresh", qs).collect()
+    assert(after.map(_.toString).toSeq === fresh.map(_.toString).toSeq,
+      "reingest(originals) must equal a fresh ingest of the originals")
+  }
+
   test("store ingest refuses to destroy an unrelated table colliding with the prefix") {
     def txt(tag: String) = (0 until 12).map(j => s"${tag}w$j").mkString(" ")
     val corpus = (1L to 9L).map(i => (i, txt(s"c$i"))).toDF("doc_id", "text")
     // a user table that happens to sit where the store would write
+    // (the generation-1 physical name ingest targets first)
     Seq((1L, "keep me")).toDF("k", "v")
-      .write.format("parquet").saveAsTable("sigstore_guard_stop")
+      .write.format("parquet").saveAsTable("sigstore_guard_stop_g1")
     val ex = intercept[IllegalStateException] {
       SignatureStore.ingest(corpus, "sigstore_guard", buckets = 4)
     }
-    assert(ex.getMessage.contains("sigstore_guard_stop"), ex.getMessage)
+    assert(ex.getMessage.contains("sigstore_guard_stop_g1"), ex.getMessage)
     // the colliding table survives, data intact
-    val kept = spark.table("sigstore_guard_stop").collect()
+    val kept = spark.table("sigstore_guard_stop_g1").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(kept === Set((1L, "keep me")))
+    // same refusal for a foreign table squatting on the meta name —
+    // checked up front, before any generation work
+    Seq((2L, "mine")).toDF("k", "v")
+      .write.format("parquet").saveAsTable("sigstore_guard2_meta")
+    val ex2 = intercept[IllegalStateException] {
+      SignatureStore.ingest(corpus, "sigstore_guard2", buckets = 4)
+    }
+    assert(ex2.getMessage.contains("sigstore_guard2_meta"), ex2.getMessage)
   }
 
   test("dedup cluster: components consistent with pairs; one survivor each") {
