@@ -165,6 +165,96 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       s"rerank@4 ${recallOf(rr4)} vs ivf-exact@4 ${recallOf(ivfExact4)}")
   }
 
+  test("residual coding measured: no recall gain under sample-based training") {
+    // SURVEY documents non-residual PQ as a deliberate choice (codes
+    // quantize the vector itself, keeping the stage-by-stage oracle
+    // mirror); this spec turns the documented "recall cost is modest"
+    // into a MEASURED number. Both coders run driver-side on the
+    // fixture (500×64, trivially driver-sized) with the engine's
+    // sampling rules: md5-ordered centroid/codebook samples, cosine
+    // coarse assignment, nprobe=4 of 16 lists, 32×2-dim cells.
+    // Measured here: non-residual 0.47 (exactly the engine's own
+    // gated figure — cross-validating this reimplementation),
+    // residual 0.41. Under the engine's SAMPLE-based codebook
+    // training, residual coding LOSES six points on this corpus: the
+    // random geometry leaves residuals as spread as the vectors, and
+    // a codebook of 64 sampled residuals is worse-conditioned than 64
+    // sampled vectors. The gain residual coding is known for (Jégou
+    // et al. §IV) needs k-means-trained codebooks on clustered data —
+    // a different training trade, not a free upgrade. Evidence the
+    // engine ships the right second stage instead: the exact re-rank
+    // tier takes the same candidates to 0.96.
+    val raw = SimilarityQueries.emb(spark, sf)
+      .select($"vec_id", $"v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val en = raw.view.mapValues(v => { val n = nrm(v); v.map(_ / n) }).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def mdOrder(ids: Iterable[Long]) =
+      ids.toSeq.sortBy(id => (md5hex(id.toString), id))
+    def l2sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // coarse: 16 md5-sampled centroids, cosine assignment (normalized
+    // space: max cos = min L2), rank lists per query for nprobe=4
+    val cents = mdOrder(en.keys).take(16).map(id => id -> en(id)).toMap
+    def ranked(v: Array[Double]) = cents.toSeq
+      .map { case (cid, cv) => (v.zip(cv).map(p => p._1 * p._2).sum, cid) }
+      .sortBy { case (cos, cid) => (-cos, cid) }.map(_._2)
+    val assign = en.view.mapValues(v => ranked(v).head).toMap
+    val queries = en.keys.filter(_ < 20).toSeq
+    val probes = queries.map(q => q -> ranked(en(q)).take(4)).toMap
+    def cand(q: Long) =
+      en.keys.filter(v => v != q && probes(q).contains(assign(v)))
+    // brute truth
+    val brute = queries.flatMap { q =>
+      en.keys.filter(_ != q).toSeq
+        .sortBy(v => (l2sq(en(q), en(v)), v)).take(5).map(q -> _)
+    }.toSet
+    def slice(v: Array[Double], m: Int) = v.slice(m * 2, m * 2 + 2)
+    def encode(cb: Seq[Array[Double]], v: Array[Double]) =
+      (0 until 32).map(m => cb.zipWithIndex
+        .minBy { case (c, i) => (l2sq(slice(v, m), slice(c, m)), i) }._2)
+    def adc(cb: Seq[Array[Double]], target: Array[Double],
+        codes: Seq[Int]) =
+      (0 until 32).map(m =>
+        l2sq(slice(target, m), slice(cb(codes(m)), m))).sum
+    def recall(top: Set[(Long, Long)]) =
+      brute.intersect(top).size.toDouble / brute.size
+    // A: non-residual (the shipped coder) — codebook samples vectors,
+    // codes quantize vectors, one LUT per query
+    val cbA = mdOrder(en.keys).take(64).map(en)
+    val codesA = en.view.mapValues(encode(cbA, _)).toMap
+    val topA = queries.flatMap { q =>
+      cand(q).toSeq.sortBy(v => (adc(cbA, en(q), codesA(v)), v))
+        .take(5).map(q -> _)
+    }.toSet
+    // B: residual — codebook samples RESIDUALS (v − assigned
+    // centroid), codes quantize residuals, one LUT per (query, probed
+    // list) from the query's residual wrt THAT list's centroid
+    val res = en.map { case (id, v) =>
+      id -> v.zip(cents(assign(id))).map(p => p._1 - p._2) }
+    val cbB = mdOrder(en.keys).take(64).map(res)
+    val codesB = res.view.mapValues(encode(cbB, _)).toMap
+    val topB = queries.flatMap { q =>
+      cand(q).toSeq.sortBy { v =>
+        val target = en(q).zip(cents(assign(v))).map(p => p._1 - p._2)
+        (adc(cbB, target, codesB(v)), v)
+      }.take(5).map(q -> _)
+    }.toSet
+    val (ra, rb) = (recall(topA), recall(topB))
+    info(f"non-residual recall@5 = $ra%.2f, residual = $rb%.2f")
+    // the recorded trade-off: under sample-based training on this
+    // corpus, residual coding buys NO recall (it measures below
+    // non-residual) — the documented non-residual choice costs
+    // nothing here. If a future corpus/training change flips this
+    // materially, revisit the SURVEY trade-off.
+    assert(ra === 0.47, f"non-residual drifted from the gated figure: $ra%.2f")
+    assert(rb <= ra + 0.05,
+      f"residual now buys recall ($ra%.2f → $rb%.2f) — revisit the " +
+        "non-residual trade-off documented in SURVEY")
+  }
+
   test("pq codes: native encoder matches the HOF formulation bit-for-bit") {
     // the corpus-side encode moved from higher-order functions to the
     // PqCodes loop for speed; this pins the two formulations to the
