@@ -908,6 +908,112 @@ object DedupQueries {
       GROUP BY p.doc_id HAVING COUNT(d.h) > 0
       ORDER BY doc_id"""))
 
+  /** Longest shared exact span between document pairs, to doubling
+    * resolution — the suffix-array-free answer to Lee et al.'s
+    * ExactSubstr question ([[qDedupPassage]] profiles WHICH docs share
+    * 8-grams; this measures HOW LONG the shared runs are). The
+    * construction is fingerprint doubling, the suffix-array-doubling
+    * idea applied to spans: level 0 is the POSITIONAL 8-gram
+    * fingerprint (not first-occurrence-deduped — adjacency matters),
+    * and level j+1 combines h_j(pos) with h_j(pos + 8·2^j) into a
+    * fingerprint of the doubled span, so levels cover exact token
+    * spans of 8/16/32/64. Two docs sharing an h_j share that exact
+    * span verbatim; the per-pair MAX matched level reports the longest
+    * shared run on the doubling grid (true length ∈ [span, 2·span)).
+    *
+    * Scale shape: ONE shuffle partitions each doc's positions
+    * together; every doubling level is then a lead() inside that same
+    * window partition — no further exchange, text never moves (only
+    * 60-bit fingerprints). Cross-doc matching per level is the
+    * family's standard fingerprint equi-join on per-doc DISTINCT
+    * hashes, and each level's table SHRINKS (a doc of n tokens has
+    * ~n − 8·2^j positions at level j, and distinct long spans are
+    * rarer), so the union of four levels costs less than two of the
+    * lite query's aggregations. Versus a distributed suffix array:
+    * resolution drops to the doubling grid, construction drops to
+    * four narrow passes — the trade a 100 TB corpus wants. */
+  val qDedupPassageSpan = Q(
+    "q_dedup_passage_span",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val p0 = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(ws) - 7), i -> array_join(slice(ws, i, 8), ' '))")))
+        .select(col("doc_id"), col("pos"), fingerprint(col("col")).as("h"))
+        .persist(MEMORY_AND_DISK)
+      def doubled(p: DataFrame, leadBy: Int): DataFrame = p
+        .withColumn("h2", lead(col("h"), leadBy).over(w))
+        .filter(col("h2").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          fingerprint(concat_ws("|", col("h"), col("h2"))).as("h"))
+      def pairsAt(p: DataFrame, span: Int): DataFrame = {
+        val d = p.select(col("doc_id"), col("h")).distinct()
+        d.as("a").join(d.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+          .distinct()
+          .withColumn("span_tokens", lit(span).cast("long"))
+      }
+      val pairs0 = pairsAt(p0, 8).persist(MEMORY_AND_DISK)
+      // sharing a 2L-span implies sharing its first L-span, so only
+      // docs with a level-0 cross-doc match can ever match higher —
+      // restricting the doubling input to them is LOSSLESS and makes
+      // levels 1..3 cost ~nothing when dup density is low (the 100 TB
+      // norm). No broadcast hint: the candidate set is unbounded on a
+      // dup-heavy corpus — AQE converts at runtime when small.
+      val candDocs = pairs0.select(col("ia").as("doc_id"))
+        .union(pairs0.select(col("ib").as("doc_id"))).distinct()
+      val p0c = p0.join(candDocs, Seq("doc_id"), "left_semi")
+      val p1 = doubled(p0c, 8).persist(MEMORY_AND_DISK)
+      val p2 = doubled(p1, 16).persist(MEMORY_AND_DISK)
+      val p3 = doubled(p2, 32)
+      val result = pairs0.union(pairsAt(p1, 16))
+        .union(pairsAt(p2, 32)).union(pairsAt(p3, 64))
+        .groupBy(col("ia"), col("ib"))
+        .agg(max(col("span_tokens")).as("span_tokens"))
+        .orderBy(col("ia"), col("ib"))
+      QueryScopedCache.releaseAfter(result, Seq(p0, pairs0, p1, p2))
+    },
+    Some {
+      def fp(x: String) =
+        s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+      def up(prev: String, leadBy: Int) = s"""
+        SELECT doc_id, pos,
+               ${fp("CAST(h AS VARCHAR) || '|' || CAST(h2 AS VARCHAR)")} AS h
+        FROM (SELECT doc_id, pos,
+                     h, lead(h, $leadBy) OVER (PARTITION BY doc_id
+                                               ORDER BY pos) AS h2
+              FROM $prev)
+        WHERE h2 IS NOT NULL"""
+      def pl(p: String, span: Int) = s"""
+        SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+               $span AS span_tokens
+        FROM (SELECT DISTINCT doc_id, h FROM $p) a
+        JOIN (SELECT DISTINCT doc_id, h FROM $p) b
+          ON a.h = b.h AND a.doc_id < b.doc_id"""
+      s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      p0 AS (
+        SELECT doc_id, g.i - 1 AS pos, ${fp("g.sh")} AS h
+        FROM (SELECT doc_id,
+                     unnest([{'i': i,
+                              'sh': array_to_string(ws[i:i+7], ' ')}
+                             for i in generate_series(1, len(ws) - 7)]) AS g
+              FROM w WHERE len(ws) >= 8)),
+      p1 AS (${up("p0", 8)}),
+      p2 AS (${up("p1", 16)}),
+      p3 AS (${up("p2", 32)}),
+      u AS (${pl("p0", 8)} UNION ALL ${pl("p1", 16)}
+            UNION ALL ${pl("p2", 32)} UNION ALL ${pl("p3", 64)})
+      SELECT ia, ib, CAST(MAX(span_tokens) AS BIGINT) AS span_tokens
+      FROM u GROUP BY ia, ib ORDER BY ia, ib"""
+    })
+
   /** Incremental dedup — the daily-ingest shape: screen an arriving
     * BATCH against the EXISTING corpus without re-pairing the world.
     * The batch (stand-in boundary: doc_id ≡ 0 mod 10, ~10% of docs)
@@ -1048,5 +1154,5 @@ object DedupQueries {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupCluster,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic,
-    qDedupPassage, qDedupIncremental, qDedupIncrementalStored)
+    qDedupPassage, qDedupPassageSpan, qDedupIncremental, qDedupIncrementalStored)
 }

@@ -338,6 +338,37 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L) === ((11L, 3L)), s"doc 2 profile: ${out(2L)}")
   }
 
+  test("passage span: doubling reports the longest shared run on the 8/16/32/64 grid") {
+    // planted spans: a 20-token shared run must report 16 (true length
+    // ∈ [16, 32) on the doubling grid), a 70-token run must report 64,
+    // an 8-token run reports 8, and docs with no 8-gram overlap are
+    // absent entirely. Offsets differ per doc — doubling composes
+    // positions RELATIVE to each doc, so alignment must not matter.
+    def toks(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val run20 = (0 until 20).map(i => s"r$i")
+    val run70 = (0 until 70).map(i => s"s$i")
+    val run8 = (0 until 8).map(i => s"t$i")
+    val rows = Seq(
+      1L -> (toks("a", 5) ++ run20 ++ toks("b", 9)),
+      2L -> (toks("c", 11) ++ run20 ++ toks("d", 3)),
+      3L -> (toks("e", 4) ++ run70),
+      4L -> (run70 ++ toks("f", 6)),
+      5L -> (toks("g", 7) ++ run8 ++ toks("h", 7)),
+      6L -> (run8 ++ toks("i", 12)),
+      7L -> toks("j", 40),
+      8L -> toks("k", 40))
+    val dir = java.nio.file.Files.createTempDirectory("span").toString
+    rows.map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("?")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.qDedupPassageSpan.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((1L, 2L) -> 16L, (3L, 4L) -> 64L, (5L, 6L) -> 8L),
+      s"got: $got")
+  }
+
   test("incremental dedup: batch-vs-corpus only — old↔old and new↔new invisible") {
     def txt(tag: String) = (0 until 12).map(j => s"${tag}w$j").mkString(" ")
     val olds = (1L to 9L).map(i => (i, txt(s"o$i")))
