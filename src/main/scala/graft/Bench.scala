@@ -95,6 +95,13 @@ object Bench {
             graft.analytics.SimilarityQueries.storedIngest(s, d)),
           "search" -> ((s: SparkSession, d: String) => {
             graft.analytics.SimilarityQueries.storedSearch(s, d).count(); ()
+          })),
+        "q_sim_ivfpq_rerank" -> Seq(
+          "ingest" -> ((s: SparkSession, d: String) =>
+            graft.analytics.SimilarityQueries
+              .storedIngest(s, d, "graft_vecindex_rr")),
+          "rerank" -> ((s: SparkSession, d: String) => {
+            graft.analytics.SimilarityQueries.storedRerank(s, d).count(); ()
           })))
     // A failing phase records -1, and every LATER phase of that rep is
     // skipped and records -1 too: a screen/search against the missing
