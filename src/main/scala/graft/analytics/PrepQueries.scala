@@ -465,7 +465,86 @@ object PrepQueries {
       FROM toks t LEFT JOIN ids i USING (w)
       ORDER BY doc_id, pos"""))
 
+  /** Sequence packing — the concat-and-chunk step that turns a corpus
+    * into fixed-length training blocks (GPT-style: order documents
+    * deterministically, concatenate their token streams with one
+    * separator token between docs, cut the stream into 2048-token
+    * blocks). Output: the (block_id, doc_id, tok_start, tok_end)
+    * manifest mapping each block to the doc token ranges it contains —
+    * what a training-shard writer materializes.
+    *
+    * The scale problem is the GLOBAL prefix sum (every doc's stream
+    * offset): a global window is one partition sorting the corpus.
+    * Decomposed instead as the classic two-level scan: docs bucket by
+    * their md5's first two hex digits (256 ordered groups CONSISTENT
+    * with the global md5 order, the q_prep_split trick), the cumsum
+    * runs per-bucket inside a partitioned window, and the 256 bucket
+    * totals prefix-sum through a bounded self-join and broadcast back.
+    * Identical arithmetic to the single global window — the DuckDB
+    * oracle computes exactly that global cumsum, so the hash-match
+    * PROVES the decomposition exact — but every stage is partitioned:
+    * nothing sorts more than one bucket, and the only driver-scale
+    * state is 256 rows. Block assignment is then a narrow
+    * sequence-explode: doc tokens [g, g+n) touch blocks
+    * g/2048 .. (g+n-1)/2048. */
+  val qPrepPack = Q(
+    "q_prep_pack",
+    (s, dir) => {
+      val B = 2048
+      val d = docs(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          md5(col("doc_id").cast("string")).as("mh"))
+        .withColumn("bucket",
+          conv(substring(col("mh"), 1, 2), 16, 10).cast("long"))
+      val wB = Window.partitionBy(col("bucket"))
+        .orderBy(col("mh"), col("doc_id"))
+      val inBucket = d
+        .withColumn("local_end", sum(col("n_tok") + 1).over(wB))
+      val totals = d.groupBy(col("bucket"))
+        .agg(sum(col("n_tok") + 1).as("btot"))
+      // prefix over earlier buckets: 256 rows by construction — the
+      // one deliberately-bounded theta join in this plan
+      val prefix = totals.as("a")
+        .join(totals.as("b"), col("b.bucket") < col("a.bucket"), "left")
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(coalesce(sum(col("b.btot")), lit(0L)).as("bprefix"))
+      val offs = inBucket.join(broadcast(prefix), "bucket")
+        .select(col("doc_id"), col("n_tok"),
+          (col("bprefix") + col("local_end") - col("n_tok") - 1).as("g"))
+      offs
+        .withColumn("blk", explode(expr(
+          s"sequence(g div $B, (g + n_tok - 1) div $B)")))
+        .select(col("blk").as("block_id"), col("doc_id"),
+          (greatest(col("g"), col("blk") * B) - col("g")).as("tok_start"),
+          (least(col("g") + col("n_tok"), (col("blk") + 1) * B) - col("g"))
+            .as("tok_end"))
+        .orderBy(col("block_id"), col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS mh
+        FROM documents),
+      o AS (
+        SELECT doc_id, n_tok,
+               CAST(SUM(n_tok + 1) OVER (ORDER BY mh, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tok - 1 AS BIGINT) AS g
+        FROM d),
+      b AS (
+        SELECT doc_id, g, n_tok,
+               unnest([bb for bb in
+                       generate_series(g // 2048, (g + n_tok - 1) // 2048)])
+                 AS blk
+        FROM o)
+      SELECT blk AS block_id, doc_id,
+             GREATEST(g, blk * 2048) - g AS tok_start,
+             LEAST(g + n_tok, (blk + 1) * 2048) - g AS tok_end
+      FROM b ORDER BY block_id, doc_id"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
-    qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize)
+    qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack)
 }

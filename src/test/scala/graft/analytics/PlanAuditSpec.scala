@@ -74,7 +74,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // qSimIvfPqTopk pattern (rerank's second tier adds only
       // broadcast HASH joins: topR and the query side are equi-keyed)
       "q_sim_ivfpq_topk", "q_sim_ivfpq_stored", "q_sim_ivfpq_admitted",
-      "q_sim_ivfpq_rerank", "q_sim_sq_topk")
+      "q_sim_ivfpq_rerank", "q_sim_sq_topk",
+      // q_prep_pack: the BNLJ is the bucket-prefix theta join over the
+      // 256-row bucket-total table (bounded by construction — the
+      // second level of the distributed prefix sum)
+      "q_prep_pack")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n

@@ -94,6 +94,48 @@ class PrepSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pack: blocks tile the token stream exactly — no gap, overlap, or overflow") {
+    val rows = PrepQueries.qPrepPack.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every emitted range is non-empty and well-ordered
+    assert(rows.forall { case (_, _, s, e) => s >= 0 && s < e })
+    // per doc: ranges tile [0, n_tok) contiguously — every token of
+    // every doc lands in exactly one block
+    val nTok = Tables.spread(Tables(spark, sf, "documents"))
+      .selectExpr("doc_id", "cast(size(split(text, ' ')) as long) n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (doc, rs) =>
+      val spans = rs.sortBy(_._3).map(r => (r._3, r._4))
+      assert(spans.head._1 === 0L, s"doc $doc starts at ${spans.head._1}")
+      assert(spans.last._2 === nTok(doc), s"doc $doc truncated")
+      spans.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) =>
+          assert(e1 === s2, s"doc $doc gap/overlap at $e1 vs $s2")
+        case _ =>
+      }
+    }
+    // full independent re-derivation: the single sequential cursor a
+    // one-machine packer would run (md5 order, +1 separator per doc,
+    // cut at 2048) must produce the IDENTICAL manifest — proving the
+    // distributed two-level prefix sum equals the sequential scan
+    def md5hex(x: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    var cursor = 0L
+    val expected = nTok.keys.toSeq
+      .sortBy(id => (md5hex(id.toString), id)).flatMap { id =>
+        val g = cursor
+        cursor += nTok(id) + 1
+        (g / 2048 to (g + nTok(id) - 1) / 2048).map { blk =>
+          (blk, id, math.max(g, blk * 2048) - g,
+            math.min(g + nTok(id), (blk + 1) * 2048) - g)
+        }
+      }.toSet
+    assert(rows.toSet === expected,
+      "distributed packing diverges from the sequential cursor")
+  }
+
   test("decontam: flags the planted benchmark duplicate, never the benchmark itself") {
     val d = PrepQueries.qPrepDecontam.run(spark, sf).collect()
     assert(d.nonEmpty, "the corpus contains a planted near-dup of a benchmark doc")
