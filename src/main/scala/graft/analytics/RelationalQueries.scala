@@ -1235,6 +1235,37 @@ object RelationalQueries {
              COUNT(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Skew-resistant salted JOIN ([[graft.operators.SaltedAgg
+    * .innerJoinSalted]]): lineitem joins orders on (orderkey, salt)
+    * with orders replicated across the salt lanes, so a hot orderkey
+    * spreads over 16 reducers instead of one straggler. The oracle is
+    * the PLAIN join — the hash-match proves salting lossless (every
+    * row pair met exactly once), the same proof discipline as
+    * [[qSaltedAgg]]. */
+  val qJoinSalted = Q(
+    "q_join_salted",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.SaltedAgg
+        .innerJoinSalted(li, ord, "l_orderkey",
+          saltFrom = Seq(col("l_orderkey"), col("l_linenumber")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+             COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE)
+               AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   /** Pivot: one column per event_type, counts per user (Spark
     * `.pivot()`; the oracle states the same contract as conditional
     * aggregation — the portable definition of a pivot). */
@@ -1288,7 +1319,7 @@ object RelationalQueries {
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
     qGroupingSets, qHllDistinct, qQuantileSketch,
-    qJoinRegionRevenue, qJoinSemi, qJoinAnti, qJoinLeftOuter,
+    qJoinRegionRevenue, qJoinSalted, qJoinSemi, qJoinAnti, qJoinLeftOuter,
     qJoinFullOuter, qAggStringAgg, qThetaJoin, qRangeJoin, qJoinLateral,
     qAsofJoin, qTopkPerCustomer, qWindowRunning, qWindowRanks,
     qWindowRangeFrame, qWindowHourly, qWindowNavigation,

@@ -101,10 +101,43 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("salted join: lossless, shuffles on (key, salt), spreads the hot key") {
+    // the planned-ahead skew tool (SaltedAgg.innerJoinSalted) for a
+    // KNOWN-hot key: must equal the plain join exactly (lossless — the
+    // registered q_join_salted proves the same via its plain-join
+    // oracle), must key the exchange on (key, __salt), and must
+    // actually spread the hot key's rows across all lanes
+    // salting targets the SHUFFLE join path (a broadcastable side
+    // needs no salt), so pin the plan there like the AQE test does
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = spark.range(0, 20000).select(
+        when(col("id") < 18000, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("rowid"))
+      val small = spark.range(0, 500)
+        .select(col("id").as("k"), (col("id") * 10).as("w"))
+      val salted = graft.operators.SaltedAgg
+        .innerJoinSalted(big, small, "k", Seq(col("rowid")), salts = 8)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(rows(salted) === rows(big.join(small, "k")),
+        "salted join must be row-identical to the plain join")
+      val exchanges = salted.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("hashpartitioning")).toSeq
+      assert(exchanges.nonEmpty && exchanges.forall(_.contains("__salt")),
+        s"join exchanges must carry the salt:\n${exchanges.mkString("\n")}")
+      val lanes = big
+        .withColumn("__salt", pmod(xxhash64(col("rowid")), lit(8L)))
+        .filter(col("k") === 0L).select("__salt").distinct().count()
+      assert(lanes === 8L, s"hot key used only $lanes of 8 lanes")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("AQE splits a skewed join partition at runtime (the 100 TB skew posture)") {
     // The engine's big-join answer to key skew is AQE's runtime
-    // skew-join split (compile-time salting is reserved for
-    // aggregations, operators/SaltedAgg). Prove the claimed behavior
+    // skew-join split; compile-time salting is the planned-ahead
+    // complement (operators/SaltedAgg, previous test). Prove the claimed behavior
     // actually fires: a 90%-one-key join, thresholds scaled to test
     // data, must plan `skew=true` in the FINAL adaptive plan.
     val keys = Seq(
