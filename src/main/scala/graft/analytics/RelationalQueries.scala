@@ -909,6 +909,100 @@ object RelationalQueries {
       SELECT 'supp_only' AS tag, n_name FROM (SELECT n_name FROM sn EXCEPT SELECT n_name FROM cn)
       ORDER BY tag, n_name"""))
 
+  /** Bag-semantics set ops — INTERSECT ALL / EXCEPT ALL, the
+    * multiplicity-bearing variants [[qSetOps]]'s DISTINCT forms hide
+    * and an engine-switch hazard class of their own (bag semantics:
+    * intersect keeps min(m₁, m₂) copies, except keeps max(0, m₁−m₂)
+    * — engines that silently de-duplicate corrupt both). The
+    * multisets are 1995's vs 1996's lineitem return flags; output
+    * aggregates each result bag to (flag, multiplicity), which makes
+    * the min/difference arithmetic directly visible to the gate. */
+  val qSetOpsBag = Q(
+    "q_setops_bag",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def flags(y: Int) = li.filter(year(col("l_shipdate")) === y)
+        .select(col("l_returnflag"))
+      val a = flags(1995)
+      val b = flags(1996)
+      def agg(df: DataFrame, tag: String) = df
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .withColumn("tag", lit(tag))
+      agg(a.intersectAll(b), "intersect_all")
+        .unionByName(agg(a.exceptAll(b), "except_all_95"))
+        .unionByName(agg(b.exceptAll(a), "except_all_96"))
+        .select(col("tag"), col("l_returnflag"), col("n"))
+        .orderBy(col("tag"), col("l_returnflag"))
+    },
+    Some("""
+      WITH a AS (SELECT l_returnflag FROM lineitem
+                 WHERE year(l_shipdate) = 1995),
+           b AS (SELECT l_returnflag FROM lineitem
+                 WHERE year(l_shipdate) = 1996)
+      SELECT 'intersect_all' AS tag, l_returnflag, COUNT(*) AS n
+      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2
+      UNION ALL
+      SELECT 'except_all_95' AS tag, l_returnflag, COUNT(*) AS n
+      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2
+      UNION ALL
+      SELECT 'except_all_96' AS tag, l_returnflag, COUNT(*) AS n
+      FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a) GROUP BY 2
+      ORDER BY tag, l_returnflag"""))
+
+  /** Time-series gap fill — densify each event type's hourly series
+    * over its own observed span: missing hours materialize with a
+    * zero count and the last observed hourly average carried forward
+    * (the dashboard/feature-store densification step; ~6% of hours
+    * are genuinely absent in the fixture). The grid is a per-group
+    * sequence-explode between that group's min and max hour — never a
+    * global calendar — and the fill is one partitioned running
+    * last-ignore-nulls window, so the whole query shuffles only on
+    * event_type. Ratio parity discipline: the hourly average divides
+    * exact integer micro-units once in double and rounds at 6. */
+  val qTsGapfill = Q(
+    "q_ts_gapfill",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(value * 1000000) as bigint)")).as("vm"))
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          round(last(expr("vm / (n * 1000000.0)"), ignoreNulls = true)
+            .over(w), 6).as("avg_value_filled"),
+          col("n").isNull.as("is_gap"))
+        .orderBy(col("event_type"), col("h"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+               SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS vm
+        FROM events GROUP BY 1, 2),
+      spans AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+                FROM hourly GROUP BY 1),
+      grid AS (
+        SELECT event_type,
+               unnest([x for x in
+                       generate_series(h0, h1, INTERVAL 1 HOUR)]) AS h
+        FROM spans),
+      j AS (SELECT g.event_type, g.h, hr.n, hr.vm
+            FROM grid g LEFT JOIN hourly hr USING (event_type, h))
+      SELECT event_type, h,
+             COALESCE(n, 0) AS n_events,
+             ROUND(LAST_VALUE(vm / (n * 1000000.0) IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS avg_value_filled,
+             n IS NULL AS is_gap
+      FROM j ORDER BY event_type, h"""))
+
   // ---------------------------------------------------------------
   // Scalar function families
   // ---------------------------------------------------------------
@@ -1252,7 +1346,8 @@ object RelationalQueries {
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
       graft.operators.SaltedAgg
         .innerJoinSalted(li, ord, "l_orderkey",
-          saltFrom = Seq(col("l_orderkey"), col("l_linenumber")))
+          saltFrom = Seq(col("l_orderkey"), col("l_linenumber")),
+          salts = 8)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           dsum(col("l_extendedprice")).as("revenue"))
@@ -1324,7 +1419,7 @@ object RelationalQueries {
     qAsofJoin, qTopkPerCustomer, qWindowRunning, qWindowRanks,
     qWindowRangeFrame, qWindowHourly, qWindowNavigation,
     qWindowDistribution, qSessionizeBatch,
-    qSortLimit, qSetopsNations, qScalarString, qScalarDate, qScalarMath,
+    qSortLimit, qSetopsNations, qSetOpsBag, qTsGapfill, qScalarString, qScalarDate, qScalarMath,
     qScalarRegex, qScalarConditional, qScalarNullSemantics,
     qScalarArray, qSaltedAgg,
     qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events)
