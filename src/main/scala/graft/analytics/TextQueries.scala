@@ -421,6 +421,97 @@ object TextQueries {
       FROM per_doc d JOIN lm USING (w)
       GROUP BY d.doc_id ORDER BY d.doc_id"""))
 
+  /** Interpolated bigram LM negative log-likelihood per document —
+    * the quality-filter step past [[qTextLogprob]]'s unigram: fluent
+    * text has predictable ADJACENT-word structure that unigram
+    * frequency cannot see, so per-doc mean NLL under
+    * p(w|w₋₁) = 0.75·p_bigram + 0.25·p_unigram (fixed Jelinek-Mercer
+    * interpolation; the unigram floor keeps unseen-in-context words
+    * finite) separates fluent from shuffled/boilerplate text far more
+    * sharply. Same parity discipline as the unigram: each conditional
+    * NLL rounds to a 6-digit DECIMAL once, per-doc sums weight those
+    * decimals (order-independent), one double division at the end.
+    *
+    * Scale shape: bigram extraction happens IN-ROW on the token array
+    * (no positional explode + self-join); the corpus-level bigram LM
+    * is built by (w_prev, w) aggregation and joined back to per-doc
+    * bigram counts by SORT-MERGE on the same key — deliberately NOT
+    * broadcast, because a web corpus's bigram table scales far past
+    * any broadcast threshold (the unigram sibling's broadcast-vocab
+    * assumption does not transfer). Only the one-row token total and
+    * the per-context table ride broadcasts. */
+  val qTextBigramLogprob = Q(
+    "q_text_bigram_logprob",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val bigrams = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(2, size(ws)),
+               i -> struct(element_at(ws, i - 1) as wp,
+                           element_at(ws, i) as w))""")).as("b"))
+        .select(col("doc_id"), col("b.wp").as("wp"), col("b.w").as("w"))
+      val perDoc = bigrams.groupBy(col("doc_id"), col("wp"), col("w"))
+        .agg(count(lit(1)).as("n")).persist(MEMORY_AND_DISK)
+      val nBig = perDoc.groupBy(col("wp"), col("w"))
+        .agg(sum(col("n")).as("n_big"))
+      val nCtx = nBig.groupBy(col("wp")).agg(sum(col("n_big")).as("n_ctx"))
+      val toks = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      val total = vocab.agg(sum(col("n_w")).cast("long").as("n_total"))
+      val lm = nBig
+        .join(broadcast(nCtx), "wp")
+        .join(vocab, "w")
+        .crossJoin(broadcast(total))
+        .select(col("wp"), col("w"),
+          round(-log(
+            expr("0.75 * n_big / n_ctx + 0.25 * n_w / n_total")), 6)
+            .cast("decimal(25,6)").as("nll"))
+      val result = perDoc.join(lm, Seq("wp", "w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).cast("long").as("n_bigrams"),
+          round(sum(col("nll") * col("n").cast("decimal(12,0)"))
+            .cast("double") / sum(col("n")).cast("long"), 6)
+            .as("mean_nll"))
+        .orderBy(col("doc_id"))
+      QueryScopedCache.releaseAfter(result, Seq(perDoc))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, ws[i - 1] AS wp, ws[i] AS w
+        FROM (SELECT doc_id, ws,
+                     unnest([x for x in generate_series(2, len(ws))]) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents)
+              WHERE len(ws) >= 2)),
+      per_doc AS (
+        SELECT doc_id, wp, w, COUNT(*) AS n FROM b GROUP BY 1, 2, 3),
+      n_big AS (
+        SELECT wp, w, CAST(SUM(n) AS BIGINT) AS n_big
+        FROM per_doc GROUP BY 1, 2),
+      n_ctx AS (
+        SELECT wp, CAST(SUM(n_big) AS BIGINT) AS n_ctx
+        FROM n_big GROUP BY 1),
+      vocab AS (
+        SELECT w, COUNT(*) AS n_w
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w),
+      total AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM vocab),
+      lm AS (
+        SELECT g.wp, g.w,
+               CAST(ROUND(-LN(0.75 * n_big / n_ctx + 0.25 * n_w / n_total),
+                          6) AS DECIMAL(25,6)) AS nll
+        FROM n_big g
+        JOIN n_ctx USING (wp) JOIN vocab USING (w) CROSS JOIN total)
+      SELECT d.doc_id,
+             CAST(SUM(d.n) AS BIGINT) AS n_bigrams,
+             ROUND(CAST(SUM(lm.nll * CAST(d.n AS DECIMAL(12,0))) AS DOUBLE)
+                   / CAST(SUM(d.n) AS BIGINT), 6) AS mean_nll
+      FROM per_doc d JOIN lm USING (wp, w)
+      GROUP BY d.doc_id ORDER BY d.doc_id"""))
+
   /** BPE merge-pair learning step: the frequency table of adjacent
     * character pairs inside words, weighted by word frequency — the
     * statistic one iteration of byte-pair-encoding vocabulary learning
@@ -661,5 +752,5 @@ object TextQueries {
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
     qTextFingerprint, qTextVocab, qHeavyHitters, qTextCountmin,
     qTextRepetition,
-    qTextLogprob, qTextBpePairs, qTextBpeMerges, qStatsDatacard)
+    qTextLogprob, qTextBigramLogprob, qTextBpePairs, qTextBpeMerges, qStatsDatacard)
 }

@@ -1242,6 +1242,30 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       tiny.getDouble(5) === 0.0, s"2-token doc: $tiny")
   }
 
+  test("bigram logprob: word order matters — the unigram provably cannot tell") {
+    // nine fluent docs share one transition structure; the tenth is
+    // the same BAG of words reversed. The unigram LM sees identical
+    // multisets (equal mean NLL, asserted equal to 6dp), while the
+    // bigram LM sees the reversed transitions nowhere else in the
+    // corpus and scores the shuffled doc strictly worse — the reason
+    // this query exists as the quality filter past q_text_logprob.
+    val fluent = (0 until 20).map(i => s"w$i").mkString(" ")
+    val reversed = fluent.split(" ").reverse.mkString(" ")
+    val rows = (1L to 9L).map(i => (i, fluent)) :+ (10L, reversed)
+    val dir = java.nio.file.Files.createTempDirectory("bigram").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("?")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def nll(q: RelationalQueries.Q) = q.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val uni = nll(TextQueries.qTextLogprob)
+    assert(uni(1L) === uni(10L), "unigram must not distinguish the bag")
+    val bi = nll(TextQueries.qTextBigramLogprob)
+    assert(bi(10L) > bi(1L) + 0.5,
+      s"bigram must punish shuffled transitions: ${bi(1L)} vs ${bi(10L)}")
+  }
+
   test("unigram logprob: rare-token docs score above common-token docs; hand check") {
     // corpus: 'a' x 8, 'b' x 2 -> p(a)=0.8, p(b)=0.2
     val fixtures = Seq(

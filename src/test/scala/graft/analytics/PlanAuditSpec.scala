@@ -78,7 +78,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_prep_pack: the BNLJ is the bucket-prefix theta join over the
       // 256-row bucket-total table (bounded by construction — the
       // second level of the distributed prefix sum)
-      "q_prep_pack")
+      "q_prep_pack",
+      // q_text_bigram_logprob: the single-row corpus-token-total
+      // broadcast (the q_text_logprob pattern); the bigram LM join
+      // itself is sort-merge by design
+      "q_text_bigram_logprob")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
