@@ -59,4 +59,45 @@ object Bucketing {
       .partitionBy(partitionCols: _*)
       .mode("overwrite")
       .parquet(path)
+
+  /** Morton (Z-order) bit-interleave of two 16-bit-ranged columns —
+    * the magic-number spread (each value's bits move to even/odd
+    * positions), pure codegen-friendly shift/mask arithmetic. */
+  private[analytics] def morton(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    def spread(c0: org.apache.spark.sql.Column) = {
+      var v = c0.cast("long")
+      v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FFL))
+      v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+      v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x33333333L))
+      v = (v.bitwiseOR(shiftleft(v, 1))).bitwiseAND(lit(0x55555555L))
+      v
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-ordered write — the MULTI-column complement to [[writeBucketed]]
+    * (one join key) and [[writePartitioned]] (low-cardinality filter
+    * keys): range-partition and sort by the Morton interleave of two
+    * high-cardinality filter columns, so every written file covers a
+    * small RECTANGLE of the (a, b) space instead of a thin full-height
+    * stripe. Parquet min/max stats on BOTH columns then become
+    * selective in every file — a predicate on EITHER column skips most
+    * files/row-groups, which a single-column sort can only offer for
+    * its own column. This is the standard lakehouse answer (Delta/
+    * Iceberg `ZORDER BY`) for two hot high-cardinality predicates that
+    * partitioning cannot hold (BucketingSpec measures the per-file
+    * span shrinkage directly). Columns must fit 16 bits (0..65535) —
+    * hash or quantize wider domains down first; `files` sizes the
+    * layout exactly like a bucket count. */
+  def writeZOrdered(df: DataFrame, path: String, a: String, b: String,
+      files: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", morton(col(a), col(b)))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -83,6 +83,39 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     assert(one.count() === expected)
   }
 
+  test("z-ordered layout keeps BOTH columns' per-file spans narrow") {
+    // the min/max-stat selectivity parquet pruning exploits, measured
+    // directly: under a single-column sort, every file spans the full
+    // range of the OTHER column (a predicate on it skips nothing);
+    // under the Morton interleave, each file covers a small rectangle,
+    // so a point predicate on EITHER column hits only a few files
+    val n = 1 << 14
+    // a full 128×128 grid: x = low digits, y = high digits — truly
+    // independent (a hash mod 2^k of id would secretly be a function
+    // of x = id mod 2^k)
+    val df = spark.range(n).select(
+      (col("id") % 128).as("x"),
+      ((col("id") / 128) % 128).cast("long").as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(s"$dir/linear")
+    Bucketing.writeZOrdered(df, s"$dir/z", "x", "y", 16)
+    // rows survive the layout intact
+    assert(spark.read.parquet(s"$dir/z").count() === n.toLong)
+    def hits(path: String, c: String, v: Int): Int =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+        .filter(col("lo") <= v && col("hi") >= v)
+        .count().toInt
+    // linear-by-x: a y predicate overlaps EVERY file
+    assert(hits(s"$dir/linear", "y", 5) === 16)
+    // z-order: both columns' point predicates overlap only a minority
+    // of the 16 files (each file is a rectangle in (x, y) space)
+    assert(hits(s"$dir/z", "y", 5) <= 8, s"y=5 hits ${hits(s"$dir/z", "y", 5)}")
+    assert(hits(s"$dir/z", "x", 5) <= 8, s"x=5 hits ${hits(s"$dir/z", "x", 5)}")
+  }
+
   test("groupBy on the bucket key aggregates in place (no Exchange)") {
     prepared
     val agg = spark.table("lineitem_b")
