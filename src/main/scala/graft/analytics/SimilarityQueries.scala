@@ -788,7 +788,110 @@ object SimilarityQueries {
       SELECT qid, rank, neighbor_id, score FROM rk
       WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  /** Distributed k-means (Lloyd, k=8, two update iterations + final
+    * assignment) over the embeddings — the TRAINED coarse quantizer
+    * the md5-sampled IVF centroids deliberately are not (sampling is
+    * oracle-friendly but ignores data geometry; training moves
+    * centroids to density). The engine-parity problem with iterative
+    * float means — accumulation order changes the bits, compounding
+    * per iteration — is solved by ALL-INTEGER geometry: vectors
+    * quantize once to micro-units (round(x·10⁶) as bigint), distances
+    * are exact integer sums, and each centroid update is one rounded
+    * double division of exact integer sums per dimension. Every
+    * iteration is therefore bit-reproducible in any engine, and the
+    * whole training run gates by full hash-match — a differentially
+    * tested distributed Lloyd.
+    *
+    * Scale shape: assignment is the in-row argmin against a one-row
+    * broadcast centroid array (no corpus shuffle, the IVF pattern);
+    * the update aggregates (cluster, dim) cells — k·64 rows out of a
+    * map-side-combined groupBy — and reassembles the next broadcast
+    * array. Per iteration: one narrow pass + one tiny shuffle.
+    * Centroid ids stay the seed vec_ids, so an empty cluster simply
+    * drops out in both engines identically. */
+  val qSimKmeans = Q(
+    "q_sim_kmeans",
+    (s, dir) => {
+      val k = 8
+      val vm0 = emb(s, dir).select(col("vec_id"),
+        expr("transform(v, x -> cast(round(x * 1000000) as bigint))")
+          .as("vm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bestExpr = expr(
+        """array_min(transform(cents, c -> struct(
+             aggregate(zip_with(vm, c.cm, (a, b) -> (a - b) * (a - b)),
+                       cast(0 as bigint), (acc, x) -> acc + x) as d,
+             c.cid as cid)))""")
+      def assign(cents: DataFrame): DataFrame =
+        vm0.crossJoin(broadcast(cents))
+          .withColumn("best", bestExpr)
+          .select(col("vec_id"), col("vm"),
+            col("best.cid").as("cid"), col("best.d").as("d"))
+      def update(assigned: DataFrame): DataFrame = assigned
+        .select(col("cid"), posexplode(col("vm")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(expr("cast(round(sum(col) * 1.0 / count(1)) as bigint)")
+          .as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+          .as("cm"))
+        .agg(expr("array_sort(collect_list(struct(cid, cm)))").as("cents"))
+      var cents = vm0
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+        .select(col("vec_id").as("cid"), col("vm").as("cm"))
+        .agg(expr("array_sort(collect_list(struct(cid, cm)))").as("cents"))
+      for (_ <- 1 to 2) cents = update(assign(cents))
+      val result = assign(cents)
+        .select(col("vec_id"), col("cid").as("cluster"),
+          col("d").as("dist_micro2"))
+        .orderBy(col("vec_id"))
+      QueryScopedCache.releaseAfter(result, Seq(vm0))
+    },
+    Some {
+      val dist =
+        """CAST(list_sum(list_transform(generate_series(1, len(v.vm)),
+             i -> (v.vm[i] - c.cm[i]) * (v.vm[i] - c.cm[i]))) AS BIGINT)"""
+      def assignSql(a: String, c: String) = s"""
+        $a AS (
+          SELECT vec_id, cid, d FROM (
+            SELECT vec_id, cid, d,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rn
+            FROM (SELECT v.vec_id, c.cid, $dist AS d
+                  FROM vm v CROSS JOIN $c c))
+          WHERE rn = 1)"""
+      def updateSql(c: String, a: String) = s"""
+        $c AS (
+          SELECT cid, LIST(m ORDER BY dim) AS cm FROM (
+            SELECT a.cid, t.dim,
+                   CAST(ROUND(SUM(t.val) * 1.0 / COUNT(*)) AS BIGINT) AS m
+            FROM $a a JOIN vm v USING (vec_id),
+                 LATERAL unnest([{'dim': i, 'val': v.vm[i]}
+                                 for i in generate_series(1, len(v.vm))])
+                   AS u(t)
+            GROUP BY a.cid, t.dim)
+          GROUP BY cid)"""
+      s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      vm AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(ROUND(x * 1000000) AS BIGINT))
+                 AS vm
+        FROM e),
+      c0 AS (
+        SELECT vec_id AS cid, vm AS cm FROM vm
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      ${assignSql("a1", "c0")},
+      ${updateSql("c1", "a1")},
+      ${assignSql("a2", "c1")},
+      ${updateSql("c2", "a2")},
+      ${assignSql("a3", "c2")}
+      SELECT vec_id, cid AS cluster, d AS dist_micro2
+      FROM a3 ORDER BY vec_id"""
+    })
+
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
     qSimIvfPqTopk, qSimIvfPqStored, qSimIvfPqAdmitted, qSimIvfPqRerank,
-    qSimSqTopk)
+    qSimSqTopk, qSimKmeans)
 }

@@ -255,6 +255,31 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
         "non-residual trade-off documented in SURVEY")
   }
 
+  test("kmeans: training strictly improves the objective over the seed sample") {
+    // Lloyd's guarantee made a test: total within-cluster distance
+    // after two update iterations must beat assignment to the raw
+    // md5-sampled seeds (computed independently driver-side on the
+    // same integer micro-unit geometry the query uses)
+    val trained = SimilarityQueries.qSimKmeans.run(spark, sf).collect()
+      .map(_.getLong(2)).sum
+    val vm = SimilarityQueries.emb(spark, sf)
+      .selectExpr("vec_id",
+        "transform(v, x -> cast(round(x * 1000000) as bigint)) vm")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def md5hex(x: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val seeds = vm.keys.toSeq.sortBy(id => (md5hex(id.toString), id))
+      .take(8).map(vm)
+    val seedTotal = vm.values.map { v =>
+      seeds.map(c => v.zip(c).map { case (a, b) =>
+        (a - b) * (a - b) }.sum).min
+    }.sum
+    assert(trained < seedTotal,
+      s"training must improve the objective: $trained vs seed $seedTotal")
+  }
+
   test("pq codes: native encoder matches the HOF formulation bit-for-bit") {
     // the corpus-side encode moved from higher-order functions to the
     // PqCodes loop for speed; this pins the two formulations to the

@@ -82,7 +82,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_text_bigram_logprob: the single-row corpus-token-total
       // broadcast (the q_text_logprob pattern); the bigram LM join
       // itself is sort-merge by design
-      "q_text_bigram_logprob")
+      "q_text_bigram_logprob",
+      // q_sim_kmeans: the one-row broadcast centroid array rides a
+      // cross join into each assignment pass (bounded by construction,
+      // the IVF pattern)
+      "q_sim_kmeans")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
