@@ -140,8 +140,12 @@ object SignatureStore {
     val stop = s.table(gt("stop"))
     val shB = gt("shingles")
     val sigB = gt("signatures")
-    val nBatch = batch.count()
-    val bsh = DedupQueries.hashedShingles(batch)
+    // the raw doc count (for the persisted ndocs) and the shingle
+    // pipeline both consume the batch — persist it so its upstream
+    // lineage executes ONCE per admit, not once per consumer
+    val batchP = batch.persist(MEMORY_AND_DISK)
+    val nBatch = batchP.count()
+    val bsh = DedupQueries.hashedShingles(batchP)
       .join(broadcast(stop), Seq("h"), "left_anti")
       .persist(MEMORY_AND_DISK)
     try {
@@ -161,7 +165,10 @@ object SignatureStore {
           .bucketBy(bucketCount(s, sigB), "bh").sortBy("bh")
           .saveAsTable(sigB)
       } finally bmh.unpersist()
-    } finally bsh.unpersist()
+    } finally {
+      bsh.unpersist()
+      batchP.unpersist()
+    }
     // keep the persisted raw-document count current — reingest's
     // df-threshold basis covers corpus + every admitted batch
     StoreMeta.addDocs(s, store, nBatch)
@@ -258,10 +265,12 @@ object SignatureStore {
     * the stored sizes count — the closest basis a legacy store can
     * offer (its true raw count was never persisted; documented
     * approximation, excludes docs whose shingles were all stopped). */
-  def migrate(s: SparkSession, store: String): Unit = {
-    val nDocs = s.table(s"${store}_sizes").count()
-    StoreMeta.migrate(s, store, parts, Some(nDocs))
-  }
+  def migrate(s: SparkSession, store: String): Unit =
+    // the count is passed by-name: StoreMeta validates the legacy
+    // layout FIRST, so a wrong-layout store gets the designed error,
+    // not a table-not-found from an eager count
+    StoreMeta.migrate(s, store, parts,
+      Some(s.table(s"${store}_sizes").count()))
 
   /** The bucket count an append must match (reads the catalog — the
     * ingest-time `buckets` choice is authoritative). */

@@ -112,12 +112,17 @@ private[analytics] object StoreMeta {
     * legacy table must already carry the `graft.store` marker — the
     * owner stamps a verified pre-marker store first (see class doc). */
   def migrate(s: SparkSession, store: String, parts: Seq[String],
-      ndocs: Option[Long]): Unit = {
+      ndocs: => Option[Long]): Unit = {
     if (gen(s, store).nonEmpty)
       throw new IllegalStateException(
         s"store '$store' already uses the generation layout — nothing to migrate")
     val cat = s.sessionState.catalog
-    // validate everything before renaming anything
+    // validate EVERYTHING the rename loop and the commit will touch
+    // before renaming anything: legacy sources present and marked,
+    // _g1 targets free, meta name ours-or-absent — a failure after a
+    // partial rename would leave the store in neither layout with no
+    // re-run path
+    requireOursOrAbsent(s, metaTable(store))
     parts.foreach { p =>
       val legacy = s"${store}_$p"
       val id = TableIdentifier(legacy)
@@ -130,10 +135,18 @@ private[analytics] object StoreMeta {
             "really a store table, then stamp it with ALTER TABLE " +
             s"$legacy SET TBLPROPERTIES ('graft.store' = 'true') and " +
             "re-run migrate")
+      if (cat.tableExists(TableIdentifier(name(store, p, 1))))
+        throw new IllegalStateException(
+          s"migration target ${name(store, p, 1)} already exists — " +
+            "drop or rename it first (a crashed earlier migrate leaves " +
+            "these; dropStale applies if it carries the store marker)")
     }
+    // ndocs is by-name: callers may derive it from legacy tables that
+    // only exist once validation has confirmed the legacy layout
+    val nd = ndocs
     parts.foreach(p =>
       s.sql(s"ALTER TABLE ${store}_$p RENAME TO ${name(store, p, 1)}"))
-    commit(s, store, 1, parts, ndocs)
+    commit(s, store, 1, parts, nd)
   }
 
   private def prop(s: SparkSession, store: String,

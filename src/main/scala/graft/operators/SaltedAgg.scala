@@ -38,6 +38,12 @@ object SaltedAgg {
     * only needs enough lanes to fill the executor cores. */
   def innerJoinSalted(big: DataFrame, small: DataFrame, key: String,
       saltFrom: Seq[Column], salts: Int = 16): DataFrame = {
+    // withColumn would silently overwrite (and the final drop remove)
+    // a caller's own __salt column — refuse instead of losing data
+    require(!big.columns.contains("__salt") &&
+      !small.columns.contains("__salt"),
+      "innerJoinSalted reserves the __salt column name; rename it on " +
+        "the input frames first")
     val bs = big.withColumn("__salt",
       pmod(xxhash64(saltFrom: _*), lit(salts.toLong)))
     val ss = small
