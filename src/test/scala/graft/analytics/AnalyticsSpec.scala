@@ -278,6 +278,40 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     }.sum
     assert(trained < seedTotal,
       s"training must improve the objective: $trained vs seed $seedTotal")
+    // and the trained quantizer pays off downstream: IVF probing the
+    // trained k=8 cells at the SAME scan fraction as the sampled-IVF
+    // query (2 of 8 lists = 4 of 16) recalls at least as much —
+    // measured 0.53 vs 0.50 here, rising to 0.73 at 4 of 8 (balanced
+    // cells cover neighborhoods better than sampled seeds even on
+    // this nearly clusterless random-geometry corpus)
+    val brute = SimilarityQueries.qSimTopkBrute.run(spark, sf)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sampled = SimilarityQueries.qSimIvfTopk.run(spark, sf)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clusterOf = SimilarityQueries.qSimKmeans.run(spark, sf)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val en = SimilarityQueries.emb(spark, sf)
+      .selectExpr("vec_id", "transform(v, x -> x / sqrt(nrm)) vn")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cents = clusterOf.groupBy(_._2).map { case (c, m) =>
+      val vs = m.keys.map(en).toSeq
+      c -> vs.head.indices.map(i => vs.map(_(i)).sum / vs.size).toArray
+    }
+    val trainedIvf = (0L until 20L).flatMap { q =>
+      val probes = cents.toSeq.sortBy { case (c, cv) => (l2(en(q), cv), c) }
+        .take(2).map(_._1).toSet
+      en.keys.filter(v => v != q && probes(clusterOf(v))).toSeq
+        .sortBy(v => (l2(en(q), en(v)), v)).take(5).map(q -> _)
+    }.toSet
+    def recall(x: Set[(Long, Long)]) =
+      brute.intersect(x).size.toDouble / brute.size
+    assert(recall(trainedIvf) >= recall(sampled),
+      s"trained IVF ${recall(trainedIvf)} vs sampled ${recall(sampled)}")
   }
 
   test("pq codes: native encoder matches the HOF formulation bit-for-bit") {
@@ -1045,6 +1079,22 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     // and the upgraded store refreshes like a native one
     SignatureStore.reingest(spark, "sigstore_leg")
     assert(StoreMeta.gen(spark, "sigstore_leg").contains(2L))
+    // migrate validates BEFORE renaming: a squatting _g1 target stops
+    // the whole migration with nothing renamed (no stranded layouts)
+    SignatureStore.ingest(corpus, "sigstore_leg2", buckets = 4)
+    SignatureStore.parts.foreach(p => spark.sql(
+      s"ALTER TABLE sigstore_leg2_${p}_g1 RENAME TO sigstore_leg2_$p"))
+    spark.sql("DROP TABLE sigstore_leg2_meta")
+    Seq((1L, "squat")).toDF("k", "v")
+      .write.format("parquet").saveAsTable("sigstore_leg2_sizes_g1")
+    val ex2 = intercept[IllegalStateException] {
+      SignatureStore.migrate(spark, "sigstore_leg2")
+    }
+    assert(ex2.getMessage.contains("sigstore_leg2_sizes_g1"), ex2.getMessage)
+    // nothing was renamed — every legacy table is still in place
+    SignatureStore.parts.foreach(p =>
+      assert(spark.catalog.tableExists(s"sigstore_leg2_$p"),
+        s"legacy sigstore_leg2_$p must survive the refused migrate"))
   }
 
   test("vector index: reingest takes the originals explicitly; racing search is always-consistent") {
