@@ -891,7 +891,112 @@ object SimilarityQueries {
       FROM a3 ORDER BY vec_id"""
     })
 
+  /** Hybrid retrieval — reciprocal-rank fusion (k=60) of a lexical
+    * BM25 arm ([[TextQueries.bm25PerDoc]]) and an exact-cosine vector
+    * arm over the shared doc_id == vec_id id space. Each arm ranks
+    * independently and contributes 1/(60+rank) for its top-30
+    * candidates; docs surfaced by both arms outrank single-arm hits —
+    * the standard lexical+dense production fusion (RRF needs no score
+    * calibration between arms, only ranks, which is why it ships in
+    * every hybrid search stack).
+    *
+    * Scale shape: the arms never materialize a corpus×corpus
+    * relation — the vector arm broadcasts the 8-query side and the
+    * lexical arm broadcasts the 24-term table, so both are narrow
+    * corpus passes feeding per-qid top-30 windows; the fusion join
+    * then touches only ≤ 8×60 candidate rows. Adding a third arm
+    * (e.g. [[qSimIvfPqRerank]]'s compressed index at corpus scale) is
+    * the same full-outer pattern.
+    *
+    * Parity: ranks are integers, each arm contribution rounds
+    * 1/(60+rank) to a 6dp DECIMAL once, the fused score is a decimal
+    * sum cast to double — no cross-engine float drift possible. */
+  val qSimHybridRrf = Q(
+    "q_sim_hybrid_rrf",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+      val cos = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          round(dot(col("qv"), col("v")) /
+            (sqrt(col("qnrm")) * sqrt(col("nrm"))), 6).as("cs"))
+      val vw = Window.partitionBy(col("qid"))
+        .orderBy(col("cs").desc, col("doc_id"))
+      val vecArm = cos.withColumn("rank_vec", row_number().over(vw).cast("long"))
+        .filter(col("rank_vec") <= 30)
+        .select(col("qid"), col("doc_id"), col("rank_vec"))
+      val lexPd = TextQueries.bm25PerDoc(s, dir)
+        .filter(col("qid") < 8 && col("doc_id") =!= col("qid"))
+      val lw = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val lexArm = lexPd.withColumn("rank_lex", row_number().over(lw).cast("long"))
+        .filter(col("rank_lex") <= 30)
+        .select(col("qid"), col("doc_id"), col("rank_lex"))
+      val zero = lit(0).cast("decimal(25,6)")
+      val fused = vecArm.join(lexArm, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"), col("rank_vec"), col("rank_lex"),
+          (coalesce(round(lit(1.0) / (lit(60) + col("rank_vec")), 6)
+              .cast("decimal(25,6)"), zero) +
+            coalesce(round(lit(1.0) / (lit(60) + col("rank_lex")), 6)
+              .cast("decimal(25,6)"), zero)).cast("double").as("rrf"))
+      val fw = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("rank", row_number().over(fw).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("doc_id"),
+          col("rank_vec"), col("rank_lex"), col("rrf"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x)) AS nrm
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM e
+            WHERE vec_id < 8),
+      cos AS (
+        SELECT q.qid, e.vec_id AS doc_id,
+               ROUND(list_sum(list_transform(generate_series(1, len(q.qv)),
+                       i -> q.qv[i] * e.v[i]))
+                     / (SQRT(q.qnrm) * SQRT(e.nrm)), 6) AS cs
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+      vec_arm AS (
+        SELECT qid, doc_id, rank_vec FROM (
+          SELECT qid, doc_id, cs,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cs DESC, doc_id) AS rank_vec
+          FROM cos) x
+        WHERE rank_vec <= 30),
+      ${TextQueries.bm25OracleCtes},
+      lex_arm AS (
+        SELECT qid, doc_id, rank_lex FROM (
+          SELECT qid, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, doc_id) AS rank_lex
+          FROM bm_per_doc WHERE qid < 8 AND doc_id <> qid) x
+        WHERE rank_lex <= 30),
+      fused AS (
+        SELECT COALESCE(v.qid, l.qid) AS qid,
+               COALESCE(v.doc_id, l.doc_id) AS doc_id,
+               v.rank_vec, l.rank_lex,
+               CAST(COALESCE(CAST(ROUND(CAST(1.0 AS DOUBLE) /
+                       (60 + v.rank_vec), 6) AS DECIMAL(25,6)), 0) +
+                    COALESCE(CAST(ROUND(CAST(1.0 AS DOUBLE) /
+                       (60 + l.rank_lex), 6) AS DECIMAL(25,6)), 0)
+                 AS DOUBLE) AS rrf
+        FROM vec_arm v FULL OUTER JOIN lex_arm l
+          ON v.qid = l.qid AND v.doc_id = l.doc_id)
+      SELECT qid, rank, doc_id, rank_vec, rank_lex, rrf FROM (
+        SELECT qid, doc_id, rank_vec, rank_lex, rrf,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused) x
+      WHERE rank <= 10 ORDER BY qid, rank"""))
+
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
     qSimIvfPqTopk, qSimIvfPqStored, qSimIvfPqAdmitted, qSimIvfPqRerank,
-    qSimSqTopk, qSimKmeans)
+    qSimSqTopk, qSimKmeans, qSimHybridRrf)
 }

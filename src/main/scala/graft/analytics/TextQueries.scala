@@ -772,38 +772,86 @@ object TextQueries {
     * per-term score rounds to 6dp ONCE into DECIMAL, and per-doc
     * totals are decimal sums (order-independent) cast to double at
     * the end — the [[qTextLogprob]] discipline. */
+  /** Per-(query, doc) BM25 totals — the scoring core shared by
+    * [[qTextBm25]] and the hybrid fusion
+    * ([[SimilarityQueries.qSimHybridRrf]]). Returns
+    * (qid, doc_id, score<double>). */
+  private[analytics] def bm25PerDoc(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    val dl = tf.groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("long").as("n_total"))
+    val dfT = tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("n")).cast("long").as("n_w"))
+    val top = dfT.orderBy(col("n_w").desc, col("w")).limit(24)
+    val qt = top.agg(sort_array(collect_list(
+        struct((-col("n_w")).as("negn"), col("w"), col("df")))).as("ts"))
+      .select(posexplode(col("ts")))
+      .crossJoin(broadcast(stats))
+      .select(col("col.w").as("w"),
+        expr("CAST(pos DIV 3 AS BIGINT)").as("qid"),
+        round(log(lit(1.0) + (col("n_docs") - col("col.df") + lit(0.5)) /
+          (col("col.df") + lit(0.5))), 6).as("idf"))
+    val scored = tf.join(broadcast(qt), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        round(col("idf") * ((col("n") * lit(2.2)) /
+          (col("n") + lit(0.3) + lit(0.9) *
+            (col("dl") * col("n_docs") / col("n_total")))), 6)
+          .cast("decimal(25,6)").as("ts"))
+    scored.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("ts")).cast("double").as("score"))
+  }
+
+  /** The BM25 scoring CTE chain shared verbatim by the [[qTextBm25]]
+    * oracle and the hybrid-fusion oracle: defines `bm_per_doc(qid,
+    * doc_id, score)`. Expects `documents` in scope. */
+  private[analytics] val bm25OracleCtes: String = """
+      bm_tf AS (
+        SELECT doc_id, w, COUNT(*) AS n
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id, w),
+      bm_dl AS (
+        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS dl
+        FROM bm_tf GROUP BY doc_id),
+      bm_stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS n_total
+        FROM bm_dl),
+      bm_dft AS (
+        SELECT w, COUNT(*) AS df, CAST(SUM(n) AS BIGINT) AS n_w
+        FROM bm_tf GROUP BY w),
+      bm_qt AS (
+        SELECT w, CAST((rn - 1) // 3 AS BIGINT) AS qid,
+               ROUND(LN(CAST(1.0 AS DOUBLE) +
+                 (n_docs - df + CAST(0.5 AS DOUBLE)) /
+                 (df + CAST(0.5 AS DOUBLE))), 6) AS idf
+        FROM (SELECT w, df, n_w,
+                     ROW_NUMBER() OVER (ORDER BY n_w DESC, w) AS rn
+              FROM bm_dft) x
+        CROSS JOIN bm_stats
+        WHERE rn <= 24),
+      bm_scored AS (
+        SELECT bm_qt.qid, bm_tf.doc_id,
+               CAST(ROUND(bm_qt.idf * ((bm_tf.n * CAST(2.2 AS DOUBLE)) /
+                 (bm_tf.n + CAST(0.3 AS DOUBLE) + CAST(0.9 AS DOUBLE) *
+                   (bm_dl.dl * bm_stats.n_docs / bm_stats.n_total))), 6)
+                 AS DECIMAL(25,6)) AS ts
+        FROM bm_tf JOIN bm_qt USING (w) JOIN bm_dl USING (doc_id)
+        CROSS JOIN bm_stats),
+      bm_per_doc AS (
+        SELECT qid, doc_id, CAST(SUM(ts) AS DOUBLE) AS score
+        FROM bm_scored GROUP BY qid, doc_id)"""
+
   val qTextBm25 = Q(
     "q_text_bm25",
     (s, dir) => {
-      val tf = docs(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy(col("doc_id"), col("w"))
-        .agg(count(lit(1)).as("n"))
-      val dl = tf.groupBy(col("doc_id"))
-        .agg(sum(col("n")).cast("long").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).cast("long").as("n_total"))
-      val dfT = tf.groupBy(col("w"))
-        .agg(count(lit(1)).as("df"), sum(col("n")).cast("long").as("n_w"))
-      val top = dfT.orderBy(col("n_w").desc, col("w")).limit(24)
-      val qt = top.agg(sort_array(collect_list(
-          struct((-col("n_w")).as("negn"), col("w"), col("df")))).as("ts"))
-        .select(posexplode(col("ts")))
-        .crossJoin(broadcast(stats))
-        .select(col("col.w").as("w"),
-          expr("CAST(pos DIV 3 AS BIGINT)").as("qid"),
-          round(log(lit(1.0) + (col("n_docs") - col("col.df") + lit(0.5)) /
-            (col("col.df") + lit(0.5))), 6).as("idf"))
-      val scored = tf.join(broadcast(qt), "w")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .select(col("qid"), col("doc_id"),
-          round(col("idf") * ((col("n") * lit(2.2)) /
-            (col("n") + lit(0.3) + lit(0.9) *
-              (col("dl") * col("n_docs") / col("n_total")))), 6)
-            .cast("decimal(25,6)").as("ts"))
-      val perDoc = scored.groupBy(col("qid"), col("doc_id"))
-        .agg(sum(col("ts")).cast("double").as("score"))
+      val perDoc = bm25PerDoc(s, dir)
       val rw = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("doc_id"))
       perDoc.withColumn("rank", row_number().over(rw).cast("long"))
@@ -811,46 +859,13 @@ object TextQueries {
         .select(col("qid"), col("rank"), col("doc_id"), col("score"))
         .orderBy(col("qid"), col("rank"))
     },
-    Some("""
-      WITH tf AS (
-        SELECT doc_id, w, COUNT(*) AS n
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-              FROM documents)
-        GROUP BY doc_id, w),
-      dl AS (
-        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-      stats AS (
-        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS n_total
-        FROM dl),
-      dft AS (
-        SELECT w, COUNT(*) AS df, CAST(SUM(n) AS BIGINT) AS n_w
-        FROM tf GROUP BY w),
-      qt AS (
-        SELECT w, CAST((rn - 1) // 3 AS BIGINT) AS qid,
-               ROUND(LN(CAST(1.0 AS DOUBLE) +
-                 (n_docs - df + CAST(0.5 AS DOUBLE)) /
-                 (df + CAST(0.5 AS DOUBLE))), 6) AS idf
-        FROM (SELECT w, df, n_w,
-                     ROW_NUMBER() OVER (ORDER BY n_w DESC, w) AS rn
-              FROM dft) x
-        CROSS JOIN stats
-        WHERE rn <= 24),
-      scored AS (
-        SELECT qt.qid, tf.doc_id,
-               CAST(ROUND(qt.idf * ((tf.n * CAST(2.2 AS DOUBLE)) /
-                 (tf.n + CAST(0.3 AS DOUBLE) + CAST(0.9 AS DOUBLE) *
-                   (dl.dl * stats.n_docs / stats.n_total))), 6)
-                 AS DECIMAL(25,6)) AS ts
-        FROM tf JOIN qt USING (w) JOIN dl USING (doc_id)
-        CROSS JOIN stats),
-      per_doc AS (
-        SELECT qid, doc_id, CAST(SUM(ts) AS DOUBLE) AS score
-        FROM scored GROUP BY qid, doc_id),
+    Some(s"""
+      WITH $bm25OracleCtes,
       ranked AS (
         SELECT qid, doc_id, score,
                ROW_NUMBER() OVER (PARTITION BY qid
                                   ORDER BY score DESC, doc_id) AS rank
-        FROM per_doc)
+        FROM bm_per_doc)
       SELECT qid, rank, doc_id, score FROM ranked
       WHERE rank <= 10 ORDER BY qid, rank"""))
 

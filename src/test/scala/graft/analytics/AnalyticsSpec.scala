@@ -1498,4 +1498,44 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     // L3 has no match and is the only dropped left row.
     assert(rows === Map("L1" -> None, "L2" -> None))
   }
+
+  test("bm25: every retrieved doc contains a query term; all 8 queries fill") {
+    // the oracle gate proves cross-engine parity; this pins retrieval
+    // SEMANTICS — a doc can only score via postings it actually has
+    val out = TextQueries.qTextBm25.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(out.map(_._1).distinct.sorted === (0L to 7L),
+      "all 8 derived queries must return results")
+    // rebuild the derived query terms exactly as the query does
+    val terms = Tables(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w").limit(24)
+      .collect().map(_.getString(0)).zipWithIndex
+      .groupBy(_._2 / 3).map { case (q, ws) => q.toLong -> ws.map(_._1).toSet }
+    val texts = Tables(spark, sf, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    out.foreach { case (qid, docId) =>
+      assert(texts(docId).intersect(terms(qid)).nonEmpty,
+        s"doc $docId retrieved for query $qid without any of ${terms(qid)}")
+    }
+  }
+
+  test("hybrid rrf: fused score is exactly the sum of arm contributions") {
+    val rows = SimilarityQueries.qSimHybridRrf.run(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).distinct.length === 8)
+    def contrib(r: org.apache.spark.sql.Row, i: Int): BigDecimal =
+      if (r.isNullAt(i)) BigDecimal(0)
+      else BigDecimal(1.0 / (60 + r.getLong(i))).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    rows.foreach { r =>
+      val expected = (contrib(r, 3) + contrib(r, 4)).toDouble
+      assert(r.getDouble(5) === expected,
+        s"rrf mismatch for qid=${r.getLong(0)} doc=${r.getLong(2)}")
+      assert(!(r.isNullAt(3) && r.isNullAt(4)), "doc from neither arm")
+    }
+    // fusion actually fuses: some doc must be surfaced by BOTH arms
+    assert(rows.exists(r => !r.isNullAt(3) && !r.isNullAt(4)),
+      "no document surfaced by both arms — fusion degenerate")
+  }
 }

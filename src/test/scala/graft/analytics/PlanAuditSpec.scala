@@ -86,7 +86,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_sim_kmeans: the one-row broadcast centroid array rides a
       // cross join into each assignment pass (bounded by construction,
       // the IVF pattern)
-      "q_sim_kmeans")
+      "q_sim_kmeans",
+      // q_text_bm25: the single-row corpus-stat broadcast rides cross
+      // joins into idf and score (the q_text_logprob pattern)
+      "q_text_bm25",
+      // q_sim_hybrid_rrf: the BM25 arm carries q_text_bm25's one-row
+      // stat broadcast; the vector arm is the qSimTopkBrute
+      // 8-query-broadcast self-exclusion inequality join
+      "q_sim_hybrid_rrf")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
