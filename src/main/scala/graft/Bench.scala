@@ -102,6 +102,12 @@ object Bench {
               .storedIngest(s, d, "graft_vecindex_rr")),
           "rerank" -> ((s: SparkSession, d: String) => {
             graft.analytics.SimilarityQueries.storedRerank(s, d).count(); ()
+          })),
+        "q_text_bm25_stored" -> Seq(
+          "ingest" -> ((s: SparkSession, d: String) =>
+            graft.analytics.TextQueries.bm25StoredIngest(s, d)),
+          "search" -> ((s: SparkSession, d: String) => {
+            graft.analytics.TextQueries.bm25StoredSearch(s).count(); ()
           })))
     // A failing phase records -1, and every LATER phase of that rep is
     // skipped and records -1 too: a screen/search against the missing

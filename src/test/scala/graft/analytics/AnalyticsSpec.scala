@@ -1499,6 +1499,69 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows === Map("L1" -> None, "L2" -> None))
   }
 
+  test("text index: stored search never rescans the corpus; admit freezes old scores") {
+    val d = Tables(spark, sf, "documents").select($"doc_id", $"text")
+    TextIndex.ingest(d, "textidx_adm", buckets = 2)
+    val qs = TextIndex.derivedQueries(spark, "textidx_adm")
+    val res = TextIndex.search(spark, "textidx_adm", qs, topk = 50)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"stored search must not scan the corpus source:\n$plan")
+    assert(plan.contains("textidx_adm_post"),
+      s"search should probe the stored postings table:\n$plan")
+    val before = res.collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // admit a batch: one doc stuffed with ALL of query 0's terms (tf
+    // saturation caps per-term scores near 2.2·idf, so a pure
+    // query-term doc outranks any mixed corpus doc — must surface),
+    // one of unrelated terms (must stay invisible)
+    val q0 = qs.filter($"qid" === 0L).collect().map(_.getString(1))
+    val batch = Seq(
+      (9001L, Seq.fill(40)(q0).flatten.mkString(" ")),
+      (9002L, (0 until 30).map(i => s"zz$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    TextIndex.admit(spark, "textidx_adm", batch)
+    val after = TextIndex.search(spark, "textidx_adm",
+        TextIndex.derivedQueries(spark, "textidx_adm"), topk = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // frozen geometry: every doc retrieved both times scores
+    // BIT-IDENTICALLY — an append may add rows but never moves idf,
+    // avgdl, or any already-indexed doc's postings
+    val common = before.keySet.intersect(after.keySet)
+    assert(common.nonEmpty)
+    common.foreach { k =>
+      assert(before(k) === after(k), s"score moved under admit for $k")
+    }
+    // the admitted doc with indexed terms surfaces; the one whose
+    // terms are outside the frozen dictionary cannot
+    assert(after.keys.exists(_._2 == 9001L), "admitted doc invisible")
+    assert(!after.keys.exists(_._2 == 9002L),
+      "doc with only out-of-dictionary terms must not score")
+  }
+
+  test("text index: admit + reingest ≡ from-scratch full ingest, one generation ahead") {
+    val d = Tables(spark, sf, "documents").select($"doc_id", $"text")
+    val a = d.filter($"doc_id" % 5 =!= 0)
+    val b = d.filter($"doc_id" % 5 === 0)
+    TextIndex.ingest(a, "textidx_rg_a", buckets = 2)
+    TextIndex.admit(spark, "textidx_rg_a", b)
+    TextIndex.reingest(spark, "textidx_rg_a")
+    TextIndex.ingest(d, "textidx_rg_b", buckets = 2)
+    def res(st: String) = TextIndex.search(spark, st,
+        TextIndex.derivedQueries(spark, st)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // reingest rebuilt dictionary+stats from STORED postings only (its
+    // signature takes no corpus) — scores must equal the full ingest's
+    assert(res("textidx_rg_a") === res("textidx_rg_b"),
+      "reingest from stored state diverges from a from-scratch ingest")
+    assert(StoreMeta.gen(spark, "textidx_rg_a") === Some(2L),
+      "reingest must publish exactly one generation ahead")
+    // ndocs basis survives the lifecycle: ingest-set, admit-bumped
+    assert(StoreMeta.docCount(spark, "textidx_rg_a") ===
+      StoreMeta.docCount(spark, "textidx_rg_b"))
+  }
+
   test("bm25: every retrieved doc contains a query term; all 8 queries fill") {
     // the oracle gate proves cross-engine parity; this pins retrieval
     // SEMANTICS — a doc can only score via postings it actually has

@@ -90,6 +90,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_text_bm25: the single-row corpus-stat broadcast rides cross
       // joins into idf and score (the q_text_logprob pattern)
       "q_text_bm25",
+      // q_text_bm25_stored/_reingested: the stored one-row stats table
+      // rides the same cross joins into TextIndex.search
+      "q_text_bm25_stored", "q_text_bm25_reingested",
       // q_sim_hybrid_rrf: the BM25 arm carries q_text_bm25's one-row
       // stat broadcast; the vector arm is the qSimTopkBrute
       // 8-query-broadcast self-exclusion inequality join
