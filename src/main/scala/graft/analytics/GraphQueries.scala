@@ -1,0 +1,123 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relations the star schema already implies —
+  * here: entity importance by PageRank on the customer↔supplier
+  * trading graph (an order line `customer bought from supplier` is an
+  * edge; rank flows both ways, so well-connected suppliers AND the
+  * customers that buy broadly rise together). The same machinery — a
+  * sparse edge relation, per-iteration contribution join + in-degree
+  * aggregation — is the shape of every distributed power-iteration
+  * algorithm; the dedup connected-components resolver
+  * ([[DedupQueries]]) is its min-label cousin.
+  *
+  * Scale shape: one shuffle per iteration, keyed consistently on the
+  * node id (the contribution join and the in-sum aggregation reuse
+  * the same hash partitioning); the edge relation with out-degrees
+  * denormalized persists once and streams through each pass; nothing
+  * driver-side ever holds more than the one-row node-count scalar.
+  * Iteration count is FIXED (3) — the oracle-parity trade: a
+  * convergence test needs a driver-side delta check, a fixed horizon
+  * is pure dataflow (and at 100 TB you run fixed sweeps anyway).
+  *
+  * Cross-engine parity (the [[SimilarityQueries.qSimKmeans]] integer
+  * discipline for iterative algorithms): ranks live in NANO-units
+  * (1e9 total mass), every per-edge contribution is an exact integer
+  * division `r DIV outdeg`, and the damping update
+  * `(15·base + 85·insum) DIV 100` stays in BIGINT — every iteration
+  * is bit-reproducible in any engine, so a 3-step distributed
+  * PageRank hash-matches DuckDB's unrolled recursion exactly.
+  * Truncation loss from the integer divisions is bounded by one unit
+  * per edge per iteration (spec-asserted conservation bound). */
+object GraphQueries {
+  import RelationalQueries.Q
+
+  /** Integer PageRank over an undirected bipartite edge list `eo`
+    * with columns (c, s): both directions are materialized, damping
+    * 0.85, `iters` sweeps. Returns (node, r) in nano-units. Exposed
+    * for the spec's fixture graphs. */
+  private[analytics] def pagerank(eo: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = eo.select(col("c").as("src"), col("s").as("dst"))
+      .union(eo.select(col("s").as("src"), col("c").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesD = edges.join(deg, "src").persist(MEMORY_AND_DISK)
+    val stats = deg.agg(
+      expr("CAST(1000000000 DIV count(1) AS BIGINT)").as("base"))
+    var r = deg.crossJoin(broadcast(stats))
+      .select(col("src").as("node"), col("base").as("r"))
+    for (_ <- 1 to iters)
+      r = edgesD.join(r, edgesD("src") === r("node"))
+        .select(col("dst"), expr("r DIV outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("insum"))
+        .crossJoin(broadcast(stats))
+        .select(col("dst").as("node"),
+          expr("CAST((15 * base + 85 * insum) DIV 100 AS BIGINT)").as("r"))
+    QueryScopedCache.releaseAfter(r, Seq(edgesD))
+  }
+
+  /** One unrolled oracle iteration: `cur` from `prev`. */
+  private def iterSql(prev: String, cur: String): String = s"""
+      $cur AS (
+        SELECT e.dst AS node,
+               CAST((15 * MIN(st.base) +
+                     85 * CAST(SUM(r.r // d.outdeg) AS BIGINT)) // 100
+                 AS BIGINT) AS r
+        FROM edges e
+        JOIN $prev r ON r.node = e.src
+        JOIN deg d ON d.src = e.src
+        CROSS JOIN stats st
+        GROUP BY e.dst)"""
+
+  /** Top-20 trading-graph entities by 3-sweep PageRank. Node ids are
+    * namespaced (customer = key·2, supplier = key·2+1) so the two
+    * entity families share one graph without collision. */
+  val qGraphPagerank = Q(
+    "q_graph_pagerank",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val eo = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val r = pagerank(eo, 3)
+      // grouped-top-k without a partition-less window: TakeOrdered
+      // then in-row rank assignment (the q_prep_tokenize discipline)
+      r.orderBy(col("r").desc, col("node")).limit(20)
+        .agg(sort_array(collect_list(
+          struct((-col("r")).as("negr"), col("node")))).as("ts"))
+        .select(posexplode(col("ts")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.node").as("node"),
+          (-col("col.negr")).as("pr_nano"))
+        .orderBy(col("rank"))
+    },
+    Some(s"""
+      WITH eo AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT c AS src, s AS dst FROM eo
+        UNION ALL
+        SELECT s AS src, c AS dst FROM eo),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      stats AS (
+        SELECT CAST(1000000000 // COUNT(*) AS BIGINT) AS base FROM deg),
+      r0 AS (SELECT src AS node, base AS r FROM deg CROSS JOIN stats),
+      ${iterSql("r0", "r1")},
+      ${iterSql("r1", "r2")},
+      ${iterSql("r2", "r3")}
+      SELECT rank, node, pr_nano FROM (
+        SELECT node, r AS pr_nano,
+               ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rank
+        FROM r3) x
+      WHERE rank <= 20 ORDER BY rank"""))
+
+  val all: Seq[Q] = Seq(qGraphPagerank)
+}

@@ -926,9 +926,115 @@ object TextQueries {
     },
     Some(bm25OracleSql))
 
+  /** TF-IDF sparse-cosine document similarity — "related documents"
+    * for a query batch via the TERM-PARTITIONED postings join (the
+    * classic MapReduce pairwise-similarity decomposition, Elsayed et
+    * al. 2008): a pair's dot product is the sum over SHARED terms of
+    * weight products, so the postings equi-join on the term computes
+    * every pair's partial products exactly where the term lives — no
+    * document-vector materialization, no all-pairs relation.
+    *
+    * Scale shape: the batch side (20 docs' postings) broadcasts into
+    * the term join; the corpus side streams — candidate volume is
+    * Σ_term (batch_tf × df), which the DF CUT (drop terms in > 4/5 of
+    * docs) bounds: at web scale the near-universal terms are exactly
+    * the ones whose inverted lists would otherwise dominate the join,
+    * and dropping them barely moves cosine (their idf ≈ 0 makes their
+    * weight products noise). Vector space and norms live in the SAME
+    * cut space, so the cosine is exact within it.
+    *
+    * Parity: idf rounds once to a 6dp decimal; weights are exact
+    * decimal(12,6) products of (tf × idf); dots and norms accumulate
+    * as exact decimal sums (order-independent); one double
+    * sqrt/divide at the end, rounded to 6dp — no cross-engine drift
+    * surface anywhere. */
+  val qTextTfidfSim = Q(
+    "q_text_tfidf_sim",
+    (s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("n"))
+      val stats = tf.groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"))
+      val kept = tf.groupBy(col("w"))
+        .agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .filter(col("df") * 5 <= col("n_docs") * 4)
+        .select(col("w"),
+          round(log(col("n_docs") * lit(1.0) / col("df")), 6)
+            .cast("decimal(25,6)").as("idf"))
+      val wgt = tf.join(kept, "w")
+        .select(col("doc_id"), col("w"),
+          (col("n") * col("idf")).cast("decimal(12,6)").as("wt"))
+      val norms = wgt.groupBy(col("doc_id"))
+        .agg(sum(col("wt") * col("wt")).as("nrm"))
+      val batch = wgt.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), col("w"), col("wt").as("qwt"))
+      val dots = broadcast(batch).join(wgt, "w")
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("qwt") * col("wt")).as("dot"))
+      val scored = dots
+        .join(norms.select(col("doc_id").as("qid"), col("nrm").as("qnrm")),
+          "qid")
+        .join(norms, "doc_id")
+        .select(col("qid"), col("doc_id"),
+          round(col("dot").cast("double") /
+            (sqrt(col("qnrm").cast("double")) *
+              sqrt(col("nrm").cast("double"))), 6).as("cos_sim"))
+      val rw = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(rw).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("doc_id"), col("cos_sim"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, w, COUNT(*) AS n
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id, w),
+      stats AS (
+        SELECT COUNT(*) AS n_docs
+        FROM (SELECT doc_id FROM tf GROUP BY doc_id)),
+      kept AS (
+        SELECT w, CAST(ROUND(LN(n_docs * CAST(1.0 AS DOUBLE) / df), 6)
+                 AS DECIMAL(25,6)) AS idf
+        FROM (SELECT w, COUNT(*) AS df FROM tf GROUP BY w)
+        CROSS JOIN stats
+        WHERE df * 5 <= n_docs * 4),
+      wgt AS (
+        SELECT doc_id, w, CAST(n * idf AS DECIMAL(12,6)) AS wt
+        FROM tf JOIN kept USING (w)),
+      norms AS (
+        SELECT doc_id, SUM(wt * wt) AS nrm FROM wgt GROUP BY doc_id),
+      dots AS (
+        SELECT b.doc_id AS qid, c.doc_id, SUM(b.wt * c.wt) AS dot
+        FROM wgt b JOIN wgt c USING (w)
+        WHERE b.doc_id < 20 AND c.doc_id <> b.doc_id
+        GROUP BY b.doc_id, c.doc_id),
+      scored AS (
+        SELECT d.qid, d.doc_id,
+               ROUND(CAST(d.dot AS DOUBLE) /
+                 (SQRT(CAST(nq.nrm AS DOUBLE)) *
+                  SQRT(CAST(nc.nrm AS DOUBLE))), 6) AS cos_sim
+        FROM dots d
+        JOIN norms nq ON nq.doc_id = d.qid
+        JOIN norms nc ON nc.doc_id = d.doc_id)
+      SELECT qid, rank, doc_id, cos_sim FROM (
+        SELECT qid, doc_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, doc_id) AS rank
+        FROM scored) x
+      WHERE rank <= 5 ORDER BY qid, rank"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
     qTextFingerprint, qTextVocab, qHeavyHitters, qTextCountmin,
     qTextRepetition,
     qTextLogprob, qTextBigramLogprob, qTextBpePairs, qTextBpeMerges,
-    qTextBm25, qTextBm25Stored, qTextBm25Reingested, qStatsDatacard)
+    qTextBm25, qTextBm25Stored, qTextBm25Reingested, qTextTfidfSim,
+    qStatsDatacard)
 }

@@ -1562,6 +1562,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       StoreMeta.docCount(spark, "textidx_rg_b"))
   }
 
+  test("pagerank: structure ranks right; nano-mass conserved within truncation") {
+    // star: customer 1 (node 2) trades with suppliers 1..8 (nodes
+    // 3,5,…,17); pendant pair: customer 2 (node 4) ↔ supplier 9 (19)
+    val eo = ((1 to 8).map(i => (2L, (i * 2 + 1).toLong)) :+ ((4L, 19L)))
+      .toDF("c", "s")
+    val r = GraphQueries.pagerank(eo, 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet.size === 11)
+    // the hub holds the most rank; every star leaf gets 1/8 of the
+    // hub's mass while the pendant supplier gets ALL of its partner's
+    val hub = r(2L)
+    (1 to 8).foreach(i => assert(hub > r((i * 2 + 1).toLong),
+      s"hub must outrank star leaf ${i * 2 + 1}: $r"))
+    assert(r(19L) > r(3L),
+      s"pendant supplier (full inheritance) must outrank a star leaf: $r")
+    // integer divisions only ever TRUNCATE: total nano-mass never
+    // exceeds 1e9 and loses at most ~1 unit per division performed
+    // (11 base-splits + 3 sweeps × (18 contributions + 11 damping))
+    val total = r.values.sum
+    assert(total <= 1000000000L, s"mass created from nothing: $total")
+    assert(total >= 1000000000L - 200L, s"truncation loss too large: $total")
+  }
+
   test("bm25: every retrieved doc contains a query term; all 8 queries fill") {
     // the oracle gate proves cross-engine parity; this pins retrieval
     // SEMANTICS — a doc can only score via postings it actually has

@@ -93,6 +93,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_text_bm25_stored/_reingested: the stored one-row stats table
       // rides the same cross joins into TextIndex.search
       "q_text_bm25_stored", "q_text_bm25_reingested",
+      // q_text_tfidf_sim: the one-row doc-count broadcast rides a
+      // cross join into the df cut (the q_text_logprob pattern)
+      "q_text_tfidf_sim",
+      // q_graph_pagerank: the one-row rank-mass scalar (1e9 DIV n)
+      // rides a cross join into every damping update — bounded by
+      // construction, the q_sim_kmeans pattern
+      "q_graph_pagerank",
       // q_sim_hybrid_rrf: the BM25 arm carries q_text_bm25's one-row
       // stat broadcast; the vector arm is the qSimTopkBrute
       // 8-query-broadcast self-exclusion inequality join
