@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{DedupQueries, GraphQueries, MultimodalQueries, PipelineQueries, PrepQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.analytics.{DedupQueries, EventQueries, GraphQueries, MultimodalQueries, PipelineQueries, PrepQueries, RelationalQueries, SimilarityQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -10,7 +10,8 @@ object SparkEntry {
 
   private def registries = Seq(RelationalQueries.all, PipelineQueries.all,
     DedupQueries.all, SimilarityQueries.all, TextQueries.all,
-    MultimodalQueries.all, PrepQueries.all, GraphQueries.all)
+    MultimodalQueries.all, PrepQueries.all, GraphQueries.all,
+    EventQueries.all)
 
   private lazy val queryList: Seq[RelationalQueries.Q] = registries.flatten
 

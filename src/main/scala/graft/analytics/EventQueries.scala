@@ -1,0 +1,155 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics over the `events` stream table — the
+  * ordered-sequence operator family (funnel, cohort retention) that
+  * product analytics engines treat as first-class and plain GROUP BY
+  * cannot express directly: both need "earliest X AFTER the user's
+  * earliest Y" sequencing per user.
+  *
+  * Scale shape: everything here is keyed on user_id — the funnel's
+  * three stage resolutions and retention's first-touch derivation are
+  * successive aggregations/joins on the SAME key, so Catalyst reuses
+  * one hash partitioning across the chain (no re-shuffle between
+  * stages; the user-keyed exchange is the only corpus-scale movement,
+  * and per-user state is a handful of timestamps, never the event
+  * list). Final rollups land on tiny keys (stage / cohort-day). */
+object EventQueries {
+  import RelationalQueries.Q
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  /** Three-stage funnel view → click → purchase with STRICT temporal
+    * ordering per user (the click must follow that user's FIRST view,
+    * the purchase that user's first qualifying click — the standard
+    * product-funnel semantics, not mere per-type existence). Output:
+    * one row per stage with the surviving-user count and the
+    * conversion rate from stage 1.
+    *
+    * Sequencing is resolved by iterated conditional aggregation —
+    * stage N+1's candidate events filter on stage N's resolved
+    * timestamp after a user-keyed join — which is exactly how the
+    * semantics distribute: no per-user event-list collection, no
+    * window over the whole event stream. */
+  val qEventsFunnel = Q(
+    "q_events_funnel",
+    (s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = e.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"))
+        .filter(col("t1").isNotNull)
+      val s2 = e.join(s1, "user_id")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).as("t2"))
+        .filter(col("t2").isNotNull)
+      val s3 = e.join(s2, "user_id")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t2"), col("ts"))).as("t3"))
+        .filter(col("t3").isNotNull)
+      val counts = s1.agg(count(lit(1)).as("n")).select(lit(1L).as("stage"),
+          lit("view").as("event_type"), col("n"))
+        .union(s2.agg(count(lit(1)).as("n")).select(lit(2L).as("stage"),
+          lit("click").as("event_type"), col("n")))
+        .union(s3.agg(count(lit(1)).as("n")).select(lit(3L).as("stage"),
+          lit("purchase").as("event_type"), col("n")))
+      val base = s1.agg(count(lit(1)).cast("long").as("n_base"))
+      counts.crossJoin(broadcast(base))
+        .select(col("stage"), col("event_type"), col("n").as("n_users"),
+          round(col("n") * lit(1.0) / col("n_base"), 6).as("conversion"))
+        .orderBy(col("stage"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, ts FROM events),
+      s1 AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM e GROUP BY user_id
+        HAVING MIN(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL),
+      s2 AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN event_type = 'click' AND ts > t1
+                   THEN ts END) AS t2
+        FROM e JOIN s1 USING (user_id) GROUP BY e.user_id
+        HAVING MIN(CASE WHEN event_type = 'click' AND ts > t1
+                   THEN ts END) IS NOT NULL),
+      s3 AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+                   THEN ts END) AS t3
+        FROM e JOIN s2 USING (user_id) GROUP BY e.user_id
+        HAVING MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+                   THEN ts END) IS NOT NULL),
+      counts AS (
+        SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+               COUNT(*) AS n FROM s1
+        UNION ALL
+        SELECT 2, 'click', COUNT(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', COUNT(*) FROM s3),
+      base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_base FROM s1)
+      SELECT stage, event_type, n AS n_users,
+             ROUND(n * 1.0 / n_base, 6) AS conversion
+      FROM counts CROSS JOIN base ORDER BY stage"""))
+
+  /** Day-grain cohort retention: users cohort by their FIRST-seen day;
+    * a cohort's retention at offset d = the share of its users active
+    * d days later (offsets 1, 3, 7 — the product-analytics staples).
+    * Output (cohort_day, day_offset, n_cohort, n_active, retention).
+    *
+    * The distributed shape: distinct (user, day) activity first (one
+    * user-keyed reduction that also yields the first-touch day), then
+    * offsets from a user-keyed join — per-user state is its day SET
+    * compressed to distinct rows, never the raw events. Cohort-day
+    * rollups are calendar-bounded keys. */
+  val qEventsRetention = Q(
+    "q_events_retention",
+    (s, dir) => {
+      val days = ev(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val first = days.groupBy(col("user_id"))
+        .agg(min(col("d")).as("cohort_day"))
+      val cohortSize = first.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("n_cohort"))
+      val offsets = days.join(first, "user_id")
+        .select(col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).cast("long")
+            .as("day_offset"))
+        .filter(col("day_offset").isInCollection(Seq(1L, 3L, 7L)))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      offsets.join(cohortSize, "cohort_day")
+        .select(col("cohort_day"), col("day_offset"), col("n_cohort"),
+          col("n_active"),
+          round(col("n_active") * lit(1.0) / col("n_cohort"), 6)
+            .as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      first AS (
+        SELECT user_id, MIN(d) AS cohort_day FROM days GROUP BY user_id),
+      cohort_size AS (
+        SELECT cohort_day, COUNT(*) AS n_cohort FROM first
+        GROUP BY cohort_day),
+      offsets AS (
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, d.d) AS BIGINT)
+                 AS day_offset,
+               COUNT(*) AS n_active
+        FROM days d JOIN first f USING (user_id)
+        WHERE date_diff('day', f.cohort_day, d.d) IN (1, 3, 7)
+        GROUP BY f.cohort_day, date_diff('day', f.cohort_day, d.d))
+      SELECT o.cohort_day, o.day_offset, c.n_cohort, o.n_active,
+             ROUND(o.n_active * 1.0 / c.n_cohort, 6) AS retention
+      FROM offsets o JOIN cohort_size c USING (cohort_day)
+      ORDER BY o.cohort_day, o.day_offset"""))
+
+  val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention)
+}

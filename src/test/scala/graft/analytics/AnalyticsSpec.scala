@@ -1562,6 +1562,62 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       StoreMeta.docCount(spark, "textidx_rg_b"))
   }
 
+  test("funnel: strict temporal ordering, not per-type existence") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // A completes in order; B clicks BEFORE its first view (stage 1
+    // only); C never clicks (purchase without click must not count);
+    // D views then clicks but purchases BEFORE the click (stage 2)
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "purchase", 0.0, "{}"),
+      (4L, ts("2024-01-01 09:00:00"), 2L, "click", 0.0, "{}"),
+      (5L, ts("2024-01-01 09:30:00"), 2L, "view", 0.0, "{}"),
+      (6L, ts("2024-01-01 08:00:00"), 3L, "view", 0.0, "{}"),
+      (7L, ts("2024-01-01 08:30:00"), 3L, "purchase", 0.0, "{}"),
+      (8L, ts("2024-01-01 07:00:00"), 4L, "view", 0.0, "{}"),
+      (9L, ts("2024-01-01 07:20:00"), 4L, "purchase", 0.0, "{}"),
+      (10L, ts("2024-01-01 07:40:00"), 4L, "click", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.qEventsFunnel.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // stage 1: users 1,2,3,4 (all have a view) — note B's pre-view
+    // click exists but stage 1 is first-view; stage 2: users 1 and 4
+    // (clicks after their first view); stage 3: user 1 only (D's
+    // purchase precedes its qualifying click)
+    assert(got === Map(1L -> 4L, 2L -> 2L, 3L -> 1L), s"got: $got")
+  }
+
+  test("text index: foreachBatch admits are searchable from the outer session") {
+    // the lexical daily loop with the session-clone cache pitfall the
+    // other two stores hit: admit runs on the micro-batch CLONE
+    // session, search on the outer one
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = Tables(spark, sf, "documents").select($"doc_id", $"text")
+    TextIndex.ingest(d, "textidx_loop", buckets = 2)
+    val q0 = TextIndex.derivedQueries(spark, "textidx_loop")
+      .filter($"qid" === 0L).collect().map(_.getString(1))
+    val in = MemoryStream[Long]
+    val q = in.toDS().toDF("doc_id").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val batch = b.select($"doc_id",
+          lit(Seq.fill(40)(q0).flatten.mkString(" ")).as("text"))
+        TextIndex.admit(spark, "textidx_loop", batch)
+        ()
+      }
+      .start()
+    in.addData(77001L)
+    q.processAllAvailable()
+    q.stop()
+    val docs = TextQueries.bm25StoredSearch(spark, "textidx_loop")
+      .collect().map(_.getLong(2)).toSet
+    assert(docs.contains(77001L),
+      s"admitted doc invisible to the outer session: $docs")
+  }
+
   test("pagerank: structure ranks right; nano-mass conserved within truncation") {
     // star: customer 1 (node 2) trades with suppliers 1..8 (nodes
     // 3,5,…,17); pendant pair: customer 2 (node 4) ↔ supplier 9 (19)

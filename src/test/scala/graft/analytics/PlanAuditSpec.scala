@@ -100,6 +100,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // rides a cross join into every damping update — bounded by
       // construction, the q_sim_kmeans pattern
       "q_graph_pagerank",
+      // q_events_funnel: the one-row funnel-base count rides a cross
+      // join into the conversion-rate projection
+      "q_events_funnel",
       // q_sim_hybrid_rrf: the BM25 arm carries q_text_bm25's one-row
       // stat broadcast; the vector arm is the qSimTopkBrute
       // 8-query-broadcast self-exclusion inequality join
