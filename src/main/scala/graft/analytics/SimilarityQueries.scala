@@ -927,7 +927,8 @@ object SimilarityQueries {
       val vecArm = cos.withColumn("rank_vec", row_number().over(vw).cast("long"))
         .filter(col("rank_vec") <= 30)
         .select(col("qid"), col("doc_id"), col("rank_vec"))
-      val lexPd = TextQueries.bm25PerDoc(s, dir)
+      val (lexPd0, lexHandles) = TextQueries.bm25PerDoc(s, dir)
+      val lexPd = lexPd0
         .filter(col("qid") < 8 && col("doc_id") =!= col("qid"))
       val lw = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("doc_id"))
@@ -943,11 +944,13 @@ object SimilarityQueries {
               .cast("decimal(25,6)"), zero)).cast("double").as("rrf"))
       val fw = Window.partitionBy(col("qid"))
         .orderBy(col("rrf").desc, col("doc_id"))
-      fused.withColumn("rank", row_number().over(fw).cast("long"))
+      val result = fused
+        .withColumn("rank", row_number().over(fw).cast("long"))
         .filter(col("rank") <= 10)
         .select(col("qid"), col("rank"), col("doc_id"),
           col("rank_vec"), col("rank_lex"), col("rrf"))
         .orderBy(col("qid"), col("rank"))
+      QueryScopedCache.releaseAfter(result, lexHandles)
     },
     Some(s"""
       WITH e AS (

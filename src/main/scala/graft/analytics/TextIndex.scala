@@ -38,17 +38,21 @@ object TextIndex {
 
   private[analytics] val parts = Seq("post", "dict", "stats")
 
-  /** (doc_id, w, n, dl) term frequencies with the doc length attached
-    * — one narrow tokenize + two count aggregations on the same
-    * (doc_id, w) exchange. `docs` is any (doc_id, text) frame. */
-  private def postings(docs: DataFrame): DataFrame = {
+  /** (doc_id, w, n, dl) term frequencies with the doc length attached,
+    * plus the persisted tf handle the caller unpersists after its
+    * write action — the tf aggregation feeds both the doc-length
+    * reduction and the join probe, so the corpus tokenizes once.
+    * `docs` is any (doc_id, text) frame. */
+  private def postings(docs: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("n"))
+      .persist(MEMORY_AND_DISK)
     val dl = tf.groupBy(col("doc_id"))
       .agg(sum(col("n")).cast("long").as("dl"))
-    tf.join(dl, "doc_id")
+    (tf.join(dl, "doc_id"), tf)
   }
 
   /** Build and persist the index for a (doc_id, text) corpus frame:
@@ -62,10 +66,11 @@ object TextIndex {
     val g = StoreMeta.begin(s, store)
     def gt(p: String) = StoreMeta.name(store, p, g)
     parts.foreach(p => SignatureStore.dropStale(s, gt(p)))
-    postings(docs)
-      .select(col("w"), col("doc_id"), col("n"), col("dl"))
+    val (post, tfHandle) = postings(docs)
+    try post.select(col("w"), col("doc_id"), col("n"), col("dl"))
       .write.bucketBy(buckets, "w").sortBy("w")
       .format("parquet").mode("overwrite").saveAsTable(gt("post"))
+    finally tfHandle.unpersist()
     SignatureStore.markStoreTable(s, gt("post"))
     writeDerived(s, store, g, buckets)
   }
@@ -105,11 +110,12 @@ object TextIndex {
   def admit(s: SparkSession, store: String, batch: DataFrame): Unit = {
     val gen = StoreMeta.genOrFail(s, store)
     val postT = StoreMeta.name(store, "post", gen)
-    postings(batch)
-      .select(col("w"), col("doc_id"), col("n"), col("dl"))
+    val (post, tfHandle) = postings(batch)
+    try post.select(col("w"), col("doc_id"), col("n"), col("dl"))
       .write.format("parquet").mode("append")
       .bucketBy(SignatureStore.bucketCount(s, postT), "w").sortBy("w")
       .saveAsTable(postT)
+    finally tfHandle.unpersist()
     StoreMeta.addDocs(s, store, batch.select(col("doc_id")).distinct.count)
     // invalidate the CALLER session's relation cache — inside
     // foreachBatch the write runs on the micro-batch session clone

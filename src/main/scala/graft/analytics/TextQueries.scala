@@ -775,12 +775,20 @@ object TextQueries {
   /** Per-(query, doc) BM25 totals — the scoring core shared by
     * [[qTextBm25]] and the hybrid fusion
     * ([[SimilarityQueries.qSimHybridRrf]]). Returns
-    * (qid, doc_id, score<double>). */
-  private[analytics] def bm25PerDoc(s: SparkSession, dir: String): DataFrame = {
+    * ((qid, doc_id, score<double>), cache handles): the postings
+    * aggregation feeds FOUR consumers (doc lengths, document
+    * frequencies, the corpus stats, the scoring probe), so it persists
+    * once — the corpus tokenizes a single time, not per consumer —
+    * and the caller releases the handle after its final action
+    * ([[DedupQueries]]' two-frame screenBatch discipline). */
+  private[analytics] def bm25PerDoc(s: SparkSession,
+      dir: String): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val tf = docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("n"))
+      .persist(MEMORY_AND_DISK)
     val dl = tf.groupBy(col("doc_id"))
       .agg(sum(col("n")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
@@ -804,8 +812,8 @@ object TextQueries {
           (col("n") + lit(0.3) + lit(0.9) *
             (col("dl") * col("n_docs") / col("n_total")))), 6)
           .cast("decimal(25,6)").as("ts"))
-    scored.groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("ts")).cast("double").as("score"))
+    (scored.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("ts")).cast("double").as("score")), Seq(tf))
   }
 
   /** The BM25 scoring CTE chain shared verbatim by the [[qTextBm25]]
@@ -851,13 +859,15 @@ object TextQueries {
   val qTextBm25 = Q(
     "q_text_bm25",
     (s, dir) => {
-      val perDoc = bm25PerDoc(s, dir)
+      val (perDoc, handles) = bm25PerDoc(s, dir)
       val rw = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("doc_id"))
-      perDoc.withColumn("rank", row_number().over(rw).cast("long"))
+      val result = perDoc
+        .withColumn("rank", row_number().over(rw).cast("long"))
         .filter(col("rank") <= 10)
         .select(col("qid"), col("rank"), col("doc_id"), col("score"))
         .orderBy(col("qid"), col("rank"))
+      QueryScopedCache.releaseAfter(result, handles)
     },
     Some(bm25OracleSql))
 
@@ -951,10 +961,12 @@ object TextQueries {
   val qTextTfidfSim = Q(
     "q_text_tfidf_sim",
     (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val tf = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy(col("doc_id"), col("w"))
         .agg(count(lit(1)).as("n"))
+        .persist(MEMORY_AND_DISK)
       val stats = tf.groupBy(col("doc_id"))
         .agg(sum(col("n")).as("dl"))
         .agg(count(lit(1)).as("n_docs"))
@@ -968,6 +980,7 @@ object TextQueries {
       val wgt = tf.join(kept, "w")
         .select(col("doc_id"), col("w"),
           (col("n") * col("idf")).cast("decimal(12,6)").as("wt"))
+        .persist(MEMORY_AND_DISK)
       val norms = wgt.groupBy(col("doc_id"))
         .agg(sum(col("wt") * col("wt")).as("nrm"))
       val batch = wgt.filter(col("doc_id") < 20)
@@ -986,10 +999,12 @@ object TextQueries {
               sqrt(col("nrm").cast("double"))), 6).as("cos_sim"))
       val rw = Window.partitionBy(col("qid"))
         .orderBy(col("cos_sim").desc, col("doc_id"))
-      scored.withColumn("rank", row_number().over(rw).cast("long"))
+      val result = scored
+        .withColumn("rank", row_number().over(rw).cast("long"))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("rank"), col("doc_id"), col("cos_sim"))
         .orderBy(col("qid"), col("rank"))
+      QueryScopedCache.releaseAfter(result, Seq(tf, wgt))
     },
     Some("""
       WITH tf AS (
