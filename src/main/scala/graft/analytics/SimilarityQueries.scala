@@ -809,58 +809,62 @@ object SimilarityQueries {
     * array. Per iteration: one narrow pass + one tiny shuffle.
     * Centroid ids stay the seed vec_ids, so an empty cluster simply
     * drops out in both engines identically. */
-  val qSimKmeans = Q(
-    "q_sim_kmeans",
-    (s, dir) => {
-      val k = 8
-      val vm0 = emb(s, dir).select(col("vec_id"),
-        expr("transform(v, x -> cast(round(x * 1000000) as bigint))")
-          .as("vm"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bestExpr = expr(
-        """array_min(transform(cents, c -> struct(
-             aggregate(zip_with(vm, c.cm, (a, b) -> (a - b) * (a - b)),
-                       cast(0 as bigint), (acc, x) -> acc + x) as d,
-             c.cid as cid)))""")
-      def assign(cents: DataFrame): DataFrame =
-        vm0.crossJoin(broadcast(cents))
-          .withColumn("best", bestExpr)
-          .select(col("vec_id"), col("vm"),
-            col("best.cid").as("cid"), col("best.d").as("d"))
-      def update(assigned: DataFrame): DataFrame = assigned
-        .select(col("cid"), posexplode(col("vm")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(expr("cast(round(sum(col) * 1.0 / count(1)) as bigint)")
-          .as("m"))
-        .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
-          .as("cm"))
-        .agg(expr("array_sort(collect_list(struct(cid, cm)))").as("cents"))
-      var cents = vm0
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
-        .select(col("vec_id").as("cid"), col("vm").as("cm"))
-        .agg(expr("array_sort(collect_list(struct(cid, cm)))").as("cents"))
-      for (_ <- 1 to 2) cents = update(assign(cents))
-      val result = assign(cents)
-        .select(col("vec_id"), col("cid").as("cluster"),
-          col("d").as("dist_micro2"))
-        .orderBy(col("vec_id"))
-      QueryScopedCache.releaseAfter(result, Seq(vm0))
-    },
-    Some {
-      val dist =
-        """CAST(list_sum(list_transform(generate_series(1, len(v.vm)),
-             i -> (v.vm[i] - c.cm[i]) * (v.vm[i] - c.cm[i]))) AS BIGINT)"""
-      def assignSql(a: String, c: String) = s"""
+  /** Integer-Lloyd training shared by [[qSimKmeans]] and the trained
+    * IVF search ([[qSimIvfTrained]]): micro-unit quantize once, then
+    * `iters` assign/update sweeps in exact integer arithmetic (see
+    * qSimKmeans's parity note). Returns (trained one-row centroid
+    * frame, the persisted micro-unit corpus the caller releases, the
+    * assign function for reuse). */
+  private def kmeansTrain(s: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, DataFrame, DataFrame => DataFrame) = {
+    val vm0 = emb(s, dir).select(col("vec_id"),
+      expr("transform(v, x -> cast(round(x * 1000000) as bigint))")
+        .as("vm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bestExpr = expr(
+      """array_min(transform(cents, c -> struct(
+           aggregate(zip_with(vm, c.cm, (a, b) -> (a - b) * (a - b)),
+                     cast(0 as bigint), (acc, x) -> acc + x) as d,
+           c.cid as cid)))""")
+    def assign(cents: DataFrame): DataFrame =
+      vm0.crossJoin(broadcast(cents))
+        .withColumn("best", bestExpr)
+        .select(col("vec_id"), col("vm"),
+          col("best.cid").as("cid"), col("best.d").as("d"))
+    def update(assigned: DataFrame): DataFrame = assigned
+      .select(col("cid"), posexplode(col("vm")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(expr("cast(round(sum(col) * 1.0 / count(1)) as bigint)")
+        .as("m"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+        .as("cm"))
+      .agg(expr("array_sort(collect_list(struct(cid, cm)))").as("cents"))
+    var cents = vm0
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("vm").as("cm"))
+      .agg(expr("array_sort(collect_list(struct(cid, cm)))").as("cents"))
+    for (_ <- 1 to iters) cents = update(assign(cents))
+    (cents, vm0, assign)
+  }
+
+  /** Micro-unit integer L2² between `$v.vm` and `$c.cm` — the oracle
+    * distance kernel, alias-parameterized for reuse. */
+  private def kmDistSql(v: String, c: String) =
+    s"""CAST(list_sum(list_transform(generate_series(1, len($v.vm)),
+         i -> ($v.vm[i] - $c.cm[i]) * ($v.vm[i] - $c.cm[i]))) AS BIGINT)"""
+
+  private def kmAssignSql(a: String, c: String) = s"""
         $a AS (
           SELECT vec_id, cid, d FROM (
             SELECT vec_id, cid, d,
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                                       ORDER BY d, cid) AS rn
-            FROM (SELECT v.vec_id, c.cid, $dist AS d
+            FROM (SELECT v.vec_id, c.cid, ${kmDistSql("v", "c")} AS d
                   FROM vm v CROSS JOIN $c c))
           WHERE rn = 1)"""
-      def updateSql(c: String, a: String) = s"""
+
+  private def kmUpdateSql(c: String, a: String) = s"""
         $c AS (
           SELECT cid, LIST(m ORDER BY dim) AS cm FROM (
             SELECT a.cid, t.dim,
@@ -871,8 +875,11 @@ object SimilarityQueries {
                    AS u(t)
             GROUP BY a.cid, t.dim)
           GROUP BY cid)"""
-      s"""
-      WITH e AS (
+
+  /** The 2-sweep k=8 training chain (e → vm → c0 → … → c2), shared
+    * verbatim by the kmeans and trained-IVF oracles. */
+  private lazy val kmTrainSqlPrefix = s"""
+      e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       vm AS (
         SELECT vec_id,
@@ -882,14 +889,104 @@ object SimilarityQueries {
       c0 AS (
         SELECT vec_id AS cid, vm AS cm FROM vm
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-      ${assignSql("a1", "c0")},
-      ${updateSql("c1", "a1")},
-      ${assignSql("a2", "c1")},
-      ${updateSql("c2", "a2")},
-      ${assignSql("a3", "c2")}
+      ${kmAssignSql("a1", "c0")},
+      ${kmUpdateSql("c1", "a1")},
+      ${kmAssignSql("a2", "c1")},
+      ${kmUpdateSql("c2", "a2")}"""
+
+  val qSimKmeans = Q(
+    "q_sim_kmeans",
+    (s, dir) => {
+      val (cents, vm0, assign) = kmeansTrain(s, dir, 8, 2)
+      val result = assign(cents)
+        .select(col("vec_id"), col("cid").as("cluster"),
+          col("d").as("dist_micro2"))
+        .orderBy(col("vec_id"))
+      QueryScopedCache.releaseAfter(result, Seq(vm0))
+    },
+    Some(s"""
+      WITH $kmTrainSqlPrefix,
+      ${kmAssignSql("a3", "c2")}
       SELECT vec_id, cid AS cluster, d AS dist_micro2
-      FROM a3 ORDER BY vec_id"""
-    })
+      FROM a3 ORDER BY vec_id"""))
+
+  /** IVF search over the TRAINED coarse quantizer — the integer-Lloyd
+    * centroids as a usable ANN path, not just a clustering statistic:
+    * queries rank the 8 trained cells in-row, probe the best 2 (the
+    * same 1/4 scan fraction as the md5-sampled [[qSimIvfTopk]], where
+    * the spec measured trained recall ≥ sampled), and candidates are
+    * exact-scored with the SAME micro-unit integer L2 the training
+    * used — so unlike every float-cosine ANN query, the whole path
+    * (training, probe choice, candidate scores, final ranks) is
+    * integer-exact and the DuckDB oracle reproduces it bit-for-bit,
+    * collisions and tie-breaks included.
+    *
+    * Scale shape: training is the kmeans query's (bounded sweeps over
+    * the persisted micro-unit corpus); the index assignment is one
+    * narrow pass against the broadcast trained centroids; the probe
+    * join broadcasts the tiny query×nprobe cell list into the
+    * cid-keyed candidate scan. Nothing driver-side beyond the one-row
+    * centroid array. */
+  val qSimIvfTrained = Q(
+    "q_sim_ivf_trained",
+    (s, dir) => {
+      val (cents, vm0, assign) = kmeansTrain(s, dir, 8, 2)
+      val assigned = assign(cents)
+      val probeExpr = expr(
+        """slice(array_sort(transform(cents, c -> struct(
+             aggregate(zip_with(vm, c.cm, (a, b) -> (a - b) * (a - b)),
+                       cast(0 as bigint), (acc, x) -> acc + x) as d,
+             c.cid as cid))), 1, 2)""")
+      val probes = vm0.filter(col("vec_id") < 20)
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id").as("qid"), col("vm").as("qvm"),
+          explode(probeExpr).as("p"))
+        .select(col("qid"), col("qvm"), col("p.cid").as("cid"))
+      val cand = broadcast(probes)
+        .join(assigned.select(col("vec_id").as("neighbor_id"),
+          col("vm"), col("cid")), "cid")
+        .filter(col("neighbor_id") =!= col("qid"))
+        .select(col("qid"), col("neighbor_id"),
+          expr("""aggregate(zip_with(qvm, vm, (a, b) -> (a - b) * (a - b)),
+                  cast(0 as bigint), (acc, x) -> acc + x)""").as("d"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("d"), col("neighbor_id"))
+      val result = cand
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("neighbor_id"),
+          col("d").as("l2_micro2"))
+        .orderBy(col("qid"), col("rank"))
+      QueryScopedCache.releaseAfter(result, Seq(vm0))
+    },
+    Some(s"""
+      WITH $kmTrainSqlPrefix,
+      ${kmAssignSql("a3", "c2")},
+      probes AS (
+        SELECT qid, cid FROM (
+          SELECT v.vec_id AS qid, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY ${kmDistSql("v", "c")}, c.cid) AS pr
+          FROM vm v CROSS JOIN c2 c WHERE v.vec_id < 20) x
+        WHERE pr <= 2),
+      cand AS (
+        SELECT p.qid, a.vec_id AS neighbor_id
+        FROM probes p JOIN a3 a USING (cid)
+        WHERE a.vec_id <> p.qid),
+      exact AS (
+        SELECT cd.qid, cd.neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, len(q.vm)),
+                 i -> (q.vm[i] - n2.vm[i]) * (q.vm[i] - n2.vm[i])))
+                 AS BIGINT) AS d
+        FROM cand cd
+        JOIN vm q ON q.vec_id = cd.qid
+        JOIN vm n2 ON n2.vec_id = cd.neighbor_id)
+      SELECT qid, rank, neighbor_id, d AS l2_micro2 FROM (
+        SELECT qid, neighbor_id, d,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY d, neighbor_id) AS rank
+        FROM exact) x
+      WHERE rank <= 5 ORDER BY qid, rank"""))
 
   /** Hybrid retrieval — reciprocal-rank fusion (k=60) of a lexical
     * BM25 arm ([[TextQueries.bm25PerDoc]]) and an exact-cosine vector
@@ -1001,5 +1098,5 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
     qSimIvfPqTopk, qSimIvfPqStored, qSimIvfPqAdmitted, qSimIvfPqRerank,
-    qSimSqTopk, qSimKmeans, qSimHybridRrf)
+    qSimSqTopk, qSimKmeans, qSimIvfTrained, qSimHybridRrf)
 }

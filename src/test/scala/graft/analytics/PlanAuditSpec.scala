@@ -87,6 +87,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // cross join into each assignment pass (bounded by construction,
       // the IVF pattern)
       "q_sim_kmeans",
+      // q_sim_ivf_trained: the same one-row trained-centroid broadcast
+      // rides assignment AND the query-side probe ranking
+      "q_sim_ivf_trained",
       // q_text_bm25: the single-row corpus-stat broadcast rides cross
       // joins into idf and score (the q_text_logprob pattern)
       "q_text_bm25",
