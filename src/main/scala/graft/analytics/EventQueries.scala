@@ -151,5 +151,54 @@ object EventQueries {
       FROM offsets o JOIN cohort_size c USING (cohort_day)
       ORDER BY o.cohort_day, o.day_offset"""))
 
-  val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention)
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for every ordered pair of CONSECUTIVE events by the
+    * same user, count the (prev_type → next_type) transition and its
+    * row-normalized probability — the statistic behind "what do users
+    * do after X" product questions, next-event prediction baselines,
+    * and anomaly scoring of session flows.
+    *
+    * Ordering is total — (ts, event_id) — so the per-user sequence is
+    * engine-independent even under timestamp ties. Scale shape: the
+    * ONE corpus-scale movement is the user-keyed window exchange
+    * (bounded per-user partitions — a user's own event count); the
+    * pair aggregation shrinks the stream to ≤ |event_types|² keys, and
+    * the row-normalizing second window runs on that tiny frame,
+    * partitioned by prev_type (never partition-less). */
+  val qEventsTransitions = Q(
+    "q_events_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val seqW = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = ev(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(seqW))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val rowW = Window.partitionBy(col("prev_type"))
+      pairs
+        .select(col("prev_type"), col("next_type"), col("n"),
+          sum(col("n")).over(rowW).as("n_from"))
+        .select(col("prev_type"), col("next_type"), col("n"), col("n_from"),
+          round(col("n") * lit(1.0) / col("n_from"), 6).as("p"))
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events),
+      t AS (
+        SELECT event_type AS prev_type, next_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, next_type, n,
+             CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+             ROUND(n * 1.0 /
+               CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT), 6) AS p
+      FROM t ORDER BY prev_type, next_type"""))
+
+  val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention, qEventsTransitions)
 }

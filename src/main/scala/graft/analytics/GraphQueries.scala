@@ -187,5 +187,104 @@ object GraphQueries {
         FROM counts) x
       WHERE rank <= 20 ORDER BY rank"""))
 
-  val all: Seq[Q] = Seq(qGraphPagerank, qGraphTriangles)
+  /** Breadth-first reachability on the trading graph: hop-distance
+    * histogram from a deterministic source (the minimum node id) out
+    * to 4 hops, plus the unreached remainder as `dist = -1` — the
+    * traversal primitive behind "how far is everything from X"
+    * neighborhood questions, and the engine's equivalence to SQL's
+    * recursive-CTE family (the oracle IS a `WITH RECURSIVE` query).
+    *
+    * The distributed shape is frontier iteration — level d's frontier
+    * equi-joins the edge list, dedups, and anti-joins the visited set
+    * to become level d+1 — the textbook Pregel BFS expressed as pure
+    * DataFrame algebra. Each iteration is one join + one distinct +
+    * one anti-join, ALL keyed on the node id, so the same hash
+    * partitioning carries every step; per-level frontiers persist (and
+    * release after) so the growing visited union never recomputes.
+    * The horizon is FIXED (4) for the same oracle-parity reason as
+    * [[pagerank]]'s fixed sweeps: BFS level sets are deterministic, so
+    * visited-at-level equals the oracle's MIN(dist) per node exactly.
+    * At 100 TB the identical loop runs with the frontier bucketed by
+    * node id; nothing here is driver-side (the source node is a
+    * one-row broadcast, never a collect). */
+  /** BFS hop-distance histogram over an undirected bipartite edge
+    * list `eo` with columns (c, s), from the minimum node id, out to
+    * `maxHops`; unreached nodes report as `dist = -1`. Exposed for
+    * the spec's fixture graphs. */
+  private[analytics] def bfsHistogram(eo: DataFrame, maxHops: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // partitioned by src BEFORE the persist: every level's frontier
+    // join keys on src, so the cached hash distribution is reused and
+    // the corpus-scale edge side shuffles ONCE for the whole traversal
+    // (the frontier side is the only per-level exchange)
+    val edges = eo.select(col("c").as("src"), col("s").as("dst"))
+      .union(eo.select(col("s").as("src"), col("c").as("dst")))
+      .repartition(col("src"))
+      .persist(MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .persist(MEMORY_AND_DISK)
+    val source = nodes.agg(min(col("node")).as("node"))
+    var visited = source.select(col("node"), lit(0L).as("dist"))
+      .persist(MEMORY_AND_DISK)
+    var frontier = visited
+    val persisted = Seq.newBuilder[DataFrame]
+    persisted ++= Seq(edges, nodes, visited)
+    for (d <- 1 to maxHops) {
+      val next = edges
+        .join(frontier, edges("src") === frontier("node"))
+        .select(edges("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(d.toLong).as("dist"))
+        .persist(MEMORY_AND_DISK)
+      persisted += next
+      visited = visited.union(next)
+      frontier = next
+    }
+    val hist = visited.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val unreached = nodes.join(visited, Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(-1L).as("dist"), col("n_nodes"))
+    val result = hist.union(unreached).orderBy(col("dist"))
+    QueryScopedCache.releaseAfter(result, persisted.result())
+  }
+
+  val qGraphBfs = Q(
+    "q_graph_bfs",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val eo = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      bfsHistogram(eo, 4)
+    },
+    Some("""
+      WITH RECURSIVE eo AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT c AS src, s AS dst FROM eo
+        UNION ALL
+        SELECT s AS src, c AS dst FROM eo),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      srcn AS (SELECT MIN(node) AS node FROM nodes),
+      reach AS (
+        SELECT node, 0 AS dist FROM srcn
+        UNION
+        SELECT e.dst, r.dist + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.dist < 4),
+      best AS (SELECT node, MIN(dist) AS dist FROM reach GROUP BY node)
+      SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_nodes
+      FROM best GROUP BY dist
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT),
+             (SELECT COUNT(*) FROM nodes) - (SELECT COUNT(*) FROM best)
+      ORDER BY dist"""))
+
+  val all: Seq[Q] = Seq(qGraphPagerank, qGraphTriangles, qGraphBfs)
 }

@@ -1046,10 +1046,90 @@ object TextQueries {
         FROM scored) x
       WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  /** Collocation mining: the corpus's most over-represented adjacent
+    * word pairs by association LIFT against the bigram table's own
+    * marginals — lift(a,b) = n_ab·N / (n_a•·n_•b), the argument of
+    * pointwise mutual information. Because log is monotone, ranking by
+    * lift IS ranking by PMI, and lift stays in EXACT integer
+    * micro-units (the [[SimilarityQueries.qSimKmeans]] discipline)
+    * where PMI's log would need cross-engine float parity. A minimum
+    * pair count (≥ 5) applies the standard collocation noise floor —
+    * hapax pairs otherwise dominate any PMI-family ranking.
+    *
+    * Scale shape: bigram extraction is IN-ROW on the token array (the
+    * [[qTextBigramLogprob]] trick — no positional self-join), and the
+    * first aggregation shrinks the corpus to its bigram VOCABULARY;
+    * the two marginal tables derive from that table (never re-reading
+    * text) and ride broadcasts; the final ranking is TakeOrdered(30).
+    * The micro-lift product n_ab·N·10⁶ is bounded by N²·10⁶ — BIGINT
+    * holds it through ~10⁹-bigram vocabularies; past that the same
+    * expression widens to DECIMAL(38,0) unchanged. */
+  val qTextCollocations = Q(
+    "q_text_collocations",
+    (s, dir) => {
+      val nBig = docs(s, dir)
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(2, size(ws)),
+               i -> struct(element_at(ws, i - 1) as wp,
+                           element_at(ws, i) as w))""")).as("b"))
+        .groupBy(col("b.wp").as("wp"), col("b.w").as("w"))
+        .agg(count(lit(1)).as("n_ab"))
+      val margA = nBig.groupBy(col("wp")).agg(sum(col("n_ab")).as("n_a"))
+      val margB = nBig.groupBy(col("w")).agg(sum(col("n_ab")).as("n_b"))
+      val total = nBig.agg(sum(col("n_ab")).cast("long").as("n_total"))
+      nBig.filter(col("n_ab") >= 5)
+        .join(broadcast(margA), "wp")
+        .join(broadcast(margB), "w")
+        .crossJoin(broadcast(total))
+        .select(col("wp"), col("w"), col("n_ab"),
+          expr("CAST(n_ab * n_total * 1000000 DIV (n_a * n_b) AS BIGINT)")
+            .as("micro_lift"))
+        .orderBy(col("micro_lift").desc, col("wp"), col("w")).limit(30)
+        .agg(sort_array(collect_list(struct((-col("micro_lift")).as("negl"),
+          col("wp"), col("w"), col("n_ab")))).as("ts"))
+        .select(posexplode(col("ts")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.wp").as("wp"), col("col.w").as("w"),
+          col("col.n_ab").as("n_ab"),
+          (-col("col.negl")).as("micro_lift"))
+        .orderBy(col("rank"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT ws[i - 1] AS wp, ws[i] AS w
+        FROM (SELECT ws,
+                     unnest([x for x in generate_series(2, len(ws))]) AS i
+              FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+              WHERE len(ws) >= 2)),
+      n_big AS (
+        SELECT wp, w, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM b GROUP BY 1, 2),
+      marg_a AS (
+        SELECT wp, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM n_big GROUP BY 1),
+      marg_b AS (
+        SELECT w, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM n_big GROUP BY 1),
+      total AS (
+        SELECT CAST(SUM(n_ab) AS BIGINT) AS n_total FROM n_big),
+      lifted AS (
+        SELECT wp, w, n_ab,
+               CAST(n_ab * n_total * 1000000 // (n_a * n_b) AS BIGINT)
+                 AS micro_lift
+        FROM n_big JOIN marg_a USING (wp) JOIN marg_b USING (w)
+        CROSS JOIN total
+        WHERE n_ab >= 5)
+      SELECT rank, wp, w, n_ab, micro_lift FROM (
+        SELECT wp, w, n_ab, micro_lift,
+               ROW_NUMBER() OVER (
+                 ORDER BY micro_lift DESC, wp, w) AS rank
+        FROM lifted) x
+      WHERE rank <= 30 ORDER BY rank"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
     qTextFingerprint, qTextVocab, qHeavyHitters, qTextCountmin,
     qTextRepetition,
     qTextLogprob, qTextBigramLogprob, qTextBpePairs, qTextBpeMerges,
     qTextBm25, qTextBm25Stored, qTextBm25Reingested, qTextTfidfSim,
-    qStatsDatacard)
+    qTextCollocations, qStatsDatacard)
 }

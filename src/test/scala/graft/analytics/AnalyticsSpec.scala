@@ -1641,6 +1641,79 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(total >= 1000000000L - 200L, s"truncation loss too large: $total")
   }
 
+  test("bfs: exact hop distances on a path graph; islands report unreached") {
+    // chain c1—s1—c2—s2—c3 (namespaced nodes 2,3,4,5,6: distances
+    // 0..4 from the min node) plus a disconnected island c10—s10
+    // (nodes 20,21 — must land in the dist = -1 bucket, not vanish)
+    val eo = Seq((2L, 3L), (4L, 3L), (4L, 5L), (6L, 5L), (20L, 21L))
+      .toDF("c", "s")
+    val got = GraphQueries.bfsHistogram(eo, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(-1L -> 2L, 0L -> 1L, 1L -> 1L, 2L -> 1L,
+      3L -> 1L, 4L -> 1L), s"got: $got")
+    // horizon cut: with 3 hops the chain's last node joins the island
+    // in the unreached bucket — visited-at-level is a real BFS level
+    // set, not a reachability closure
+    val cut = GraphQueries.bfsHistogram(eo, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cut === Map(-1L -> 3L, 0L -> 1L, 1L -> 1L, 2L -> 1L,
+      3L -> 1L), s"got: $cut")
+  }
+
+  test("transitions: total (ts, event_id) order; rows normalize per context") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: view→click→view; user 2 has a TIMESTAMP TIE — event_id
+    // must break it (view id 4 precedes click id 5), so the pair is
+    // view→click, never click→view
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-01 09:00:00"), 2L, "view", 0.0, "{}"),
+      (5L, ts("2024-01-01 09:00:00"), 2L, "click", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("trans").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.qEventsTransitions.run(spark, dir).collect()
+    val counts = got.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts === Map(("view", "click") -> 2L, ("click", "view") -> 1L),
+      s"got: $counts")
+    // row-normalization: per prev_type, n_from is the shared row total
+    // and the probabilities sum to 1
+    got.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sum === rs.head.getLong(3))
+      assert(math.abs(rs.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("collocations: micro-lift is the exact integer PMI argument, floor-ranked") {
+    val out = TextQueries.qTextCollocations.run(spark, sf).collect()
+    assert(out.length === 30)
+    // re-derive the raw counts independently (driver-side sliding —
+    // the query itself extracts in-row and never collects)
+    val pairs = Tables(spark, sf, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .collect()
+      .flatMap(r => r.getSeq[String](1).sliding(2).collect {
+        case scala.collection.Seq(a, b) => (a, b)
+      })
+    val nAb = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nA = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nB = pairs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val total = pairs.length.toLong
+    var prev = Long.MaxValue
+    out.foreach { r =>
+      val (wp, w, n, lift) =
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))
+      assert(n >= 5, s"noise floor violated: ($wp,$w) n=$n")
+      assert(n === nAb((wp, w)))
+      val want = n * total * 1000000L / (nA(wp) * nB(w))
+      assert(lift === want, s"($wp,$w): lift $lift != exact floor $want")
+      assert(lift <= prev, "ranking must be non-increasing in micro-lift")
+      prev = lift
+    }
+  }
+
   test("bm25: every retrieved doc contains a query term; all 8 queries fill") {
     // the oracle gate proves cross-engine parity; this pins retrieval
     // SEMANTICS — a doc can only score via postings it actually has

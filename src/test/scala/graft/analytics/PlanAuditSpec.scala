@@ -109,7 +109,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_sim_hybrid_rrf: the BM25 arm carries q_text_bm25's one-row
       // stat broadcast; the vector arm is the qSimTopkBrute
       // 8-query-broadcast self-exclusion inequality join
-      "q_sim_hybrid_rrf")
+      "q_sim_hybrid_rrf",
+      // q_text_collocations: the one-row bigram-total scalar rides a
+      // cross join into the lift projection (the q_text_logprob
+      // pattern)
+      "q_text_collocations")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
