@@ -200,5 +200,67 @@ object EventQueries {
                CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT), 6) AS p
       FROM t ORDER BY prev_type, next_type"""))
 
-  val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention, qEventsTransitions)
+  /** Rolling anomaly detection on the event stream: per event type,
+    * each hourly bucket is scored against the 24 OBSERVED buckets
+    * before it, and flagged when it deviates more than two sample
+    * standard deviations from that trailing baseline — the ops-metric
+    * spike detector, windowed so the baseline adapts to drift.
+    *
+    * The z-score test runs in EXACT integer algebra: with m = frame
+    * size, s1 = Σx, s2 = Σx², the condition z² > 4 cross-multiplies to
+    * `(m·x − s1)²·(m−1) > 4·m·(m·s2 − s1²)` — counts are integers, so
+    * both sides are BIGINT-exact in any engine and the flag needs no
+    * float variance parity (the [[GraphQueries.pagerank]] discipline
+    * applied to second moments). Warmup rows (fewer than 24 trailing
+    * buckets) are excluded rather than scored against a short frame.
+    *
+    * Scale shape: the corpus-scale event stream collapses to
+    * (type, hour) buckets in one map-side-combining aggregation; the
+    * rolling window runs on that calendar-bounded frame, partitioned
+    * by event type (never partition-less — and a year of hours is 8 760
+    * rows per type, driver-safe by construction). */
+  val qEventsAnomaly = Q(
+    "q_events_anomaly",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("w.start").as("bucket"), col("n"))
+      val fr = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(-24, -1)
+      hourly
+        .select(col("event_type"), col("bucket"), col("n"),
+          count(col("n")).over(fr).as("m"),
+          sum(col("n")).over(fr).as("s1"),
+          sum(col("n") * col("n")).over(fr).as("s2"))
+        .filter(col("m") === 24)
+        .select(col("event_type"), col("bucket"), col("n"),
+          expr("CAST(s1 * 1000000 DIV m AS BIGINT)").as("mean_micro"),
+          expr("""(m * n - s1) * (m * n - s1) * (m - 1) >
+                  4 * m * (m * s2 - s1 * s1)""").as("is_anomaly"))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      st AS (
+        SELECT event_type, bucket, n,
+               COUNT(n) OVER fr AS m,
+               CAST(SUM(n) OVER fr AS BIGINT) AS s1,
+               CAST(SUM(n * n) OVER fr AS BIGINT) AS s2
+        FROM hourly
+        WINDOW fr AS (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, bucket, n,
+             CAST(s1 * 1000000 // m AS BIGINT) AS mean_micro,
+             (m * n - s1) * (m * n - s1) * (m - 1) >
+               4 * m * (m * s2 - s1 * s1) AS is_anomaly
+      FROM st WHERE m = 24 ORDER BY event_type, bucket"""))
+
+  val all: Seq[Q] =
+    Seq(qEventsFunnel, qEventsRetention, qEventsTransitions, qEventsAnomaly)
 }

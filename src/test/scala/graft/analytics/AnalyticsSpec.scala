@@ -1686,6 +1686,34 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("anomaly: planted spike flags; post-spike hour absorbed by the frame") {
+    // 24 baseline hours alternating 2/4 events (nonzero variance),
+    // then a 40-event spike at hour 24, then a normal hour 25
+    var id = 0L
+    val rows = (0 to 25).flatMap { h =>
+      val n = if (h == 24) 40 else if (h % 2 == 0) 2 else 4
+      val ts = java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:30:00Z")
+          .plusSeconds(h * 3600L))
+      (1 to n).map { _ => id += 1
+        (id, ts, 1L, "view", 0.0, "{}") }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("anom").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.qEventsAnomaly.run(spark, dir).collect()
+    // warmup hours 0..23 are excluded: only hours 24 and 25 score
+    assert(got.length === 2, s"got ${got.length} rows")
+    val byN = got.map(r => r.getLong(2) ->
+      (r.getLong(3), r.getBoolean(4))).toMap
+    // spike hour: baseline mean 3 (exactly 3e6 micro), flagged
+    assert(byN(40L) === ((3000000L, true)), s"got: $byN")
+    // the hour after (odd → 4 events): its frame now CONTAINS the
+    // spike, variance inflates, 4 is within band — adaptivity, not
+    // latching
+    assert(byN(4L)._2 === false, s"got: $byN")
+  }
+
   test("collocations: micro-lift is the exact integer PMI argument, floor-ranked") {
     val out = TextQueries.qTextCollocations.run(spark, sf).collect()
     assert(out.length === 30)
