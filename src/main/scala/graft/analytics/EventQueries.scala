@@ -261,6 +261,55 @@ object EventQueries {
                4 * m * (m * s2 - s1 * s1) AS is_anomaly
       FROM st WHERE m = 24 ORDER BY event_type, bucket"""))
 
-  val all: Seq[Q] =
-    Seq(qEventsFunnel, qEventsRetention, qEventsTransitions, qEventsAnomaly)
+  /** Sequential path mining: the 20 most common three-step event-type
+    * paths walked by users (consecutive triples under the same total
+    * (ts, event_id) order as [[qEventsTransitions]]) — the n-gram
+    * generalization of the transition matrix, and the flat core of
+    * "common journeys" / behavioral-motif analysis.
+    *
+    * Scale shape: the same single user-keyed window exchange as the
+    * transition matrix (two LEADs over one window spec share one
+    * physical Window), then the triple aggregation collapses to at
+    * most |event_types|³ keys before a TakeOrdered(20) — no second
+    * corpus-scale movement, no per-user sequence collection. */
+  val qEventsPaths = Q(
+    "q_events_paths",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val seqW = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("t2", lead(col("event_type"), 1).over(seqW))
+        .withColumn("t3", lead(col("event_type"), 2).over(seqW))
+        .filter(col("t3").isNotNull)
+        .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3")).limit(20)
+        .agg(sort_array(collect_list(struct((-col("n")).as("negn"),
+          col("t1"), col("t2"), col("t3")))).as("ts"))
+        .select(posexplode(col("ts")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.t1").as("t1"), col("col.t2").as("t2"),
+          col("col.t3").as("t3"), (-col("col.negn")).as("n"))
+        .orderBy(col("rank"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type AS t1,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      paths AS (
+        SELECT t1, t2, t3, COUNT(*) AS n
+        FROM seq WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+      SELECT rank, t1, t2, t3, n FROM (
+        SELECT t1, t2, t3, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, t1, t2, t3) AS rank
+        FROM paths) x
+      WHERE rank <= 20 ORDER BY rank"""))
+
+  val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
+    qEventsTransitions, qEventsAnomaly, qEventsPaths)
 }

@@ -1686,6 +1686,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("paths: consecutive triples only; short sequences contribute nothing") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1 walks view→click→purchase→view (two triples); user 2's
+    // two-event sequence has no triple and must not appear
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "purchase", 0.0, "{}"),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "view", 0.0, "{}"),
+      (5L, ts("2024-01-01 09:00:00"), 2L, "view", 0.0, "{}"),
+      (6L, ts("2024-01-01 09:01:00"), 2L, "click", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("paths").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.qEventsPaths.run(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(4))
+      .toMap
+    assert(got === Map(("view", "click", "purchase") -> 1L,
+      ("click", "purchase", "view") -> 1L), s"got: $got")
+  }
+
   test("anomaly: planted spike flags; post-spike hour absorbed by the frame") {
     // 24 baseline hours alternating 2/4 events (nonzero variance),
     // then a 40-event spike at hour 24, then a normal hour 25
