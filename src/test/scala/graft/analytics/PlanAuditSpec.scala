@@ -209,6 +209,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"expected one hash exchange:\n${plans("q_sessionize_batch")}")
   }
 
+  test("path mining fuses both LEADs into one window over one exchange") {
+    // the scaladoc claim made mechanical: two lead() calls over the
+    // same window spec must compile to ONE physical Window operator,
+    // and the user-keyed exchange feeding it must be the plan's only
+    // corpus-scale hash exchange (the triple agg reuses it; the
+    // ranking is TakeOrdered, not a partition-less window)
+    val p = plans("q_events_paths")
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
+      s"expected one fused window:\n$p")
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"expected user-key + tiny-agg exchanges only:\n$p")
+  }
+
+  test("transition matrix row-normalizes on the tiny frame, not the stream") {
+    // window 1 = user-keyed lead; window 2 = prev_type-partitioned
+    // normalizing sum — the second must sit ABOVE the aggregate (its
+    // input is the <= |types|^2 transition frame, never raw events)
+    val p = plans("q_events_transitions")
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.zipWithIndex
+      .filter(_._1.contains("Window [")).map(_._2)
+    assert(winIdx.size == 2, s"expected two windows:\n$p")
+    val aggIdx = lines.zipWithIndex
+      .filter(_._1.contains("HashAggregate")).map(_._2)
+    // formatted plans list operators root-first: the normalizing
+    // window (earlier index) must be separated from the lead window
+    // (later index) by the aggregate pair
+    assert(aggIdx.exists(i => winIdx.head < i && i < winIdx.last),
+      s"normalizing window must consume the aggregated frame:\n$p")
+  }
+
   test("dimension joins broadcast the small side") {
     assert(plans("q_join_region_revenue").contains("BroadcastHashJoin"))
   }
