@@ -544,7 +544,62 @@ object PrepQueries {
              LEAST(g + n_tok, (blk + 1) * 2048) - g AS tok_end
       FROM b ORDER BY block_id, doc_id"""))
 
+  /** Curriculum banding: assign every document to one of 10
+    * difficulty bands by token count (short-to-long is the classic
+    * length-based curriculum schedule) and emit the per-band profile
+    * a training loop consumes to order its epochs.
+    *
+    * The scale decision: bands are EQUI-WIDTH over the observed
+    * [min, max] token range — `1 + (n − lo)·10 DIV (hi − lo + 1)` off
+    * a one-row broadcast extrema aggregate — NOT `ntile(10)`, because
+    * ntile is a partition-less global-sort window that serializes the
+    * corpus through one task at 100 TB. Equi-width banding is one
+    * narrow projection plus a 10-key aggregate, all integer-exact in
+    * any engine (ntile's equi-DEPTH split is the documented trade:
+    * balanced band sizes in exchange for a global sort; the mixture
+    * sampler downstream re-weights bands anyway, so width wins). */
+  val qPrepCurriculum = Q(
+    "q_prep_curriculum",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      val ext = toks.agg(min(col("n_tokens")).as("lo"),
+        max(col("n_tokens")).as("hi"))
+      toks.crossJoin(broadcast(ext))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("CAST(1 + (n_tokens - lo) * 10 DIV (hi - lo + 1) AS BIGINT)")
+            .as("band"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tok_sum"),
+          min(col("n_tokens")).cast("long").as("min_tokens"),
+          max(col("n_tokens")).cast("long").as("max_tokens"))
+        .select(col("band"), col("n_docs"),
+          expr("CAST(tok_sum * 1000000 DIV n_docs AS BIGINT)")
+            .as("mean_tokens_micro"),
+          col("min_tokens"), col("max_tokens"))
+        .orderBy(col("band"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+      ext AS (
+        SELECT MIN(n_tokens) AS lo, MAX(n_tokens) AS hi FROM toks),
+      banded AS (
+        SELECT doc_id, n_tokens,
+               CAST(1 + (n_tokens - lo) * 10 // (hi - lo + 1) AS BIGINT)
+                 AS band
+        FROM toks CROSS JOIN ext)
+      SELECT band, COUNT(*) AS n_docs,
+             CAST(CAST(SUM(n_tokens) AS BIGINT) * 1000000 // COUNT(*)
+               AS BIGINT) AS mean_tokens_micro,
+             CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+             CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+      FROM banded GROUP BY band ORDER BY band"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
-    qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack)
+    qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
+    qPrepCurriculum)
 }

@@ -113,7 +113,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_text_collocations: the one-row bigram-total scalar rides a
       // cross join into the lift projection (the q_text_logprob
       // pattern)
-      "q_text_collocations")
+      "q_text_collocations",
+      // q_prep_curriculum: the one-row token-extrema aggregate rides
+      // a cross join into the banding projection
+      "q_prep_curriculum")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
