@@ -15,6 +15,13 @@ object Tables {
     // Some fixtures carry TIMESTAMP(NANOS) (e.g. events at sf0.001),
     // which the parquet reader rejects unless nanos surface as long.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Fixture timestamps are tz-naive micros (isAdjustedToUTC=false);
+    // Spark 4 would infer TIMESTAMP_NTZ, which half the timestamp
+    // function surface (unix_micros & co.) rejects. Read them as
+    // session-UTC TIMESTAMP instead — value-identical under the
+    // project-wide UTC session, and what DuckDB's naive reads of the
+    // same files produce, so oracles line up.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       // ns → µs by truncation — identical to DuckDB's
