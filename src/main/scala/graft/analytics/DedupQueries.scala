@@ -1151,8 +1151,67 @@ object DedupQueries {
              jaccard AS best_jaccard
       FROM r WHERE rn = 1 ORDER BY new_id"""))
 
+  /** Fuzzy entity resolution (record linkage) over customer names via
+    * SYMMETRIC-DELETE blocking: every name emits its 9 single-digit-
+    * deletion variants keyed by deletion position; two names at edit
+    * distance 1 (same length ⇒ one substitution) MUST collide on the
+    * variant that deletes the substituted position, so the
+    * (position, variant) equi-join finds every candidate pair without
+    * any name×name comparison — the SymSpell blocking scheme, which
+    * unlike prefix blocking stays bounded on adversarially sequential
+    * keys (a prefix block here would hold 10^4 sequential ids; a
+    * deletion-variant bucket holds ≤ 10, one per substituted digit).
+    * Candidates are then verified with exact `levenshtein` — blocking
+    * only bounds the candidate set, never decides a match.
+    *
+    * Scale shape: constant 9× fan-out on each side (narrow), one
+    * equi-join exchange on the variant key, bucket sizes bounded by
+    * the alphabet (≤10) so no skew; the anchor side (custkey < 500,
+    * the "new batch" being linked against the full corpus) is small
+    * and broadcast. Distinct pairs reuse the join's partitioning. */
+  val qDedupEntity = Q(
+    "q_dedup_entity",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          expr("substring(c_name, 10)").as("d"))
+      def variants(df: DataFrame, idAs: String, nameAs: String): DataFrame =
+        df.select(col("c_custkey").as(idAs), col("c_name").as(nameAs),
+            explode(expr("sequence(1, 9)")).as("i"), col("d"))
+          .select(col(idAs), col(nameAs), col("i"),
+            concat(expr("substring(d, 1, i - 1)"),
+              expr("substring(d, i + 1, 9)")).as("k"))
+      val anchors = variants(c.filter(col("c_custkey") < 500), "a_id", "a_name")
+      val corpus = variants(c, "b_id", "b_name")
+      corpus.join(broadcast(anchors), Seq("i", "k"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"))
+        .distinct()
+        .filter(levenshtein(col("a_name"), col("b_name")) === 1)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_custkey, c_name, substring(c_name, 10) AS d
+        FROM customer),
+      av AS (
+        SELECT c_custkey AS a_id, c_name AS a_name, i,
+               substring(d, 1, i - 1) || substring(d, i + 1, 9) AS k
+        FROM c, range(1, 10) AS t(i) WHERE c_custkey < 500),
+      bv AS (
+        SELECT c_custkey AS b_id, c_name AS b_name, i,
+               substring(d, 1, i - 1) || substring(d, i + 1, 9) AS k
+        FROM c, range(1, 10) AS t(i)),
+      cand AS (
+        SELECT DISTINCT a_id, b_id, a_name, b_name
+        FROM bv JOIN av USING (i, k) WHERE a_id <> b_id)
+      SELECT a_id, b_id, a_name, b_name
+      FROM cand WHERE levenshtein(a_name, b_name) = 1
+      ORDER BY a_id, b_id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupCluster,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic,
-    qDedupPassage, qDedupPassageSpan, qDedupIncremental, qDedupIncrementalStored)
+    qDedupPassage, qDedupPassageSpan, qDedupIncremental, qDedupIncrementalStored,
+    qDedupEntity)
 }

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral event analytics over the `events` stream table — the
@@ -310,6 +311,64 @@ object EventQueries {
         FROM paths) x
       WHERE rank <= 20 ORDER BY rank"""))
 
+  /** Multi-touch attribution: for every purchase, resolve the user's
+    * FIRST and LAST preceding touch (click/view) plus the touch count
+    * — first-touch / last-touch attribution, the standard marketing
+    * credit models.
+    *
+    * Single-pass design: ONE user-keyed window (ordered by ts with
+    * event_id as the total tie-break) carries four IGNORE-NULLS
+    * first/last aggregates and a conditional count over the strict
+    * "ROWS … AND 1 PRECEDING" frame, then the purchase filter
+    * projects the answer. One exchange on user_id total — no
+    * conversion×touch fan-out join, no second shuffle on the
+    * conversion key; per-row window state is O(1) (a running
+    * first/last), never the user's event list, so a power user with
+    * millions of events costs memory O(1) beyond the sort. */
+  val qEventsAttribution = Q(
+    "q_events_attribution",
+    (s, dir) => {
+      val isTouch = col("event_type").isin("click", "view")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev(s, dir)
+        .withColumn("first_touch",
+          first(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+        .withColumn("first_ts",
+          first(when(isTouch, col("ts")), ignoreNulls = true).over(w))
+        .withColumn("last_touch",
+          last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+        .withColumn("last_ts",
+          last(when(isTouch, col("ts")), ignoreNulls = true).over(w))
+        .withColumn("n_touches", count(when(isTouch, lit(1))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"),
+          col("ts").as("conv_ts"), col("n_touches"),
+          col("first_touch"), col("first_ts"),
+          col("last_touch"), col("last_ts"))
+        .orderBy(col("conv_id"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT event_id, user_id, event_type, ts,
+               FIRST_VALUE(CASE WHEN event_type IN ('click','view')
+                 THEN event_type END IGNORE NULLS) OVER win AS first_touch,
+               FIRST_VALUE(CASE WHEN event_type IN ('click','view')
+                 THEN ts END IGNORE NULLS) OVER win AS first_ts,
+               LAST_VALUE(CASE WHEN event_type IN ('click','view')
+                 THEN event_type END IGNORE NULLS) OVER win AS last_touch,
+               LAST_VALUE(CASE WHEN event_type IN ('click','view')
+                 THEN ts END IGNORE NULLS) OVER win AS last_ts,
+               COUNT(CASE WHEN event_type IN ('click','view')
+                 THEN 1 END) OVER win AS n_touches
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts, n_touches,
+             first_touch, first_ts, last_touch, last_ts
+      FROM w WHERE event_type = 'purchase' ORDER BY conv_id"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
-    qEventsTransitions, qEventsAnomaly, qEventsPaths)
+    qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution)
 }

@@ -1410,6 +1410,257 @@ object RelationalQueries {
         FROM lineitem WHERE l_linenumber = 1) u
       ORDER BY l_orderkey, measure"""))
 
+  // ---------------------------------------------------------------
+  // Warehouse modeling family: SCD2 intervals, column profiling,
+  // time-series smoothing
+  // ---------------------------------------------------------------
+
+  /** Slowly-changing-dimension type-2 construction: collapse each
+    * customer's order-status history into validity intervals
+    * (gaps-and-islands), versioned per customer with `valid_to` /
+    * `is_current` — the standard warehouse dimension-history build.
+    *
+    * Scale shape: one exchange on o_custkey carries BOTH windows (the
+    * lag-based change flag and the running island sum share the same
+    * partitioning and ordering, so Catalyst fuses them into one Window
+    * operator after one sort), then the island group-by reuses the
+    * same partitioning — no second shuffle. Per-customer state is one
+    * row of lag, never the order list. The `o_custkey < 300` anchor
+    * bound keeps the verified output stable across SFs; the plan is
+    * identical without it. */
+  val qScd2Orders = Q(
+    "q_scd2_orders",
+    (s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_custkey") < 300)
+      val wSeq = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val flagged = o.select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_orderstatus"))
+        .withColumn("chg",
+          when(lag(col("o_orderstatus"), 1).over(wSeq).isNull ||
+            lag(col("o_orderstatus"), 1).over(wSeq) =!= col("o_orderstatus"),
+            lit(1L)).otherwise(lit(0L)))
+        .withColumn("version", sum(col("chg")).over(
+          wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val islands = flagged.groupBy(col("o_custkey"), col("version"))
+        .agg(max(col("o_orderstatus")).as("status"),
+          min(col("o_orderdate")).as("valid_from"),
+          count(lit(1)).as("n_orders"))
+      val wVer = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
+      islands
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("o_custkey"), col("version"), col("status"),
+          col("valid_from"), col("valid_to"), col("is_current"),
+          col("n_orders"))
+        .orderBy(col("o_custkey"), col("version"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+               CASE WHEN LAG(o_orderstatus, 1) OVER w IS NULL
+                      OR LAG(o_orderstatus, 1) OVER w <> o_orderstatus
+                    THEN 1 ELSE 0 END AS chg
+        FROM orders WHERE o_custkey < 300
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)),
+      versioned AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS version
+        FROM flagged),
+      islands AS (
+        SELECT o_custkey, version, MAX(o_orderstatus) AS status,
+               MIN(o_orderdate) AS valid_from, COUNT(*) AS n_orders
+        FROM versioned GROUP BY o_custkey, version)
+      SELECT o_custkey, version, status, valid_from,
+             LEAD(valid_from, 1) OVER (PARTITION BY o_custkey
+               ORDER BY version) AS valid_to,
+             LEAD(valid_from, 1) OVER (PARTITION BY o_custkey
+               ORDER BY version) IS NULL AS is_current,
+             n_orders
+      FROM islands ORDER BY o_custkey, version"""))
+
+  /** Column profiling / data-quality audit over `orders`: per-column
+    * null count, approximate-free exact distinct count, and min/max
+    * rendered to text — the long-format profile a warehouse emits
+    * before accepting a feed.
+    *
+    * Scale shape: ONE wide aggregate computes all 6×4 statistics in a
+    * single scan (partial aggregation map-side, a one-row final), and
+    * the long format is a driver-free `stack` over that one row — the
+    * profile never scans the table per column. COUNT(DISTINCT) over 6
+    * columns expands to Spark's standard expand-based multi-distinct
+    * (6× row expand, still one pass over the parquet). Min/max of
+    * doubles/timestamps render through explicit DECIMAL/formatted
+    * casts so both engines print identical text. */
+  val qStatsProfile = Q(
+    "q_stats_profile",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      def nNull(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+      val agg = o.agg(
+        count(lit(1)).as("n_rows"),
+        nNull("o_orderkey").as("nn_orderkey"),
+        countDistinct(col("o_orderkey")).as("nd_orderkey"),
+        min(col("o_orderkey")).cast("string").as("mn_orderkey"),
+        max(col("o_orderkey")).cast("string").as("mx_orderkey"),
+        nNull("o_custkey").as("nn_custkey"),
+        countDistinct(col("o_custkey")).as("nd_custkey"),
+        min(col("o_custkey")).cast("string").as("mn_custkey"),
+        max(col("o_custkey")).cast("string").as("mx_custkey"),
+        nNull("o_orderstatus").as("nn_status"),
+        countDistinct(col("o_orderstatus")).as("nd_status"),
+        min(col("o_orderstatus")).as("mn_status"),
+        max(col("o_orderstatus")).as("mx_status"),
+        nNull("o_totalprice").as("nn_price"),
+        countDistinct(col("o_totalprice")).as("nd_price"),
+        min(col("o_totalprice")).cast(DecimalType(18, 2)).cast("string")
+          .as("mn_price"),
+        max(col("o_totalprice")).cast(DecimalType(18, 2)).cast("string")
+          .as("mx_price"),
+        nNull("o_orderdate").as("nn_date"),
+        countDistinct(col("o_orderdate")).as("nd_date"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
+          .as("mn_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
+          .as("mx_date"),
+        nNull("o_orderpriority").as("nn_prio"),
+        countDistinct(col("o_orderpriority")).as("nd_prio"),
+        min(col("o_orderpriority")).as("mn_prio"),
+        max(col("o_orderpriority")).as("mx_prio"))
+      agg.select(col("n_rows"), expr(
+        """stack(6,
+           'o_custkey', nn_custkey, nd_custkey, mn_custkey, mx_custkey,
+           'o_orderdate', nn_date, nd_date, mn_date, mx_date,
+           'o_orderkey', nn_orderkey, nd_orderkey, mn_orderkey, mx_orderkey,
+           'o_orderpriority', nn_prio, nd_prio, mn_prio, mx_prio,
+           'o_orderstatus', nn_status, nd_status, mn_status, mx_status,
+           'o_totalprice', nn_price, nd_price, mn_price, mx_price)
+           AS (col_name, n_null, n_distinct, min_val, max_val)"""))
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+        .orderBy(col("col_name"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_orderkey,
+               COUNT(DISTINCT o_orderkey) AS nd_orderkey,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS mn_orderkey,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS mx_orderkey,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_custkey,
+               COUNT(DISTINCT o_custkey) AS nd_custkey,
+               CAST(MIN(o_custkey) AS VARCHAR) AS mn_custkey,
+               CAST(MAX(o_custkey) AS VARCHAR) AS mx_custkey,
+               SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_status,
+               COUNT(DISTINCT o_orderstatus) AS nd_status,
+               MIN(o_orderstatus) AS mn_status,
+               MAX(o_orderstatus) AS mx_status,
+               SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_price,
+               COUNT(DISTINCT o_totalprice) AS nd_price,
+               CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn_price,
+               CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx_price,
+               SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn_date,
+               COUNT(DISTINCT o_orderdate) AS nd_date,
+               strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn_date,
+               strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx_date,
+               SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn_prio,
+               COUNT(DISTINCT o_orderpriority) AS nd_prio,
+               MIN(o_orderpriority) AS mn_prio,
+               MAX(o_orderpriority) AS mx_prio
+        FROM orders)
+      SELECT col_name, n_rows, n_null, n_distinct, min_val, max_val FROM (
+        SELECT 'o_custkey' AS col_name, n_rows, nn_custkey AS n_null,
+               nd_custkey AS n_distinct, mn_custkey AS min_val,
+               mx_custkey AS max_val FROM a
+        UNION ALL
+        SELECT 'o_orderdate', n_rows, nn_date, nd_date, mn_date, mx_date FROM a
+        UNION ALL
+        SELECT 'o_orderkey', n_rows, nn_orderkey, nd_orderkey, mn_orderkey,
+               mx_orderkey FROM a
+        UNION ALL
+        SELECT 'o_orderpriority', n_rows, nn_prio, nd_prio, mn_prio,
+               mx_prio FROM a
+        UNION ALL
+        SELECT 'o_orderstatus', n_rows, nn_status, nd_status, mn_status,
+               mx_status FROM a
+        UNION ALL
+        SELECT 'o_totalprice', n_rows, nn_price, nd_price, mn_price,
+               mx_price FROM a) u
+      ORDER BY col_name"""))
+
+  /** Truncated exponentially-weighted moving average over the dense
+    * hourly event spine: weight 2^(15-Δ) for lag Δ ∈ [0,15], i.e.
+    * α = 1/2 cut at 16 terms, normalized by the weights actually
+    * present — integer-exact in both engines (power-of-two weights,
+    * BIGINT sums, one final double division rounded to 6).
+    *
+    * Scale shape: instead of a 16-hour range self-join, each spine row
+    * EXPLODES its bounded 16-target contribution list (constant 16×
+    * fan-out, a narrow op) and a single hash aggregate on
+    * (event_type, target_hour) re-collects — map-side partial combine
+    * eats most of the fan-out before the one exchange; no range-join
+    * BNLJ risk at any scale. The dense grid join is the same
+    * min/max + sequence spine as q_ts_gapfill. */
+  val qTsEwma = Q(
+    "q_ts_ewma",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val contrib = dense
+        .select(col("event_type"), col("h"), col("n"),
+          explode(expr("sequence(0, 15)")).as("d"))
+        .select(col("event_type"),
+          expr("h + make_interval(0, 0, 0, 0, d, 0, 0)").as("th"),
+          expr("n * shiftleft(1L, 15 - d)").as("wn"),
+          expr("shiftleft(1L, 15 - d)").as("w"))
+      contrib.join(dense.select(col("event_type"), col("h").as("th"),
+          col("n").as("n_events")), Seq("event_type", "th"))
+        .groupBy(col("event_type"), col("th").as("h"),
+          col("n_events"))
+        .agg(sum(col("wn")).as("swn"), sum(col("w")).as("sw"))
+        .select(col("event_type"), col("h"), col("n_events"),
+          round(col("swn").cast("double") / col("sw").cast("double"), 6)
+            .as("ewma"))
+        .orderBy(col("event_type"), col("h"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      spans AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+                FROM hourly GROUP BY 1),
+      grid AS (
+        SELECT event_type,
+               unnest([x for x in
+                       generate_series(h0, h1, INTERVAL 1 HOUR)]) AS h
+        FROM spans),
+      dense AS (
+        SELECT g.event_type, g.h, COALESCE(hr.n, 0) AS n
+        FROM grid g LEFT JOIN hourly hr USING (event_type, h)),
+      contrib AS (
+        SELECT event_type, h + TO_HOURS(CAST(d AS BIGINT)) AS th,
+               n * (1 << (15 - d)) AS wn,
+               CAST(1 << (15 - d) AS BIGINT) AS w
+        FROM dense, range(0, 16) AS t(d))
+      SELECT c.event_type, c.th AS h, d2.n AS n_events,
+             ROUND(CAST(SUM(c.wn) AS DOUBLE) /
+                   CAST(SUM(c.w) AS DOUBLE), 6) AS ewma
+      FROM contrib c
+      JOIN dense d2 ON d2.event_type = c.event_type AND d2.h = c.th
+      GROUP BY c.event_type, c.th, d2.n
+      ORDER BY c.event_type, c.th"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -1422,5 +1673,6 @@ object RelationalQueries {
     qSortLimit, qSetopsNations, qSetOpsBag, qTsGapfill, qScalarString, qScalarDate, qScalarMath,
     qScalarRegex, qScalarConditional, qScalarNullSemantics,
     qScalarArray, qSaltedAgg,
-    qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events)
+    qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events,
+    qScd2Orders, qStatsProfile, qTsEwma)
 }
