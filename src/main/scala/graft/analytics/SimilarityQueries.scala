@@ -1096,7 +1096,62 @@ object SimilarityQueries {
         FROM fused) x
       WHERE rank <= 10 ORDER BY qid, rank"""))
 
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the top-5 most-cosine-similar vectors carrying a DIFFERENT label
+    * — the highest-similarity wrong-class examples that make the most
+    * informative negatives (easy negatives are already far away;
+    * these are the ones near the decision boundary).
+    *
+    * Same plan skeleton as [[qSimTopkBrute]] — anchors broadcast, the
+    * corpus streams through one narrow scoring stage, a tiny top-k
+    * shuffle — with the label-mismatch predicate fused into the join
+    * condition so same-class pairs are never scored or shuffled. At
+    * 100 TB the brute stage swaps for the stored IVFADC candidates
+    * (qSimIvfPqRerank) with the label filter unchanged. */
+  val qSimHardNegatives = Q(
+    "q_sim_hard_negatives",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qnrm"))
+      val scored = e.join(broadcast(q), col("label") =!= col("qlabel"))
+        .select(col("qid"), col("qlabel"), col("vec_id").as("neighbor_id"),
+          col("label").as("neighbor_label"),
+          round(dot(col("qv"), col("v")) /
+            (sqrt(col("qnrm")) * sqrt(col("nrm"))), 6).as("cos_sim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("qlabel"), col("rank"), col("neighbor_id"),
+          col("neighbor_label"), col("cos_sim"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x)) AS nrm
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qnrm
+            FROM e WHERE vec_id < 20),
+      scored AS (
+        SELECT q.qid, q.qlabel, e.vec_id AS neighbor_id,
+               e.label AS neighbor_label,
+               ROUND(list_sum(list_transform(generate_series(1, len(q.qv)),
+                       i -> q.qv[i] * e.v[i]))
+                     / (SQRT(q.qnrm) * SQRT(e.nrm)), 6) AS cos_sim
+        FROM e CROSS JOIN q WHERE e.label <> q.qlabel),
+      ranked AS (
+        SELECT qid, qlabel, neighbor_id, neighbor_label, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT qid, qlabel, rank, neighbor_id, neighbor_label, cos_sim
+      FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
+
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
     qSimIvfPqTopk, qSimIvfPqStored, qSimIvfPqAdmitted, qSimIvfPqRerank,
-    qSimSqTopk, qSimKmeans, qSimIvfTrained, qSimHybridRrf)
+    qSimSqTopk, qSimKmeans, qSimIvfTrained, qSimHybridRrf, qSimHardNegatives)
 }

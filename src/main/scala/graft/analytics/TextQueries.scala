@@ -1126,10 +1126,90 @@ object TextQueries {
         FROM lifted) x
       WHERE rank <= 30 ORDER BY rank"""))
 
+  /** χ² token↔source association (supervised feature selection): for
+    * each (token, source) cell of the token-count contingency table,
+    * the chi-square statistic N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — the
+    * classic pick-the-discriminative-vocabulary step before training
+    * a source/quality classifier. Top-50 most-associated cells.
+    *
+    * Exactness: all four cell counts and every marginal are BIGINT;
+    * the statistic itself is evaluated in DOUBLE with an identical
+    * operation tree on both engines (products of exactly-representable
+    * integers, one squaring written as diff*diff — never pow —, one
+    * division, round 6), so results are bit-stable cross-engine.
+    *
+    * Scale shape: one exchange on (token, source) builds the cells;
+    * the token marginal re-aggregates those cells (token-keyed
+    * shuffle of the CELL table, never the corpus), the source
+    * marginal is a tiny broadcast, the corpus total a one-row
+    * broadcast. Nothing driver-side; the top-50 is a TakeOrdered. */
+  val qTextChisquare = Q(
+    "q_text_chisquare",
+    (s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val cells = tok.groupBy(col("w"), col("source"))
+        .agg(count(lit(1)).as("a"))
+      val wt = cells.groupBy(col("w")).agg(sum(col("a")).as("token_tot"))
+      val st = cells.groupBy(col("source")).agg(sum(col("a")).as("src_tot"))
+      val n = cells.agg(sum(col("a")).as("n_tok"))
+      val d = col("n_tok") - col("token_tot") - col("src_tot") + col("a")
+      val diff = col("a").cast("double") * d.cast("double") -
+        (col("token_tot") - col("a")).cast("double") *
+          (col("src_tot") - col("a")).cast("double")
+      val den = col("token_tot").cast("double") *
+        (col("n_tok") - col("token_tot")).cast("double") *
+        col("src_tot").cast("double") *
+        (col("n_tok") - col("src_tot")).cast("double")
+      cells.join(wt, "w").join(broadcast(st), "source")
+        .crossJoin(broadcast(n))
+        .filter(col("token_tot") >= 20 && col("token_tot") < col("n_tok"))
+        .withColumn("chi2",
+          round(col("n_tok").cast("double") * (diff * diff) / den, 6))
+        .select(col("w"), col("source"), col("a").as("n_ws"),
+          col("token_tot"), col("src_tot"), col("chi2"))
+        .orderBy(col("chi2").desc, col("w"), col("source"))
+        .limit(50)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      cells AS (
+        SELECT w, source, COUNT(*) AS a
+        FROM tok WHERE length(w) > 0 GROUP BY w, source),
+      wt AS (SELECT w, CAST(SUM(a) AS BIGINT) AS token_tot
+             FROM cells GROUP BY w),
+      st AS (SELECT source, CAST(SUM(a) AS BIGINT) AS src_tot
+             FROM cells GROUP BY source),
+      n AS (SELECT CAST(SUM(a) AS BIGINT) AS n_tok FROM cells)
+      SELECT w, source, n_ws, token_tot, src_tot, chi2 FROM (
+        SELECT c.w, c.source, c.a AS n_ws, wt.token_tot, st.src_tot,
+               ROUND(CAST(n_tok AS DOUBLE) *
+                 ((CAST(c.a AS DOUBLE) *
+                     CAST(n_tok - token_tot - src_tot + c.a AS DOUBLE) -
+                   CAST(token_tot - c.a AS DOUBLE) *
+                     CAST(src_tot - c.a AS DOUBLE)) *
+                  (CAST(c.a AS DOUBLE) *
+                     CAST(n_tok - token_tot - src_tot + c.a AS DOUBLE) -
+                   CAST(token_tot - c.a AS DOUBLE) *
+                     CAST(src_tot - c.a AS DOUBLE))) /
+                 (CAST(token_tot AS DOUBLE) *
+                  CAST(n_tok - token_tot AS DOUBLE) *
+                  CAST(src_tot AS DOUBLE) *
+                  CAST(n_tok - src_tot AS DOUBLE)), 6) AS chi2
+        FROM cells c
+        JOIN wt ON wt.w = c.w
+        JOIN st ON st.source = c.source
+        CROSS JOIN n
+        WHERE token_tot >= 20 AND token_tot < n_tok) x
+      ORDER BY chi2 DESC, w, source LIMIT 50"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
     qTextFingerprint, qTextVocab, qHeavyHitters, qTextCountmin,
     qTextRepetition,
     qTextLogprob, qTextBigramLogprob, qTextBpePairs, qTextBpeMerges,
     qTextBm25, qTextBm25Stored, qTextBm25Reingested, qTextTfidfSim,
-    qTextCollocations, qStatsDatacard)
+    qTextCollocations, qTextChisquare, qStatsDatacard)
 }

@@ -1802,4 +1802,193 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.exists(r => !r.isNullAt(3) && !r.isNullAt(4)),
       "no document surfaced by both arms — fusion degenerate")
   }
+
+  test("attribution: strict precedence, tie-break, and touchless purchases") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: view→click→purchase (first=view, last=click, n=2);
+    // user 2: purchase with NO prior touch (nulls, n=0) — the error
+    //   event before it must not count as a touch;
+    // user 3: click at the SAME ts as the purchase with a smaller
+    //   event_id counts (total (ts, event_id) order), and a later
+    //   touch after the purchase must not.
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "purchase", 0.0, "{}"),
+      (4L, ts("2024-01-01 09:00:00"), 2L, "error", 0.0, "{}"),
+      (5L, ts("2024-01-01 09:10:00"), 2L, "purchase", 0.0, "{}"),
+      (6L, ts("2024-01-01 08:00:00"), 3L, "click", 0.0, "{}"),
+      (7L, ts("2024-01-01 08:00:00"), 3L, "purchase", 0.0, "{}"),
+      (8L, ts("2024-01-01 08:30:00"), 3L, "view", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("attr").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.qEventsAttribution.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(3L, 5L, 7L))
+    assert(got(3L).getLong(3) === 2L &&
+      got(3L).getString(4) === "view" && got(3L).getString(6) === "click")
+    assert(got(5L).getLong(3) === 0L && got(5L).isNullAt(4) &&
+      got(5L).isNullAt(6), "error event leaked into attribution")
+    assert(got(7L).getLong(3) === 1L && got(7L).getString(4) === "click" &&
+      got(7L).getString(6) === "click",
+      "same-ts smaller-id touch must count; later view must not")
+  }
+
+  test("scd2: runs collapse, versions chain, exactly one current row") {
+    val out = RelationalQueries.qScd2Orders.run(spark, sf).collect()
+    val byCust = out.groupBy(_.getLong(0))
+    assert(byCust.nonEmpty)
+    byCust.foreach { case (ck, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      // versions are 1..n dense
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to rs.length).toSeq)
+      // consecutive intervals never share a status (runs collapsed)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getString(2) !== b.getString(2),
+            s"uncollapsed run for customer $ck")
+        case _ =>
+      }
+      // valid_to chains to the successor's valid_from; only the last
+      // interval is open/current
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(4) === b.getTimestamp(3),
+            s"broken interval chain for customer $ck")
+        case _ =>
+      }
+      assert(sorted.count(_.getBoolean(5)) === 1 &&
+        sorted.last.getBoolean(5), s"current-row violation for $ck")
+    }
+  }
+
+  test("profile: one row per column, exact invariants vs the table") {
+    val out = RelationalQueries.qStatsProfile.run(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val o = Tables(spark, sf, "orders")
+    val nRows = o.count()
+    assert(out.size === 6)
+    out.values.foreach { r =>
+      assert(r.getLong(1) === nRows)
+      assert(r.getLong(2) === 0L, s"${r.getString(0)}: fixture has no nulls")
+      assert(r.getLong(3) <= nRows)
+    }
+    // primary key profile: every value distinct, text min/max match
+    assert(out("o_orderkey").getLong(3) === nRows)
+    assert(out("o_orderstatus").getLong(3) === 3L)
+    assert(out("o_orderstatus").getString(4) === "F" &&
+      out("o_orderstatus").getString(5) === "P")
+  }
+
+  test("ewma: constant series stays put; a spike halves every hour") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 20 hours of exactly 4 events, except hour 10 carries 4 extra
+    // (the spike). With power-of-two weights the smoothed excess
+    // after the spike decays by EXACTLY half each hour.
+    val base = for {
+      h <- 0 until 20
+      i <- 0 until 4
+    } yield (h * 10L + i, ts(f"2024-01-01 $h%02d:${i * 5}%02d:00"),
+      1L, "click", 0.0, "{}")
+    val spike = (0 until 4).map(i =>
+      (900L + i, ts(f"2024-01-01 10:${30 + i}%02d:00"), 1L, "click", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("ewma").toString
+    (base ++ spike)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = RelationalQueries.qTsEwma.run(spark, dir).collect()
+      .map(r => r.getTimestamp(1).toString.substring(11, 13).toInt ->
+        r.getDouble(3)).toMap
+    // pre-spike steady state: ewma == the constant rate exactly
+    (1 until 10).foreach(h => assert(got(h) === 4.0, s"hour $h drifted"))
+    // spike decay: excess over baseline halves hour over hour (weights
+    // are saturated 16-term sums from hour 15 on; check 16..19)
+    (16 until 19).foreach { h =>
+      val e1 = got(h) - 4.0
+      val e2 = got(h + 1) - 4.0
+      // each side carries its own round-6, so allow 2e-6
+      assert(math.abs(e1 - 2 * e2) < 2e-6,
+        s"hour $h→${h + 1}: excess $e1 did not halve to $e2")
+    }
+  }
+
+  test("entity resolution: symmetric-delete blocking finds EXACTLY the brute-force pairs") {
+    val got = DedupQueries.qDedupEntity.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the sf0.001 corpus (150 names — fine in-test;
+    // the point of the blocking scheme is precisely that production
+    // never does this n² compare)
+    val names = Tables(spark, sf, "customer")
+      .select($"c_custkey", $"c_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (ai, an) <- names if ai < 500
+      (bi, bn) <- names if bi != ai && lev(an, bn) == 1
+    } yield (ai, bi)).toSet
+    assert(got === brute,
+      s"missed: ${brute -- got take 5}; spurious: ${got -- brute take 5}")
+  }
+
+  test("chi-square: discriminative token outranks a uniform one; stat recomputes") {
+    val out = TextQueries.qTextChisquare.run(spark, sf).collect()
+    assert(out.length === 50)
+    val scores = out.map(_.getDouble(5))
+    assert(scores.toSeq === scores.sorted(Ordering[Double].reverse).toSeq)
+    assert(scores.forall(_ >= 0.0))
+    // recompute the top row's statistic from its own marginals
+    val top = out.head
+    val (a, tt, st) = (top.getLong(2), top.getLong(3), top.getLong(4))
+    val nTok = Tables(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0).count()
+    val d = nTok - tt - st + a
+    val diff = a.toDouble * d.toDouble -
+      (tt - a).toDouble * (st - a).toDouble
+    val chi2 = nTok.toDouble * (diff * diff) /
+      (tt.toDouble * (nTok - tt).toDouble * st.toDouble * (nTok - st).toDouble)
+    assert(math.abs(top.getDouble(5) - chi2) < 1e-6,
+      s"top-row χ² ${top.getDouble(5)} != recomputed $chi2")
+  }
+
+  test("hard negatives: labels always differ, similarity dominates in-class") {
+    val out = SimilarityQueries.qSimHardNegatives.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getInt(1) !== r.getInt(4),
+        s"anchor ${r.getLong(0)}: same-label neighbor ${r.getLong(3)}")
+    }
+    // per anchor: ranks are 1..5 and similarity is non-increasing
+    out.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x.getDouble(5) >= y.getDouble(5)
+        case _ => true
+      }, s"anchor $qid: similarity not sorted")
+    }
+    // the rank-1 hard negative truly dominates: no OTHER different-
+    // label vector scores higher (cross-check against the brute
+    // scorer for anchor 0)
+    val anchor0 = out.filter(r => r.getLong(0) === 0L && r.getLong(2) === 1L).head
+    val brute = SimilarityQueries.qSimTopkBrute.run(spark, sf).collect()
+      .filter(_.getLong(0) === 0L)
+    // brute top-5 unrestricted: every entry ABOVE anchor0's rank-1
+    // cos_sim must share anchor 0's label (else hard-negatives missed it)
+    val labels = Tables(spark, sf, "embeddings").select($"vec_id", $"label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    brute.filter(_.getDouble(3) > anchor0.getDouble(5)).foreach { r =>
+      assert(labels(r.getLong(2)) === labels(0L),
+        s"brute found a higher different-label neighbor ${r.getLong(2)}")
+    }
+  }
 }

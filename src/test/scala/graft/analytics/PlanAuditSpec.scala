@@ -116,7 +116,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q_text_collocations",
       // q_prep_curriculum: the one-row token-extrema aggregate rides
       // a cross join into the banding projection
-      "q_prep_curriculum")
+      "q_prep_curriculum",
+      // q_sim_hard_negatives: the 20-anchor broadcast joins the corpus
+      // on the pure label-mismatch inequality — the qSimTopkBrute
+      // bounded-block pattern with the class filter fused in
+      "q_sim_hard_negatives",
+      // q_text_chisquare: the one-row corpus-token-total scalar rides
+      // a cross join into the statistic (the q_text_logprob pattern)
+      "q_text_chisquare")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
