@@ -3,6 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Training-data preparation operators — the steps an LLM data
   * pipeline runs between raw corpus and training shards, beyond
@@ -598,8 +599,63 @@ object PrepQueries {
              CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
       FROM banded GROUP BY band ORDER BY band"""))
 
+  /** Per-source winsorization of document length: clip `n_chars` to
+    * that source's exact interpolated [p05, p95] and report the
+    * clipped-tail counts plus the winsorized mean — the robust-
+    * statistics step before length features feed a quality model
+    * (a handful of megadocs otherwise dominate a source's mean).
+    *
+    * Scale shape: one source-keyed aggregate computes both exact
+    * quantiles (at 100 TB this swaps for the GK sketch exactly as
+    * q_stats_datacard documents); the tiny per-source bound table
+    * broadcasts back onto the corpus scan, so the clip pass is
+    * narrow. The winsorized mean accumulates in DECIMAL (parity
+    * rule) over already-clipped BIGINTs. */
+  val qPrepWinsorize = Q(
+    "q_prep_winsorize",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("n_chars"))
+      val bounds = d.groupBy(col("source")).agg(
+        expr("percentile(n_chars, 0.05D)").as("p05"),
+        expr("percentile(n_chars, 0.95D)").as("p95"))
+      d.join(broadcast(bounds), "source")
+        .select(col("source"), col("p05"), col("p95"),
+          col("n_chars"),
+          when(col("n_chars") < col("p05"), 1L).otherwise(0L).as("lo"),
+          when(col("n_chars") > col("p95"), 1L).otherwise(0L).as("hi"),
+          greatest(least(col("n_chars").cast("double"), col("p95")),
+            col("p05")).as("w"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("p05")), 6).as("p05"),
+          round(min(col("p95")), 6).as("p95"),
+          sum(col("lo")).as("n_clipped_low"),
+          sum(col("hi")).as("n_clipped_high"),
+          round(sum(col("w").cast(DecimalType(25, 6))).cast("double") /
+            count(lit(1)), 6).as("winsorized_mean"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH bounds AS (
+        SELECT source, quantile_cont(n_chars, 0.05) AS p05,
+               quantile_cont(n_chars, 0.95) AS p95
+        FROM documents GROUP BY source),
+      clipped AS (
+        SELECT d.source, b.p05, b.p95,
+               CASE WHEN n_chars < b.p05 THEN 1 ELSE 0 END AS lo,
+               CASE WHEN n_chars > b.p95 THEN 1 ELSE 0 END AS hi,
+               GREATEST(LEAST(CAST(n_chars AS DOUBLE), b.p95), b.p05) AS w
+        FROM documents d JOIN bounds b ON d.source = b.source)
+      SELECT source, COUNT(*) AS n_docs,
+             ROUND(MIN(p05), 6) AS p05, ROUND(MIN(p95), 6) AS p95,
+             CAST(SUM(lo) AS BIGINT) AS n_clipped_low,
+             CAST(SUM(hi) AS BIGINT) AS n_clipped_high,
+             ROUND(CAST(SUM(CAST(w AS DECIMAL(25,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS winsorized_mean
+      FROM clipped GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
-    qPrepCurriculum)
+    qPrepCurriculum, qPrepWinsorize)
 }

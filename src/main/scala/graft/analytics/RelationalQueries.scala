@@ -1661,6 +1661,89 @@ object RelationalQueries {
       GROUP BY c.event_type, c.th, d2.n
       ORDER BY c.event_type, c.th"""))
 
+  /** Per-group simple linear regression (value trend over time) from
+    * the five sufficient statistics: slope, intercept, and r² for
+    * each event type's value-vs-hour trend, computed entirely from
+    * exact integer sums (x = hours since 2024-01-01, y = value in
+    * integer micro-units) combined in bounded-width DECIMALs — only
+    * the final divisions happen in DOUBLE, with an identical
+    * operation tree on both engines.
+    *
+    * Scale shape: ONE map-side-combinable aggregate per group —
+    * the sufficient-statistic formulation is why regression
+    * distributes (no centering pass, no second scan); the r²
+    * numerator squares in DOUBLE because its exact width (~52
+    * digits) exceeds any decimal, and both engines square the SAME
+    * correctly-rounded double. */
+  val qStatsRegression = Q(
+    "q_stats_regression",
+    (s, dir) => {
+      val sums = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("(unix_micros(ts) - 1704067200000000L) div 3600000000L")
+            .as("x"),
+          expr("cast(round(value * 1000000) as bigint)").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(expr("x * y")).as("sxy"),
+          sum(expr("x * x")).as("sxx"),
+          sum(expr("cast(y * y as decimal(25,0))")).as("syy"))
+      // the BIGINT/DECIMAL sums are exact; every factor below is
+      // either exactly double-representable (< 2^53) or a correctly-
+      // rounded decimal→double cast, and the combination runs in
+      // DOUBLE with the same op tree as the oracle — deterministic
+      // cross-engine without decimal-width gymnastics
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double")
+      val syD = col("sy").cast("double")
+      val sxyD = col("sxy").cast("double")
+      val sxxD = col("sxx").cast("double")
+      val syyD = col("syy").cast("double")
+      val num = nD * sxyD - sxD * syD
+      val den = nD * sxxD - sxD * sxD
+      val syDen = nD * syyD - syD * syD
+      sums.select(col("event_type"), col("n"),
+        round(num / den / 1000000.0, 6).as("slope"),
+        round((syD * sxxD - sxD * sxyD) / den / 1000000.0, 6)
+          .as("intercept"),
+        round(num * num / (den * syDen), 6).as("r2"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH pts AS (
+        SELECT event_type,
+               (epoch_us(ts) - 1704067200000000) // 3600000000 AS x,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS y
+        FROM events),
+      sums AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(25,0))) AS DECIMAL(25,0)) AS syy
+        FROM pts GROUP BY event_type)
+      SELECT event_type, n,
+             ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / 1000000.0, 6) AS slope,
+             ROUND((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / 1000000.0, 6) AS intercept,
+             ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+      FROM sums ORDER BY event_type"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -1674,5 +1757,5 @@ object RelationalQueries {
     qScalarRegex, qScalarConditional, qScalarNullSemantics,
     qScalarArray, qSaltedAgg,
     qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events,
-    qScd2Orders, qStatsProfile, qTsEwma)
+    qScd2Orders, qStatsProfile, qTsEwma, qStatsRegression)
 }

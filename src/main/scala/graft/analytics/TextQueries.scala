@@ -1206,10 +1206,69 @@ object TextQueries {
         WHERE token_tot >= 20 AND token_tot < n_tok) x
       ORDER BY chi2 DESC, w, source LIMIT 50"""))
 
+  /** Cross-source vocabulary overlap audit: exact Jaccard similarity
+    * of the distinct-token sets for every source pair, top-20 — the
+    * "are two corpus slices the same content under different labels"
+    * check a mixture designer runs before weighting sources as if
+    * they were independent.
+    *
+    * Scale shape: the corpus reduces once to the DISTINCT
+    * (source, token) relation; the pair intersection is a token-keyed
+    * self-equi-join of that small relation (fan-out bounded by
+    * sources-containing-the-token², i.e. by |sources|², never by
+    * corpus size), and set sizes broadcast back onto the pair counts.
+    * With web-scale source counts (domains) this exact path swaps for
+    * the banded-minhash estimate the dedup family already ships —
+    * documented here as the scale lever, same as the datacard's
+    * GK swap. */
+  val qStatsSourceOverlap = Q(
+    "q_stats_source_overlap",
+    (s, dir) => {
+      val vocab = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .distinct()
+      val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      val inter = vocab.select(col("source").as("src_a"), col("w"))
+        .join(vocab.select(col("source").as("src_b"), col("w")), "w")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("nv").as("nv_a"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("nv").as("nv_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("nv_a"), col("nv_b"),
+          col("n_inter"),
+          round(col("n_inter").cast("double") /
+            (col("nv_a") + col("nv_b") - col("n_inter")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
+        .limit(20)
+    },
+    Some("""
+      WITH vocab AS (
+        SELECT DISTINCT source, w FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents) x WHERE length(w) > 0),
+      sizes AS (SELECT source, COUNT(*) AS nv FROM vocab GROUP BY source),
+      inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+        FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+        GROUP BY a.source, b.source)
+      SELECT src_a, src_b, sa.nv AS nv_a, sb.nv AS nv_b, n_inter,
+             ROUND(CAST(n_inter AS DOUBLE) /
+                   CAST(sa.nv + sb.nv - n_inter AS DOUBLE), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.source = src_a
+      JOIN sizes sb ON sb.source = src_b
+      ORDER BY jaccard DESC, src_a, src_b LIMIT 20"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
     qTextFingerprint, qTextVocab, qHeavyHitters, qTextCountmin,
     qTextRepetition,
     qTextLogprob, qTextBigramLogprob, qTextBpePairs, qTextBpeMerges,
     qTextBm25, qTextBm25Stored, qTextBm25Reingested, qTextTfidfSim,
-    qTextCollocations, qTextChisquare, qStatsDatacard)
+    qTextCollocations, qTextChisquare, qStatsSourceOverlap, qStatsDatacard)
 }

@@ -1960,6 +1960,64 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       s"top-row χ² ${top.getDouble(5)} != recomputed $chi2")
   }
 
+  test("regression: exact line recovers slope/intercept with r2 = 1") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // y = 3.5 + 0.25 * x (x in hours since 2024-01-01) sampled at 12
+    // hours — an exact line, so the sufficient-statistic path must
+    // return the coefficients and r² EXACTLY (all sums integer-exact,
+    // the final divisions land on representable values)
+    val rows = (0 until 12).map { h =>
+      (h.toLong, ts(f"2024-01-01 $h%02d:00:00"), 1L, "click",
+        3.5 + 0.25 * h, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("reg").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = RelationalQueries.qStatsRegression.run(spark, dir).collect().head
+    assert(r.getLong(1) === 12L)
+    assert(r.getDouble(2) === 0.25, s"slope ${r.getDouble(2)}")
+    assert(r.getDouble(3) === 3.5, s"intercept ${r.getDouble(3)}")
+    assert(r.getDouble(4) === 1.0, s"r2 ${r.getDouble(4)}")
+  }
+
+  test("winsorize: bounds honored, tails counted, mean within bounds") {
+    val out = PrepQueries.qPrepWinsorize.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, p05, p95) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val (lo, hi, mean) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(p05 <= p95)
+      assert(mean >= p05 && mean <= p95,
+        s"${r.getString(0)}: winsorized mean $mean outside [$p05,$p95]")
+      // interpolated 5%/95% quantiles leave at most ceil(5%) strictly
+      // outside on each side
+      assert(lo <= math.ceil(n * 0.05).toLong && hi <= math.ceil(n * 0.05).toLong,
+        s"${r.getString(0)}: clipped $lo/$hi of $n")
+    }
+  }
+
+  test("source overlap: top pair's jaccard recomputes from raw vocab sets") {
+    val out = TextQueries.qStatsSourceOverlap.run(spark, sf).collect()
+    assert(out.length === 20)
+    val top = out.head
+    val (sa, sb) = (top.getString(0), top.getString(1))
+    val vocab = Tables(spark, sf, "documents")
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0).distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    val (va, vb) = (vocab(sa), vocab(sb))
+    val inter = (va & vb).size
+    assert(top.getLong(2) === va.size.toLong)
+    assert(top.getLong(3) === vb.size.toLong)
+    assert(top.getLong(4) === inter.toLong)
+    val jac = BigDecimal(inter.toDouble / (va.size + vb.size - inter))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(top.getDouble(5) - jac) < 1e-9)
+    // ordering is by jaccard desc under deterministic tie-break
+    val js = out.map(_.getDouble(5))
+    assert(js.toSeq === js.sorted(Ordering[Double].reverse).toSeq)
+  }
+
   test("hard negatives: labels always differ, similarity dominates in-class") {
     val out = SimilarityQueries.qSimHardNegatives.run(spark, sf).collect()
     assert(out.nonEmpty)
