@@ -123,7 +123,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q_sim_hard_negatives",
       // q_text_chisquare: the one-row corpus-token-total scalar rides
       // a cross join into the statistic (the q_text_logprob pattern)
-      "q_text_chisquare")
+      "q_text_chisquare",
+      // q_stats_profile: the one-row string-min/max aggregate cross-
+      // joins the one-row multi-distinct aggregate (both bounded by
+      // construction — the split that keeps the expand path on codegen
+      // HashAggregate, see the query's scaladoc)
+      "q_stats_profile")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
