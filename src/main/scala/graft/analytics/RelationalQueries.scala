@@ -1428,33 +1428,45 @@ object RelationalQueries {
     * row of lag, never the order list. The `o_custkey < 300` anchor
     * bound keeps the verified output stable across SFs; the plan is
     * identical without it. */
+  /** The SCD2 island pass shared by the from-scratch build and the
+    * incremental merge: collapse an order set into per-customer runs
+    * (version 1..n dense, status, valid_from, n_orders). One
+    * customer-keyed exchange carries both windows and the island
+    * group-by. */
+  private[analytics] def scd2Runs(o: DataFrame): DataFrame = {
+    val wSeq = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_orderstatus"))
+      .withColumn("chg",
+        when(lag(col("o_orderstatus"), 1).over(wSeq).isNull ||
+          lag(col("o_orderstatus"), 1).over(wSeq) =!= col("o_orderstatus"),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("version", sum(col("chg")).over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("o_custkey"), col("version"))
+      .agg(max(col("o_orderstatus")).as("status"),
+        min(col("o_orderdate")).as("valid_from"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Close intervals and mark the current row — the final projection
+    * both SCD2 queries share. */
+  private def scd2Close(islands: DataFrame): DataFrame = {
+    val wVer = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("o_custkey"), col("version"), col("status"),
+        col("valid_from"), col("valid_to"), col("is_current"),
+        col("n_orders"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
   val qScd2Orders = Q(
     "q_scd2_orders",
-    (s, dir) => {
-      val o = t(s, dir, "orders").filter(col("o_custkey") < 300)
-      val wSeq = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      val flagged = o.select(col("o_custkey"), col("o_orderkey"),
-          col("o_orderdate"), col("o_orderstatus"))
-        .withColumn("chg",
-          when(lag(col("o_orderstatus"), 1).over(wSeq).isNull ||
-            lag(col("o_orderstatus"), 1).over(wSeq) =!= col("o_orderstatus"),
-            lit(1L)).otherwise(lit(0L)))
-        .withColumn("version", sum(col("chg")).over(
-          wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val islands = flagged.groupBy(col("o_custkey"), col("version"))
-        .agg(max(col("o_orderstatus")).as("status"),
-          min(col("o_orderdate")).as("valid_from"),
-          count(lit(1)).as("n_orders"))
-      val wVer = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
-      islands
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
-        .withColumn("is_current", col("valid_to").isNull)
-        .select(col("o_custkey"), col("version"), col("status"),
-          col("valid_from"), col("valid_to"), col("is_current"),
-          col("n_orders"))
-        .orderBy(col("o_custkey"), col("version"))
-    },
+    (s, dir) =>
+      scd2Close(scd2Runs(t(s, dir, "orders").filter(col("o_custkey") < 300))),
     Some("""
       WITH flagged AS (
         SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
@@ -1481,6 +1493,74 @@ object RelationalQueries {
                ORDER BY version) IS NULL AS is_current,
              n_orders
       FROM islands ORDER BY o_custkey, version"""))
+
+  /** Incremental SCD2 maintenance (incremental view maintenance for
+    * the dimension build): merge a DELTA batch of orders (arriving
+    * strictly after the cutoff) into the already-built dimension
+    * WITHOUT re-deriving closed history from the base fact table.
+    * The merge re-reads only (a) the existing interval table — small,
+    * it's the dimension — and (b) the delta: the open interval either
+    * absorbs the delta's first run (same status → n_orders adds,
+    * valid_from keeps) or closes against it, and later delta runs
+    * append with shifted versions; untouched customers pass through.
+    *
+    * The gate is the strongest one available: the oracle is the FULL
+    * RECOMPUTE over base+delta (q_scd2_orders' SQL verbatim), so the
+    * hash-match proves incremental ≡ from-scratch on every row. The
+    * delta-after-base date split means the (o_orderdate, o_orderkey)
+    * total order never interleaves across the boundary — the property
+    * that makes run-merge arithmetic exact.
+    *
+    * Scale shape: the base fact scan happens once to stand up the
+    * dimension (self-contained like the stored-index queries); the
+    * merge itself joins interval-table-sized frames on o_custkey and
+    * shuffles the DELTA only — at 100 TB the daily cost is
+    * |delta| + |dimension|, never |history|. */
+  val qScd2Incremental = Q(
+    "q_scd2_incremental",
+    (s, dir) => {
+      val cutoff = lit("2000-01-01").cast("timestamp")
+      val o = t(s, dir, "orders").filter(col("o_custkey") < 300)
+      val runsB = scd2Runs(o.filter(col("o_orderdate") < cutoff))
+      val runsD = scd2Runs(o.filter(col("o_orderdate") >= cutoff))
+        .withColumnRenamed("version", "dver")
+      val wMax = Window.partitionBy(col("o_custkey"))
+      val basePlus = runsB.withColumn("maxv", max(col("version")).over(wMax))
+      val closed = basePlus.filter(col("version") < col("maxv"))
+        .select(col("o_custkey"), col("version"), col("status"),
+          col("valid_from"), col("n_orders"))
+      val open = basePlus.filter(col("version") === col("maxv"))
+        .select(col("o_custkey"), col("version"), col("status"),
+          col("valid_from"), col("n_orders"))
+      val dfirst = runsD.filter(col("dver") === 1)
+        .select(col("o_custkey"), col("status").as("d1status"),
+          col("n_orders").as("d1n"))
+      // per-customer merge flag: does the delta's first run continue
+      // the open interval's status?
+      val flags = dfirst.join(open.select(col("o_custkey"),
+          col("version").as("bver"), col("status").as("bstatus")),
+          Seq("o_custkey"), "left")
+        .select(col("o_custkey"), col("bver"),
+          coalesce(col("d1status") === col("bstatus"), lit(false))
+            .as("fm"), col("d1n"))
+      val openAdj = open.join(flags.select(col("o_custkey"), col("fm"),
+          col("d1n")), Seq("o_custkey"), "left")
+        .select(col("o_custkey"), col("version"), col("status"),
+          col("valid_from"),
+          when(coalesce(col("fm"), lit(false)),
+            col("n_orders") + col("d1n")).otherwise(col("n_orders"))
+            .as("n_orders"))
+      val appended = runsD.join(flags.select(col("o_custkey"), col("bver"),
+          col("fm")), Seq("o_custkey"))
+        .filter(!(col("dver") === 1 && col("fm")))
+        .select(col("o_custkey"),
+          (coalesce(col("bver"), lit(0L)) + col("dver") -
+            when(col("fm"), 1L).otherwise(0L)).as("version"),
+          col("status"), col("valid_from"), col("n_orders"))
+      scd2Close(closed.unionByName(openAdj).unionByName(appended))
+    },
+    // the full-recompute oracle: incremental must equal from-scratch
+    qScd2Orders.oracle)
 
   /** Column profiling / data-quality audit over `orders`: per-column
     * null count, approximate-free exact distinct count, and min/max
@@ -1764,5 +1844,5 @@ object RelationalQueries {
     qScalarRegex, qScalarConditional, qScalarNullSemantics,
     qScalarArray, qSaltedAgg,
     qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events,
-    qScd2Orders, qStatsProfile, qTsEwma, qStatsRegression)
+    qScd2Orders, qScd2Incremental, qStatsProfile, qTsEwma, qStatsRegression)
 }

@@ -1863,6 +1863,44 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("scd2 incremental: every merge class equals the full recompute") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // customer 1: delta CONTINUES the open status (absorb: n_orders
+    //   adds, valid_from keeps, then a later status change appends);
+    // customer 2: delta OPENS with a different status (open interval
+    //   closes at the delta's first date);
+    // customer 3: delta-only customer (fresh history, versions 1..);
+    // customer 4: base-only customer (must pass through untouched)
+    val rows = Seq(
+      (10L, 1L, "O", ts("1999-01-01 00:00:00")),
+      (11L, 1L, "O", ts("1999-06-01 00:00:00")),
+      (12L, 1L, "O", ts("2000-02-01 00:00:00")),
+      (13L, 1L, "F", ts("2000-06-01 00:00:00")),
+      (20L, 2L, "O", ts("1999-03-01 00:00:00")),
+      (21L, 2L, "F", ts("2000-03-01 00:00:00")),
+      (22L, 2L, "F", ts("2000-04-01 00:00:00")),
+      (30L, 3L, "P", ts("2000-05-01 00:00:00")),
+      (31L, 3L, "O", ts("2000-07-01 00:00:00")),
+      (40L, 4L, "F", ts("1998-01-01 00:00:00")),
+      (41L, 4L, "O", ts("1999-09-01 00:00:00")))
+    val dir = java.nio.file.Files.createTempDirectory("scd2i").toString
+    rows.map { case (ok, ck, st, d) => (ok, ck, st, 0.0, d, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val full = RelationalQueries.qScd2Orders.run(spark, dir).collect().toSeq
+    val incr = RelationalQueries.qScd2Incremental.run(spark, dir)
+      .collect().toSeq
+    assert(incr === full)
+    // and the absorb case really absorbed: customer 1 version 1 spans
+    // base start with base+delta counts
+    val c1v1 = incr.find(r => r.getLong(0) === 1L && r.getLong(1) === 1L).get
+    assert(c1v1.getString(2) === "O" && c1v1.getLong(6) === 3L &&
+      c1v1.getTimestamp(3) === ts("1999-01-01 00:00:00"))
+    // customer 3 (delta-only) starts at version 1
+    assert(incr.filter(_.getLong(0) === 3L).map(_.getLong(1)).min === 1L)
+  }
+
   test("profile: one row per column, exact invariants vs the table") {
     val out = RelationalQueries.qStatsProfile.run(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
