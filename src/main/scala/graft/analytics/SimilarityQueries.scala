@@ -1151,7 +1151,83 @@ object SimilarityQueries {
       SELECT qid, qlabel, rank, neighbor_id, neighbor_label, cos_sim
       FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  /** Per-dimension ANOVA F-statistic of label separability in
+    * embedding space: for each of the 64 dimensions, the ratio of
+    * between-class to within-class variance over the 10 labels — the
+    * embedding-quality diagnostic (which dimensions carry label
+    * signal, is the space collapsing) and the classic filter-style
+    * feature selection for a downstream probe.
+    *
+    * Exactness: coordinates land in integer micro-units (the corpus
+    * discipline), so per-(dim,label) count/sum/sum-of-squares are
+    * exact BIGINTs; the one cross-group float — Σ s_g²/n_g — uses the
+    * logprob trick (each group's term rounded to 6dp then
+    * DECIMAL-accumulated) so its value is independent of either
+    * engine's group order; the final F combines those exact sums in
+    * DOUBLE with an identical op tree.
+    *
+    * Scale shape: posexplode is narrow (64× fan-out); ONE exchange on
+    * (dim, label) — 640 groups with map-side partial aggregation, so
+    * the shuffle carries ≤ |dims|×|labels| rows per task regardless
+    * of corpus size; the per-dim rollup reuses tiny frames. */
+  val qSimFisher = Q(
+    "q_sim_fisher",
+    (s, dir) => {
+      val pts = Tables.spread(Tables(s, dir, "embeddings"))
+        .select(col("label"),
+          posexplode(transform(col("embedding"), x => x.cast("double"))))
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          expr("cast(round(col * 1000000) as bigint)").as("xm"))
+      val pg = pts.groupBy(col("dim"), col("label"))
+        .agg(count(lit(1)).as("ng"), sum(col("xm")).as("sg"),
+          sum(expr("xm * xm")).as("ssg"))
+      val pd = pg.groupBy(col("dim"))
+        .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          sum(col("sg")).as("stot"), sum(col("ssg")).as("sstot"),
+          sum(expr("""cast(round(cast(sg as double) * cast(sg as double)
+                 / cast(ng as double), 6) as decimal(25,6))""")).as("sb"))
+      val nD = col("n").cast("double")
+      val kD = col("k").cast("double")
+      val sbD = col("sb").cast("double")
+      val between = (sbD - col("stot").cast("double") *
+        col("stot").cast("double") / nD) / (kD - lit(1.0))
+      val within = (col("sstot").cast("double") - sbD) / (nD - kD)
+      pd.select(col("dim"), col("n"), col("k"),
+          round(between / within, 6).as("f_stat"))
+        .orderBy(col("dim"))
+    },
+    Some("""
+      WITH pts AS (
+        SELECT label, CAST(dim AS BIGINT) AS dim,
+               CAST(ROUND(x * 1000000) AS BIGINT) AS xm
+        FROM (
+          SELECT label, unnest(generate_series(1, len(v))) AS dim,
+                 unnest(v) AS x
+          FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings) e) z),
+      pg AS (
+        SELECT dim, label, COUNT(*) AS ng,
+               CAST(SUM(xm) AS BIGINT) AS sg,
+               CAST(SUM(xm * xm) AS BIGINT) AS ssg
+        FROM pts GROUP BY dim, label),
+      pd AS (
+        SELECT dim, COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+               CAST(SUM(sg) AS BIGINT) AS stot,
+               CAST(SUM(ssg) AS BIGINT) AS sstot,
+               SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                   / CAST(ng AS DOUBLE), 6) AS DECIMAL(25,6))) AS sb
+        FROM pg GROUP BY dim)
+      SELECT dim, n, k,
+             ROUND(((CAST(sb AS DOUBLE) - CAST(stot AS DOUBLE)
+                     * CAST(stot AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(k AS DOUBLE) - 1.0))
+                   / ((CAST(sstot AS DOUBLE) - CAST(sb AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+               AS f_stat
+      FROM pd ORDER BY dim"""))
+
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
     qSimIvfPqTopk, qSimIvfPqStored, qSimIvfPqAdmitted, qSimIvfPqRerank,
-    qSimSqTopk, qSimKmeans, qSimIvfTrained, qSimHybridRrf, qSimHardNegatives)
+    qSimSqTopk, qSimKmeans, qSimIvfTrained, qSimHybridRrf, qSimHardNegatives,
+    qSimFisher)
 }

@@ -1265,10 +1265,89 @@ object TextQueries {
       JOIN sizes sb ON sb.source = src_b
       ORDER BY jaccard DESC, src_a, src_b LIMIT 20"""))
 
+  /** N-gram diversity (distinct-n) per source: distinct/total ratios
+    * for unigrams, bigrams, and trigrams — the standard
+    * repetitiveness/diversity metric for corpus slices and generated
+    * data (low distinct-2 flags template-y or self-repeating text
+    * that per-document repetition filters can miss at corpus level).
+    *
+    * Scale shape: one narrow pass builds positional n-grams (two
+    * LEADs sharing one doc-keyed window sort), then ONE aggregate
+    * computes all three totals and all three distinct counts (Spark's
+    * expand-based multi-distinct; distinct KEYS may be strings — only
+    * string agg BUFFERS break HashAggregate, see q_stats_profile).
+    * Nothing shuffles except the (source, gid, ngram) dedup rows. */
+  val qTextDistinctN = Q(
+    "q_text_distinct_n",
+    (s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")))
+        .filter(length(col("col")) > 0)
+        .select(col("doc_id"), col("source"), col("pos"),
+          col("col").as("w"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val grams = tok
+        .withColumn("w2", lead(col("w"), 1).over(wDoc))
+        .withColumn("w3", lead(col("w"), 2).over(wDoc))
+        .select(col("source"), col("w"),
+          when(col("w2").isNotNull,
+            concat_ws(" ", col("w"), col("w2"))).as("bg"),
+          when(col("w3").isNotNull,
+            concat_ws(" ", col("w"), col("w2"), col("w3"))).as("tg"))
+      grams.groupBy(col("source"))
+        .agg(count(col("w")).as("n_uni"),
+          countDistinct(col("w")).as("d_uni"),
+          count(col("bg")).as("n_bi"),
+          countDistinct(col("bg")).as("d_bi"),
+          count(col("tg")).as("n_tri"),
+          countDistinct(col("tg")).as("d_tri"))
+        .select(col("source"), col("n_uni"), col("d_uni"),
+          round(col("d_uni").cast("double") / col("n_uni").cast("double"), 6)
+            .as("r_uni"),
+          col("n_bi"), col("d_bi"),
+          round(col("d_bi").cast("double") / col("n_bi").cast("double"), 6)
+            .as("r_bi"),
+          col("n_tri"), col("d_tri"),
+          round(col("d_tri").cast("double") / col("n_tri").cast("double"), 6)
+            .as("r_tri"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, source, CAST(pos AS BIGINT) AS pos, w
+        FROM (
+          SELECT doc_id, source,
+                 unnest(generate_series(1, len(ws))) AS pos,
+                 unnest(ws) AS w
+          FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+                FROM documents) d) z
+        WHERE length(w) > 0),
+      grams AS (
+        SELECT source, w,
+               CASE WHEN LEAD(w, 1) OVER win IS NOT NULL
+                    THEN w || ' ' || LEAD(w, 1) OVER win END AS bg,
+               CASE WHEN LEAD(w, 2) OVER win IS NOT NULL
+                    THEN w || ' ' || LEAD(w, 1) OVER win || ' '
+                         || LEAD(w, 2) OVER win END AS tg
+        FROM tok
+        WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+      SELECT source,
+             COUNT(w) AS n_uni, COUNT(DISTINCT w) AS d_uni,
+             ROUND(CAST(COUNT(DISTINCT w) AS DOUBLE)
+                   / CAST(COUNT(w) AS DOUBLE), 6) AS r_uni,
+             COUNT(bg) AS n_bi, COUNT(DISTINCT bg) AS d_bi,
+             ROUND(CAST(COUNT(DISTINCT bg) AS DOUBLE)
+                   / CAST(COUNT(bg) AS DOUBLE), 6) AS r_bi,
+             COUNT(tg) AS n_tri, COUNT(DISTINCT tg) AS d_tri,
+             ROUND(CAST(COUNT(DISTINCT tg) AS DOUBLE)
+                   / CAST(COUNT(tg) AS DOUBLE), 6) AS r_tri
+      FROM grams GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
     qTextFingerprint, qTextVocab, qHeavyHitters, qTextCountmin,
     qTextRepetition,
     qTextLogprob, qTextBigramLogprob, qTextBpePairs, qTextBpeMerges,
     qTextBm25, qTextBm25Stored, qTextBm25Reingested, qTextTfidfSim,
-    qTextCollocations, qTextChisquare, qStatsSourceOverlap, qStatsDatacard)
+    qTextCollocations, qTextChisquare, qStatsSourceOverlap, qTextDistinctN, qStatsDatacard)
 }

@@ -2056,6 +2056,49 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(js.toSeq === js.sorted(Ordering[Double].reverse).toSeq)
   }
 
+  test("fisher: a planted separating dimension dominates a no-signal one") {
+    // dim 1 separates the two labels by 1.0 with 0.01 within-class
+    // spread; dim 2 carries the SAME values for both labels (no
+    // signal). F(dim1) must dwarf F(dim2), and every F is >= 0.
+    val rows = Seq(
+      (1L, Array(0.0f, 0.3f), 0), (2L, Array(0.01f, 0.31f), 0),
+      (3L, Array(0.02f, 0.3f), 0), (4L, Array(1.0f, 0.3f), 1),
+      (5L, Array(1.01f, 0.31f), 1), (6L, Array(1.02f, 0.3f), 1))
+    val dir = java.nio.file.Files.createTempDirectory("fisher").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SimilarityQueries.qSimFisher.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) > 100 * math.max(got(2L), 1e-9),
+      s"separating dim F=${got(1L)} vs noise dim F=${got(2L)}")
+    assert(got.values.forall(_ >= 0.0))
+  }
+
+  test("distinct-n: hand-checked ratios separate templated from varied text") {
+    val docsRows = Seq(
+      (1L, "a a a a", "en", "tmpl", 7L),
+      (2L, "a a a a", "en", "tmpl", 7L),
+      (3L, "a b c d", "en", "varied", 7L),
+      (4L, "e f g h", "en", "varied", 7L))
+    val dir = java.nio.file.Files.createTempDirectory("dn").toString
+    docsRows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.qTextDistinctN.run(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val t = got("tmpl")
+    // 2 docs × "a a a a": 8 unigrams 1 distinct; 6 bigrams 1 distinct;
+    // 4 trigrams 1 distinct
+    assert((t.getLong(1), t.getLong(2)) === ((8L, 1L)))
+    assert((t.getLong(4), t.getLong(5)) === ((6L, 1L)))
+    assert((t.getLong(7), t.getLong(8)) === ((4L, 1L)))
+    assert(t.getDouble(3) === 0.125 && t.getDouble(6) > t.getDouble(3) - 1)
+    val v = got("varied")
+    // fully varied: every ratio is exactly 1
+    assert(v.getDouble(3) === 1.0 && v.getDouble(6) === 1.0 &&
+      v.getDouble(9) === 1.0)
+  }
+
   test("hard negatives: labels always differ, similarity dominates in-class") {
     val out = SimilarityQueries.qSimHardNegatives.run(spark, sf).collect()
     assert(out.nonEmpty)
