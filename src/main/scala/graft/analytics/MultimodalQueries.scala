@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.multimodal.Multimodal
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver-facing queries for the multimodal column layer. The metadata
@@ -90,6 +91,113 @@ object MultimodalQueries {
              substr(hx, 2 * (frame_start - 1) + 1, 128) AS frame_hex
       FROM f ORDER BY doc_id, frame_idx"""))
 
+  /** Content-defined chunking (CDC) dedup over the binary payloads —
+    * the storage-layer dedup algorithm (LBFS/rsync lineage): chunk
+    * boundaries fall where a rolling hash of the trailing 4 bytes
+    * hits 0 mod 64, so boundaries are decided by CONTENT, not offset.
+    * That is the property fixed-size blocking lacks: insert one byte
+    * near the head of a payload and every fixed block downstream
+    * shifts and stops matching, while CDC re-synchronizes at the next
+    * content boundary (spec-proven on a planted shifted duplicate).
+    * Output: the top-20 most-shared chunks with occurrence/doc/length
+    * stats.
+    *
+    * Scale shape: ONE doc-keyed exchange carries everything
+    * positional — the 3-LAG rolling hash and the boundary-count
+    * running sum fuse into one Window operator over one sort — and
+    * the per-byte rows then collapse to chunk-table size at the
+    * (doc, chunk) aggregate. The doc hex rides a separate doc-keyed
+    * join onto the SMALL chunk table for slicing (never through the
+    * per-byte shuffle — a 1500× payload blowup otherwise). md5s,
+    * not bytes, reach the final chunk-hash aggregate. */
+  /** Per-document CDC chunk table (doc_id, chunk_hash, len) — the
+    * chunker the registered query aggregates; the spec drives it
+    * directly to prove boundary re-synchronization. */
+  private[analytics] def cdcChunks(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val b = Multimodal.binarize(Tables.spread(Tables(s, dir, "documents")))
+      .select(col("doc_id"), hex(col("content")).as("hx"),
+        col("n_bytes").as("n"))
+    val pos = b.select(col("doc_id"), col("n"),
+        explode(expr("sequence(1L, n)")).as("i"))
+      .select(col("doc_id"), col("i"))
+    val byts = pos.join(b.select(col("doc_id"), col("hx")), "doc_id")
+      .select(col("doc_id"), col("i"),
+        (expr("instr('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1")
+          * 16 +
+          expr("instr('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1"))
+          .cast("long").as("bv"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val bnd = byts.withColumn("bnd",
+      when(col("i") >= 4 &&
+        (col("bv") + lit(257L) * lag(col("bv"), 1).over(w) +
+          lit(66049L) * lag(col("bv"), 2).over(w) +
+          lit(16974593L) * lag(col("bv"), 3).over(w)) % 64 === 0,
+        lit(1L)).otherwise(lit(0L)))
+    val ck = bnd.withColumn("chunk",
+      coalesce(sum(col("bnd")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val gr = ck.groupBy(col("doc_id"), col("chunk"))
+      .agg(min(col("i")).as("start"), count(lit(1)).as("len"))
+    gr.join(b.select(col("doc_id"), col("hx")), "doc_id")
+      .select(col("doc_id"),
+        md5(expr("substring(hx, cast(2*start-1 as int), cast(2*len as int))"))
+          .as("chunk_hash"),
+        col("len"))
+  }
+
+  val qMultimodalCdc = Q(
+    "q_multimodal_cdc",
+    (s, dir) =>
+      cdcChunks(s, dir).groupBy(col("chunk_hash"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(col("len")).as("len_bytes"))
+        .orderBy(col("n_occ").desc, col("chunk_hash"))
+        .limit(20),
+    Some("""
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents),
+      pos AS (
+        SELECT doc_id, unnest(generate_series(1, n)) AS i FROM b),
+      byts AS (
+        SELECT p.doc_id, p.i,
+               (instr('0123456789ABCDEF', substr(b.hx, 2*p.i-1, 1)) - 1)
+                 * 16 +
+               instr('0123456789ABCDEF', substr(b.hx, 2*p.i, 1)) - 1 AS bv
+        FROM pos p JOIN b ON b.doc_id = p.doc_id),
+      h AS (
+        SELECT doc_id, i,
+               CASE WHEN i >= 4 AND
+                 (bv + 257 * LAG(bv, 1) OVER win
+                     + 66049 * LAG(bv, 2) OVER win
+                     + 16974593 * LAG(bv, 3) OVER win) % 64 = 0
+                 THEN 1 ELSE 0 END AS bnd
+        FROM byts
+        WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      ck AS (
+        SELECT doc_id, i,
+               COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS chunk
+        FROM h),
+      gr AS (
+        SELECT doc_id, chunk, MIN(i) AS start, COUNT(*) AS len
+        FROM ck GROUP BY doc_id, chunk),
+      ch AS (
+        SELECT g.doc_id,
+               md5(substr(b.hx, CAST(2*g.start-1 AS BIGINT),
+                          CAST(2*g.len AS BIGINT))) AS chunk_hash,
+               g.len
+        FROM gr g JOIN b ON b.doc_id = g.doc_id)
+      SELECT chunk_hash, COUNT(*) AS n_occ,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(MAX(len) AS BIGINT) AS len_bytes
+      FROM ch GROUP BY chunk_hash
+      ORDER BY n_occ DESC, chunk_hash LIMIT 20"""))
+
   val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFeatures,
-    qMultimodalFrames)
+    qMultimodalFrames, qMultimodalCdc)
 }

@@ -2099,6 +2099,35 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       v.getDouble(9) === 1.0)
   }
 
+  test("cdc: boundaries re-synchronize after a head insertion; fixed blocks don't") {
+    // doc 2 = doc 1 with ONE byte inserted at the head. CDC must
+    // still share most chunk hashes (boundaries are content-decided,
+    // so everything after the first boundary re-aligns); fixed-size
+    // blocking at the same granularity shares NOTHING (every block
+    // shifts by one byte).
+    val baseText = (1 to 300).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      (1L, baseText, "en", "s", baseText.length.toLong),
+      (2L, "X" + baseText, "en", "s", baseText.length + 1L))
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val chunks = MultimodalQueries.cdcChunks(spark, dir).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    val shared = chunks(1L) & chunks(2L)
+    assert(chunks(1L).size > 3, s"degenerate chunking: ${chunks(1L).size}")
+    assert(shared.size >= chunks(1L).size - 2,
+      s"CDC failed to re-synchronize: ${shared.size} of ${chunks(1L).size}")
+    // the fixed-size-blocking contrast: 32-byte offset blocks of the
+    // two payloads share no hash (the entire point of CDC)
+    val a = baseText.getBytes("UTF-8")
+    val b = ("X" + baseText).getBytes("UTF-8")
+    def blocks(x: Array[Byte]) =
+      x.grouped(32).map(_.toSeq).toSet
+    assert((blocks(a) & blocks(b)).isEmpty)
+  }
+
   test("hard negatives: labels always differ, similarity dominates in-class") {
     val out = SimilarityQueries.qSimHardNegatives.run(spark, sf).collect()
     assert(out.nonEmpty)
