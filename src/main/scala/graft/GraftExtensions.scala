@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DnsRecordValidity, DotProduct, EnvelopeValidity, WordShingles}
+import graft.functions.{CdcChunks, DnsRecordValidity, DotProduct, EnvelopeValidity, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -61,6 +61,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_envelope_validity(json)")
         EnvelopeValidity(children.head)
+      }))
+    // Content-defined chunking of a BINARY payload → array<struct<
+    // start, len, chunk_hash>> — the storage-dedup kernel, e.g.
+    // `SELECT doc_id, c.* FROM t, LATERAL explode(graft_cdc_chunks(
+    // payload)) AS c` for SQL-side chunk inventories.
+    ext.injectFunction((
+      FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_cdc_chunks(payload)")
+        CdcChunks(children.head)
       }))
   }
 }

@@ -1,7 +1,6 @@
 package graft.analytics
 
 import graft.multimodal.Multimodal
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver-facing queries for the multimodal column layer. The metadata
@@ -91,61 +90,36 @@ object MultimodalQueries {
              substr(hx, 2 * (frame_start - 1) + 1, 128) AS frame_hex
       FROM f ORDER BY doc_id, frame_idx"""))
 
+  /** Per-document CDC chunk table (doc_id, chunk_hash, len) via the
+    * native [[graft.functions.CdcChunks]] kernel: one narrow O(len)
+    * pass per payload inside whole-stage codegen — no per-byte row
+    * explosion, no positional window, no shuffle until the caller's
+    * chunk-level aggregate. The spec drives this directly to prove
+    * boundary re-synchronization; the registered query's DuckDB
+    * oracle independently replays the positional algorithm over the
+    * hex expansion, so the hash-match differentially tests the
+    * kernel chunk for chunk (boundaries, slicing, and hex-md5s). */
+  private[analytics] def cdcChunks(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Multimodal.binarize(Tables.spread(Tables(s, dir, "documents")))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.cdcChunks(col("content")))
+          .as("ck"))
+      .select(col("doc_id"), col("ck.chunk_hash").as("chunk_hash"),
+        col("ck.len").as("len"))
+
   /** Content-defined chunking (CDC) dedup over the binary payloads —
     * the storage-layer dedup algorithm (LBFS/rsync lineage): chunk
     * boundaries fall where a rolling hash of the trailing 4 bytes
     * hits 0 mod 64, so boundaries are decided by CONTENT, not offset.
-    * That is the property fixed-size blocking lacks: insert one byte
-    * near the head of a payload and every fixed block downstream
-    * shifts and stops matching, while CDC re-synchronizes at the next
-    * content boundary (spec-proven on a planted shifted duplicate).
-    * Output: the top-20 most-shared chunks with occurrence/doc/length
-    * stats.
-    *
-    * Scale shape: ONE doc-keyed exchange carries everything
-    * positional — the 3-LAG rolling hash and the boundary-count
-    * running sum fuse into one Window operator over one sort — and
-    * the per-byte rows then collapse to chunk-table size at the
-    * (doc, chunk) aggregate. The doc hex rides a separate doc-keyed
-    * join onto the SMALL chunk table for slicing (never through the
-    * per-byte shuffle — a 1500× payload blowup otherwise). md5s,
-    * not bytes, reach the final chunk-hash aggregate. */
-  /** Per-document CDC chunk table (doc_id, chunk_hash, len) — the
-    * chunker the registered query aggregates; the spec drives it
-    * directly to prove boundary re-synchronization. */
-  private[analytics] def cdcChunks(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val b = Multimodal.binarize(Tables.spread(Tables(s, dir, "documents")))
-      .select(col("doc_id"), hex(col("content")).as("hx"),
-        col("n_bytes").as("n"))
-    val pos = b.select(col("doc_id"), col("n"),
-        explode(expr("sequence(1L, n)")).as("i"))
-      .select(col("doc_id"), col("i"))
-    val byts = pos.join(b.select(col("doc_id"), col("hx")), "doc_id")
-      .select(col("doc_id"), col("i"),
-        (expr("instr('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1")
-          * 16 +
-          expr("instr('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1"))
-          .cast("long").as("bv"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    val bnd = byts.withColumn("bnd",
-      when(col("i") >= 4 &&
-        (col("bv") + lit(257L) * lag(col("bv"), 1).over(w) +
-          lit(66049L) * lag(col("bv"), 2).over(w) +
-          lit(16974593L) * lag(col("bv"), 3).over(w)) % 64 === 0,
-        lit(1L)).otherwise(lit(0L)))
-    val ck = bnd.withColumn("chunk",
-      coalesce(sum(col("bnd")).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val gr = ck.groupBy(col("doc_id"), col("chunk"))
-      .agg(min(col("i")).as("start"), count(lit(1)).as("len"))
-    gr.join(b.select(col("doc_id"), col("hx")), "doc_id")
-      .select(col("doc_id"),
-        md5(expr("substring(hx, cast(2*start-1 as int), cast(2*len as int))"))
-          .as("chunk_hash"),
-        col("len"))
-  }
-
+    * Insert one byte at a payload's head and every fixed-size block
+    * downstream shifts and stops matching, while CDC re-synchronizes
+    * at the next content boundary (spec-proven on a planted shifted
+    * duplicate). Output: the top-20 most-shared chunks with
+    * occurrence/doc/length stats. Scale shape: the native kernel
+    * (see [[cdcChunks]]) is a narrow per-payload pass; the ONLY
+    * shuffle is the chunk-hash aggregate, which carries md5s, never
+    * bytes. */
   val qMultimodalCdc = Q(
     "q_multimodal_cdc",
     (s, dir) =>

@@ -145,6 +145,102 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Content-defined chunking of a binary payload — the production shape
+  * of q_multimodal_cdc's chunker: ONE narrow O(len) pass per payload
+  * (no per-byte row explosion, no positional window, no shuffle until
+  * the cross-payload chunk aggregate). Boundary where the rolling hash
+  * of the trailing 4 bytes (b + 257·b₋₁ + 257²·b₋₂ + 257³·b₋₃, unsigned)
+  * hits 0 mod 64 — the boundary byte CLOSES its chunk. Each chunk
+  * emits (start 1-based, len, md5 of the UPPERCASE-hex expansion of
+  * its bytes) — hex-string md5, not raw-byte md5, so the value is
+  * bit-identical to the SQL oracle's `md5(substr(hex(payload), …))`
+  * replay and the differential gate covers this kernel end to end. */
+case class CdcChunks(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_cdc_chunks needs a BINARY payload, got ${other.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", LongType, nullable = false),
+    StructField("len", LongType, nullable = false),
+    StructField("chunk_hash", StringType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "graft_cdc_chunks"
+
+  private val hexDigits = "0123456789ABCDEF".toCharArray
+
+  private def emit(bytes: Array[Byte], start: Int, end: Int,
+      out: java.util.ArrayList[InternalRow]): Unit = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = new Array[Byte](2 * (end - start + 1))
+    var i = start
+    var j = 0
+    while (i <= end) {
+      val v = bytes(i) & 0xff
+      hex(j) = hexDigits(v >>> 4).toByte
+      hex(j + 1) = hexDigits(v & 0xf).toByte
+      i += 1; j += 2
+    }
+    val dig = md.digest(hex)
+    val sb = new java.lang.StringBuilder(32)
+    var k = 0
+    while (k < dig.length) {
+      val v = dig(k) & 0xff
+      sb.append(Character.forDigit(v >>> 4, 16))
+      sb.append(Character.forDigit(v & 0xf, 16))
+      k += 1
+    }
+    out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((start + 1).toLong, (end - start + 1).toLong,
+        UTF8String.fromString(sb.toString))))
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val n = bytes.length
+    val out = new java.util.ArrayList[InternalRow]()
+    var chunkStart = 0
+    var idx = 0
+    while (idx < n) {
+      if (idx >= 3) {
+        val h = (bytes(idx) & 0xff).toLong +
+          257L * (bytes(idx - 1) & 0xff) +
+          66049L * (bytes(idx - 2) & 0xff) +
+          16974593L * (bytes(idx - 3) & 0xff)
+        if (h % 64 == 0) {
+          emit(bytes, chunkStart, idx, out)
+          chunkStart = idx + 1
+        }
+      }
+      idx += 1
+    }
+    if (chunkStart < n) emit(bytes, chunkStart, n - 1, out)
+    new GenericArrayData(out.toArray(new Array[InternalRow](out.size())))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("cdcExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $expr.chunksEval($c);")
+  }
+
+  /** Called from generated code. */
+  def chunksEval(bytes: Array[Byte]): ArrayData =
+    nullSafeEval(bytes).asInstanceOf[ArrayData]
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Distinct word n-gram shingles of an array<string> column. */
   def shingles(words: Column, n: Int): Column =
@@ -153,4 +249,8 @@ object TextFunctions {
   /** One-pass repetition statistics of an array<string> column. */
   def repetitionStats(words: Column): Column =
     ExprBridge.column(RepetitionStats(ExprBridge.expression(words)))
+
+  /** Content-defined chunks of a binary column. */
+  def cdcChunks(payload: Column): Column =
+    ExprBridge.column(CdcChunks(ExprBridge.expression(payload)))
 }

@@ -62,9 +62,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // must never be the function behind it).
       val graftFns = s.sessionState.functionRegistry.listFunction()
         .map(_.funcName).filter(_.startsWith("graft_")).sorted
-      assert(graftFns === Seq("graft_dns_validity", "graft_dot",
-        "graft_envelope_validity", "graft_shingles"),
+      assert(graftFns === Seq("graft_cdc_chunks", "graft_dns_validity",
+        "graft_dot", "graft_envelope_validity", "graft_shingles"),
         s"unexpected graft_* SQL registration: $graftFns")
+      // the CDC kernel is SQL-callable and type-checks its input at
+      // analysis time (BINARY payloads only)
+      val cdc = s.sql(
+        """SELECT graft_cdc_chunks(encode('abcdefgh', 'UTF-8'))""").head()
+      assert(cdc.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)).sum
+        === 8L, "chunk lengths must cover the payload")
+      val badType = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT graft_cdc_chunks('not binary')").collect()
+      }
+      assert(badType.getMessage.toLowerCase.contains("binary"))
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)
