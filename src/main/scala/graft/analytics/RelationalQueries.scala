@@ -1831,13 +1831,100 @@ object RelationalQueries {
                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
       FROM sums ORDER BY event_type"""))
 
+  /** Big×big interval-overlap SELF join — the join variant neither a
+    * broadcast theta join nor a range join covers: both interval sets
+    * are corpus-sized (every user's sessions), so the scalable plan is
+    * CANDIDATE GENERATION BY TIME BUCKET + exact verify — each padded
+    * session explodes into the calendar hours it touches (bounded
+    * fan-out: session length / 1h + 2), candidates equi-join on the
+    * hour, the exact overlap predicate re-checks every candidate
+    * (blocking never decides), and DISTINCT collapses multi-bucket
+    * hits. The measure: each session's concurrency degree — how many
+    * OTHER users' sessions overlap its [start, end + 30 min gap
+    * window].
+    *
+    * The oracle runs the same semantics as a plain interval theta
+    * self-join (DuckDB IEJoin) — the hash-match proves the bucketed
+    * decomposition finds exactly the theta join's pairs. Skew note for
+    * 100 TB: a globally hot hour concentrates candidates; the salt
+    * lever is the same as q_join_salted (bucket key → (hour, salt)). */
+  val qJoinInterval = Q(
+    "q_join_interval",
+    (s, dir) => {
+      val pad = 1800L * 1000000L
+      val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val sess = e
+        .withColumn("new_s",
+          when(col("us") - lag(col("us"), 1).over(w) <= pad, 0L)
+            .otherwise(1L))
+        .withColumn("session_idx", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(min(col("us")).as("st"), (max(col("us")) + pad).as("en"))
+      val hb = sess.select(col("user_id"), col("session_idx"), col("st"),
+        col("en"),
+        explode(expr("sequence(st div 3600000000L, en div 3600000000L)"))
+          .as("hb"))
+      val a = hb.select(col("hb"), col("user_id").as("u_a"),
+        col("session_idx").as("i_a"), col("st").as("st_a"),
+        col("en").as("en_a"))
+      val b = hb.select(col("hb"), col("user_id").as("u_b"),
+        col("session_idx").as("i_b"), col("st").as("st_b"),
+        col("en").as("en_b"))
+      a.join(b, Seq("hb"))
+        .filter(col("u_a") =!= col("u_b") &&
+          col("st_a") <= col("en_b") && col("st_b") <= col("en_a"))
+        .select(col("u_a"), col("i_a"), col("st_a"), col("u_b"), col("i_b"))
+        .distinct()
+        .groupBy(col("u_a"), col("i_a"), col("st_a"))
+        .agg(count(lit(1)).as("n_concurrent"))
+        .select(col("u_a").as("user_id"), col("i_a").as("session_idx"),
+          col("st_a").as("session_start_us"), col("n_concurrent"))
+        .orderBy(col("n_concurrent").desc, col("user_id"),
+          col("session_idx"))
+        .limit(50)
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      f AS (
+        SELECT *, CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                               ORDER BY us, event_id)
+                            <= 1800 * 1000000
+                       THEN 0 ELSE 1 END AS new_s
+        FROM e),
+      s AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS session_idx
+        FROM f),
+      sess AS (
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               MIN(us) AS st, MAX(us) + 1800 * 1000000 AS en
+        FROM s GROUP BY user_id, session_idx),
+      pairs AS (
+        SELECT a.user_id AS u_a, a.session_idx AS i_a, a.st AS st_a
+        FROM sess a JOIN sess b
+          ON a.user_id <> b.user_id
+         AND a.st <= b.en AND b.st <= a.en)
+      SELECT u_a AS user_id, i_a AS session_idx,
+             st_a AS session_start_us, COUNT(*) AS n_concurrent
+      FROM pairs GROUP BY u_a, i_a, st_a
+      ORDER BY n_concurrent DESC, user_id, session_idx LIMIT 50"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
     qGroupingSets, qHllDistinct, qQuantileSketch,
     qJoinRegionRevenue, qJoinSalted, qJoinSemi, qJoinAnti, qJoinLeftOuter,
     qJoinFullOuter, qAggStringAgg, qThetaJoin, qRangeJoin, qJoinLateral,
-    qAsofJoin, qTopkPerCustomer, qWindowRunning, qWindowRanks,
+    qAsofJoin, qJoinInterval, qTopkPerCustomer, qWindowRunning, qWindowRanks,
     qWindowRangeFrame, qWindowHourly, qWindowNavigation,
     qWindowDistribution, qSessionizeBatch,
     qSortLimit, qSetopsNations, qSetOpsBag, qTsGapfill, qScalarString, qScalarDate, qScalarMath,

@@ -2099,6 +2099,28 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       v.getDouble(9) === 1.0)
   }
 
+  test("interval join: shared bucket without true overlap is excluded") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // three single-event sessions in the SAME hour bucket: u1 at
+    // 10:00 and u3 at 10:20 overlap under the 30-min pad; u2 at 10:51
+    // shares the bucket but overlaps NEITHER ([10:00,10:30] and
+    // [10:20,10:50] both end before 10:51) — the exact predicate must
+    // drop it, proving bucketing only generates candidates, never
+    // decides. (10:50 would touch u3's padded end exactly — the
+    // inclusive boundary — so the fixture sits one minute past it.)
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:51:00"), 2L, "view", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:20:00"), 3L, "view", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("ivj").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = RelationalQueries.qJoinInterval.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got === Set((1L, 1L), (3L, 1L)),
+      s"expected u1<->u3 only, got $got")
+  }
+
   test("cdc: boundaries re-synchronize after a head insertion; fixed blocks don't") {
     // doc 2 = doc 1 with ONE byte inserted at the head. CDC must
     // still share most chunk hashes (boundaries are content-decided,
