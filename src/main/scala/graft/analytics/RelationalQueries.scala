@@ -1831,6 +1831,49 @@ object RelationalQueries {
                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
       FROM sums ORDER BY event_type"""))
 
+  /** The built-in `session_window` operator in BATCH mode, gated by
+    * the SAME oracle as the hand-rolled lag/cumsum sessionizer
+    * (q_sessionize_batch): the hash-match is a three-way equivalence
+    * proof — Spark's native session operator ≡ the gaps-and-islands
+    * window formulation ≡ DuckDB's SQL replay. The session_window
+    * struct serves only as the grouping key; start/end/value
+    * re-aggregate as min/max/decimal-sum inside each session, and
+    * session_idx re-ranks windows per user by start time (per-user
+    * sessions are time-disjoint, so the rank IS the islands ordinal).
+    * Boundary caveat the shared gate makes visible: an event EXACTLY
+    * gap-distant from its predecessor is same-session in the lag
+    * formulation (<=); if the native operator ever treated that as
+    * exclusive, this hash would split first.
+    *
+    * Scale shape: session_window plans ONE exchange on user_id with
+    * the session merge inside the aggregate (no second window pass) —
+    * the same single-shuffle shape the hand-rolled variant is pinned
+    * to. */
+  val qSessionizeNative = Q(
+    "q_sessionize_native",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("value"))
+      val sess = ev
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          sum(col("value").cast(DecimalType(25, 6))).cast("double")
+            .as("session_value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("session_start"))
+      sess
+        .withColumn("session_idx", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("session_start"), col("session_end"), col("session_value"))
+        .orderBy(col("user_id"), col("session_idx"))
+    },
+    // the q_sessionize_batch oracle verbatim — same semantics, so the
+    // native operator must reproduce the islands formulation exactly
+    qSessionizeBatch.oracle)
+
   /** Big×big interval-overlap SELF join — the join variant neither a
     * broadcast theta join nor a range join covers: both interval sets
     * are corpus-sized (every user's sessions), so the scalable plan is
@@ -1926,7 +1969,7 @@ object RelationalQueries {
     qJoinFullOuter, qAggStringAgg, qThetaJoin, qRangeJoin, qJoinLateral,
     qAsofJoin, qJoinInterval, qTopkPerCustomer, qWindowRunning, qWindowRanks,
     qWindowRangeFrame, qWindowHourly, qWindowNavigation,
-    qWindowDistribution, qSessionizeBatch,
+    qWindowDistribution, qSessionizeBatch, qSessionizeNative,
     qSortLimit, qSetopsNations, qSetOpsBag, qTsGapfill, qScalarString, qScalarDate, qScalarMath,
     qScalarRegex, qScalarConditional, qScalarNullSemantics,
     qScalarArray, qSaltedAgg,
