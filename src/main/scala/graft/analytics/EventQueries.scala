@@ -3,6 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Behavioral event analytics over the `events` stream table — the
   * ordered-sequence operator family (funnel, cohort retention) that
@@ -369,6 +370,96 @@ object EventQueries {
              first_touch, first_ts, last_touch, last_ts
       FROM w WHERE event_type = 'purchase' ORDER BY conv_id"""))
 
+  /** Funnel latency distributions: for users who complete the strict
+    * view→click→purchase funnel, the per-transition time-to-convert
+    * (view→click, click→purchase, view→purchase) as exact interpolated
+    * p50/p90 plus the mean, in seconds — the "how long does the funnel
+    * take" follow-up to q_events_funnel's "how many convert".
+    *
+    * Exactness: latencies are exact integer micros (unix_micros
+    * diffs); percentiles interpolate over integers identically in
+    * both engines (the q_percentile parity); the mean accumulates in
+    * DECIMAL before ONE rounded double division. Scale shape: the
+    * same user-keyed conditional-aggregation chain as the funnel
+    * (stage N+1 filters on stage N's resolved timestamp — no per-user
+    * event lists), then three tiny transition rows. */
+  val qEventsFunnelTime = Q(
+    "q_events_funnel_time",
+    (s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("ts"), unix_micros(col("ts")).as("us"))
+      val s1 = e.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("us"))).as("t1"))
+        .filter(col("t1").isNotNull)
+      val s2 = e.join(s1, "user_id")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "click" && col("us") > col("t1"),
+          col("us"))).as("t2"), min(col("t1")).as("t1"))
+        .filter(col("t2").isNotNull)
+      val s3 = e.join(s2.select(col("user_id"), col("t2")), "user_id")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "purchase" &&
+          col("us") > col("t2"), col("us"))).as("t3"))
+        .filter(col("t3").isNotNull)
+      val lat = s2.join(s3, "user_id")
+        .select(col("user_id"), (col("t2") - col("t1")).as("d12"),
+          (col("t3") - col("t2")).as("d23"),
+          (col("t3") - col("t1")).as("d13"))
+      lat.select(expr("""stack(3,
+          'click_to_purchase', d23,
+          'view_to_click', d12,
+          'view_to_purchase', d13) AS (transition, d)"""))
+        .groupBy(col("transition"))
+        .agg(count(lit(1)).as("n_users"),
+          round(expr("percentile(d, 0.5D)") / 1000000.0, 6).as("p50_s"),
+          round(expr("percentile(d, 0.9D)") / 1000000.0, 6).as("p90_s"),
+          round(sum(col("d").cast(DecimalType(25, 0))).cast("double") /
+            count(lit(1)) / 1000000.0, 6).as("mean_s"))
+        .orderBy(col("transition"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      s1 AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN us END) AS t1
+        FROM e GROUP BY user_id
+        HAVING MIN(CASE WHEN event_type = 'view' THEN us END) IS NOT NULL),
+      s2 AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN event_type = 'click' AND us > t1
+                   THEN us END) AS t2,
+               MIN(t1) AS t1
+        FROM e JOIN s1 USING (user_id) GROUP BY e.user_id
+        HAVING MIN(CASE WHEN event_type = 'click' AND us > t1
+                   THEN us END) IS NOT NULL),
+      s3 AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN event_type = 'purchase' AND us > t2
+                   THEN us END) AS t3
+        FROM e JOIN s2 USING (user_id) GROUP BY e.user_id
+        HAVING MIN(CASE WHEN event_type = 'purchase' AND us > t2
+                   THEN us END) IS NOT NULL),
+      lat AS (
+        SELECT s2.user_id, t2 - t1 AS d12, t3 - t2 AS d23,
+               t3 - t1 AS d13
+        FROM s2 JOIN s3 USING (user_id)),
+      un AS (
+        SELECT 'click_to_purchase' AS transition, d23 AS d FROM lat
+        UNION ALL
+        SELECT 'view_to_click', d12 FROM lat
+        UNION ALL
+        SELECT 'view_to_purchase', d13 FROM lat)
+      SELECT transition, COUNT(*) AS n_users,
+             ROUND(quantile_cont(d, 0.5) / 1000000.0, 6) AS p50_s,
+             ROUND(quantile_cont(d, 0.9) / 1000000.0, 6) AS p90_s,
+             ROUND(CAST(SUM(CAST(d AS DECIMAL(25,0))) AS DOUBLE)
+                   / COUNT(*) / 1000000.0, 6) AS mean_s
+      FROM un GROUP BY transition ORDER BY transition"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
-    qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution)
+    qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
+    qEventsFunnelTime)
 }
