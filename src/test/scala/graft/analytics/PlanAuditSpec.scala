@@ -128,7 +128,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // joins the one-row multi-distinct aggregate (both bounded by
       // construction — the split that keeps the expand path on codegen
       // HashAggregate, see the query's scaladoc)
-      "q_stats_profile")
+      "q_stats_profile",
+      // q_join_interval: the broadcast extrema (one row) ride cross
+      // joins into bucketing, and the 256-row bucket-total table joins
+      // prefix counts by a bounded theta join — the q_prep_pack
+      // two-level-prefix-sum shape, bounded by construction
+      "q_join_interval")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
