@@ -1892,6 +1892,93 @@ object RelationalQueries {
     * disjoint), so the oracle's u_a <> u_b theta-join semantics are
     * matched exactly — the hash-match against DuckDB's IEJoin plan
     * proves the pair-free rewrite IS the interval join. */
+  /** Per-group Pearson correlation matrix over the lineitem measures
+    * (quantity, extendedprice, discount — all exact in cent units):
+    * the three pairwise r values per return flag from the same
+    * sufficient-statistic discipline as [[qStatsRegression]] — ONE
+    * map-side-combinable aggregate collects exact BIGINT/DECIMAL
+    * sums, and r = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+    * combines them in DOUBLE with an identical op tree on both
+    * engines (IEEE sqrt is correctly rounded — deterministic).
+    * The warehouse "are these measures redundant" diagnostic and the
+    * feature-decorrelation check before a model consumes them. */
+  val qStatsCorr = Q(
+    "q_stats_corr",
+    (s, dir) => {
+      val m = t(s, dir, "lineitem").select(col("l_returnflag"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("x"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("y"),
+        expr("cast(round(l_discount * 100) as bigint)").as("z"))
+      val sums = m.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("z")).as("sz"),
+        sum(expr("cast(x * x as decimal(25,0))")).as("sxx"),
+        sum(expr("cast(y * y as decimal(25,0))")).as("syy"),
+        sum(expr("cast(z * z as decimal(25,0))")).as("szz"),
+        sum(expr("cast(x * y as decimal(25,0))")).as("sxy"),
+        sum(expr("cast(x * z as decimal(25,0))")).as("sxz"),
+        sum(expr("cast(y * z as decimal(25,0))")).as("syz"))
+      def corr(sa: String, sb: String, sab: String, saa: String,
+          sbb: String): Column = {
+        val nD = col("n").cast("double")
+        val num = nD * col(sab).cast("double") -
+          col(sa).cast("double") * col(sb).cast("double")
+        val da = nD * col(saa).cast("double") -
+          col(sa).cast("double") * col(sa).cast("double")
+        val db = nD * col(sbb).cast("double") -
+          col(sb).cast("double") * col(sb).cast("double")
+        round(num / sqrt(da * db), 6)
+      }
+      sums.select(col("l_returnflag"), col("n"),
+          corr("sx", "sy", "sxy", "sxx", "syy").as("corr_qty_price"),
+          corr("sx", "sz", "sxz", "sxx", "szz").as("corr_qty_disc"),
+          corr("sy", "sz", "syz", "syy", "szz").as("corr_price_disc"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS z
+        FROM lineitem),
+      sums AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(z) AS BIGINT) AS sz,
+               CAST(SUM(CAST(x * x AS DECIMAL(25,0))) AS DECIMAL(25,0)) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(25,0))) AS DECIMAL(25,0)) AS syy,
+               CAST(SUM(CAST(z * z AS DECIMAL(25,0))) AS DECIMAL(25,0)) AS szz,
+               CAST(SUM(CAST(x * y AS DECIMAL(25,0))) AS DECIMAL(25,0)) AS sxy,
+               CAST(SUM(CAST(x * z AS DECIMAL(25,0))) AS DECIMAL(25,0)) AS sxz,
+               CAST(SUM(CAST(y * z AS DECIMAL(25,0))) AS DECIMAL(25,0)) AS syz
+        FROM m GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS corr_qty_price,
+             ROUND((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+                   / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                             - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 6)
+               AS corr_qty_disc,
+             ROUND((CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+                   / SQRT((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                             - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 6)
+               AS corr_price_disc
+      FROM sums ORDER BY l_returnflag"""))
+
   /** Distributed order statistic: for each query value q, how many
     * point values are ≤ q (inclusive) or < q (strict) — computed
     * WITHOUT any point×query join: points and queries range-bucket on
@@ -2026,5 +2113,5 @@ object RelationalQueries {
     qScalarRegex, qScalarConditional, qScalarNullSemantics,
     qScalarArray, qSaltedAgg,
     qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events,
-    qScd2Orders, qScd2Incremental, qStatsProfile, qTsEwma, qStatsRegression)
+    qScd2Orders, qScd2Incremental, qStatsProfile, qTsEwma, qStatsRegression, qStatsCorr)
 }
