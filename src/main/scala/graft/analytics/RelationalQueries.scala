@@ -1979,6 +1979,55 @@ object RelationalQueries {
                AS corr_price_disc
       FROM sums ORDER BY l_returnflag"""))
 
+  /** Join-key skew diagnostic over l_partkey — the report that decides
+    * whether a key needs the q_join_salted treatment before a big
+    * join: key cardinality, max/median/p99 per-key counts, the
+    * max-to-median skew ratio, and the share of rows owned by the ten
+    * heaviest keys. All statistics derive from the per-key COUNT
+    * table (one exchange on the key, map-side combined), never from a
+    * second corpus pass; the top-10 is a TakeOrdered and the exact
+    * percentiles run over |keys| rows, not |rows|. */
+  val qStatsSkew = Q(
+    "q_stats_skew",
+    (s, dir) => {
+      val counts = t(s, dir, "lineitem").groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("c"))
+      val top10 = counts.orderBy(col("c").desc, col("l_partkey")).limit(10)
+        .agg(sum(col("c")).as("top10_rows"))
+      counts.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_cnt"),
+          expr("percentile(c, 0.5D)").as("p50d"),
+          expr("percentile(c, 0.99D)").as("p99d"))
+        .crossJoin(broadcast(top10))
+        .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+          round(col("p50d"), 6).as("p50_cnt"),
+          round(col("p99d"), 6).as("p99_cnt"),
+          round(col("max_cnt").cast("double") / col("p50d"), 6)
+            .as("skew_ratio"),
+          round(col("top10_rows").cast("double") /
+            col("n_rows").cast("double"), 6).as("top10_share"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY l_partkey),
+      top10 AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS top10_rows FROM (
+          SELECT c FROM counts ORDER BY c DESC, l_partkey LIMIT 10) x),
+      agg AS (
+        SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+               MAX(c) AS max_cnt,
+               quantile_cont(c, 0.5) AS p50d,
+               quantile_cont(c, 0.99) AS p99d
+        FROM counts)
+      SELECT n_keys, n_rows, max_cnt,
+             ROUND(p50d, 6) AS p50_cnt, ROUND(p99d, 6) AS p99_cnt,
+             ROUND(CAST(max_cnt AS DOUBLE) / p50d, 6) AS skew_ratio,
+             ROUND(CAST(top10_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+               AS top10_share
+      FROM agg CROSS JOIN top10"""))
+
   /** Distributed order statistic: for each query value q, how many
     * point values are ≤ q (inclusive) or < q (strict) — computed
     * WITHOUT any point×query join: points and queries range-bucket on
@@ -2113,5 +2162,5 @@ object RelationalQueries {
     qScalarRegex, qScalarConditional, qScalarNullSemantics,
     qScalarArray, qSaltedAgg,
     qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events,
-    qScd2Orders, qScd2Incremental, qStatsProfile, qTsEwma, qStatsRegression, qStatsCorr)
+    qScd2Orders, qScd2Incremental, qStatsProfile, qTsEwma, qStatsRegression, qStatsCorr, qStatsSkew)
 }

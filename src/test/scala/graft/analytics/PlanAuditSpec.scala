@@ -133,7 +133,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // joins into bucketing, and the 256-row bucket-total table joins
       // prefix counts by a bounded theta join — the q_prep_pack
       // two-level-prefix-sum shape, bounded by construction
-      "q_join_interval")
+      "q_join_interval",
+      // q_stats_skew: the one-row top-10 rollup cross-joins the
+      // one-row key-distribution aggregate (both bounded by
+      // construction — the q_events_funnel one-row-broadcast pattern)
+      "q_stats_skew")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
