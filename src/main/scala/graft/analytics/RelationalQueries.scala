@@ -2028,6 +2028,53 @@ object RelationalQueries {
                AS top10_share
       FROM agg CROSS JOIN top10"""))
 
+  /** Exact Gini coefficient of the join-key row distribution — the
+    * single-number inequality companion to [[qStatsSkew]]'s report
+    * (0 = uniform keys, →1 = one key owns everything). Needs every
+    * key's RANK under the (count, key) total order; instead of a
+    * partition-less global sort window, the rank comes from
+    * [[countByRank]] over the composite value count·2⁴² + key (order-
+    * isomorphic to the pair while keys < 2⁴² — true at every fixture
+    * SF and any realistic key space) — the same distributed order
+    * statistic the interval join uses, reused verbatim. Ties in count
+    * commute in Σ rank·cᵢ, so the key tie-break changes nothing in
+    * the statistic. All sums stay exact BIGINTs below 2⁵³; the one
+    * division is DOUBLE with an identical op tree cross-engine. */
+  val qStatsGini = Q(
+    "q_stats_gini",
+    (s, dir) => {
+      val counts = t(s, dir, "lineitem").groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("c"))
+      val enc = col("c") * lit(4398046511104L) + col("l_partkey")
+      val ranked = countByRank(
+        counts.select(enc.as("v")),
+        counts.select(col("l_partkey").as("user_id"),
+          col("c").as("session_idx"), enc.as("q")),
+        inclusive = false)
+        .select(col("session_idx").as("c"), (col("cnt") + 1L).as("r"))
+      ranked.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+          sum(col("r") * col("c")).as("src"))
+        .select(col("n").as("n_keys"),
+          round((lit(2L) * col("src") - (col("n") + 1L) * col("sc"))
+            .cast("double") /
+            (col("n") * col("sc")).cast("double"), 6).as("gini"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY l_partkey),
+      ranked AS (
+        SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c, l_partkey) AS BIGINT)
+                 AS r
+        FROM counts),
+      agg AS (
+        SELECT COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sc,
+               CAST(SUM(r * c) AS BIGINT) AS src
+        FROM ranked)
+      SELECT n AS n_keys,
+             ROUND(CAST(2 * src - (n + 1) * sc AS DOUBLE)
+                   / CAST(n * sc AS DOUBLE), 6) AS gini
+      FROM agg"""))
+
   /** Distributed order statistic: for each query value q, how many
     * point values are ≤ q (inclusive) or < q (strict) — computed
     * WITHOUT any point×query join: points and queries range-bucket on
@@ -2162,5 +2209,5 @@ object RelationalQueries {
     qScalarRegex, qScalarConditional, qScalarNullSemantics,
     qScalarArray, qSaltedAgg,
     qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events,
-    qScd2Orders, qScd2Incremental, qStatsProfile, qTsEwma, qStatsRegression, qStatsCorr, qStatsSkew)
+    qScd2Orders, qScd2Incremental, qStatsProfile, qTsEwma, qStatsRegression, qStatsCorr, qStatsSkew, qStatsGini)
 }

@@ -137,7 +137,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_stats_skew: the one-row top-10 rollup cross-joins the
       // one-row key-distribution aggregate (both bounded by
       // construction — the q_events_funnel one-row-broadcast pattern)
-      "q_stats_skew")
+      "q_stats_skew",
+      // q_stats_gini: countByRank's broadcast extrema + 256-row
+      // bucket-prefix theta join (the q_join_interval machinery,
+      // bounded by construction)
+      "q_stats_gini")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
