@@ -170,4 +170,43 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("runtime bloom filter prunes the big side of a selective join") {
+    // The third leg of the engine's big-join posture (salting = planned,
+    // AQE skew split = reactive, runtime filters = semi-join reduction):
+    // when the dimension side is small and filtered, Catalyst must
+    // inject a bloom_filter_agg on it and a might_contain probe on the
+    // fact side's scan, so fact rows that cannot join never shuffle.
+    // Thresholds scale to test data; production defaults (10GB scan
+    // gate) target exactly the 100 TB case.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.analytics.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      val p = graft.analytics.Tables(spark, "/root/testdata/sf0.001", "part")
+        .filter(col("p_partkey") % 100 === 0)
+      val j = li.join(p, col("l_partkey") === col("p_partkey"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg"),
+        s"no bloom filter built on the dimension side:\n${plan.take(2000)}")
+      assert(plan.contains("might_contain"),
+        s"no runtime probe on the fact side:\n${plan.take(2000)}")
+      // and the filter is semantically inert: same row count either way
+      val n = j.count()
+      keys.foreach { case (k, _) => spark.conf.unset(k) }
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val li2 = graft.analytics.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      val p2 = graft.analytics.Tables(spark, "/root/testdata/sf0.001", "part")
+        .filter(col("p_partkey") % 100 === 0)
+      assert(li2.join(p2, col("l_partkey") === col("p_partkey")).count() === n)
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
