@@ -654,8 +654,59 @@ object PrepQueries {
                    / COUNT(*), 6) AS winsorized_mean
       FROM clipped GROUP BY source ORDER BY source"""))
 
+  /** Deterministic class-balancing oversampling: each source stratum
+    * replicates whole-copy `floor(max_stratum / n_s)` times toward the
+    * largest stratum's size — the epoch-weighting / minority-class
+    * balancing step a training mix applies when downsampling the
+    * majority (q_prep_mixture's direction) would discard scarce data.
+    * Whole copies keep the operator exactly reproducible (no
+    * fractional remainder lottery); the verified output is the
+    * per-stratum contract: factor, exact post-balance count (COUNTED
+    * from the exploded rows, proving the replication really ran), and
+    * the residual imbalance bound n_after > max_n − n_docs.
+    *
+    * Scale shape: the per-source factor table is a tiny broadcast
+    * joined onto the corpus scan; replication is a narrow
+    * explode(sequence(1, factor)) — no shuffle of the corpus; the
+    * summary re-aggregates on the small source key. */
+  val qPrepOversample = Q(
+    "q_prep_oversample",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val mx = sizes.agg(max(col("n_docs")).as("max_n"))
+      val factors = sizes.crossJoin(broadcast(mx))
+        .select(col("source"), col("n_docs"),
+          expr("max_n div n_docs").as("factor"), col("max_n"))
+      d.join(broadcast(factors), "source")
+        .select(col("source"), col("n_docs"), col("factor"), col("max_n"),
+          explode(expr("sequence(1L, factor)")).as("copy_idx"))
+        .groupBy(col("source"), col("n_docs"), col("factor"), col("max_n"))
+        .agg(count(lit(1)).as("n_after"))
+        .select(col("source"), col("n_docs"), col("factor"),
+          col("n_after"),
+          (col("n_after") > col("max_n") - col("n_docs")).as("within_bound"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source FROM documents),
+      sizes AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source),
+      mx AS (SELECT MAX(n_docs) AS max_n FROM sizes),
+      factors AS (
+        SELECT source, n_docs, max_n // n_docs AS factor, max_n
+        FROM sizes CROSS JOIN mx),
+      exploded AS (
+        SELECT source, n_docs, factor, max_n,
+               unnest(generate_series(1, factor)) AS copy_idx
+        FROM (SELECT f.source, f.n_docs, f.factor, f.max_n
+              FROM d JOIN factors f USING (source)) x)
+      SELECT source, n_docs, factor, COUNT(*) AS n_after,
+             COUNT(*) > max_n - n_docs AS within_bound
+      FROM exploded GROUP BY source, n_docs, factor, max_n
+      ORDER BY source"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
-    qPrepCurriculum, qPrepWinsorize)
+    qPrepCurriculum, qPrepWinsorize, qPrepOversample)
 }

@@ -141,7 +141,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_stats_gini: countByRank's broadcast extrema + 256-row
       // bucket-prefix theta join (the q_join_interval machinery,
       // bounded by construction)
-      "q_stats_gini")
+      "q_stats_gini",
+      // q_prep_oversample: the one-row max-stratum scalar rides a
+      // cross join into the factor table (the q_prep_curriculum
+      // one-row-extrema pattern)
+      "q_prep_oversample")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
