@@ -27,13 +27,24 @@ object Bench {
     // Optional args select a query subset (dev iteration); no args =
     // the full registered set (driver protocol). A typo'd name must be
     // loud: a silent empty run prints total≈0 and reads like a pass.
-    val unknown = args.filterNot(SparkEntry.queries.contains)
+    // `--families=dedup,sim` selects whole families (the q_<fam>_ name
+    // prefix) — at 133 queries the full sf0.1 sweep is ~2 min, so
+    // per-family iteration needs a fast path.
+    val (famArgs, nameArgs) = args.partition(_.startsWith("--families="))
+    val fams = famArgs.flatMap(_.stripPrefix("--families=").split(","))
+      .filter(_.nonEmpty).toSet
+    def family(n: String): String = n.split("_").lift(1).getOrElse("other")
+    val allFams = SparkEntry.queries.keySet.map(family)
+    val unknown = nameArgs.filterNot(SparkEntry.queries.contains) ++
+      fams.filterNot(allFams).map("--families=" + _)
     if (unknown.nonEmpty)
       System.err.println(
         s"WARN: no such registered queries: ${unknown.mkString(", ")}")
     val selected =
       if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+      else SparkEntry.queries.filter { case (n, _) =>
+        nameArgs.contains(n) || fams.contains(family(n))
+      }
     if (args.nonEmpty && selected.isEmpty) {
       System.err.println("ERROR: selection matched nothing; not benching")
       spark.stop()
@@ -201,7 +212,11 @@ object Bench {
         "\"" + pn + "\":" + fmt3(median(ts))
       }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","n":${results.size},"failed":$failed,"families":$families,"queries":$qs3,"phases":$phases3,"reps":$reps,"sf":"$sfDir"}""")
+    // Totals are duplicated at the very END of the line: the driver's
+    // bounded tail keeps the END, so front-loaded "value"/"n"/"failed"
+    // were truncated away at 133 queries (BENCH_r08 parsed:null) — the
+    // trailing copy is the one guaranteed to survive.
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"phases":$phases3,"reps":$reps,"families":$families,"sf":"$sfDir","total_s":${fmt3(total)},"n":${results.size},"failed":$failed}""")
     spark.stop()
   }
 }

@@ -7,19 +7,28 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional trailing args select a query subset (dev iteration);
-    // the driver's 2-arg call dumps the full registry
-    val subset = args.drop(2).toSet
+    // the driver's 2-arg call dumps the full registry. `--families=x,y`
+    // selects whole families (the q_<fam>_ name prefix) so per-family
+    // gate iteration stays fast as the registry grows.
+    val (famArgs, nameArgs) = args.drop(2).partition(_.startsWith("--families="))
+    val fams = famArgs.flatMap(_.stripPrefix("--families=").split(","))
+      .filter(_.nonEmpty).toSet
+    def family(n: String): String = n.split("_").lift(1).getOrElse("other")
+    val subset = nameArgs.toSet
     // a typo'd subset name would otherwise run a PARTIAL gate that
     // looks like a passing one — fail fast instead
-    val unknown = subset.diff(SparkEntry.queries.keySet)
+    val unknown = subset.diff(SparkEntry.queries.keySet) ++
+      fams.diff(SparkEntry.queries.keySet.map(family))
     if (unknown.nonEmpty) {
       System.err.println(
-        s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+        s"[verify] unknown query/family name(s): ${unknown.toSeq.sorted.mkString(", ")}")
       sys.exit(1)
     }
     val selected =
-      if (subset.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => subset(n) }
+      if (subset.isEmpty && fams.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) =>
+        subset(n) || fams.contains(family(n))
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

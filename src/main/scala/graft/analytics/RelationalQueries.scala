@@ -975,7 +975,7 @@ object RelationalQueries {
       grid.join(hourly, Seq("event_type", "h"), "left")
         .select(col("event_type"), col("h"),
           coalesce(col("n"), lit(0L)).as("n_events"),
-          round(last(expr("vm / (n * 1000000.0)"), ignoreNulls = true)
+          round(last(expr("vm / (n * 1e6)"), ignoreNulls = true)
             .over(w), 6).as("avg_value_filled"),
           col("n").isNull.as("is_gap"))
         .orderBy(col("event_type"), col("h"))
@@ -1477,10 +1477,10 @@ object RelationalQueries {
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY o_orderdate, o_orderkey)),
       versioned AS (
-        SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+        SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS version
+               AS BIGINT) AS version
         FROM flagged),
       islands AS (
         SELECT o_custkey, version, MAX(o_orderstatus) AS status,
@@ -1633,27 +1633,27 @@ object RelationalQueries {
     Some("""
       WITH a AS (
         SELECT COUNT(*) AS n_rows,
-               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_orderkey,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_orderkey,
                COUNT(DISTINCT o_orderkey) AS nd_orderkey,
                CAST(MIN(o_orderkey) AS VARCHAR) AS mn_orderkey,
                CAST(MAX(o_orderkey) AS VARCHAR) AS mx_orderkey,
-               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_custkey,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_custkey,
                COUNT(DISTINCT o_custkey) AS nd_custkey,
                CAST(MIN(o_custkey) AS VARCHAR) AS mn_custkey,
                CAST(MAX(o_custkey) AS VARCHAR) AS mx_custkey,
-               SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_status,
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_status,
                COUNT(DISTINCT o_orderstatus) AS nd_status,
                MIN(o_orderstatus) AS mn_status,
                MAX(o_orderstatus) AS mx_status,
-               SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_price,
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_price,
                COUNT(DISTINCT o_totalprice) AS nd_price,
                CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn_price,
                CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx_price,
-               SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn_date,
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_date,
                COUNT(DISTINCT o_orderdate) AS nd_date,
                strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn_date,
                strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx_date,
-               SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn_prio,
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_prio,
                COUNT(DISTINCT o_orderpriority) AS nd_prio,
                MIN(o_orderpriority) AS mn_prio,
                MAX(o_orderpriority) AS mx_prio
@@ -1771,12 +1771,19 @@ object RelationalQueries {
             .as("x"),
           expr("cast(round(value * 1000000) as bigint)").as("y"))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"),
-          sum(expr("x * y")).as("sxy"),
-          sum(expr("x * x")).as("sxx"),
+        .agg(count(lit(1)).as("n"),
+          // ALL moment sums accumulate in DECIMAL(25,0) (ADVICE r8): a
+          // plain BIGINT sum of x·y / x·x wraps SILENTLY at large scale
+          // under non-ANSI Spark while DuckDB's HUGEINT doesn't — the
+          // decimal buffer makes overflow an error, not a wrong slope.
+          // decimal→double and bigint→double casts are both correctly
+          // rounded from the same exact integer, so parity is untouched.
+          sum(expr("cast(x as decimal(25,0))")).as("sx"),
+          sum(expr("cast(y as decimal(25,0))")).as("sy"),
+          sum(expr("cast(x * y as decimal(25,0))")).as("sxy"),
+          sum(expr("cast(x * x as decimal(25,0))")).as("sxx"),
           sum(expr("cast(y * y as decimal(25,0))")).as("syy"))
-      // the BIGINT/DECIMAL sums are exact; every factor below is
+      // the DECIMAL sums are exact; every factor below is
       // either exactly double-representable (< 2^53) or a correctly-
       // rounded decimal→double cast, and the combination runs in
       // DOUBLE with the same op tree as the oracle — deterministic
@@ -1874,24 +1881,6 @@ object RelationalQueries {
     // native operator must reproduce the islands formulation exactly
     qSessionizeBatch.oracle)
 
-  /** Big×big interval-overlap SELF join degree — the join variant
-    * neither a broadcast theta join nor a range join covers: both
-    * interval sets are corpus-sized (every user's sessions), and the
-    * measure is each session's concurrency degree (how many OTHER
-    * users' sessions overlap its [start, end + 30 min gap window]).
-    * Materializing candidate pairs — even hour-bucketed — is
-    * quadratic in the hot hour (measured 18 s at sf0.1); counting
-    * degrees needs NO pairs at all. The identity: degree(a) =
-    * #{st_b ≤ en_a} − #{en_b < st_a} − 1 — everything not strictly
-    * before and not strictly after overlaps — turns the interval join
-    * into two distributed ORDER STATISTICS over the session endpoint
-    * sets ([[countByRank]]: range-bucket + per-partition sorted scan
-    * + 256-row prefix theta join), O(N log N) with no blowup at any
-    * concurrency. Same-user terms provably cannot leak in (session
-    * break ⇒ gap > pad ⇒ padded same-user sessions stay strictly
-    * disjoint), so the oracle's u_a <> u_b theta-join semantics are
-    * matched exactly — the hash-match against DuckDB's IEJoin plan
-    * proves the pair-free rewrite IS the interval join. */
   /** Per-group Pearson correlation matrix over the lineitem measures
     * (quantity, extendedprice, discount — all exact in cent units):
     * the three pairwise r values per return flag from the same
@@ -1911,8 +1900,11 @@ object RelationalQueries {
         expr("cast(round(l_discount * 100) as bigint)").as("z"))
       val sums = m.groupBy(col("l_returnflag")).agg(
         count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("z")).as("sz"),
+        // first-moment sums widened to DECIMAL(25,0) like the second
+        // moments below (ADVICE r8): BIGINT wraps silently at scale
+        sum(expr("cast(x as decimal(25,0))")).as("sx"),
+        sum(expr("cast(y as decimal(25,0))")).as("sy"),
+        sum(expr("cast(z as decimal(25,0))")).as("sz"),
         sum(expr("cast(x * x as decimal(25,0))")).as("sxx"),
         sum(expr("cast(y * y as decimal(25,0))")).as("syy"),
         sum(expr("cast(z * z as decimal(25,0))")).as("szz"),
@@ -2045,7 +2037,17 @@ object RelationalQueries {
     (s, dir) => {
       val counts = t(s, dir, "lineitem").groupBy(col("l_partkey"))
         .agg(count(lit(1)).as("c"))
-      val enc = col("c") * lit(4398046511104L) + col("l_partkey")
+      // Bound guard (ADVICE r8): the composite encoding is order-
+      // isomorphic only while c < 2^13 and key < 2^42 — beyond that
+      // the rank mis-sorts or the bucket arithmetic wraps, silently.
+      // Fail LOUDLY in-plan (no extra pass): assert_true evaluates per
+      // KEY row inside codegen and contributes exactly 0 in bounds.
+      val guard = coalesce(expr(
+        "assert_true(c < 8192 and l_partkey < 4398046511104, " +
+          "'q_stats_gini: composite-encoding bounds exceeded " +
+          "(need per-key count < 2^13 and key < 2^42)')").cast("long"),
+        lit(0L))
+      val enc = col("c") * lit(4398046511104L) + col("l_partkey") + guard
       val ranked = countByRank(
         counts.select(enc.as("v")),
         counts.select(col("l_partkey").as("user_id"),
@@ -2075,57 +2077,33 @@ object RelationalQueries {
                    / CAST(n * sc AS DOUBLE), 6) AS gini
       FROM agg"""))
 
-  /** Distributed order statistic: for each query value q, how many
-    * point values are ≤ q (inclusive) or < q (strict) — computed
-    * WITHOUT any point×query join: points and queries range-bucket on
-    * the broadcast extrema (256 buckets), one hash exchange on the
-    * bucket, a per-partition SORTED linear scan produces within-bucket
-    * counts (mapPartitions — genuine per-partition imperative logic),
-    * and the 256-row bucket-total table joins prefix counts back by a
-    * bounded theta join (the q_prep_pack two-level-prefix-sum shape).
-    * Ties: `inclusive` sorts points before equal-valued queries.
-    * O(N log N) end to end — no quadratic candidate blowup, no
-    * partition-less window. */
+  /** Distributed order statistic — forwarder to the factored-out
+    * [[graft.operators.OrderStatistics.countByRank]] (round-9: the
+    * core is shared with arbitrary-bucket-width interval joins; this
+    * file's two callers keep the 256-bucket default). */
   private def countByRank(points: DataFrame, queries: DataFrame,
-      inclusive: Boolean): DataFrame = {
-    val sp = points.sparkSession
-    import sp.implicits._
-    val nB = 256
-    val ext = points.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-    def bucketOf(c: Column): Column =
-      least(lit(nB - 1), greatest(lit(0),
-        ((c - col("mn")) * nB / (col("mx") - col("mn") + lit(1L)))
-          .cast("int")))
-    val pTag = if (inclusive) 0 else 1
-    val pts = points.crossJoin(broadcast(ext))
-      .select(bucketOf(col("v")).as("bucket"), col("v").as("value"),
-        lit(pTag).as("tag"), lit(-1L).as("uid"), lit(-1L).as("idx"))
-    val qs = queries.crossJoin(broadcast(ext))
-      .select(bucketOf(col("q")).as("bucket"), col("q").as("value"),
-        lit(1 - pTag).as("tag"), col("user_id").as("uid"),
-        col("session_idx").as("idx"))
-    val local = pts.unionByName(qs)
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("value"), col("tag"))
-      .toDF("_1", "_2", "_3", "_4", "_5")
-      .as[(Int, Long, Int, Long, Long)]
-      .mapPartitions { it =>
-        var curBucket = Int.MinValue
-        var cnt = 0L
-        it.flatMap { case (b, _, _, uid, idx) =>
-          if (b != curBucket) { curBucket = b; cnt = 0L }
-          if (uid == -1L) { cnt += 1L; Iterator.empty }
-          else Iterator.single((uid, idx, b, cnt))
-        }
-      }.toDF("uid", "idx", "qbucket", "local")
-    val totals = pts.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
-    local.join(broadcast(totals), col("bucket") < col("qbucket"), "left")
-      .groupBy(col("uid"), col("idx"), col("local"))
-      .agg(coalesce(sum(col("c")), lit(0L)).as("base"))
-      .select(col("uid").as("user_id"), col("idx").as("session_idx"),
-        (col("base") + col("local")).as("cnt"))
-  }
+      inclusive: Boolean): DataFrame =
+    graft.operators.OrderStatistics.countByRank(points, queries, inclusive)
 
+  /** Big×big interval-overlap SELF join degree — the join variant
+    * neither a broadcast theta join nor a range join covers: both
+    * interval sets are corpus-sized (every user's sessions), and the
+    * measure is each session's concurrency degree (how many OTHER
+    * users' sessions overlap its [start, end + 30 min gap window]).
+    * Materializing candidate pairs — even hour-bucketed — is
+    * quadratic in the hot hour (measured 18 s at sf0.1); counting
+    * degrees needs NO pairs at all. The identity: degree(a) =
+    * #{st_b ≤ en_a} − #{en_b < st_a} − 1 — everything not strictly
+    * before and not strictly after overlaps — turns the interval join
+    * into two distributed ORDER STATISTICS over the session endpoint
+    * sets ([[graft.operators.OrderStatistics.countByRank]]:
+    * range-bucket + per-partition sorted scan + bounded prefix theta
+    * join), O(N log N) with no blowup at any concurrency. Same-user
+    * terms provably cannot leak in (session break ⇒ gap > pad ⇒
+    * padded same-user sessions stay strictly disjoint), so the
+    * oracle's u_a <> u_b theta-join semantics are matched exactly —
+    * the hash-match against DuckDB's IEJoin plan proves the pair-free
+    * rewrite IS the interval join. */
   val qJoinInterval = Q(
     "q_join_interval",
     (s, dir) => {
@@ -2149,17 +2127,11 @@ object RelationalQueries {
       // − pad = en_prev(padded) STRICTLY — same-user padded sessions
       // never overlap, and the only self term is the −1. The oracle's
       // u_a <> u_b predicate is therefore matched exactly.
-      val cle = countByRank(sess.select(col("st").as("v")),
-        sess.select(col("user_id"), col("session_idx"), col("en").as("q")),
-        inclusive = true).withColumnRenamed("cnt", "n_le")
-      val clt = countByRank(sess.select(col("en").as("v")),
-        sess.select(col("user_id"), col("session_idx"), col("st").as("q")),
-        inclusive = false).withColumnRenamed("cnt", "n_lt")
-      sess.join(cle, Seq("user_id", "session_idx"))
-        .join(clt, Seq("user_id", "session_idx"))
+      graft.operators.OrderStatistics
+        .intervalDegree(sess, "user_id", "session_idx", "st", "en")
         .select(col("user_id"), col("session_idx"),
           col("st").as("session_start_us"),
-          (col("n_le") - col("n_lt") - 1L).as("n_concurrent"))
+          col("degree").as("n_concurrent"))
         .filter(col("n_concurrent") > 0)
         .orderBy(col("n_concurrent").desc, col("user_id"),
           col("session_idx"))

@@ -815,8 +815,12 @@ object SimilarityQueries {
     * qSimKmeans's parity note). Returns (trained one-row centroid
     * frame, the persisted micro-unit corpus the caller releases, the
     * assign function for reuse). */
-  private def kmeansTrain(s: SparkSession, dir: String, k: Int,
-      iters: Int): (DataFrame, DataFrame, DataFrame => DataFrame) = {
+  /** Shared Lloyd machinery: the persisted micro-unit corpus, the
+    * broadcast-argmin assign step, the (cluster, dim)-cell update
+    * step, and the md5-sampled initial centroid frame. */
+  private def kmeansCore(s: SparkSession, dir: String, k: Int)
+      : (DataFrame, DataFrame, DataFrame => DataFrame,
+         DataFrame => DataFrame) = {
     val vm0 = emb(s, dir).select(col("vec_id"),
       expr("transform(v, x -> cast(round(x * 1000000) as bigint))")
         .as("vm"))
@@ -840,12 +844,65 @@ object SimilarityQueries {
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
         .as("cm"))
       .agg(expr("array_sort(collect_list(struct(cid, cm)))").as("cents"))
-    var cents = vm0
+    val cents0 = vm0
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("vm").as("cm"))
       .agg(expr("array_sort(collect_list(struct(cid, cm)))").as("cents"))
+    (cents0, vm0, assign, update)
+  }
+
+  private[analytics] def kmeansTrain(s: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, DataFrame, DataFrame => DataFrame) = {
+    val (cents0, vm0, assign, update) = kmeansCore(s, dir, k)
+    var cents = cents0
     for (_ <- 1 to iters) cents = update(assign(cents))
     (cents, vm0, assign)
+  }
+
+  /** Convergence-gated integer Lloyd (round-9, VERDICT item #6):
+    * sweeps until the total absolute centroid movement Σ|Δcm| (exact
+    * micro-units — the all-integer geometry makes "has it moved" a
+    * well-defined question, no float epsilon) is ≤ `tolMicro`, capped
+    * at `maxIters`. A changed CLUSTER SET (a cluster emptied out)
+    * always counts as movement. After each sweep the one-row k·d
+    * centroid frame is collected (bounded: k·64 BIGINTs) and
+    * re-broadcast as a LITERAL frame, so every sweep's lineage is flat
+    * — assign against literal centroids, one corpus pass per sweep —
+    * instead of the t-deep recompute chain a lazy loop with per-sweep
+    * actions would trigger. Returns (trained centroid frame, persisted
+    * micro-unit corpus for the caller to release, assign fn,
+    * sweepsRun). Registered queries keep fixed horizons for the
+    * oracle gate. */
+  def kmeansTrainUntilConverged(s: SparkSession, dir: String, k: Int,
+      maxIters: Int, tolMicro: Long)
+      : (DataFrame, DataFrame, DataFrame => DataFrame, Int) = {
+    val (cents0, vm0, assign, update) = kmeansCore(s, dir, k)
+    def collectCents(df: DataFrame): (DataFrame, Map[Long, Seq[Long]]) = {
+      val row = df.head()
+      val litDf = s.createDataFrame(
+        java.util.Collections.singletonList(row), df.schema)
+      // Row.getSeq, not getAs[Seq[...]]: Spark hands back a mutable
+      // ArraySeq, which is NOT a scala.collection.immutable.Seq in 2.13
+      val m = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("cents"))
+        .map(c => c.getLong(0) -> c.getSeq[Long](1).toVector).toMap
+      (litDf, m)
+    }
+    var (cur, curM) = collectCents(cents0)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val (next, nextM) = collectCents(update(assign(cur)))
+      val delta =
+        if (nextM.keySet != curM.keySet) Long.MaxValue
+        else nextM.iterator.map { case (cid, cm) =>
+          cm.zip(curM(cid)).map { case (a, b) => math.abs(a - b) }.sum
+        }.sum
+      cur = next
+      curM = nextM
+      iters += 1
+      converged = delta <= tolMicro
+    }
+    (cur, vm0, assign, iters)
   }
 
   /** Micro-unit integer L2² between `$v.vm` and `$c.cm` — the oracle

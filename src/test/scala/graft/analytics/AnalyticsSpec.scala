@@ -1660,6 +1660,97 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       3L -> 1L), s"got: $cut")
   }
 
+  test("pagerankUntilConverged stops at the fixed-horizon answer") {
+    val eo = ((1 to 8).map(i => (2L, (i * 2 + 1).toLong)) :+ ((4L, 19L)))
+      .toDF("c", "s")
+    // never-satisfiable tolerance → runs exactly maxIters sweeps and
+    // must be BIT-EQUAL to the fixed-horizon variant at that horizon
+    val (rCap, itersCap) = GraphQueries.pagerankUntilConverged(eo, -1L, 3)
+    assert(itersCap === 3)
+    val fixed3 = GraphQueries.pagerank(eo, 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val capped = rCap.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(capped === fixed3, s"capped: $capped vs fixed: $fixed3")
+    // genuine convergence: with a mass-movement tolerance the loop
+    // stops EARLY (before the cap) and the result is the fixed-horizon
+    // answer at the horizon it actually ran. Measured decay on this
+    // fixture: Σ|Δr| contracts by exactly the 0.85 damping per sweep
+    // from ~9.2e8, crossing 2e8 at sweep 12 — inside the cap without
+    // a marathon test.
+    val (rConv, itersConv) =
+      GraphQueries.pagerankUntilConverged(eo, 200000000L, 16)
+    assert(itersConv < 16, "star graph must converge well before 16 sweeps")
+    val fixedAt = GraphQueries.pagerank(eo, itersConv).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val conv = rConv.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(conv === fixedAt, s"converged: $conv vs fixed@$itersConv: $fixedAt")
+  }
+
+  test("bfsHistogramUntilConverged stops at the frontier fixpoint") {
+    val eo = Seq((2L, 3L), (4L, 3L), (4L, 5L), (6L, 5L), (20L, 21L))
+      .toDF("c", "s")
+    // chain eccentricity is 4; a 10-hop cap must stop at level 4 with
+    // the same histogram the fixed 4-hop traversal produces
+    val (hist, levels) = GraphQueries.bfsHistogramUntilConverged(eo, 10)
+    assert(levels === 4, s"expected fixpoint at level 4, ran $levels")
+    val got = hist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(-1L -> 2L, 0L -> 1L, 1L -> 1L, 2L -> 1L,
+      3L -> 1L, 4L -> 1L), s"got: $got")
+    // the cap still binds when the fixpoint is beyond it
+    val (histCut, levelsCut) = GraphQueries.bfsHistogramUntilConverged(eo, 3)
+    assert(levelsCut === 3)
+    val cut = histCut.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cut === Map(-1L -> 3L, 0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("kmeansTrainUntilConverged matches the fixed-horizon training") {
+    def centsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] = {
+      val row = df.head()
+      row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("cents"))
+        .map(c => c.getLong(0) -> (c.getSeq[Long](1).toVector: Seq[Long]))
+        .toMap
+    }
+    // never-satisfiable tolerance → exactly maxIters sweeps, bit-equal
+    // to the fixed 2-sweep training (the registered query's horizon)
+    val (cCap, vmA, _, itersCap) =
+      SimilarityQueries.kmeansTrainUntilConverged(spark, sf, 8, 2, -1L)
+    assert(itersCap === 2)
+    val (cFixed, vmB, _) = SimilarityQueries.kmeansTrain(spark, sf, 8, 2)
+    assert(centsOf(cCap) === centsOf(cFixed))
+    // an always-satisfied tolerance stops after one sweep
+    val (c1, vmC, _, iters1) = SimilarityQueries
+      .kmeansTrainUntilConverged(spark, sf, 8, 5, Long.MaxValue)
+    assert(iters1 === 1)
+    val (cFixed1, vmD, _) = SimilarityQueries.kmeansTrain(spark, sf, 8, 1)
+    assert(centsOf(c1) === centsOf(cFixed1))
+    Seq(vmA, vmB, vmC, vmD).foreach(_.unpersist(blocking = false))
+  }
+
+  test("session_window exact-gap tie: native merges on touch, like the oracle") {
+    // ADVICE r8: the three-way equivalence (native ≡ lag formulation ≡
+    // DuckDB oracle) relied on fixtures never containing an event
+    // EXACTLY 30 minutes after its predecessor. Pin the tie semantics:
+    // Spark's session_window MERGES on touch (next.start == prev.end),
+    // which is the lag formulation's inclusive `gap <= pad` — probed
+    // and asserted here so a Spark behavior change would fail loudly.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:30:00"), 7L, "view", 1.0, "{}"), // exact gap
+      (3L, ts("2024-01-01 11:00:01"), 7L, "view", 1.0, "{}")) // gap+1s
+    val dir = java.nio.file.Files.createTempDirectory("swtie").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val native = RelationalQueries.qSessionizeNative.run(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val batch = RelationalQueries.qSessionizeBatch.run(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // two sessions: {10:00, 10:30 (tie merges)} and {11:00:01}
+    assert(native.toSeq === Seq((1L, 2L), (2L, 1L)), s"native: ${native.toSeq}")
+    assert(batch.toSeq === native.toSeq,
+      s"native/lag divergence at the exact-gap tie: ${batch.toSeq}")
+  }
+
   test("transitions: total (ts, event_id) order; rows normalize per context") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // user 1: view→click→view; user 2 has a TIMESTAMP TIE — event_id

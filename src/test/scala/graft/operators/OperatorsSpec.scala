@@ -209,4 +209,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("intervalDegree: brute-force parity on a skewed-span fixture, any bucket width") {
+    // Worst case for any pair-materializing plan: one HOT point where
+    // almost every span overlaps (a few long spans covering everything
+    // + a pile of short spans clustered there), plus disjoint
+    // stragglers and several EXACT shared endpoints to exercise the
+    // inclusive/strict tie handling. Degrees must match the O(n²)
+    // brute force at every bucket width, including nBuckets = 1
+    // (everything in one sorted scan) and widths far above n.
+    val spans: Seq[(Long, Long, Long, Long)] =
+      // (id1, id2, st, en): three corpus-length spans
+      Seq((1L, 1L, 0L, 1000L), (2L, 1L, 10L, 990L), (3L, 1L, 0L, 500L)) ++
+        // twenty short spans piled on the hot region [400, 420]
+        (0 until 20).map(i => (10L + i, 1L, 400L + i, 402L + i)) ++
+        // exact-endpoint ties: b starts exactly where a ends
+        Seq((40L, 1L, 100L, 200L), (41L, 1L, 200L, 300L)) ++
+        // disjoint stragglers far right
+        Seq((50L, 1L, 5000L, 5010L), (51L, 1L, 6000L, 6010L))
+    val df = spans.toDF("u", "i", "st", "en")
+    val brute = spans.map { case (u, _, st, en) =>
+      u -> spans.count { case (v, _, st2, en2) =>
+        v != u && st <= en2 && st2 <= en
+      }.toLong
+    }.toMap
+    for (nB <- Seq(1, 3, 256, 4096)) {
+      val got = OrderStatistics
+        .intervalDegree(df, "u", "i", "st", "en", nBuckets = nB)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got === brute, s"nBuckets=$nB: $got vs brute $brute")
+    }
+  }
 }
