@@ -705,8 +705,160 @@ object PrepQueries {
       FROM exploded GROUP BY source, n_docs, factor, max_n
       ORDER BY source"""))
 
+  /** Distributed linear text-classifier INFERENCE — the model-based
+    * quality-filter stage (the fastText-head / logistic-regression
+    * shape every production corpus filter runs after the heuristic
+    * passes): logit(doc) = bias + Σ_token count(doc, t)·w(t) against
+    * a trained bag-of-words weight vector, keep = logit ≥ 0. Weights
+    * live in MICRO-UNITS so the whole score is exact BIGINT
+    * arithmetic — inference is bit-reproducible in any engine and the
+    * gate hash-matches decisions, not just scores (the q_sim_kmeans
+    * integer discipline applied to model scoring; a real deployment
+    * swaps in its trained weights, same plan).
+    *
+    * Scale shape: the weight vector is a broadcast dim (vocabulary-
+    * bounded — fastText heads are ≤ a few million rows, far under any
+    * corpus), so scoring is ONE corpus token pass + a map-side-
+    * combined doc-keyed aggregation; unscored docs re-enter via a
+    * doc-keyed left join and carry the bias alone. Nothing shuffles
+    * text. */
+  val qPrepClassifier = Q(
+    "q_prep_classifier",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val weights = Seq(
+        ("data", 250000L), ("spark", 300000L), ("query", 200000L),
+        ("join", 150000L), ("merge", 120000L), ("window", 90000L),
+        ("slow", -400000L), ("the", -180000L), ("a", -150000L),
+        ("row", -60000L)).toDF("w", "w_micro")
+      val bias = -800000L
+      val counts = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      val dots = counts.join(broadcast(weights), "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n") * col("w_micro")).as("dot"))
+      docs(s, dir).select(col("doc_id"))
+        .join(dots, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("dot"), lit(0L)) + lit(bias)).as("logit_micro"))
+        .withColumn("keep", col("logit_micro") >= 0L)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH wt AS (
+        SELECT * FROM (VALUES
+          ('data', 250000), ('spark', 300000), ('query', 200000),
+          ('join', 150000), ('merge', 120000), ('window', 90000),
+          ('slow', -400000), ('the', -180000), ('a', -150000),
+          ('row', -60000)) t(w, w_micro)),
+      toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      counts AS (
+        SELECT doc_id, w, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+      dots AS (
+        SELECT c.doc_id, CAST(SUM(c.n * wt.w_micro) AS BIGINT) AS dot
+        FROM counts c JOIN wt USING (w) GROUP BY 1)
+      SELECT d.doc_id,
+             COALESCE(dot, 0) - 800000 AS logit_micro,
+             COALESCE(dot, 0) - 800000 >= 0 AS keep
+      FROM documents d LEFT JOIN dots USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** Perplexity filtering with a per-source retention report — the
+    * LM-based quality cut (the "drop the worst-perplexity tail"
+    * stage) plus the audit table a pipeline owner actually reads:
+    * per source, how many documents survive the cut, their mean NLL,
+    * and the retention rate. The per-document score is the
+    * [[TextQueries.qTextLogprob]] unigram mean-NLL op tree VERBATIM
+    * (per-token NLL rounded to a 6dp DECIMAL once — absorbing libm ln
+    * last-ulp differences — exact decimal per-doc sums, one double
+    * division), so the threshold comparison is against a value both
+    * engines compute bit-identically; kept means re-enter DECIMAL
+    * through the established 6dp-cast before summing (order-
+    * independent cross-engine).
+    *
+    * Scale shape: the LM build and scoring are the logprob query's
+    * one corpus exchange + broadcast vocabulary; everything after the
+    * per-doc score lives on |docs| narrow rows and the report is
+    * |sources| rows. The 3.402 cut sits at the fixture's median —
+    * a real pipeline derives it from the GK quantile sketch
+    * (q_quantile_sketch's operator) on a held-out sample. */
+  val qPrepPerplexity = Q(
+    "q_prep_perplexity",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val perDoc = toks.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("n"))
+      val vocab = perDoc.groupBy(col("w")).agg(sum(col("n")).as("n_w"))
+      val total = vocab.agg(sum(col("n_w")).cast("long").as("n_total"))
+      val lm = vocab.crossJoin(broadcast(total))
+        .select(col("w"),
+          round(-log(col("n_w") * lit(1.0) / col("n_total")), 6)
+            .cast("decimal(25,6)").as("nll"))
+      val scored = perDoc.join(broadcast(lm), "w")
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("nll") * col("n").cast("decimal(12,0)"))
+          .cast("double") / sum(col("n")).cast("long"), 6).as("mean_nll"))
+      scored
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("kept", col("mean_nll") <= 3.402)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          round(sum(when(col("kept"),
+              col("mean_nll").cast(DecimalType(25, 6)))).cast("double") /
+            sum(when(col("kept"), 1L).otherwise(0L)), 6)
+            .as("kept_mean_nll"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("kept_mean_nll"),
+          round(col("n_kept") * lit(1.0) / col("n_docs"), 6)
+            .as("retention"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      per_doc AS (
+        SELECT doc_id, w, COUNT(*) AS n FROM toks GROUP BY doc_id, w),
+      vocab AS (
+        SELECT w, CAST(SUM(n) AS BIGINT) AS n_w FROM per_doc GROUP BY w),
+      total AS (
+        SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM vocab),
+      lm AS (
+        SELECT w, CAST(ROUND(-LN(n_w * 1.0 / n_total), 6)
+                       AS DECIMAL(25,6)) AS nll
+        FROM vocab, total),
+      scored AS (
+        SELECT d.doc_id,
+               ROUND(CAST(SUM(lm.nll * CAST(d.n AS DECIMAL(12,0)))
+                          AS DOUBLE)
+                     / CAST(SUM(d.n) AS BIGINT), 6) AS mean_nll
+        FROM per_doc d JOIN lm USING (w) GROUP BY d.doc_id),
+      tagged AS (
+        SELECT s.doc_id, doc.source, s.mean_nll,
+               s.mean_nll <= 3.402 AS kept
+        FROM scored s JOIN documents doc USING (doc_id))
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             ROUND(CAST(SUM(CASE WHEN kept
+                            THEN CAST(mean_nll AS DECIMAL(25,6)) END)
+                        AS DOUBLE)
+                   / CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END)
+                          AS BIGINT), 6) AS kept_mean_nll,
+             ROUND(SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1.0
+                   / COUNT(*), 6) AS retention
+      FROM tagged GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
-    qPrepCurriculum, qPrepWinsorize, qPrepOversample)
+    qPrepCurriculum, qPrepWinsorize, qPrepOversample, qPrepClassifier,
+    qPrepPerplexity)
 }

@@ -145,7 +145,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_prep_oversample: the one-row max-stratum scalar rides a
       // cross join into the factor table (the q_prep_curriculum
       // one-row-extrema pattern)
-      "q_prep_oversample")
+      "q_prep_oversample",
+      // q_prep_perplexity: the one-row corpus-token-total scalar rides
+      // a cross join into the LM weights (the q_text_logprob pattern,
+      // reused verbatim for the per-doc score)
+      "q_prep_perplexity")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
