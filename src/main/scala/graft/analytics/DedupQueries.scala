@@ -130,8 +130,7 @@ object DedupQueries {
     "q_dedup_ngram_jaccard",
     (s, dir) => {
       val (sh, handles) = shingles(docs(s, dir))
-      val shh = sh.select(col("doc_id"),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      val shh = sh.select(col("doc_id"), fingerprint(col("sh")).as("h"))
       val sizes = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = shh.as("a")
         .join(shh.as("b"),
@@ -247,8 +246,8 @@ object DedupQueries {
     * Shared with [[SignatureStore]]. */
   private[analytics] def minhashAgg(sh: DataFrame): DataFrame =
     minhashAggV(sh.select(col("doc_id"),
-      (conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
-        % lit(MinhashP)).as("v")))
+      graft.functions.TextFunctions.md5Bits(col("sh"))
+        .getField("v").as("v")))
 
   /** [[minhashAgg]] over an already-hashed (doc_id, v) table — the
     * path [[pairDiscovery]] takes, where one md5 per instance yields
@@ -263,9 +262,12 @@ object DedupQueries {
   /** 60-bit shingle fingerprint — the verify-join key (integer SMJ
     * compares, ~half the shuffle bytes of the string; the
     * [[qDedupNgramJaccard]] collision math applies). Both engines
-    * derive it as the first 15 md5 hex digits. */
+    * derive it as the first 15 md5 hex digits; the engine side
+    * computes the identical value through the native
+    * [[graft.functions.Md5Bits]] kernel (digest bits, no hex
+    * round-trip). */
   private[analytics] def fingerprint(sh: Column): Column =
-    conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
+    graft.functions.TextFunctions.md5Bits(sh).getField("h")
 
   /** Raw shingles hashed once: ONE md5 per distinct (doc, shingle)
     * instance yields BOTH the minhash input `v` (first 8 hex digits
@@ -274,11 +276,10 @@ object DedupQueries {
     * [[SignatureStore]] so store ingest/screen/admit never hash a
     * shingle twice and never carry text past this point. */
   private[analytics] def hashedShingles(d: DataFrame): DataFrame =
-    rawShingles(d).select(col("doc_id"), md5(col("sh")).as("md"))
+    rawShingles(d)
       .select(col("doc_id"),
-        (conv(substring(col("md"), 1, 8), 16, 10).cast("long")
-          % lit(MinhashP)).as("v"),
-        conv(substring(col("md"), 1, 15), 16, 10).cast("long").as("h"))
+        graft.functions.TextFunctions.md5Bits(col("sh")).as("b"))
+      .select(col("doc_id"), col("b.v").as("v"), col("b.h").as("h"))
 
   /** [[stopShingles]]'s document-frequency semantics keyed on the
     * 60-bit fingerprint instead of the text — collision-equivalent at
@@ -322,11 +323,10 @@ object DedupQueries {
       // shingles makes every downstream consumer — minhash aggregation
       // and both verify-join sides — read two longs per instance,
       // never the shingle text.
-      val hsh = sh.select(col("doc_id"), md5(col("sh")).as("md"))
+      val hsh = sh
         .select(col("doc_id"),
-          (conv(substring(col("md"), 1, 8), 16, 10).cast("long")
-            % lit(MinhashP)).as("v"),
-          conv(substring(col("md"), 1, 15), 16, 10).cast("long").as("h"))
+          graft.functions.TextFunctions.md5Bits(col("sh")).as("b"))
+        .select(col("doc_id"), col("b.v").as("v"), col("b.h").as("h"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mh = minhashAggV(hsh)
         // n_docs rows × 17 narrow cols; feeds the band signatures AND

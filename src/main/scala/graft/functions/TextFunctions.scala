@@ -241,10 +241,64 @@ case class CdcChunks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The dedup pipelines' md5-derived integer pair in ONE digest pass:
+  * struct(v, h) where `h` is the digest's first 15 hex digits as a
+  * 60-bit BIGINT (the verify-join fingerprint) and `v` is the first 8
+  * hex digits mod p = 2^31−1 (the minhash input). Replaces the
+  * `conv(substring(md5(x), 1, 15), 16, 10)` /
+  * `conv(substring(md5(x), 1, 8), 16, 10) % p` pair — which
+  * hex-encodes the digest into a 32-char string and parses nibbles
+  * back through two substrings and two base conversions — with two
+  * shifts on the digest's first 8 bytes: the first 15 nibbles ARE the
+  * big-endian first-8-byte word `>>> 4`, the first 8 nibbles are
+  * `>>> 32`. Values are therefore BIT-IDENTICAL to the string
+  * formulation, so every DuckDB oracle keeps the md5-hex formula and
+  * keeps hash-matching; only the per-shingle CPU changes. Digest
+  * instances come from `MessageDigest.getInstance` per call — the
+  * same cost model as Spark's own `md5` expression (commons-codec
+  * does the identical thing), minus its hex encode + our parse-back.
+  */
+case class Md5Bits(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("v", LongType, nullable = false),
+    StructField("h", LongType, nullable = false)))
+
+  override def prettyName: String = "graft_md5_bits"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(input.asInstanceOf[UTF8String].getBytes)
+    var be = 0L
+    var i = 0
+    while (i < 8) { be = (be << 8) | (d(i) & 0xFFL); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((be >>> 32) % 2147483647L, be >>> 4))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("md5BitsExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)" +
+        s" $expr.bitsEval($c);")
+  }
+
+  /** Called from generated code. */
+  def bitsEval(s: UTF8String): InternalRow =
+    nullSafeEval(s).asInstanceOf[InternalRow]
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Distinct word n-gram shingles of an array<string> column. */
   def shingles(words: Column, n: Int): Column =
     ExprBridge.column(WordShingles(ExprBridge.expression(words), n))
+
+  /** struct(v, h): minhash input + 60-bit fingerprint from one md5. */
+  def md5Bits(s: Column): Column =
+    ExprBridge.column(Md5Bits(ExprBridge.expression(s)))
 
   /** One-pass repetition statistics of an array<string> column. */
   def repetitionStats(words: Column): Column =
