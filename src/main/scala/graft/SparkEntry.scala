@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{DedupQueries, EventQueries, GraphQueries, MultimodalQueries, PipelineQueries, PrepQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.analytics.{CdcQueries, DedupQueries, EventQueries, GraphQueries, MultimodalQueries, PipelineQueries, PrepQueries, RelationalQueries, SimilarityQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -11,7 +11,7 @@ object SparkEntry {
   private def registries = Seq(RelationalQueries.all, PipelineQueries.all,
     DedupQueries.all, SimilarityQueries.all, TextQueries.all,
     MultimodalQueries.all, PrepQueries.all, GraphQueries.all,
-    EventQueries.all)
+    EventQueries.all, CdcQueries.all)
 
   private lazy val queryList: Seq[RelationalQueries.Q] = registries.flatten
 

@@ -856,9 +856,66 @@ object PrepQueries {
                    / COUNT(*), 6) AS retention
       FROM tagged GROUP BY source ORDER BY source"""))
 
+  /** Equal-FREQUENCY decile binning of document length — the
+    * feature-bucketization step before a length feature feeds a
+    * quality model, and the complement of [[qPrepCurriculum]]'s
+    * equal-WIDTH bands (equal-width starves the tail buckets on a
+    * skewed length distribution; equal-frequency guarantees every
+    * bin trains on the same sample mass). Output: per-bin row count
+    * and the exact [min, max] char boundaries — the bin-edge table a
+    * feature store materializes.
+    *
+    * The global rank every row needs is the classic "needs one
+    * partition-less window" trap (ROW_NUMBER() OVER (ORDER BY …) —
+    * the oracle's formulation — serializes the corpus through one
+    * task); the engine instead reuses the
+    * [[graft.operators.OrderStatistics.countByRank]] pair-free core:
+    * range-bucket on broadcast extrema, one bucket-keyed exchange,
+    * per-partition sorted scan, broadcast prefix join — O(N log N)
+    * fully parallel, the identical machinery already proven under
+    * [[RelationalQueries.qJoinInterval]] and `q_stats_gini`. Rank ties
+    * are impossible by construction: the ranked value is the composite
+    * `n_chars · 2²¹ + doc_id` (doc_id unique, < 2²¹ at every fixture
+    * SF), so the rank equals the oracle's ROW_NUMBER over
+    * (n_chars, doc_id) exactly and bin assignment is deterministic in
+    * both engines. */
+  val qPrepBinning = Q(
+    "q_prep_binning",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          (col("n_chars") * lit(2097152L) + col("doc_id")).as("v"))
+      val n = d.agg(count(lit(1)).as("n"))
+      val ranks = graft.operators.OrderStatistics.countByRank(
+        d.select(col("v")),
+        d.select(col("doc_id").as("user_id"),
+          lit(0L).as("session_idx"), col("v").as("q")),
+        inclusive = true)
+        .select(col("user_id").as("doc_id"), col("cnt").as("rn"))
+      d.join(ranks, "doc_id")
+        .crossJoin(broadcast(n))
+        .select(col("n_chars"),
+          expr("CAST((rn - 1) * 10 DIV n AS BIGINT)").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("bin"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM documents)
+      SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS bin,
+             COUNT(*) AS n_docs,
+             MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      FROM r GROUP BY bin ORDER BY bin"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
     qPrepCurriculum, qPrepWinsorize, qPrepOversample, qPrepClassifier,
-    qPrepPerplexity)
+    qPrepPerplexity, qPrepBinning)
 }

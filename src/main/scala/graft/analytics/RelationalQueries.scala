@@ -2168,6 +2168,160 @@ object RelationalQueries {
       FROM pairs GROUP BY u_a, i_a, st_a
       ORDER BY n_concurrent DESC, user_id, session_idx LIMIT 50"""))
 
+  /** Inter-rater agreement (Cohen's kappa) between two independent
+    * document-quality raters — here the char-length gate (≥300) and
+    * the token-count gate (≥55), per language: the calibration step
+    * before trusting any single heuristic filter, and the same
+    * machinery that scores human labeler agreement on eval sets. All
+    * four contingency cells, the observed agreement, and the
+    * chance-corrected kappa reduce to exact integer arithmetic: with
+    * agree = n11+n00 and pe_num = (n11+n10)(n11+n01)+(n01+n00)(n10+n00),
+    * kappa = (n·agree − pe_num) / (n² − pe_num) — the query emits
+    * po/pe in exact micro-units plus kappa's integer numerator and
+    * denominator, so the gate is bit-exact with no cross-engine
+    * float-division ambiguity (kappa_num may be negative; DIV-vs-floor
+    * divergence on negatives is why it ships as a fraction). Products
+    * stay < 2⁶³ while per-stratum n < ~3·10⁶; beyond that the sums
+    * widen to DECIMAL exactly like q_stats_regression's moments.
+    *
+    * Scale shape: one narrow corpus pass → per-language partial
+    * counts → a |languages|-row final aggregate; the kappa algebra is
+    * a projection over that tiny frame. */
+  val qStatsKappa = Q(
+    "q_stats_kappa",
+    (s, dir) => {
+      val a = (col("n_chars") >= 300).cast("long")
+      val b = (size(split(col("text"), " ")) >= 55).cast("long")
+      Tables.spread(t(s, dir, "documents"))
+        .select(col("lang"), a.as("ra"), b.as("rb"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ra") * col("rb")).as("n11"),
+          sum(col("ra") * (lit(1L) - col("rb"))).as("n10"),
+          sum((lit(1L) - col("ra")) * col("rb")).as("n01"),
+          sum((lit(1L) - col("ra")) * (lit(1L) - col("rb"))).as("n00"))
+        .select(col("lang"), col("n"),
+          expr("CAST((n11 + n00) * 1000000 DIV n AS BIGINT)")
+            .as("po_micro"),
+          expr("""CAST(((n11 + n10) * (n11 + n01)
+                        + (n01 + n00) * (n10 + n00)) * 1000000
+                       DIV (n * n) AS BIGINT)""").as("pe_micro"),
+          expr("""CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+                        + (n01 + n00) * (n10 + n00)) AS BIGINT)""")
+            .as("kappa_num"),
+          expr("""CAST(n * n - ((n11 + n10) * (n11 + n01)
+                        + (n01 + n00) * (n10 + n00)) AS BIGINT)""")
+            .as("kappa_den"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT lang,
+               CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+               CASE WHEN len(string_split(text, ' ')) >= 55
+                    THEN 1 ELSE 0 END AS rb
+        FROM documents),
+      c AS (
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(ra * rb) AS BIGINT) AS n11,
+               CAST(SUM(ra * (1 - rb)) AS BIGINT) AS n10,
+               CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01,
+               CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+        FROM d GROUP BY lang)
+      SELECT lang, n,
+             CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_micro,
+             CAST(((n11 + n10) * (n11 + n01)
+                   + (n01 + n00) * (n10 + n00)) * 1000000
+                  // (n * n) AS BIGINT) AS pe_micro,
+             CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+                   + (n01 + n00) * (n10 + n00)) AS BIGINT) AS kappa_num,
+             CAST(n * n - ((n11 + n10) * (n11 + n01)
+                   + (n01 + n00) * (n10 + n00)) AS BIGINT) AS kappa_den
+      FROM c ORDER BY lang"""))
+
+  /** TPC-H Q21's shape — the double-correlated EXISTS / NOT-EXISTS
+    * join ("suppliers who were the SOLE late shipper on a
+    * multi-supplier order", lateness = shipped >60 days after the
+    * order date): the one classic relational form the join family
+    * didn't yet pin. Written as SQL on purpose — the gate certifies
+    * that Catalyst DECORRELATES both subqueries into existence
+    * hash-joins on the order key (the lateral/IN/semi queries pin the
+    * other decorrelation paths; PlanAuditSpec rejects any BNLJ
+    * fallback) rather than re-executing them per outer row.
+    *
+    * Scale shape: the `ll` late-lines build is one broadcast-or-SMJ
+    * orders join; both EXISTS legs are equi-keyed on l_orderkey with
+    * the supplier inequality as a join residual — three shuffles on
+    * the same key end to end, then a supplier-keyed count. */
+  val qJoinExistsMulti = Q(
+    "q_join_exists_multi",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_exm")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_exm")
+      s.sql("""
+        WITH ll AS (
+          SELECT l.l_orderkey, l.l_suppkey
+          FROM lineitem_exm l JOIN orders_exm o
+            ON o.o_orderkey = l.l_orderkey
+          WHERE l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+        SELECT l1.l_suppkey AS suppkey, COUNT(*) AS numwait
+        FROM ll l1
+        WHERE EXISTS (SELECT 1 FROM lineitem_exm l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM ll l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY l1.l_suppkey
+        ORDER BY numwait DESC, suppkey LIMIT 25""")
+    },
+    Some("""
+      WITH ll AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      SELECT l1.l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM ll l1
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM ll l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey)
+      GROUP BY l1.l_suppkey
+      ORDER BY numwait DESC, suppkey LIMIT 25"""))
+
+  /** TPC-H Q18's shape — large-volume orders: the IN-over-aggregated-
+    * HAVING form (the semi-join key set is itself an aggregate,
+    * unlike q_subqueries' plain IN). The HAVING threshold compares a
+    * DECIMAL-accumulated sum so the keep/drop decision at the
+    * boundary is bit-identical in both engines (a double sum's last
+    * ulp could flip rows exactly at 150). */
+  val qAggLargeOrders = Q(
+    "q_agg_large_orders",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(25, 4))).as("q"))
+        .filter(col("q") > 150)
+        .select(col("l_orderkey"))
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === big("l_orderkey"), "left_semi")
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_custkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o.o_orderkey, o.o_custkey,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+               AS total_qty
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(25,4))) > 150)
+      GROUP BY o.o_orderkey, o.o_custkey ORDER BY o.o_orderkey"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -2181,5 +2335,6 @@ object RelationalQueries {
     qScalarRegex, qScalarConditional, qScalarNullSemantics,
     qScalarArray, qSaltedAgg,
     qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events,
-    qScd2Orders, qScd2Incremental, qStatsProfile, qTsEwma, qStatsRegression, qStatsCorr, qStatsSkew, qStatsGini)
+    qScd2Orders, qScd2Incremental, qStatsProfile, qTsEwma, qStatsRegression, qStatsCorr, qStatsSkew, qStatsGini,
+    qStatsKappa, qJoinExistsMulti, qAggLargeOrders)
 }

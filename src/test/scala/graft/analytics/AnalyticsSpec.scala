@@ -2272,4 +2272,46 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
         s"brute found a higher different-label neighbor ${r.getLong(2)}")
     }
   }
+
+  test("cdc: changeset apply reconstructs v2 row-for-row") {
+    // the registered gate compares a 10-bucket aggregate of the
+    // reconstruction; this pins the stronger property it summarizes —
+    // v1 + diff(v1,v2) == v2 EXACTLY, row for row
+    val o = Tables(spark, sf, "orders")
+      .select($"o_orderkey".as("k"), $"o_totalprice".as("p"))
+    val v1 = o.filter($"k" % 17 =!= 3).select($"k", $"p".as("p1"))
+    val v2 = o.filter($"k" % 19 =!= 7).select($"k",
+      when($"k" % 5 === 0, $"p" + 1.0).otherwise($"p").as("p2"))
+    val d = CdcQueries.diff(v1, v2)
+    val ops = d.groupBy($"op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("I", "U", "D").subsetOf(ops.keySet),
+      s"fixture must exercise all three ops: $ops")
+    val gone = d.filter($"op".isin("D", "U")).select($"o_orderkey".as("k"))
+    val upserts = d.filter($"op".isin("I", "U"))
+      .select($"o_orderkey".as("k"), $"new_price".as("p1"))
+    val recon = v1.join(gone, Seq("k"), "left_anti").unionByName(upserts)
+    val mismatch = recon.withColumnRenamed("p1", "pr")
+      .join(v2, Seq("k"), "full_outer")
+      .filter($"pr".isNull || $"p2".isNull || $"pr" =!= $"p2")
+    assert(mismatch.isEmpty,
+      s"reconstruction diverges from v2: ${mismatch.take(5).toSeq}")
+  }
+
+  test("prep binning: deciles are equal-frequency within one doc") {
+    val bins = PrepQueries.qPrepBinning.run(spark, sf).collect()
+    assert(bins.length === 10, s"expected 10 bins, got ${bins.length}")
+    val counts = bins.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1,
+      s"equal-frequency violated: ${counts.toSeq}")
+    // bin boundaries are non-overlapping and ordered: bin b's max
+    // n_chars never exceeds bin b+1's min (equal values may share)
+    bins.sortBy(_.getLong(0)).sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getLong(3) <= hi.getLong(2),
+          s"bins overlap: ${lo.getLong(0)} max=${lo.getLong(3)} vs " +
+            s"${hi.getLong(0)} min=${hi.getLong(2)}")
+      case _ =>
+    }
+  }
 }

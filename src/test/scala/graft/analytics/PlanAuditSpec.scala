@@ -149,7 +149,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_prep_perplexity: the one-row corpus-token-total scalar rides
       // a cross join into the LM weights (the q_text_logprob pattern,
       // reused verbatim for the per-doc score)
-      "q_prep_perplexity")
+      "q_prep_perplexity",
+      // q_prep_binning: countByRank's broadcast extrema + 256-row
+      // bucket-prefix theta join (the q_join_interval machinery,
+      // bounded by construction)
+      "q_prep_binning")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
