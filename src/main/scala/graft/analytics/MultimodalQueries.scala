@@ -172,6 +172,33 @@ object MultimodalQueries {
       FROM ch GROUP BY chunk_hash
       ORDER BY n_occ DESC, chunk_hash LIMIT 20"""))
 
+  /** Nearest-neighbor resize of every payload to a fixed 32-symbol
+    * "resolution" ([[Multimodal.resizeNearest]] — the downsample step
+    * between decode and featurize in a media pipeline; the offset
+    * arithmetic IS nearest-neighbor resampling, applied here along
+    * one axis of the stub-decoded content). The gate hash-matches the
+    * resized payload AND its md5 per document, so both the offset
+    * formula and the boundary behavior (short inputs upsample by
+    * repetition) are pinned cross-engine. Narrow plan, zero shuffle. */
+  val qMultimodalResize = Q(
+    "q_multimodal_resize",
+    (s, dir) =>
+      Multimodal.resizeNearest(
+        Tables.spread(Tables(s, dir, "documents")))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             array_to_string(list_transform(range(0, 32),
+               i -> substr(text,
+                      CAST(1 + (i * (length(text) - 1)) // 31 AS INT),
+                      1)), '') AS resized,
+             md5(array_to_string(list_transform(range(0, 32),
+               i -> substr(text,
+                      CAST(1 + (i * (length(text) - 1)) // 31 AS INT),
+                      1)), '')) AS rhash
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFeatures,
-    qMultimodalFrames, qMultimodalCdc)
+    qMultimodalFrames, qMultimodalCdc, qMultimodalResize)
 }

@@ -79,6 +79,28 @@ object Multimodal {
         expr(s"substring(content, CAST(frame_start AS INT), $frameBytes)")
           .as("frame"))
 
+  /** Deterministic nearest-neighbor RESIZE over the opaque content —
+    * the "downsample every image to a fixed resolution" primitive,
+    * expressed at the symbol layer: `targetN` samples at evenly spread
+    * 1-based offsets `1 + (k · (len − 1)) DIV (targetN − 1)` — exactly
+    * the nearest-neighbor index formula a real image resize applies
+    * per axis (a real kernel swaps the 1-D char lookup for a 2-D pixel
+    * lookup at the SAME offset arithmetic; the stub-decode caveat in
+    * the object scaladoc applies). Inputs shorter than `targetN`
+    * upsample by repetition, exactly like nearest-neighbor upscaling.
+    * Pure per-row expressions (a generator + substring), so the plan
+    * is narrow with zero shuffle at any corpus size. */
+  def resizeNearest(docs: DataFrame, targetN: Int = 32): DataFrame = {
+    require(targetN >= 2, s"targetN must be >= 2, got $targetN")
+    docs.select(col("doc_id"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+      expr(s"""array_join(transform(sequence(0, ${targetN - 1}),
+          i -> substring(text,
+                 CAST(1 + (i * (length(text) - 1)) DIV ${targetN - 1} AS INT),
+                 1)), '')""").as("resized"))
+      .withColumn("rhash", md5(encode(col("resized"), "UTF-8")))
+  }
+
   /** Partition-wise batched feature extraction: groups each partition's
     * rows into `batchSize` chunks so a real kernel amortizes per-batch
     * setup (codec init, model weights) — the batch shape `mapInPandas`

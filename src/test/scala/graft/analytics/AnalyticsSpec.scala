@@ -1456,6 +1456,28 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multimodal resize: nearest-neighbor offsets, repetition upsampling") {
+    // reference resample computed in-JVM against the documented formula
+    def ref(text: String, n: Int): String =
+      (0 until n).map { i =>
+        text.charAt((1 + i.toLong * (text.length - 1) / (n - 1)).toInt - 1)
+      }.mkString
+    val docs = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz0123456789ABCDEF"), // downsample
+      (2L, "xy"), // shorter than target: upsample by repetition
+      (3L, "z"), // degenerate single symbol: offset formula must hold
+      (4L, "日本語テキスト")) // multi-byte chars resample by CHAR index
+      .toDF("doc_id", "text")
+    val out = Multimodal.resizeNearest(docs, targetN = 8).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    docs.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      assert(out(id) === ref(text, 8), s"doc $id resample")
+      assert(out(id).length === 8, s"doc $id must hit the target size")
+    }
+    assert(out(3L) === "zzzzzzzz")
+  }
+
   test("asof join: picks latest right row at or before left ts, inner") {
     def ts(s: String) = Timestamp.valueOf(s)
     val left = Seq(

@@ -1,0 +1,110 @@
+package graft.analytics
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** Streaming CDC materialization: incremental micro-batch application
+  * must equal the batch last-writer-wins over the same events, emission
+  * must be compacted (one row per changed key per batch), late/replayed
+  * events must not regress state, and state must survive a checkpoint
+  * restart. */
+class StreamingCdcSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+  import StreamingCdc.{ChangeEvent, CurrentRow}
+
+  /** Batch reference: last writer (max seq) wins per key. */
+  private def reference(events: Seq[ChangeEvent]): Map[Long, CurrentRow] =
+    events.groupBy(_.k).map { case (k, es) =>
+      // value = latest upsert's value (deletes keep the prior value
+      // in the tombstone, matching the operator's state)
+      val sorted = es.sortBy(_.seq)
+      val last = sorted.last
+      val lastUp = sorted.reverse.find(_.op == "U")
+      k -> CurrentRow(k, last.seq, lastUp.map(_.value).getOrElse(0.0),
+        last.op == "D")
+    }
+
+  test("streaming cdc: micro-batch materialization ≡ batch last-writer-wins") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val emitted = mutable.ArrayBuffer[(Long, CurrentRow)]()
+    var batchId = 0L
+    val q = StreamingCdc.materialize(
+        in.toDS().map { case (k, s, o, v) => ChangeEvent(k, s, o, v) })
+      .writeStream.outputMode("append").foreachBatch {
+        (df: org.apache.spark.sql.Dataset[CurrentRow], bid: Long) =>
+          emitted.synchronized { emitted ++= df.collect().map(bid -> _) }
+          ()
+      }.start()
+    // batch 1: inserts; batch 2: updates + a delete + an intra-batch
+    // double-update on key 1 (must compact to ONE emission); batch 3:
+    // a late straggler (seq below key 2's state — must be dropped) and
+    // a post-delete update on key 3 (must resurrect with higher seq)
+    val b1 = Seq((1L, 10L, "U", 1.0), (2L, 11L, "U", 2.0), (3L, 12L, "U", 3.0))
+    val b2 = Seq((1L, 20L, "U", 1.5), (1L, 21L, "U", 1.7), (3L, 22L, "D", 0.0))
+    val b3 = Seq((2L, 5L, "U", 99.0), (3L, 30L, "U", 3.5))
+    Seq(b1, b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
+    q.stop()
+    val all = b1 ++ b2 ++ b3
+    val want = reference(all.map { case (k, s, o, v) => ChangeEvent(k, s, o, v) })
+    // latest emission per key == batch reference
+    val got = emitted.synchronized {
+      emitted.groupBy(_._2.k)
+        .map { case (k, es) => k -> es.maxBy(_._2.seq)._2 }
+    }
+    assert(got === want)
+    // compaction: key 1 emitted ONCE in batch 2 (two updates collapsed)
+    val key1Batch2 = emitted.synchronized(
+      emitted.filter(e => e._2.k == 1L && e._1 == 1L))
+    assert(key1Batch2.size === 1, s"not compacted: $key1Batch2")
+    assert(key1Batch2.head._2.value === 1.7)
+    // late straggler dropped: key 2 never re-emitted after batch 1
+    assert(emitted.synchronized(
+      emitted.count(_._2.k == 2L)) === 1, "stale seq must not re-emit")
+    // tombstone then resurrection: key 3's final row is live at 3.5
+    assert(got(3L) === CurrentRow(3L, 30L, 3.5, deleted = false))
+  }
+
+  test("streaming cdc: state survives a checkpoint restart") {
+    val inDir = java.nio.file.Files.createTempDirectory("cdc_in")
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_ckpt").toString
+    val emitted = mutable.ArrayBuffer[CurrentRow]()
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("k BIGINT, seq BIGINT, op STRING, value DOUBLE")
+        .json(inDir.toString).as[ChangeEvent]
+      val q = StreamingCdc.materialize(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[CurrentRow], _: Long) =>
+            emitted.synchronized { emitted ++= df.collect() }
+            ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(inDir.resolve(name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    writeFile("b1.json", Seq(
+      """{"k":1,"seq":10,"op":"U","value":1.0}""",
+      """{"k":2,"seq":11,"op":"U","value":2.0}"""))
+    runOnce()
+    // second run resumes from the checkpoint: a stale replay of key 1
+    // (seq 10 again) must be ignored because the RESTORED state knows
+    // seq 10; a genuine update must apply
+    writeFile("b2.json", Seq(
+      """{"k":1,"seq":10,"op":"U","value":777.0}""",
+      """{"k":1,"seq":20,"op":"U","value":1.9}"""))
+    runOnce()
+    val finalRows = emitted.synchronized(
+      emitted.groupBy(_.k).map { case (k, es) => k -> es.maxBy(_.seq) })
+    assert(finalRows(1L) === CurrentRow(1L, 20L, 1.9, deleted = false))
+    assert(finalRows(2L) === CurrentRow(2L, 11L, 2.0, deleted = false))
+    // the stale replay (value 777) never surfaced
+    assert(emitted.synchronized(!emitted.exists(_.value == 777.0)),
+      "restored state failed to suppress a replayed event")
+  }
+}
