@@ -459,7 +459,115 @@ object EventQueries {
                    / COUNT(*) / 1000000.0, 6) AS mean_s
       FROM un GROUP BY transition ORDER BY transition"""))
 
+  /** DAU / trailing-7-day WAU / stickiness per day — the
+    * engagement headline every product dashboard leads with, and the
+    * one that needs COUNT(DISTINCT) over a SLIDING window (plain
+    * GROUP BY day can't see the trailing six days; a distinct-over-
+    * window is unsupported in both engines). The distributed shape:
+    * reduce events to the distinct (day, user) relation FIRST (the
+    * only corpus-scale pass), then explode each active-day into the
+    * ≤7 trailing windows it serves and distinct again on
+    * (window_day, user) — a user active thrice inside one window
+    * still counts once. The 7× explode runs on per-day actives, not
+    * raw events, which is why the exact computation stays cheap at
+    * 100 TB (the approximate alternative — mergeable per-day HLL
+    * sketches — is the documented swap when even the actives relation
+    * is too hot). Stickiness = DAU/WAU in exact integer micro-units
+    * (both counts BIGINT — no float-division parity risk). Windows
+    * are trailing and partial at the series head, the standard
+    * dashboard convention; only observed days emit rows. */
+  val qEventsDauWau = Q(
+    "q_events_dau_wau",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val du = ev(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+        .persist(MEMORY_AND_DISK)
+      val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = du
+        .select(col("day"), col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("off"))
+        .select(expr("date_add(day, off)").as("day"), col("user_id"))
+        .distinct()
+        .join(du.select(col("day")).distinct(), Seq("day"), "left_semi")
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      val result = dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          expr("CAST(dau * 1000000 DIV wau AS BIGINT)")
+            .as("stickiness_micro"))
+        .orderBy(col("day"))
+      QueryScopedCache.releaseAfter(result, Seq(du))
+    },
+    Some("""
+      WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+      wau AS (
+        SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+        FROM (SELECT DISTINCT day FROM du) d
+        JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day)
+      SELECT d.day, d.dau, w.wau,
+             CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_micro
+      FROM dau d JOIN wau w USING (day) ORDER BY day"""))
+
+  /** The sketch path [[qEventsDauWau]]'s scaladoc promises — trailing
+    * WAU from MERGEABLE per-day HLL sketches (Datasketches
+    * `hll_sketch_agg` / `hll_union_agg`): one corpus pass builds one
+    * small sketch per day, and every trailing window is a UNION of ≤7
+    * sketches — no explode of the actives relation, no second
+    * distinct, and incremental by construction (today's sketch appends;
+    * yesterday's windows never recompute — the production dashboard
+    * shape at any scale). Gated in the q_hll_distinct style: an
+    * estimate can never hash-match another engine, so the query
+    * computes the exact trailing WAU alongside and emits whether the
+    * estimate honors 3× the sketch's configured rsd (lgK=12 →
+    * rsd ≈ 1.6%); DuckDB mirrors the exact count and a literal true.
+    * A wrong exact count, a wrong union, or a broken bound all fail
+    * the hash-match. */
+  val qEventsWauSketch = Q(
+    "q_events_wau_sketch",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val e = ev(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .persist(MEMORY_AND_DISK)
+      val du = e.distinct()
+      val exact = du
+        .select(col("day"), col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("off"))
+        .select(expr("date_add(day, off)").as("day"), col("user_id"))
+        .distinct()
+        .join(du.select(col("day")).distinct(), Seq("day"), "left_semi")
+        .groupBy(col("day")).agg(count(lit(1)).as("wau_exact"))
+      val est = e.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .select(col("day"), col("sk"),
+          explode(sequence(lit(0), lit(6))).as("off"))
+        .select(expr("date_add(day, off)").as("day"), col("sk"))
+        .groupBy(col("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val result = exact.join(est, "day")
+        .select(col("day"), col("wau_exact"),
+          (abs(col("est") - col("wau_exact")) <=
+            greatest(lit(1.0), col("wau_exact") * lit(0.049)))
+            .as("within_bound"))
+        .orderBy(col("day"))
+      QueryScopedCache.releaseAfter(result, Seq(e))
+    },
+    Some("""
+      WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      wau AS (
+        SELECT d.day, COUNT(DISTINCT u.user_id) AS wau_exact
+        FROM (SELECT DISTINCT day FROM du) d
+        JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day)
+      SELECT day, wau_exact, TRUE AS within_bound
+      FROM wau ORDER BY day"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
     qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
-    qEventsFunnelTime)
+    qEventsFunnelTime, qEventsDauWau, qEventsWauSketch)
 }
