@@ -39,8 +39,10 @@ object CdcQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
-  /** The two synthetic snapshots (k, p1) / (k, p2). */
-  private def snapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** The two synthetic snapshots (k, p1) / (k, p2). Exposed for the
+    * spec, which must pin the SAME fixtures the registered queries
+    * run. */
+  private[analytics] def snapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val o = t(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
     val v1 = o.filter(col("k") % 17 =!= 3).select(col("k"), col("p").as("p1"))
@@ -84,6 +86,17 @@ object CdcQueries {
       SELECT op, o_orderkey, p1 AS old_price, p2 AS new_price
       FROM d WHERE op IS NOT NULL ORDER BY o_orderkey"""))
 
+  /** Replay a changeset onto the old snapshot: drop deleted/updated
+    * keys, union the upsert rows — the MERGE body [[qCdcApply]] gates
+    * and the spec pins row-for-row. */
+  private[analytics] def applyChangeset(v1: DataFrame, d: DataFrame): DataFrame = {
+    val gone = d.filter(col("op").isin("D", "U"))
+      .select(col("o_orderkey").as("k"))
+    val upserts = d.filter(col("op").isin("I", "U"))
+      .select(col("o_orderkey").as("k"), col("new_price").as("p1"))
+    v1.join(gone, Seq("k"), "left_anti").unionByName(upserts)
+  }
+
   /** Changeset apply (MERGE): v1 + diff(v1,v2) must reconstruct v2.
     * The gate aggregates the reconstruction into 10 key-bucket rows
     * (count + exact DECIMAL-accumulated price sum) while the ORACLE
@@ -95,13 +108,7 @@ object CdcQueries {
     "q_cdc_apply",
     (s, dir) => {
       val (v1, v2) = snapshots(s, dir)
-      val d = diff(v1, v2)
-      val gone = d.filter(col("op").isin("D", "U"))
-        .select(col("o_orderkey").as("k"))
-      val upserts = d.filter(col("op").isin("I", "U"))
-        .select(col("o_orderkey").as("k"), col("new_price").as("p1"))
-      val recon = v1.join(gone, Seq("k"), "left_anti").unionByName(upserts)
-      recon.groupBy((col("k") % 10).as("bucket"))
+      applyChangeset(v1, diff(v1, v2)).groupBy((col("k") % 10).as("bucket"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("p1").cast(DecimalType(25, 4))).cast("double")
             .as("sum_price"))

@@ -476,22 +476,33 @@ object EventQueries {
     * (both counts BIGINT — no float-division parity risk). Windows
     * are trailing and partial at the series head, the standard
     * dashboard convention; only observed days emit rows. */
+  /** The distinct (day, user) actives relation — the shared input of
+    * both engagement queries (persist and release via
+    * [[QueryScopedCache.releaseAfter]]). */
+  private def dailyActives(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Exact trailing-7-day actives per observed day, named `outCol` —
+    * the one window convention both engagement queries must share
+    * (explode each active-day into the ≤7 windows it serves, distinct
+    * so multi-day users count once per window, semi-join to observed
+    * days so only real days emit). */
+  private def trailingWau(du: DataFrame, outCol: String): DataFrame =
+    du.select(col("day"), col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("off"))
+      .select(expr("date_add(day, off)").as("day"), col("user_id"))
+      .distinct()
+      .join(du.select(col("day")).distinct(), Seq("day"), "left_semi")
+      .groupBy(col("day")).agg(count(lit(1)).as(outCol))
+
   val qEventsDauWau = Q(
     "q_events_dau_wau",
     (s, dir) => {
-      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val du = ev(s, dir)
-        .select(to_date(col("ts")).as("day"), col("user_id"))
-        .distinct()
-        .persist(MEMORY_AND_DISK)
+      val du = dailyActives(s, dir)
       val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-      val wau = du
-        .select(col("day"), col("user_id"),
-          explode(sequence(lit(0), lit(6))).as("off"))
-        .select(expr("date_add(day, off)").as("day"), col("user_id"))
-        .distinct()
-        .join(du.select(col("day")).distinct(), Seq("day"), "left_semi")
-        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      val wau = trailingWau(du, "wau")
       val result = dau.join(wau, "day")
         .select(col("day"), col("dau"), col("wau"),
           expr("CAST(dau * 1000000 DIV wau AS BIGINT)")
@@ -529,19 +540,12 @@ object EventQueries {
   val qEventsWauSketch = Q(
     "q_events_wau_sketch",
     (s, dir) => {
-      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val e = ev(s, dir)
-        .select(to_date(col("ts")).as("day"), col("user_id"))
-        .persist(MEMORY_AND_DISK)
-      val du = e.distinct()
-      val exact = du
-        .select(col("day"), col("user_id"),
-          explode(sequence(lit(0), lit(6))).as("off"))
-        .select(expr("date_add(day, off)").as("day"), col("user_id"))
-        .distinct()
-        .join(du.select(col("day")).distinct(), Seq("day"), "left_semi")
-        .groupBy(col("day")).agg(count(lit(1)).as("wau_exact"))
-      val est = e.groupBy(col("day"))
+      // sketches build from the DISTINCT actives relation — HLL is
+      // duplicate-insensitive, so du (already the persisted shared
+      // input) serves both arms and the raw projection never caches
+      val du = dailyActives(s, dir)
+      val exact = trailingWau(du, "wau_exact")
+      val est = du.groupBy(col("day"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
         .select(col("day"), col("sk"),
           explode(sequence(lit(0), lit(6))).as("off"))
@@ -554,7 +558,7 @@ object EventQueries {
             greatest(lit(1.0), col("wau_exact") * lit(0.049)))
             .as("within_bound"))
         .orderBy(col("day"))
-      QueryScopedCache.releaseAfter(result, Seq(e))
+      QueryScopedCache.releaseAfter(result, Seq(du))
     },
     Some("""
       WITH du AS (

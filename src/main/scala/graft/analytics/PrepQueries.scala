@@ -882,9 +882,20 @@ object PrepQueries {
   val qPrepBinning = Q(
     "q_prep_binning",
     (s, dir) => {
+      // Bound guard (the q_stats_gini pattern): the composite rank key
+      // is order-isomorphic to (n_chars, doc_id) only while
+      // doc_id < 2^21 — beyond that composites collide across
+      // different n_chars and bins shift SILENTLY. Fail loudly
+      // in-plan: assert_true evaluates per row inside codegen and
+      // contributes exactly 0 in bounds.
+      val guard = coalesce(expr(
+        "assert_true(doc_id < 2097152, " +
+          "'q_prep_binning: composite-rank bound exceeded " +
+          "(need doc_id < 2^21; widen the shift)')").cast("long"),
+        lit(0L))
       val d = docs(s, dir)
         .select(col("doc_id"), col("n_chars"),
-          (col("n_chars") * lit(2097152L) + col("doc_id")).as("v"))
+          (col("n_chars") * lit(2097152L) + col("doc_id") + guard).as("v"))
       val n = d.agg(count(lit(1)).as("n"))
       val ranks = graft.operators.OrderStatistics.countByRank(
         d.select(col("v")),

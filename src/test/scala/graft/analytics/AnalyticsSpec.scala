@@ -2298,21 +2298,17 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
   test("cdc: changeset apply reconstructs v2 row-for-row") {
     // the registered gate compares a 10-bucket aggregate of the
     // reconstruction; this pins the stronger property it summarizes —
-    // v1 + diff(v1,v2) == v2 EXACTLY, row for row
-    val o = Tables(spark, sf, "orders")
-      .select($"o_orderkey".as("k"), $"o_totalprice".as("p"))
-    val v1 = o.filter($"k" % 17 =!= 3).select($"k", $"p".as("p1"))
-    val v2 = o.filter($"k" % 19 =!= 7).select($"k",
-      when($"k" % 5 === 0, $"p" + 1.0).otherwise($"p").as("p2"))
+    // v1 + diff(v1,v2) == v2 EXACTLY, row for row — through the SAME
+    // production helpers the registered queries run (snapshots/diff/
+    // applyChangeset), so a fixture or merge-logic change cannot
+    // desynchronize spec and query
+    val (v1, v2) = CdcQueries.snapshots(spark, sf)
     val d = CdcQueries.diff(v1, v2)
     val ops = d.groupBy($"op").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(Set("I", "U", "D").subsetOf(ops.keySet),
       s"fixture must exercise all three ops: $ops")
-    val gone = d.filter($"op".isin("D", "U")).select($"o_orderkey".as("k"))
-    val upserts = d.filter($"op".isin("I", "U"))
-      .select($"o_orderkey".as("k"), $"new_price".as("p1"))
-    val recon = v1.join(gone, Seq("k"), "left_anti").unionByName(upserts)
+    val recon = CdcQueries.applyChangeset(v1, d)
     val mismatch = recon.withColumnRenamed("p1", "pr")
       .join(v2, Seq("k"), "full_outer")
       .filter($"pr".isNull || $"p2".isNull || $"pr" =!= $"p2")

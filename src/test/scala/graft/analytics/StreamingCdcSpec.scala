@@ -14,17 +14,24 @@ class StreamingCdcSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
   import StreamingCdc.{ChangeEvent, CurrentRow}
 
-  /** Batch reference: last writer (max seq) wins per key. */
-  private def reference(events: Seq[ChangeEvent]): Map[Long, CurrentRow] =
-    events.groupBy(_.k).map { case (k, es) =>
-      // value = latest upsert's value (deletes keep the prior value
-      // in the tombstone, matching the operator's state)
-      val sorted = es.sortBy(_.seq)
-      val last = sorted.last
-      val lastUp = sorted.reverse.find(_.op == "U")
-      k -> CurrentRow(k, last.seq, lastUp.map(_.value).getOrElse(0.0),
-        last.op == "D")
+  /** Batch reference: fold the events in APPLIED order (batches
+    * concatenated, seq-sorted within each batch) under the operator's
+    * exact rule — an event applies only if its seq exceeds the
+    * current state's, upserts set the value, deletes keep the prior
+    * value in the tombstone. Mirrors the documented semantics
+    * including cross-batch late-drop (a late upsert arriving after a
+    * higher-seq delete is DROPPED, not merged). */
+  private def reference(applied: Seq[ChangeEvent]): Map[Long, CurrentRow] = {
+    val st = mutable.Map[Long, (Long, Double, Boolean)]()
+    applied.foreach { e =>
+      val (seq, v, _) = st.getOrElse(e.k, (Long.MinValue, 0.0, true))
+      if (e.seq > seq)
+        st(e.k) = (e.seq, if (e.op == "U") e.value else v, e.op == "D")
     }
+    st.map { case (k, (seq, v, del)) =>
+      k -> CurrentRow(k, seq, v, del)
+    }.toMap
+  }
 
   test("streaming cdc: micro-batch materialization ≡ batch last-writer-wins") {
     implicit val sc = spark.sqlContext
@@ -38,17 +45,23 @@ class StreamingCdcSpec extends AnyFunSuite with SparkTestBase {
           emitted.synchronized { emitted ++= df.collect().map(bid -> _) }
           ()
       }.start()
-    // batch 1: inserts; batch 2: updates + a delete + an intra-batch
-    // double-update on key 1 (must compact to ONE emission); batch 3:
-    // a late straggler (seq below key 2's state — must be dropped) and
-    // a post-delete update on key 3 (must resurrect with higher seq)
-    val b1 = Seq((1L, 10L, "U", 1.0), (2L, 11L, "U", 2.0), (3L, 12L, "U", 3.0))
-    val b2 = Seq((1L, 20L, "U", 1.5), (1L, 21L, "U", 1.7), (3L, 22L, "D", 0.0))
+    // batch 1: inserts + key 4's upsert-then-delete; batch 2: updates,
+    // a delete, an intra-batch double-update on key 1 (must compact to
+    // ONE emission), and key 4's LATE upsert (seq 15 < its delete's 20
+    // — must be dropped, NOT resurrect the row); batch 3: a late
+    // straggler (seq below key 2's state — must be dropped) and a
+    // post-delete update on key 3 (higher seq — must resurrect)
+    val b1 = Seq((1L, 10L, "U", 1.0), (2L, 11L, "U", 2.0), (3L, 12L, "U", 3.0),
+      (4L, 10L, "U", 4.0), (4L, 20L, "D", 0.0))
+    val b2 = Seq((1L, 20L, "U", 1.5), (1L, 21L, "U", 1.7), (3L, 22L, "D", 0.0),
+      (4L, 15L, "U", 7.0))
     val b3 = Seq((2L, 5L, "U", 99.0), (3L, 30L, "U", 3.5))
     Seq(b1, b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
     q.stop()
-    val all = b1 ++ b2 ++ b3
-    val want = reference(all.map { case (k, s, o, v) => ChangeEvent(k, s, o, v) })
+    // reference replays in APPLIED order: per batch, seq-sorted
+    val applied = Seq(b1, b2, b3).flatMap(
+      _.map { case (k, s, o, v) => ChangeEvent(k, s, o, v) }.sortBy(_.seq))
+    val want = reference(applied)
     // latest emission per key == batch reference
     val got = emitted.synchronized {
       emitted.groupBy(_._2.k)
@@ -65,6 +78,12 @@ class StreamingCdcSpec extends AnyFunSuite with SparkTestBase {
       emitted.count(_._2.k == 2L)) === 1, "stale seq must not re-emit")
     // tombstone then resurrection: key 3's final row is live at 3.5
     assert(got(3L) === CurrentRow(3L, 30L, 3.5, deleted = false))
+    // late-upsert-after-delete stays dead: key 4's batch-2 event is
+    // below its tombstone seq, so batch 2 emits NOTHING for it and
+    // the tombstone keeps the pre-delete value
+    assert(emitted.synchronized(emitted.count(_._2.k == 4L)) === 1,
+      "a sub-tombstone upsert must not re-emit")
+    assert(got(4L) === CurrentRow(4L, 20L, 4.0, deleted = true))
   }
 
   test("streaming cdc: state survives a checkpoint restart") {
@@ -92,19 +111,26 @@ class StreamingCdcSpec extends AnyFunSuite with SparkTestBase {
       """{"k":1,"seq":10,"op":"U","value":1.0}""",
       """{"k":2,"seq":11,"op":"U","value":2.0}"""))
     runOnce()
-    // second run resumes from the checkpoint: a stale replay of key 1
-    // (seq 10 again) must be ignored because the RESTORED state knows
-    // seq 10; a genuine update must apply
+    // second run resumes from the checkpoint: a genuine update applies
     writeFile("b2.json", Seq(
-      """{"k":1,"seq":10,"op":"U","value":777.0}""",
       """{"k":1,"seq":20,"op":"U","value":1.9}"""))
+    runOnce()
+    // third run delivers ONLY a stale replay of key 2 (its exact
+    // original seq) — the decisive restore probe: with restored state
+    // the event is suppressed and NOTHING emits; a silently-empty
+    // state store would apply it and emit value 888. (A stale event
+    // sharing a batch with a genuine one is undetectable — compaction
+    // collapses both cases to the same output — so it must ride alone.)
+    writeFile("b3.json", Seq(
+      """{"k":2,"seq":11,"op":"U","value":888.0}"""))
     runOnce()
     val finalRows = emitted.synchronized(
       emitted.groupBy(_.k).map { case (k, es) => k -> es.maxBy(_.seq) })
     assert(finalRows(1L) === CurrentRow(1L, 20L, 1.9, deleted = false))
     assert(finalRows(2L) === CurrentRow(2L, 11L, 2.0, deleted = false))
-    // the stale replay (value 777) never surfaced
-    assert(emitted.synchronized(!emitted.exists(_.value == 777.0)),
+    assert(emitted.synchronized(!emitted.exists(_.value == 888.0)),
       "restored state failed to suppress a replayed event")
+    assert(emitted.synchronized(emitted.count(_.k == 2L)) === 1,
+      "the stale-only batch must emit nothing for key 2")
   }
 }
