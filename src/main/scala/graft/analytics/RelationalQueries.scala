@@ -2168,6 +2168,81 @@ object RelationalQueries {
       FROM pairs GROUP BY u_a, i_a, st_a
       ORDER BY n_concurrent DESC, user_id, session_idx LIMIT 50"""))
 
+  /** Point-in-time (temporal) dimension lookup — the query every SCD2
+    * dimension exists to serve: each fact row joins the dimension
+    * VERSION that was valid at the fact's own timestamp (here: which
+    * status-era the customer was in when each line item shipped —
+    * ship dates trail order dates by days to months, so facts land in
+    * later versions than the orders that created them). The engine
+    * implements it with the [[AsOfJoin]] operator against the
+    * dimension's valid_from — latest version at-or-before the fact
+    * timestamp — which on a CONTIGUOUS interval table is exactly the
+    * BETWEEN semantics the oracle states; zero-width versions (two
+    * status flips on one date) are filtered first, since no
+    * point-in-time probe can land inside them (the oracle's
+    * `sd < valid_to` excludes them identically, and dropping them
+    * makes the surviving valid_froms strictly increasing per customer
+    * — the tie-free ordering the as-of window needs). One union +
+    * one customer-keyed window — a single shuffle, no interval
+    * pair-join anywhere. */
+  val qScd2Lookup = Q(
+    "q_scd2_lookup",
+    (s, dir) => {
+      val dim = scd2Close(scd2Runs(
+          t(s, dir, "orders").filter(col("o_custkey") < 300)))
+        .filter(col("valid_to").isNull ||
+          col("valid_from") < col("valid_to"))
+        .select(col("o_custkey"), col("version"), col("valid_from"))
+      val facts = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_custkey") < 300),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_shipdate"),
+          col("l_extendedprice"))
+      AsOfJoin.asof(facts, dim, "o_custkey", "l_shipdate", "valid_from",
+          Seq("version"))
+        .groupBy(col("o_custkey"), col("version"))
+        .agg(count(lit(1)).as("n_facts"),
+          dsum(col("l_extendedprice")).as("rev"))
+        .orderBy(col("o_custkey"), col("version"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+               CASE WHEN LAG(o_orderstatus, 1) OVER w IS NULL
+                      OR LAG(o_orderstatus, 1) OVER w <> o_orderstatus
+                    THEN 1 ELSE 0 END AS chg
+        FROM orders WHERE o_custkey < 300
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)),
+      versioned AS (
+        SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS version
+        FROM flagged),
+      islands AS (
+        SELECT o_custkey, version, MIN(o_orderdate) AS valid_from
+        FROM versioned GROUP BY o_custkey, version),
+      dim AS (
+        SELECT o_custkey, version, valid_from,
+               LEAD(valid_from, 1) OVER (PARTITION BY o_custkey
+                 ORDER BY version) AS valid_to
+        FROM islands),
+      facts AS (
+        SELECT o.o_custkey, l.l_shipdate AS sd,
+               l.l_extendedprice AS px
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_custkey < 300),
+      hit AS (
+        SELECT f.o_custkey, d.version, f.px
+        FROM facts f JOIN dim d ON d.o_custkey = f.o_custkey
+          AND f.sd >= d.valid_from
+          AND (d.valid_to IS NULL OR f.sd < d.valid_to))
+      SELECT o_custkey, version, COUNT(*) AS n_facts,
+             CAST(SUM(CAST(px AS DECIMAL(25,4))) AS DOUBLE) AS rev
+      FROM hit GROUP BY o_custkey, version
+      ORDER BY o_custkey, version"""))
+
   /** Inter-rater agreement (Cohen's kappa) between two independent
     * document-quality raters — here the char-length gate (≥300) and
     * the token-count gate (≥55), per language: the calibration step
@@ -2336,5 +2411,5 @@ object RelationalQueries {
     qScalarArray, qSaltedAgg,
     qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events,
     qScd2Orders, qScd2Incremental, qStatsProfile, qTsEwma, qStatsRegression, qStatsCorr, qStatsSkew, qStatsGini,
-    qStatsKappa, qJoinExistsMulti, qAggLargeOrders)
+    qStatsKappa, qJoinExistsMulti, qAggLargeOrders, qScd2Lookup)
 }
