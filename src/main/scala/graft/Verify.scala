@@ -24,6 +24,13 @@ object Verify {
         s"[verify] unknown query/family name(s): ${unknown.toSeq.sorted.mkString(", ")}")
       sys.exit(1)
     }
+    // `--families=` with an EMPTY value (e.g. an unset shell variable)
+    // must not silently fall through to a full-registry run — the
+    // caller asked for a subset; an empty one is a mistake
+    if (famArgs.nonEmpty && fams.isEmpty) {
+      System.err.println("[verify] --families= given with no family names")
+      sys.exit(1)
+    }
     val selected =
       if (subset.isEmpty && fams.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) =>

@@ -166,7 +166,7 @@ object DedupQueries {
 
   /** p = 2^31 - 1 (Mersenne prime): the modulus of the MinHash affine
     * permutation family. Both engines carry it literally. */
-  private val MinhashP = 2147483647L
+  private val MinhashP = graft.functions.TextFunctions.MinhashP
 
   /** Distinct affine multipliers/offsets per permutation, derived from
     * Knuth's 2^32 golden-ratio multiplier — the classic (a·v + b) mod p

@@ -92,30 +92,26 @@ object GraphQueries {
       maxIters: Int): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (edgesD, stats, r0) = pagerankSetup(eo, MEMORY_AND_DISK)
-    val sp = eo.sparkSession
-    // each sweep's frame is persisted AND lineage-truncated to its
-    // materialized RDD (LogicalRDD leaf): an unbounded sweep count
-    // must not grow an unboundedly nested logical plan — analysis cost
-    // and stack depth would scale with ITERATIONS, not data
-    var rCached = r0.persist(MEMORY_AND_DISK)
-    var r = sp.createDataFrame(rCached.rdd, rCached.schema)
+    // each sweep's frame is lineage-truncated via EAGER localCheckpoint
+    // (persist + flat LogicalRDD leaf in one call, on INTERNAL rows —
+    // no external-Row codec round-trip): an unbounded sweep count must
+    // not grow an unboundedly nested logical plan — analysis cost and
+    // stack depth would scale with ITERATIONS, not data. Superseded
+    // checkpoint blocks release via the context cleaner once the
+    // previous frame goes unreferenced; the loop keeps only two live.
+    var r = r0.localCheckpoint(true)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val nextCached = pagerankSweep(edgesD, stats, r).persist(MEMORY_AND_DISK)
-      val rNext = sp.createDataFrame(nextCached.rdd, nextCached.schema)
+      val rNext = pagerankSweep(edgesD, stats, r).localCheckpoint(true)
       val delta = rNext.join(r.withColumnRenamed("r", "rp"), "node")
         .agg(coalesce(sum(abs(col("r") - col("rp"))), lit(0L)).as("d"))
         .head().getLong(0)
-      // rNext is fully materialized by the delta action; the previous
-      // frame's cache is no longer reachable from future sweeps
-      rCached.unpersist(blocking = false)
-      rCached = nextCached
       r = rNext
       iters += 1
       converged = delta <= tolNano
     }
-    (QueryScopedCache.releaseAfter(r, Seq(edgesD, rCached)), iters)
+    (QueryScopedCache.releaseAfter(r, Seq(edgesD)), iters)
   }
 
   /** One unrolled oracle iteration: `cur` from `prev`. */

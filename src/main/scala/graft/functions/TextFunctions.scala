@@ -273,7 +273,7 @@ case class Md5Bits(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < 8) { be = (be << 8) | (d(i) & 0xFFL); i += 1 }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any]((be >>> 32) % 2147483647L, be >>> 4))
+      Array[Any]((be >>> 32) % TextFunctions.MinhashP, be >>> 4))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -292,6 +292,12 @@ case class Md5Bits(child: Expression) extends UnaryExpression {
 }
 
 object TextFunctions {
+  /** The MinHash affine-permutation modulus p = 2^31 − 1 (Mersenne
+    * prime) — the ONE definition shared by the [[Md5Bits]] kernel's
+    * pre-reduction, DedupQueries' (a·v + b) mod p permutation family,
+    * and every oracle that states the formula inline. */
+  val MinhashP: Long = 2147483647L
+
   /** Distinct word n-gram shingles of an array<string> column. */
   def shingles(words: Column, n: Int): Column =
     ExprBridge.column(WordShingles(ExprBridge.expression(words), n))

@@ -35,9 +35,18 @@ object OrderStatistics {
     import sp.implicits._
     val nB = nBuckets
     val ext = points.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    // bucket arithmetic in DOUBLE: (v - mn) * nB overflows Long for
+    // wide value domains (microsecond epochs × thousands of buckets —
+    // ANSI mode crashes, legacy mode wraps buckets non-monotonic and
+    // SILENTLY corrupts counts). Doubles never overflow here, and
+    // IEEE rounding is monotone non-decreasing at every step
+    // (subtract, multiply, divide by a positive constant), so floor
+    // stays monotone in v — the ONLY property bucket assignment
+    // needs; boundaries are internal, no oracle replicates them.
     def bucketOf(c: Column): Column =
       least(lit(nB - 1), greatest(lit(0),
-        ((c - col("mn")) * nB / (col("mx") - col("mn") + lit(1L)))
+        ((c.cast("double") - col("mn").cast("double")) * nB /
+          (col("mx").cast("double") - col("mn").cast("double") + 1.0))
           .cast("int")))
     val pTag = if (inclusive) 0 else 1
     val pts = points.crossJoin(broadcast(ext))

@@ -66,29 +66,33 @@ def rel_types(rel):
 
 def compare_one(con, name, sql, parquet_glob) -> str:
     """Return '' on match, else a failure description."""
+    # everything stays inside the try: con.sql() only parses/binds —
+    # data-dependent errors (bad cast, overflow, corrupt part file)
+    # surface at .df() execution, and ONE broken oracle must record a
+    # FAIL row, never abort the remaining comparisons
     try:
         mine_rel = con.sql(f"SELECT * FROM '{parquet_glob}'")
         ref_rel = con.sql(sql)
+        mt, rt = rel_types(mine_rel), rel_types(ref_rel)
+        if [c for c, _ in mt] != [c for c, _ in rt]:
+            return (f"columns {[c for c, _ in mt]} != {[c for c, _ in rt]}")
+        bad_types = [(c, a, b) for (c, a), (_, b) in zip(mt, rt) if a != b]
+        if bad_types:
+            return ("declared-type mismatch (spark vs oracle): " + ", ".join(
+                f"{c}: {a} != {b}" for c, a, b in bad_types))
+        mine, ref = normalize(mine_rel.df()), normalize(ref_rel.df())
+        if mine.shape != ref.shape:
+            return f"shape {mine.shape} != {ref.shape}"
+        neq = (mine != ref) & ~(mine.isna() & ref.isna())
+        if neq.any().any():
+            bad_cols = [c for c in mine.columns if neq[c].any()]
+            ridx = neq.any(axis=1).idxmax()
+            return (f"{int(neq.sum().sum())} cells differ in {bad_cols}; "
+                    f"first row {ridx}: mine={mine.loc[ridx].to_dict()} "
+                    f"ref={ref.loc[ridx].to_dict()}")
+        return ""
     except Exception as e:
         return f"{type(e).__name__}: {e}"
-    mt, rt = rel_types(mine_rel), rel_types(ref_rel)
-    if [c for c, _ in mt] != [c for c, _ in rt]:
-        return (f"columns {[c for c, _ in mt]} != {[c for c, _ in rt]}")
-    bad_types = [(c, a, b) for (c, a), (_, b) in zip(mt, rt) if a != b]
-    if bad_types:
-        return ("declared-type mismatch (spark vs oracle): " + ", ".join(
-            f"{c}: {a} != {b}" for c, a, b in bad_types))
-    mine, ref = normalize(mine_rel.df()), normalize(ref_rel.df())
-    if mine.shape != ref.shape:
-        return f"shape {mine.shape} != {ref.shape}"
-    neq = (mine != ref) & ~(mine.isna() & ref.isna())
-    if neq.any().any():
-        bad_cols = [c for c in mine.columns if neq[c].any()]
-        ridx = neq.any(axis=1).idxmax()
-        return (f"{int(neq.sum().sum())} cells differ in {bad_cols}; "
-                f"first row {ridx}: mine={mine.loc[ridx].to_dict()} "
-                f"ref={ref.loc[ridx].to_dict()}")
-    return ""
 
 
 def main(sf_dir: str, out_dir: str) -> int:
