@@ -924,9 +924,50 @@ object PrepQueries {
              MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       FROM r GROUP BY bin ORDER BY bin"""))
 
+  /** Fixed-size eval-set sampling: exactly k=20 documents per
+    * language stratum, chosen as the BOTTOM-k by a salted document
+    * hash — a uniform without-replacement sample whose membership is
+    * a pure function of (doc_id, stratum), so reruns and engine
+    * changes reproduce it exactly, and which composes distributively
+    * (bottom-k of a union is the bottom-k of per-shard bottom-ks —
+    * every shard forwards at most k candidate rows, the classic
+    * bottom-k sketch; Spark plans the per-stratum rank as a
+    * partitioned window after a stratum exchange, never a global
+    * sort). Complements [[qPrepSample]]'s RATE-based thinning: a rate
+    * can't promise "exactly 20 eval docs per language" — bottom-k
+    * does, the contract an eval harness needs. Salt '#e' keeps the
+    * draw independent of the split/sample/mixture hashes. */
+  val qPrepEvalSample = Q(
+    "q_prep_eval_sample",
+    (s, dir) => {
+      val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("#e"))), 1, 8), 16, 10).cast("long")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), h.as("h"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("rank"), col("doc_id"), col("h"))
+        .orderBy(col("lang"), col("rank"))
+    },
+    Some("""
+      WITH hashed AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#e'),
+                     1, 8)) AS BIGINT) AS h
+        FROM documents),
+      ranked AS (
+        SELECT lang, doc_id, h,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+                 AS rank
+        FROM hashed)
+      SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, h
+      FROM ranked WHERE rank <= 20 ORDER BY lang, rank"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
     qPrepCurriculum, qPrepWinsorize, qPrepOversample, qPrepClassifier,
-    qPrepPerplexity, qPrepBinning)
+    qPrepPerplexity, qPrepBinning, qPrepEvalSample)
 }

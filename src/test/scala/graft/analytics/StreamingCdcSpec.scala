@@ -86,6 +86,51 @@ class StreamingCdcSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L) === CurrentRow(4L, 20L, 4.0, deleted = true))
   }
 
+  test("streaming cdc: batching-invariance on randomized event logs") {
+    // the operator's core claim is that ANY partitioning of the feed
+    // into micro-batches converges to the same per-key state; sweep
+    // deterministic pseudo-random logs (keys collide, seqs collide
+    // across keys, deletes interleave, stragglers arrive late) split
+    // 1 / 2 / 4 ways and pin each against the applied-order reference
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(20240814L)
+    for (trial <- 1 to 3; nBatches <- Seq(1, 2, 4)) {
+      // seqs: a shuffled permutation — unique per key by construction
+      // (equal seqs on one key would make the winner iterator-order-
+      // dependent in both operator and reference, an undefined input
+      // the transport's monotone offsets rule out anyway); shuffling
+      // makes late stragglers arrive across batch boundaries naturally
+      val seqs = rnd.shuffle((1 to 40).toList)
+      val events = seqs.map(sq => ChangeEvent(
+        k = rnd.nextInt(6).toLong,
+        seq = sq.toLong,
+        op = if (rnd.nextInt(4) == 0) "D" else "U",
+        value = rnd.nextInt(100).toDouble))
+      val batches = events.grouped(
+        math.max(1, events.length / nBatches)).toSeq
+      val in = MemoryStream[(Long, Long, String, Double)]
+      val emitted = mutable.ArrayBuffer[CurrentRow]()
+      val q = StreamingCdc.materialize(
+          in.toDS().map { case (k, s, o, v) => ChangeEvent(k, s, o, v) })
+        .writeStream.outputMode("append").foreachBatch {
+          (df: org.apache.spark.sql.Dataset[CurrentRow], _: Long) =>
+            emitted.synchronized { emitted ++= df.collect() }
+            ()
+        }.start()
+      batches.foreach { b =>
+        in.addData(b.map(e => (e.k, e.seq, e.op, e.value)))
+        q.processAllAvailable()
+      }
+      q.stop()
+      val applied = batches.flatMap(_.sortBy(_.seq))
+      val got = emitted.synchronized {
+        emitted.groupBy(_.k).map { case (k, es) => k -> es.maxBy(_.seq) }
+      }
+      assert(got === reference(applied),
+        s"trial $trial split $nBatches diverged from applied-order fold")
+    }
+  }
+
   test("streaming cdc: state survives a checkpoint restart") {
     val inDir = java.nio.file.Files.createTempDirectory("cdc_in")
     val ckpt = java.nio.file.Files.createTempDirectory("cdc_ckpt").toString
