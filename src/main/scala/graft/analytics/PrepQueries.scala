@@ -774,11 +774,12 @@ object PrepQueries {
     * and the retention rate. The per-document score is the
     * [[TextQueries.qTextLogprob]] unigram mean-NLL op tree VERBATIM
     * (per-token NLL rounded to a 6dp DECIMAL once — absorbing libm ln
-    * last-ulp differences — exact decimal per-doc sums, one double
-    * division), so the threshold comparison is against a value both
-    * engines compute bit-identically; kept means re-enter DECIMAL
-    * through the established 6dp-cast before summing (order-
-    * independent cross-engine).
+    * last-ulp differences — exact decimal per-doc sums, the mean in
+    * exact integer MICRO-units), so the threshold comparison and the
+    * kept-mean report are pure BIGINT arithmetic both engines compute
+    * bit-identically (round-9 hardening: the former ROUND-of-a-double
+    * mean could tie at the 6th decimal, where engine rounding
+    * diverges).
     *
     * Scale shape: the LM build and scoring are the logprob query's
     * one corpus exchange + broadcast vocabulary; everything after the
@@ -801,22 +802,23 @@ object PrepQueries {
             .cast("decimal(25,6)").as("nll"))
       val scored = perDoc.join(broadcast(lm), "w")
         .groupBy(col("doc_id"))
-        .agg(round(sum(col("nll") * col("n").cast("decimal(12,0)"))
-          .cast("double") / sum(col("n")).cast("long"), 6).as("mean_nll"))
+        .agg(sum(col("n")).cast("long").as("nt"),
+          (sum(col("nll") * col("n").cast("decimal(12,0)")) * lit(1000000))
+            .cast("long").as("sm"))
+        .select(col("doc_id"),
+          expr("CAST(sm DIV nt AS BIGINT)").as("mean_nll_micro"))
       scored
         .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
-        .withColumn("kept", col("mean_nll") <= 3.402)
+        .withColumn("kept", col("mean_nll_micro") <= 3402000L)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-          round(sum(when(col("kept"),
-              col("mean_nll").cast(DecimalType(25, 6)))).cast("double") /
-            sum(when(col("kept"), 1L).otherwise(0L)), 6)
-            .as("kept_mean_nll"))
+          sum(when(col("kept"), col("mean_nll_micro"))).as("kept_sum"))
         .select(col("source"), col("n_docs"), col("n_kept"),
-          col("kept_mean_nll"),
-          round(col("n_kept") * lit(1.0) / col("n_docs"), 6)
-            .as("retention"))
+          expr("CAST(kept_sum DIV nullif(n_kept, 0) AS BIGINT)")
+            .as("kept_mean_nll_micro"),
+          expr("CAST(n_kept * 1000000 DIV n_docs AS BIGINT)")
+            .as("retention_micro"))
         .orderBy(col("source"))
     },
     Some("""
@@ -835,25 +837,23 @@ object PrepQueries {
         FROM vocab, total),
       scored AS (
         SELECT d.doc_id,
-               ROUND(CAST(SUM(lm.nll * CAST(d.n AS DECIMAL(12,0)))
-                          AS DOUBLE)
-                     / CAST(SUM(d.n) AS BIGINT), 6) AS mean_nll
+               CAST(SUM(lm.nll * CAST(d.n AS DECIMAL(12,0))) * 1000000
+                    AS BIGINT) // CAST(SUM(d.n) AS BIGINT)
+                 AS mean_nll_micro
         FROM per_doc d JOIN lm USING (w) GROUP BY d.doc_id),
       tagged AS (
-        SELECT s.doc_id, doc.source, s.mean_nll,
-               s.mean_nll <= 3.402 AS kept
+        SELECT s.doc_id, doc.source, s.mean_nll_micro,
+               s.mean_nll_micro <= 3402000 AS kept
         FROM scored s JOIN documents doc USING (doc_id))
       SELECT source,
              COUNT(*) AS n_docs,
              CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
                AS n_kept,
-             ROUND(CAST(SUM(CASE WHEN kept
-                            THEN CAST(mean_nll AS DECIMAL(25,6)) END)
-                        AS DOUBLE)
-                   / CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END)
-                          AS BIGINT), 6) AS kept_mean_nll,
-             ROUND(SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1.0
-                   / COUNT(*), 6) AS retention
+             CAST(SUM(CASE WHEN kept THEN mean_nll_micro END) AS BIGINT)
+               // NULLIF(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END)
+                             AS BIGINT), 0) AS kept_mean_nll_micro,
+             CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1000000
+                  // COUNT(*) AS BIGINT) AS retention_micro
       FROM tagged GROUP BY source ORDER BY source"""))
 
   /** Equal-FREQUENCY decile binning of document length — the
@@ -965,9 +965,136 @@ object PrepQueries {
       SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, h
       FROM ranked WHERE rank <= 20 ORDER BY lang, rank"""))
 
+  /** The composition flagship: the END-TO-END LLM prep chain as ONE
+    * gated query — raw corpus → quality gate (length band + language
+    * targeting) → exact dedup (min-id per content hash) → benchmark
+    * decontamination (≥20 shared distinct 3-gram shingles, the
+    * [[qPrepDecontam]] rule) → train-split selection (the
+    * [[qPrepSplit]] hash rule) → sequence packing totals — emitting
+    * the per-stage survival funnel (docs + tokens after each stage,
+    * blocks + padded tokens at the end): the data-ablation card every
+    * pipeline run publishes, and the proof the engine's stages
+    * COMPOSE (each stage is the registered operator's exact rule, so
+    * the chain hash-matching means the composition semantics, not
+    * just each piece, are pinned cross-engine).
+    *
+    * Scale shape = the union of its stages' shapes, nothing new:
+    * narrow filters, one content-hash aggregate (32-byte keys, never
+    * text), one broadcast shingle probe, and six one-row aggregates
+    * unioned — the corpus is scanned once into a persisted base
+    * projection and each stage consumes its predecessor. (The
+    * fixture corpus carries NEAR-duplicates only — its dedup stage
+    * passes everything through, which the oracle confirms is the
+    * correct answer, not a missed drop; swap the content-hash rule
+    * for the minhash screen's verdicts to chain near-dup removal.) */
+  val qPrepPipeline = Q(
+    "q_prep_pipeline",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .persist(MEMORY_AND_DISK)
+      val s1 = base.filter(col("n_chars").between(150, 5000) &&
+        col("lang").isin("en", "de", "es", "fr"))
+      val keep = s1.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val s2 = s1.join(keep, "doc_id").persist(MEMORY_AND_DISK)
+      val sh = (d: DataFrame) => d
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.shingles(col("ws"), 3))
+            .as("sh"))
+      val benchSh = sh(base.filter(col("doc_id") < 10))
+        .select(col("sh")).distinct()
+      val contaminated = sh(s2).join(broadcast(benchSh), "sh")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 20).select(col("doc_id"))
+      val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+        .persist(MEMORY_AND_DISK)
+      val s4 = s3.filter(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long") < 204)
+      def stageRow(stage: Int, name: String, d: DataFrame): DataFrame =
+        d.agg(count(lit(1)).as("n_units"),
+          coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+          .select(lit(stage.toLong).as("stage"), lit(name).as("stage_name"),
+            col("n_units"), col("n_tokens"))
+      val packed = s4.agg(
+        coalesce(sum(col("n_tok") + 1), lit(0L)).as("padded"))
+        .select(lit(5L).as("stage"), lit("packed").as("stage_name"),
+          expr("CAST((padded + 2047) DIV 2048 AS BIGINT)").as("n_units"),
+          col("padded").as("n_tokens"))
+      val result = stageRow(0, "raw", base)
+        .unionByName(stageRow(1, "quality", s1))
+        .unionByName(stageRow(2, "dedup", s2))
+        .unionByName(stageRow(3, "decontam", s3))
+        .unionByName(stageRow(4, "train_split", s4))
+        .unionByName(packed)
+        .orderBy(col("stage"))
+      QueryScopedCache.releaseAfter(result, Seq(base, s2, s3))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text, lang, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      s1 AS (
+        SELECT * FROM base
+        WHERE n_chars BETWEEN 150 AND 5000
+          AND lang IN ('en', 'de', 'es', 'fr')),
+      s2 AS (
+        SELECT a.* FROM s1 a
+        JOIN (SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+              FROM s1 GROUP BY 1) g USING (doc_id)),
+      bsh AS (
+        SELECT DISTINCT sh FROM (
+          SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                         for i in generate_series(1, len(ws)-2)]) AS sh
+          FROM (SELECT string_split(text, ' ') AS ws
+                FROM base WHERE doc_id < 10))),
+      csh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id,
+                 unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                         for i in generate_series(1, len(ws)-2)]) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM s2))),
+      contaminated AS (
+        SELECT c.doc_id FROM csh c JOIN bsh b ON c.sh = b.sh
+        GROUP BY c.doc_id HAVING COUNT(*) >= 20),
+      s3 AS (
+        SELECT * FROM s2
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      s4 AS (
+        SELECT * FROM s3
+        WHERE (instr('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + instr('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 < 204)
+      SELECT 0 AS stage, 'raw' AS stage_name, COUNT(*) AS n_units,
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens FROM base
+      UNION ALL
+      SELECT 1, 'quality', COUNT(*),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT 2, 'dedup', COUNT(*),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'decontam', COUNT(*),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s3
+      UNION ALL
+      SELECT 4, 'train_split', COUNT(*),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s4
+      UNION ALL
+      SELECT 5, 'packed',
+             CAST((COALESCE(SUM(n_tok + 1), 0) + 2047) // 2048 AS BIGINT),
+             CAST(COALESCE(SUM(n_tok + 1), 0) AS BIGINT) FROM s4
+      ORDER BY stage"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
     qPrepCurriculum, qPrepWinsorize, qPrepOversample, qPrepClassifier,
-    qPrepPerplexity, qPrepBinning, qPrepEvalSample)
+    qPrepPerplexity, qPrepBinning, qPrepEvalSample, qPrepPipeline)
 }

@@ -378,8 +378,12 @@ object TextQueries {
     *
     * Cross-engine parity: per-token NLL is rounded to 6dp (absorbing
     * libm `ln` last-ulp differences) and accumulated as DECIMAL so the
-    * per-doc sum is exact and order-independent in both engines; only
-    * the final mean returns to double (parity rule: decimal sums). */
+    * per-doc sum is exact and order-independent in both engines; the
+    * per-doc mean stays in exact integer MICRO-units (floor division
+    * of the micro-scaled sum — round-9 hardening: ROUND of a double
+    * quotient hit a 6th-decimal representation tie at sf0.1 where the
+    * two engines' rounding diverged by 1e-6; integer division cannot
+    * tie). */
   val qTextLogprob = Q(
     "q_text_logprob",
     (s, dir) => {
@@ -396,9 +400,11 @@ object TextQueries {
       perDoc.join(broadcast(lm), "w")
         .groupBy(col("doc_id"))
         .agg(sum(col("n")).cast("long").as("n_tokens"),
-          round(sum(col("nll") * col("n").cast("decimal(12,0)"))
-            .cast("double") / sum(col("n")).cast("long"), 6)
-            .as("mean_nll"))
+          (sum(col("nll") * col("n").cast("decimal(12,0)")) * lit(1000000))
+            .cast("long").as("sum_micro"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("CAST(sum_micro DIV n_tokens AS BIGINT)")
+            .as("mean_nll_micro"))
         .orderBy(col("doc_id"))
     },
     Some("""
@@ -417,8 +423,8 @@ object TextQueries {
         SELECT doc_id, w, COUNT(*) AS n FROM toks GROUP BY doc_id, w)
       SELECT d.doc_id,
              CAST(SUM(d.n) AS BIGINT) AS n_tokens,
-             ROUND(CAST(SUM(lm.nll * CAST(d.n AS DECIMAL(12,0))) AS DOUBLE)
-                   / CAST(SUM(d.n) AS BIGINT), 6) AS mean_nll
+             CAST(SUM(lm.nll * CAST(d.n AS DECIMAL(12,0))) * 1000000
+                  AS BIGINT) // CAST(SUM(d.n) AS BIGINT) AS mean_nll_micro
       FROM per_doc d JOIN lm USING (w)
       GROUP BY d.doc_id ORDER BY d.doc_id"""))
 
@@ -473,9 +479,11 @@ object TextQueries {
       val result = perDoc.join(lm, Seq("wp", "w"))
         .groupBy(col("doc_id"))
         .agg(sum(col("n")).cast("long").as("n_bigrams"),
-          round(sum(col("nll") * col("n").cast("decimal(12,0)"))
-            .cast("double") / sum(col("n")).cast("long"), 6)
-            .as("mean_nll"))
+          (sum(col("nll") * col("n").cast("decimal(12,0)")) * lit(1000000))
+            .cast("long").as("sum_micro"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("CAST(sum_micro DIV n_bigrams AS BIGINT)")
+            .as("mean_nll_micro"))
         .orderBy(col("doc_id"))
       QueryScopedCache.releaseAfter(result, Seq(perDoc))
     },
@@ -508,8 +516,8 @@ object TextQueries {
         JOIN n_ctx USING (wp) JOIN vocab USING (w) CROSS JOIN total)
       SELECT d.doc_id,
              CAST(SUM(d.n) AS BIGINT) AS n_bigrams,
-             ROUND(CAST(SUM(lm.nll * CAST(d.n AS DECIMAL(12,0))) AS DOUBLE)
-                   / CAST(SUM(d.n) AS BIGINT), 6) AS mean_nll
+             CAST(SUM(lm.nll * CAST(d.n AS DECIMAL(12,0))) * 1000000
+                  AS BIGINT) // CAST(SUM(d.n) AS BIGINT) AS mean_nll_micro
       FROM per_doc d JOIN lm USING (wp, w)
       GROUP BY d.doc_id ORDER BY d.doc_id"""))
 

@@ -1333,11 +1333,11 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .withColumn("n_chars", length($"text").cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     def nll(q: RelationalQueries.Q) = q.run(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
     val uni = nll(TextQueries.qTextLogprob)
     assert(uni(1L) === uni(10L), "unigram must not distinguish the bag")
     val bi = nll(TextQueries.qTextBigramLogprob)
-    assert(bi(10L) > bi(1L) + 0.5,
+    assert(bi(10L) > bi(1L) + 500000L,
       s"bigram must punish shuffled transitions: ${bi(1L)} vs ${bi(10L)}")
   }
 
@@ -1352,13 +1352,14 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .withColumn("n_chars", length($"text").cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = TextQueries.qTextLogprob.run(spark, dir).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    def r6(x: Double) = math.rint(x * 1e6) / 1e6
-    val nllA = r6(-math.log(0.8))
-    val nllB = r6(-math.log(0.2))
-    assert(out(1L) === ((6L, r6(nllA))),
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // per-token NLL is ROUND(-ln p, 6) in micro-units; the doc mean is
+    // the FLOOR of the exact micro sum over the token count
+    val microA = math.rint(-math.log(0.8) * 1e6).toLong
+    val microB = math.rint(-math.log(0.2) * 1e6).toLong
+    assert(out(1L) === ((6L, 6 * microA / 6)),
       s"pure-common doc mean must equal nll(a): ${out(1L)}")
-    assert(out(2L) === ((4L, r6((2 * nllA + 2 * nllB) / 4))),
+    assert(out(2L) === ((4L, (2 * microA + 2 * microB) / 4)),
       s"mixed doc hand value: ${out(2L)}")
     assert(out(2L)._2 > out(1L)._2, "rare tokens must raise the score")
   }
