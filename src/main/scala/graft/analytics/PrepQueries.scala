@@ -22,6 +22,22 @@ object PrepQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables(s, dir, "documents"))
 
+  /** The [[qPrepSplit]] hash-bucket expression (first two md5 hex
+    * digits of the id as an integer in [0, 256)) — ONE definition
+    * shared with the pipeline flagship so the composed chain cannot
+    * drift from the registered operator's rule. */
+  private def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("long")
+
+  /** Per-doc DISTINCT word-3-gram shingle rows — the probe relation
+    * shared by both decontamination queries and the pipeline
+    * flagship (same drift rationale as [[splitBucket]]). */
+  private def shingleRows(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("ws"), 3))
+          .as("sh"))
+
   /** Deterministic train/val/test assignment: bucket = the first two
     * hex digits of md5(doc_id) as an integer in [0, 256) — train
     * below 204 (~80%), val below 230 (~10%), else test. Hash-based
@@ -32,9 +48,7 @@ object PrepQueries {
     "q_prep_split",
     (s, dir) =>
       docs(s, dir)
-        .withColumn("bucket",
-          conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-            .cast("long"))
+        .withColumn("bucket", splitBucket(col("doc_id")))
         .select(col("doc_id"),
           when(col("bucket") < 204, lit("train"))
             .when(col("bucket") < 230, lit("val"))
@@ -95,11 +109,7 @@ object PrepQueries {
   val qPrepDecontam = Q(
     "q_prep_decontam",
     (s, dir) => {
-      val sh = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"),
-          explode(graft.functions.TextFunctions.shingles(col("ws"), 3))
-            .as("sh"))
+      val sh = shingleRows(docs(s, dir))
       val benchSh = sh.filter(col("doc_id") < 10)
         .select(col("sh")).distinct()
       sh.filter(col("doc_id") >= 10)
@@ -155,11 +165,7 @@ object PrepQueries {
         """transform(sequence(0, 2), i ->
              (fp % 65536 + i * (2 * ((fp div 1048576) % 32768) + 1))
                % 65536)"""
-      val sh = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"),
-          explode(graft.functions.TextFunctions.shingles(col("ws"), 3))
-            .as("sh"))
+      val sh = shingleRows(docs(s, dir))
       val fp = sh.withColumn("fp", DedupQueries.fingerprint(col("sh")))
       val bloomPos = fp.filter(col("doc_id") < 10)
         .select(explode(expr(posExpr)).as("pos")).distinct()
@@ -968,9 +974,11 @@ object PrepQueries {
   /** The composition flagship: the END-TO-END LLM prep chain as ONE
     * gated query — raw corpus → quality gate (length band + language
     * targeting) → exact dedup (min-id per content hash) → benchmark
-    * decontamination (≥20 shared distinct 3-gram shingles, the
-    * [[qPrepDecontam]] rule) → train-split selection (the
-    * [[qPrepSplit]] hash rule) → sequence packing totals — emitting
+    * decontamination (≥20 shared distinct 3-gram shingles AND the
+    * benchmark docs themselves removed — the [[qPrepDecontam]] rule,
+    * via the SHARED [[shingleRows]] probe) → train-split selection
+    * (the [[qPrepSplit]] rule via the shared [[splitBucket]]
+    * expression) → sequence packing totals — emitting
     * the per-stage survival funnel (docs + tokens after each stage,
     * blocks + padded tokens at the end): the data-ablation card every
     * pipeline run publishes, and the proof the engine's stages
@@ -1001,30 +1009,35 @@ object PrepQueries {
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
       val s2 = s1.join(keep, "doc_id").persist(MEMORY_AND_DISK)
-      val sh = (d: DataFrame) => d
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"),
-          explode(graft.functions.TextFunctions.shingles(col("ws"), 3))
-            .as("sh"))
-      val benchSh = sh(base.filter(col("doc_id") < 10))
+      val benchSh = shingleRows(base.filter(col("doc_id") < 10))
         .select(col("sh")).distinct()
-      val contaminated = sh(s2).join(broadcast(benchSh), "sh")
+      val contaminated = shingleRows(s2).join(broadcast(benchSh), "sh")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 20).select(col("doc_id"))
-      val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+      // bench docs themselves leave the funnel here unconditionally
+      // (doc_id >= 10 — the registered decontam query's corpus-side
+      // rule): eval data must never reach the training split, even a
+      // bench doc too short to trip its own >= 20 shingle threshold
+      val s3 = s2.filter(col("doc_id") >= 10)
+        .join(contaminated, Seq("doc_id"), "left_anti")
         .persist(MEMORY_AND_DISK)
-      val s4 = s3.filter(
-        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-          .cast("long") < 204)
+      val s4 = s3.filter(splitBucket(col("doc_id")) < 204)
       def stageRow(stage: Int, name: String, d: DataFrame): DataFrame =
         d.agg(count(lit(1)).as("n_units"),
           coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
           .select(lit(stage.toLong).as("stage"), lit(name).as("stage_name"),
             col("n_units"), col("n_tokens"))
+      // block count = the block ids qPrepPack actually EMITS: the last
+      // real token sits at padded-2 (the final separator is padding,
+      // never a slice), so blocks = (padded-2) DIV 2048 + 1 — the
+      // naive ceil(padded/2048) over-counts by one when padded ≡ 1
+      // (mod 2048), a block holding only the trailing separator
       val packed = s4.agg(
         coalesce(sum(col("n_tok") + 1), lit(0L)).as("padded"))
         .select(lit(5L).as("stage"), lit("packed").as("stage_name"),
-          expr("CAST((padded + 2047) DIV 2048 AS BIGINT)").as("n_units"),
+          expr("""CAST(CASE WHEN padded = 0 THEN 0
+                       ELSE (padded - 2) DIV 2048 + 1 END AS BIGINT)""")
+            .as("n_units"),
           col("padded").as("n_tokens"))
       val result = stageRow(0, "raw", base)
         .unionByName(stageRow(1, "quality", s1))
@@ -1065,7 +1078,8 @@ object PrepQueries {
         GROUP BY c.doc_id HAVING COUNT(*) >= 20),
       s3 AS (
         SELECT * FROM s2
-        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        WHERE doc_id >= 10
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
       s4 AS (
         SELECT * FROM s3
         WHERE (instr('0123456789abcdef',
@@ -1088,7 +1102,9 @@ object PrepQueries {
              CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s4
       UNION ALL
       SELECT 5, 'packed',
-             CAST((COALESCE(SUM(n_tok + 1), 0) + 2047) // 2048 AS BIGINT),
+             CAST(CASE WHEN COALESCE(SUM(n_tok + 1), 0) = 0 THEN 0
+                  ELSE (COALESCE(SUM(n_tok + 1), 0) - 2) // 2048 + 1
+                  END AS BIGINT),
              CAST(COALESCE(SUM(n_tok + 1), 0) AS BIGINT) FROM s4
       ORDER BY stage"""))
 

@@ -437,7 +437,11 @@ object TextQueries {
     * finite) separates fluent from shuffled/boilerplate text far more
     * sharply. Same parity discipline as the unigram: each conditional
     * NLL rounds to a 6-digit DECIMAL once, per-doc sums weight those
-    * decimals (order-independent), one double division at the end.
+    * decimals (order-independent), and the per-doc mean stays in
+    * exact integer micro-units (floor division — see
+    * [[qTextLogprob]]'s round-9 tie-hardening note; this query is
+    * where the 6th-decimal double-rounding tie actually surfaced at
+    * sf0.1).
     *
     * Scale shape: bigram extraction happens IN-ROW on the token array
     * (no positional explode + self-join); the corpus-level bigram LM
