@@ -1847,10 +1847,11 @@ object RelationalQueries {
     * re-aggregate as min/max/decimal-sum inside each session, and
     * session_idx re-ranks windows per user by start time (per-user
     * sessions are time-disjoint, so the rank IS the islands ordinal).
-    * Boundary caveat the shared gate makes visible: an event EXACTLY
-    * gap-distant from its predecessor is same-session in the lag
-    * formulation (<=); if the native operator ever treated that as
-    * exclusive, this hash would split first.
+    * Boundary tie measured and pinned (AnalyticsSpec "session_window
+    * exact-gap boundary"): an event EXACTLY gap-distant from its
+    * predecessor MERGES in both formulations — session_window's end
+    * is inclusive (next.start <= current.end merges), same as the lag
+    * rule's <=. The equivalence is semantic, not fixture-luck.
     *
     * Scale shape: session_window plans ONE exchange on user_id with
     * the session merge inside the aggregate (no second window pass) —

@@ -2317,6 +2317,41 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       s"reconstruction diverges from v2: ${mismatch.take(5).toSeq}")
   }
 
+  test("session_window exact-gap boundary: pinned against the lag oracle") {
+    // ADVICE r8 feared q_sessionize_native's equivalence with the
+    // lag-formulation oracle was fixture-luck: an event EXACTLY 30
+    // minutes after its predecessor is same-session under the
+    // inclusive lag rule (gap <= pad) but might start a new session
+    // if session_window used an exclusive [start, start+gap) end.
+    // Measured: Spark MERGES when next.start <= current.end — the two
+    // formulations agree at the exact boundary, so the three-way
+    // equivalence is semantic, not fixture-luck. This test pins that:
+    // if either side's tie rule ever changes, it fails here instead
+    // of flaking the gate on some future exact-gap fixture row.
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 10:30:00"))) // exactly 30 min
+      .toDF("user_id", "ts")
+    val native = rows
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val lagSame = rows
+      .select($"user_id", unix_micros($"ts").as("us"))
+      .withColumn("new_s", when(
+        $"us" - lag($"us", 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id").orderBy($"us")) <= 1800L * 1000000L,
+        lit(0L)).otherwise(lit(1L)))
+      .agg(sum($"new_s").as("n_sessions"))
+      .head().getLong(0)
+    assert(lagSame === 1L, "lag formulation is inclusive: one session")
+    // session_window merges the boundary event into the open session
+    // (inclusive end), agreeing with the lag oracle: one session of 2.
+    assert(native.length === 1 && native(0).getLong(2) === 2L,
+      s"session_window tie semantics changed: ${native.toSeq}")
+  }
+
   test("prep binning: deciles are equal-frequency within one doc") {
     val bins = PrepQueries.qPrepBinning.run(spark, sf).collect()
     assert(bins.length === 10, s"expected 10 bins, got ${bins.length}")
