@@ -326,19 +326,34 @@ object GraphQueries {
     val nodes = edges.select(col("src").as("node")).distinct()
       .persist(MEMORY_AND_DISK)
     val source = nodes.agg(min(col("node")).as("node"))
+    // Each level is lineage-truncated via EAGER localCheckpoint (the
+    // same discipline as [[pagerankUntilConverged]]): level d's plan
+    // references `visited` — the union of ALL prior levels — so with
+    // plain persist the NESTED logical plan doubles per level
+    // (measured: the 4-hop result plan printed 538k lines, and every
+    // action re-analyzed it). With flat LogicalRDD leaves each level's
+    // plan is edges ⋈ leaf − (union of ≤ d leaves): analysis cost
+    // scales with LEVELS, not 2^levels. The checkpoint materializes
+    // the level eagerly — work BFS needs level-by-level anyway.
     var visited = source.select(col("node"), lit(0L).as("dist"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var frontier = visited
     val persisted = Seq.newBuilder[DataFrame]
-    persisted ++= Seq(edges, nodes, visited)
+    persisted ++= Seq(edges, nodes)
     for (d <- 1 to maxHops) {
+      // visited-membership is a per-row predicate, so the anti-join
+      // commutes with distinct; running it BEFORE the distinct means
+      // the distinct exchange carries only never-visited expansion
+      // rows — at later levels the raw expansion is almost entirely
+      // already-visited, so this is the difference between exchanging
+      // |edges| and exchanging |new frontier| per level.
       val next = edges
         .join(frontier, edges("src") === frontier("node"))
-        .select(edges("dst").as("node")).distinct()
+        .select(edges("dst").as("node"))
         .join(visited, Seq("node"), "left_anti")
+        .distinct()
         .select(col("node"), lit(d.toLong).as("dist"))
-        .persist(MEMORY_AND_DISK)
-      persisted += next
+        .localCheckpoint(true)
       visited = visited.union(next)
       frontier = next
     }
@@ -373,22 +388,24 @@ object GraphQueries {
     val nodes = edges.select(col("src").as("node")).distinct()
       .persist(MEMORY_AND_DISK)
     val source = nodes.agg(min(col("node")).as("node"))
+    // flat per-level leaves, as in bfsHistogram; doubly important here
+    // because the per-level isEmpty action re-analyzes the plan
     var visited = source.select(col("node"), lit(0L).as("dist"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var frontier = visited
     val persisted = Seq.newBuilder[DataFrame]
-    persisted ++= Seq(edges, nodes, visited)
+    persisted ++= Seq(edges, nodes)
     var d = 0
     var exhausted = false
     while (!exhausted && d < maxHops) {
       d += 1
       val next = edges
         .join(frontier, edges("src") === frontier("node"))
-        .select(edges("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .select(edges("dst").as("node"))
+        .join(visited, Seq("node"), "left_anti") // before distinct — see bfsHistogram
+        .distinct()
         .select(col("node"), lit(d.toLong).as("dist"))
-        .persist(MEMORY_AND_DISK)
-      persisted += next
+        .localCheckpoint(true)
       if (next.isEmpty) { exhausted = true; d -= 1 }
       else { visited = visited.union(next); frontier = next }
     }
