@@ -455,5 +455,88 @@ object GraphQueries {
              (SELECT COUNT(*) FROM nodes) - (SELECT COUNT(*) FROM best)
       ORDER BY dist"""))
 
-  val all: Seq[Q] = Seq(qGraphPagerank, qGraphTriangles, qGraphBfs)
+  /** Link prediction by neighborhood overlap: the top-20 supplier
+    * pairs most similar by the customers they share, scored with an
+    * exact integer Jaccard (common·10⁶ ÷ |union|, integer division —
+    * no float in the ranking). The classic common-neighbors /
+    * node-similarity primitive behind "suppliers substitutable for
+    * X" and collaborative-filtering candidate generation.
+    *
+    * Distributed shape: wedge enumeration from the CUSTOMER side —
+    * the bounded-fan-out center of this bipartite graph (a customer
+    * touches ~tens of suppliers; a supplier touches thousands of
+    * customers, and centering there would square it). One self-join
+    * on the customer key produces Σ_c C(deg(c), 2) ordered pairs,
+    * aggregated per pair; degrees come from the same cached edge
+    * relation. At skew, the hot-customer fan-out is the salting
+    * candidate, same playbook as [[qGraphTriangles]]'s orientation.
+    * Top-k is TakeOrdered (no partition-less window), ranked via the
+    * sorted-struct explode. */
+  val qGraphJaccard = Q(
+    "q_graph_jaccard",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      // consumed twice (degrees + wedge self-join): persist so the
+      // join+distinct materializes once
+      val ce = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+        .persist(MEMORY_AND_DISK)
+      val deg = ce.groupBy(col("sp")).agg(count(lit(1)).as("d"))
+      val pairs = ce.as("x").join(ce.as("y"),
+          col("x.c") === col("y.c") && col("x.sp") < col("y.sp"))
+        .groupBy(col("x.sp").as("s1"), col("y.sp").as("s2"))
+        .agg(count(lit(1)).as("common"))
+      val scored = pairs
+        .join(deg.select(col("sp").as("s1"), col("d").as("d1")), "s1")
+        .join(deg.select(col("sp").as("s2"), col("d").as("d2")), "s2")
+        .select(col("s1"), col("s2"), col("common"),
+          (col("d1") + col("d2") - col("common")).as("union_size"))
+        .withColumn("jaccard_micro",
+          expr("common * 1000000L div union_size"))
+      val result = scored
+        .orderBy(col("jaccard_micro").desc, col("s1"), col("s2"))
+        .limit(20)
+        .agg(sort_array(collect_list(struct(
+          (-col("jaccard_micro")).as("negj"), col("s1"), col("s2"),
+          col("common"), col("union_size")))).as("ts"))
+        .select(posexplode(col("ts")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.s1").as("s1"), col("col.s2").as("s2"),
+          col("col.common").as("common"),
+          col("col.union_size").as("union_size"),
+          (-col("col.negj")).as("jaccard_micro"))
+        .orderBy(col("rank"))
+      QueryScopedCache.releaseAfter(result, Seq(ce))
+    },
+    Some("""
+      WITH ce AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      deg AS (SELECT sp, CAST(COUNT(*) AS BIGINT) AS d
+              FROM ce GROUP BY sp),
+      pairs AS (
+        SELECT x.sp AS s1, y.sp AS s2, CAST(COUNT(*) AS BIGINT) AS common
+        FROM ce x JOIN ce y ON x.c = y.c AND x.sp < y.sp
+        GROUP BY x.sp, y.sp),
+      scored AS (
+        SELECT s1, s2, common,
+               d1.d + d2.d - common AS union_size,
+               common * 1000000 // (d1.d + d2.d - common) AS jaccard_micro
+        FROM pairs
+        JOIN deg d1 ON d1.sp = s1
+        JOIN deg d2 ON d2.sp = s2)
+      SELECT rank, s1, s2, common, union_size, jaccard_micro FROM (
+        SELECT s1, s2, common, union_size, jaccard_micro,
+               ROW_NUMBER() OVER (ORDER BY jaccard_micro DESC, s1, s2)
+                 AS rank
+        FROM scored) x
+      WHERE rank <= 20 ORDER BY rank"""))
+
+  val all: Seq[Q] =
+    Seq(qGraphPagerank, qGraphTriangles, qGraphBfs, qGraphJaccard)
 }

@@ -1748,6 +1748,167 @@ object RelationalQueries {
       GROUP BY c.event_type, c.th, d2.n
       ORDER BY c.event_type, c.th"""))
 
+  /** OHLC bar downsampling: per event type and hour, the open (first
+    * value by event time), high, low, close (last value), and count —
+    * the classic market-data resample, and the general "reduce a
+    * high-frequency stream to per-window endpoint statistics" shape.
+    *
+    * Spark-first shape: ONE hash aggregate — `min_by`/`max_by` keyed
+    * on the (ts, event_id) struct pick the endpoint values inside the
+    * same partial/final aggregation as high/low/count, so the plan is
+    * a single exchange on the grouping key with NO window sort. The
+    * oracle replays the endpoints via ROW_NUMBER because DuckDB's
+    * arg_min is single-key; formulations agree because event_id makes
+    * the per-bar ordering total. Open/close/high/low pass the raw
+    * DOUBLE through untouched (no arithmetic → no accumulation-order
+    * or rounding hazard in the hash compare). */
+  val qTsOhlc = Q(
+    "q_ts_ohlc",
+    (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("close"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"), col("h"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type,
+                                               date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type,
+                                               date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events)
+      SELECT event_type, h,
+             MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+             MAX(value) AS high,
+             MIN(value) AS low,
+             MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+             COUNT(*) AS n_events
+      FROM ranked GROUP BY event_type, h
+      ORDER BY event_type, h"""))
+
+  /** Robust location/scale statistics: per return flag, the exact
+    * lower-median and MAD (median absolute deviation) of the
+    * cent-scaled extended price, plus the count of 3-MAD outliers —
+    * the robust outlier screen that survives the heavy tails that
+    * wreck mean/stddev fences. All arithmetic is BIGINT order
+    * statistics (rank (n+1)÷2 under integer division = the lower
+    * median — exact, no interpolation, no float), so every cell is
+    * hash-stable by construction.
+    *
+    * Scale shape: two ranked window passes over the group (median,
+    * then deviation median) + one broadcast of the 3-row median
+    * table; ranking is the unavoidable cost of EXACT medians — the
+    * approximate path for when 1e-2 relative error is acceptable is
+    * [[qQuantileSketch]]'s GK sketch. */
+  val qStatsMad = Q(
+    "q_stats_mad",
+    (s, dir) => {
+      val x = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("x"))
+      def lowerMedian(df: DataFrame, vcol: String): DataFrame = {
+        val w = Window.partitionBy(col("g")).orderBy(col(vcol))
+        val wg = Window.partitionBy(col("g"))
+        df.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(wg))
+          // integer division — Column./ on longs is DOUBLE division
+          .filter(expr("rn = (cnt + 1) div 2"))
+          .select(col("g"), col(vcol).as("med"))
+      }
+      val med = lowerMedian(x, "x")
+      val dev = x.join(med, "g")
+        .select(col("g"), col("x"), col("med"),
+          abs(col("x") - col("med")).as("adev"))
+      val mad = lowerMedian(dev.select(col("g"), col("adev")), "adev")
+        .withColumnRenamed("med", "mad")
+      dev.join(mad, "g")
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("median_cents"),
+          max(col("mad")).as("mad_cents"),
+          sum(when(col("adev") > lit(3L) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .select(col("g").as("l_returnflag"), col("n"),
+          col("median_cents"), col("mad_cents"), col("n_outliers"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x
+        FROM lineitem),
+      medr AS (
+        SELECT g, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS cnt
+        FROM x),
+      med AS (SELECT g, x AS med FROM medr WHERE rn = (cnt + 1) // 2),
+      dev AS (
+        SELECT x.g, x.x, med.med, ABS(x.x - med.med) AS adev
+        FROM x JOIN med USING (g)),
+      madr AS (
+        SELECT g, adev,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY adev) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS cnt
+        FROM dev),
+      mad AS (SELECT g, adev AS mad FROM madr WHERE rn = (cnt + 1) // 2)
+      SELECT dev.g AS l_returnflag, COUNT(*) AS n,
+             CAST(MAX(dev.med) AS BIGINT) AS median_cents,
+             CAST(MAX(mad.mad) AS BIGINT) AS mad_cents,
+             CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers
+      FROM dev JOIN mad USING (g)
+      GROUP BY dev.g ORDER BY dev.g"""))
+
+  /** Equi-width histogram: 20 bins of the event value per event type,
+    * with the bin index computed from the per-type min/max — the
+    * distribution-shape profile a feature audit draws before choosing
+    * transforms (the equal-FREQUENCY dual is q_prep_binning). The bin
+    * expression runs the identical IEEE op tree on both engines
+    * ((value − lo) · 20 / (hi − lo), floor, clamp to 19), so the bin
+    * assignment is bit-deterministic; empty bins are absent on both
+    * sides alike. The per-type range is a 5-row broadcast joined back
+    * map-side — two scans, one exchange for the final count. */
+  val qEventsHistogram = Q(
+    "q_events_histogram",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val rng = ev.groupBy(col("event_type"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      ev.join(rng, "event_type")
+        .select(col("event_type"),
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(lit(19L),
+              floor((col("value") - col("lo")) * lit(20.0) /
+                (col("hi") - col("lo")))))
+            .as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+    Some("""
+      WITH rng AS (
+        SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        FROM events GROUP BY event_type)
+      SELECT e.event_type,
+             CASE WHEN r.hi = r.lo THEN 0
+                  ELSE LEAST(19, CAST(FLOOR((e.value - r.lo) *
+                         CAST(20 AS DOUBLE) / (r.hi - r.lo)) AS BIGINT))
+             END AS bin,
+             COUNT(*) AS n_events
+      FROM events e JOIN rng r USING (event_type)
+      GROUP BY e.event_type, bin
+      ORDER BY e.event_type, bin"""))
+
   /** Per-group simple linear regression (value trend over time) from
     * the five sufficient statistics: slope, intercept, and r² for
     * each event type's value-vs-hour trend, computed entirely from
@@ -2412,5 +2573,6 @@ object RelationalQueries {
     qScalarArray, qSaltedAgg,
     qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events,
     qScd2Orders, qScd2Incremental, qStatsProfile, qTsEwma, qStatsRegression, qStatsCorr, qStatsSkew, qStatsGini,
-    qStatsKappa, qJoinExistsMulti, qAggLargeOrders, qScd2Lookup)
+    qStatsKappa, qJoinExistsMulti, qAggLargeOrders, qScd2Lookup,
+    qTsOhlc, qStatsMad, qEventsHistogram)
 }
