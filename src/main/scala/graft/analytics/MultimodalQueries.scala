@@ -199,6 +199,107 @@ object MultimodalQueries {
                       1)), '')) AS rhash
       FROM documents ORDER BY doc_id"""))
 
+  /** Perceptual-hash near-duplicate detection over the binary
+    * payloads — the media-pipeline analog of [[DedupQueries]]'
+    * token-space SimHash: an aHash-style signature (resample the
+    * payload to 63 nearest-neighbor byte samples — the same offset
+    * arithmetic as [[qMultimodalResize]] — threshold each at the
+    * integer mean, pack to one BIGINT), then LSH banding for
+    * candidates and exact Hamming ranking. 7 bands of 9 bits make
+    * candidate recall COMPLETE for Hamming < 7 by pigeonhole; the
+    * top-20 nearest candidate pairs emit (threshold-free, so the
+    * query is non-degenerate at any corpus scale). Entirely integer
+    * arithmetic — signature, mean, bands, Hamming — so every cell is
+    * hash-stable cross-engine.
+    *
+    * Scale shape: the signature is one narrow higher-order-function
+    * projection inside codegen (no per-byte row explosion); the only
+    * shuffles are the 7-row-per-doc band exchange and the candidate
+    * aggregate — signatures, never payload bytes, cross the wire. At
+    * larger corpora widen the bands (b ≈ log₂ n bits) to keep the
+    * per-bucket collision count bounded, trading candidate recall
+    * radius exactly as the text MinHash/SimHash family does. */
+  val qMultimodalPhash = Q(
+    "q_multimodal_phash",
+    (s, dir) => {
+      val b = Multimodal.binarize(Tables.spread(Tables(s, dir, "documents")))
+        .select(col("doc_id"), hex(col("content")).as("hx"),
+          col("n_bytes").as("n"))
+      val ph = b
+        .select(col("doc_id"), expr(
+          """transform(sequence(0, 62), i ->
+               cast(conv(substr(hx,
+                 cast(2 * ((i * (n - 1)) div 62) + 1 as int), 2),
+                 16, 10) as bigint))""").as("px"))
+        .select(col("doc_id"), col("px"),
+          expr("aggregate(px, 0L, (acc, x) -> acc + x) div 63").as("mn"))
+        .select(col("doc_id"), expr(
+          """aggregate(zip_with(px, sequence(0, 62), (x, i) ->
+               if(x > mn, shiftleft(1L, i), 0L)),
+             0L, (acc, v) -> acc + v)""").as("phash"))
+      val bands = ph.select(col("doc_id"), col("phash"),
+          explode(sequence(lit(0), lit(6))).as("k"))
+        .select(col("doc_id"), col("phash"), col("k"),
+          expr("shiftright(phash, 9 * k) & 511").as("bv"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.phash").as("p1"), col("y.phash").as("p2"))
+        .distinct()
+      val scored = cand.select(col("d1"), col("d2"),
+        expr("cast(bit_count(p1 ^ p2) as bigint)").as("hamming"))
+      scored
+        .orderBy(col("hamming"), col("d1"), col("d2")).limit(20)
+        .agg(sort_array(collect_list(struct(
+          col("hamming"), col("d1"), col("d2")))).as("ts"))
+        .select(posexplode(col("ts")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.d1").as("d1"), col("col.d2").as("d2"),
+          col("col.hamming").as("hamming"))
+        .orderBy(col("rank"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents),
+      pxt AS (
+        SELECT doc_id,
+          [ (instr('0123456789ABCDEF',
+                   substr(hx, 2*((i*(n-1))//62)+1, 1))-1)*16
+            + instr('0123456789ABCDEF',
+                    substr(hx, 2*((i*(n-1))//62)+2, 1))-1
+            for i in generate_series(0,62) ] AS px
+        FROM b),
+      sig AS (SELECT doc_id, px,
+                     CAST(list_sum(px) AS BIGINT) // 63 AS mn FROM pxt),
+      ph AS (
+        SELECT doc_id,
+          CAST(list_sum([CASE WHEN px[i+1] > mn
+                              THEN CAST(1 AS BIGINT) << i
+                              ELSE CAST(0 AS BIGINT) END
+                         for i in generate_series(0,62)]) AS BIGINT)
+            AS phash
+        FROM sig),
+      bands AS (
+        SELECT doc_id, phash, k, (phash >> (9*k)) & 511 AS bv
+        FROM ph CROSS JOIN generate_series(0,6) t(k)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+               x.phash AS p1, y.phash AS p2
+        FROM bands x JOIN bands y
+          ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id),
+      scored AS (
+        SELECT d1, d2, CAST(bit_count(xor(p1, p2)) AS BIGINT) AS hamming
+        FROM cand)
+      SELECT rank, d1, d2, hamming FROM (
+        SELECT d1, d2, hamming,
+               ROW_NUMBER() OVER (ORDER BY hamming, d1, d2) AS rank
+        FROM scored) x
+      WHERE rank <= 20 ORDER BY rank"""))
+
   val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFeatures,
-    qMultimodalFrames, qMultimodalCdc, qMultimodalResize)
+    qMultimodalFrames, qMultimodalCdc, qMultimodalResize,
+    qMultimodalPhash)
 }
