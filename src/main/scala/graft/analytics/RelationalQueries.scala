@@ -1748,6 +1748,63 @@ object RelationalQueries {
       GROUP BY c.event_type, c.th, d2.n
       ORDER BY c.event_type, c.th"""))
 
+  /** Incremental view maintenance for AGGREGATES — the materialized-
+    * view counterpart of [[qScd2Incremental]]'s dimension IVM: a
+    * per-(returnflag, linestatus) sum/count view maintained under an
+    * INSERT delta and a DELETE delta without touching base history.
+    * Sum and count are self-maintainable (⊕ insert partials, ⊖ delete
+    * partials — the signed-union merge below); avg derives from the
+    * merged sums. Min/max are deliberately absent: they are NOT
+    * self-maintainable under deletes (a deleted extremum forces a
+    * base rescan) — the boundary this query documents by construction.
+    *
+    * The gate is the strong IVM contract: the oracle RECOMPUTES the
+    * view from the post-change base directly, so the hash-match
+    * proves merged-partials ≡ from-scratch on every cell. Sums
+    * accumulate in DECIMAL(25,4) (order-insensitive), avg is one
+    * double division on both engines. Scale shape: each partial is a
+    * map-side-combined hash aggregate over ITS slice only; the merge
+    * re-aggregates a few-row frame — daily cost |delta|, never
+    * |history|. */
+  val qAggIvm = Q(
+    "q_agg_ivm",
+    (s, dir) => {
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      val li = t(s, dir, "lineitem")
+      def partial(df: DataFrame, sign: Int): DataFrame =
+        df.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg((count(lit(1)) * sign).as("pn"),
+            (sum(col("l_quantity").cast(DecimalType(25, 4))) * sign)
+              .as("psq"))
+      val base = li.filter(col("l_shipdate") < cutoff)
+      val inserts = li.filter(col("l_shipdate") >= cutoff)
+      val deletes = base.filter(col("l_orderkey") % 97 === 0)
+      partial(base, 1)
+        .unionByName(partial(inserts, 1))
+        .unionByName(partial(deletes, -1))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("pn")).as("n"),
+          sum(col("psq")).as("sq"))
+        .filter(col("n") > 0)
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          col("sq").cast("double").as("sum_qty"),
+          (col("sq").cast("double") / col("n").cast("double"))
+            .as("avg_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+               AS sum_qty,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) /
+               CAST(COUNT(*) AS DOUBLE) AS avg_qty
+      FROM lineitem
+      WHERE NOT (l_shipdate < TIMESTAMP '1997-01-01'
+                 AND l_orderkey % 97 = 0)
+      GROUP BY l_returnflag, l_linestatus
+      HAVING COUNT(*) > 0
+      ORDER BY l_returnflag, l_linestatus"""))
+
   /** OHLC bar downsampling: per event type and hour, the open (first
     * value by event time), high, low, close (last value), and count —
     * the classic market-data resample, and the general "reduce a
@@ -2574,5 +2631,5 @@ object RelationalQueries {
     qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events,
     qScd2Orders, qScd2Incremental, qStatsProfile, qTsEwma, qStatsRegression, qStatsCorr, qStatsSkew, qStatsGini,
     qStatsKappa, qJoinExistsMulti, qAggLargeOrders, qScd2Lookup,
-    qTsOhlc, qStatsMad, qEventsHistogram)
+    qTsOhlc, qStatsMad, qEventsHistogram, qAggIvm)
 }
