@@ -1108,9 +1108,153 @@ object PrepQueries {
              CAST(COALESCE(SUM(n_tok + 1), 0) AS BIGINT) FROM s4
       ORDER BY stage"""))
 
+  /** Temperature-reweighted mixture targets (α = 0.5) — the standard
+    * multilingual rebalancing rule: sampling weight q_s ∝ p_s^α
+    * flattens the language distribution toward uniform without
+    * discarding the head (α=1 keeps natural proportions, α=0 is
+    * uniform). Emits per language its natural share, the reweighted
+    * share, the resampled document budget, and the up/down-sampling
+    * boost a sampler applies — the table the [[qPrepMixture]] rates
+    * would be DERIVED from in a real pipeline.
+    *
+    * Exactness discipline: √p is one correctly-rounded IEEE op, but a
+    * DOUBLE sum of the √p partials would be accumulation-ORDER
+    * sensitive — so each √p is floored into integer nano-units first
+    * and the normalizing sum runs over BIGINTs (order-free); every
+    * share/budget after that is integer micro-unit division. Scale
+    * shape: one count aggregate + two one-row broadcast scalars over
+    * a |languages|-row frame. */
+  val qPrepTemperature = Q(
+    "q_prep_temperature",
+    (s, dir) => {
+      val counts = docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("nn"))
+      val sp = counts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n"), col("nn"),
+          expr("""cast(floor(sqrt(cast(n as double) / cast(nn as double))
+                  * 1000000000d) as bigint)""").as("sp"))
+      val denom = sp.agg(sum(col("sp")).as("denom"))
+      sp.crossJoin(broadcast(denom))
+        .select(col("lang"), col("n"),
+          expr("n * 1000000L div nn").as("share_micro"),
+          expr("sp * 1000000L div denom").as("weight_micro"),
+          col("nn"))
+        .select(col("lang"), col("n"), col("share_micro"),
+          col("weight_micro"),
+          expr("weight_micro * nn div 1000000L").as("target_docs"),
+          expr("weight_micro * nn div n").as("boost_micro"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c),
+      sp AS (
+        SELECT lang, n, nn,
+               CAST(FLOOR(SQRT(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * 1000000000) AS BIGINT) AS sp
+        FROM c CROSS JOIN t),
+      d AS (SELECT CAST(SUM(sp) AS BIGINT) AS denom FROM sp),
+      w AS (
+        SELECT lang, n, nn,
+               n * 1000000 // nn AS share_micro,
+               sp * 1000000 // denom AS weight_micro
+        FROM sp CROSS JOIN d)
+      SELECT lang, n, share_micro, weight_micro,
+             weight_micro * nn // 1000000 AS target_docs,
+             weight_micro * nn // n AS boost_micro
+      FROM w ORDER BY lang"""))
+
+  /** Classifier calibration / reliability table — the eval report a
+    * model-based quality filter ([[qPrepClassifier]]) needs before
+    * its threshold is trusted: documents bucketed into 10 equal-WIDTH
+    * logit bins, each bin reporting its population, mean logit, and
+    * the observed rate of a proxy ground-truth label (document length
+    * above the corpus mean — the same "longer docs are higher
+    * quality" prior the curriculum stage uses). A calibrated score ⇒
+    * observed rate monotone across bins. ALL-integer algebra — bin
+    * edges, bin ids, means, and rates are BIGINT division over
+    * micro-unit logits, so no cell can drift cross-engine.
+    *
+    * Scale shape: the logit computation is the classifier query's
+    * broadcast token-weight join; the binning is a 1-row min/max
+    * broadcast + one group — no ranking window anywhere (the
+    * equal-frequency dual would need a global rank; equal-width is
+    * the shape that stays embarrassingly parallel at 100 TB). */
+  val qPrepCalibration = Q(
+    "q_prep_calibration",
+    (s, dir) => {
+      val logits = qPrepClassifier.run(s, dir)
+        .select(col("doc_id"), col("logit_micro"))
+      val len = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      val meanLen = len.agg(
+        expr("sum(n_chars) div count(1)").as("mean_chars"))
+      val labeled = logits.join(len, "doc_id")
+        .crossJoin(broadcast(meanLen))
+        .select(col("doc_id"), col("logit_micro"),
+          when(col("n_chars") > col("mean_chars"), 1L).otherwise(0L)
+            .as("label"))
+      val rng = labeled.agg(min(col("logit_micro")).as("lo"),
+        max(col("logit_micro")).as("hi"))
+      labeled.crossJoin(broadcast(rng))
+        .select(col("logit_micro"), col("label"),
+          expr("""case when hi = lo then 0L
+                  else least(9L, (logit_micro - lo) * 10L div (hi - lo))
+                  end""").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(logit_micro) div count(1)").as("mean_logit_micro"),
+          expr("sum(label) * 1000000L div count(1)").as("pos_rate_micro"))
+        .orderBy(col("bin"))
+    },
+    Some("""
+      WITH wt AS (
+        SELECT * FROM (VALUES
+          ('data', 250000), ('spark', 300000), ('query', 200000),
+          ('join', 150000), ('merge', 120000), ('window', 90000),
+          ('slow', -400000), ('the', -180000), ('a', -150000),
+          ('row', -60000)) t(w, w_micro)),
+      toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      counts AS (
+        SELECT doc_id, w, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+      dots AS (
+        SELECT c.doc_id, CAST(SUM(c.n * wt.w_micro) AS BIGINT) AS dot
+        FROM counts c JOIN wt USING (w) GROUP BY 1),
+      logits AS (
+        SELECT d.doc_id, COALESCE(dot, 0) - 800000 AS logit_micro
+        FROM documents d LEFT JOIN dots USING (doc_id)),
+      ml AS (
+        SELECT CAST(SUM(n_chars) AS BIGINT) // COUNT(*) AS mean_chars
+        FROM documents),
+      labeled AS (
+        SELECT l.doc_id, l.logit_micro,
+               CASE WHEN d.n_chars > ml.mean_chars THEN 1 ELSE 0 END
+                 AS label
+        FROM logits l JOIN documents d USING (doc_id) CROSS JOIN ml),
+      rng AS (
+        SELECT MIN(logit_micro) AS lo, MAX(logit_micro) AS hi
+        FROM labeled),
+      binned AS (
+        SELECT logit_micro, label,
+               CASE WHEN hi = lo THEN 0
+                    ELSE LEAST(9, (logit_micro - lo) * 10 // (hi - lo))
+               END AS bin
+        FROM labeled CROSS JOIN rng)
+      SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+             CAST(SUM(logit_micro) AS BIGINT) // COUNT(*)
+               AS mean_logit_micro,
+             CAST(SUM(label) AS BIGINT) * 1000000 // COUNT(*)
+               AS pos_rate_micro
+      FROM binned GROUP BY bin ORDER BY bin"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
     qPrepCurriculum, qPrepWinsorize, qPrepOversample, qPrepClassifier,
-    qPrepPerplexity, qPrepBinning, qPrepEvalSample, qPrepPipeline)
+    qPrepPerplexity, qPrepBinning, qPrepEvalSample, qPrepPipeline,
+    qPrepTemperature, qPrepCalibration)
 }
