@@ -153,7 +153,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_prep_binning: countByRank's broadcast extrema + 256-row
       // bucket-prefix theta join (the q_join_interval machinery,
       // bounded by construction)
-      "q_prep_binning")
+      "q_prep_binning",
+      // q_prep_temperature: the one-row corpus-total and one-row
+      // √p-denominator scalars ride cross joins into the |languages|-
+      // row frame (the q_prep_oversample one-row-extrema pattern)
+      "q_prep_temperature",
+      // q_prep_calibration: the one-row mean-length and one-row
+      // logit-min/max scalars ride cross joins into the binning
+      // projection (the q_events_histogram range pattern; both
+      // bounded by construction)
+      "q_prep_calibration")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
