@@ -297,12 +297,14 @@ object GraphQueries {
     * recursive-CTE family (the oracle IS a `WITH RECURSIVE` query).
     *
     * The distributed shape is frontier iteration — level d's frontier
-    * equi-joins the edge list, dedups, and anti-joins the visited set
+    * equi-joins the edge list, anti-joins the visited set, and dedups
     * to become level d+1 — the textbook Pregel BFS expressed as pure
-    * DataFrame algebra. Each iteration is one join + one distinct +
-    * one anti-join, ALL keyed on the node id, so the same hash
-    * partitioning carries every step; per-level frontiers persist (and
-    * release after) so the growing visited union never recomputes.
+    * DataFrame algebra. Each iteration is one join + one anti-join +
+    * one distinct, ALL keyed on the node id, so the same hash
+    * partitioning carries every step; per-level frontiers materialize
+    * as eager localCheckpoints (flat leaves, blocks released by the
+    * context cleaner once unreferenced — the PageRank discipline), so
+    * the growing visited union neither recomputes nor nests its plan.
     * The horizon is FIXED (4) for the same oracle-parity reason as
     * [[pagerank]]'s fixed sweeps: BFS level sets are deterministic, so
     * visited-at-level equals the oracle's MIN(dist) per node exactly.

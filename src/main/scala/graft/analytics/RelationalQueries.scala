@@ -1882,6 +1882,13 @@ object RelationalQueries {
           .select(col("g"), col(vcol).as("med"))
       }
       val med = lowerMedian(x, "x")
+      // dev is consumed twice (the MAD ranking pass AND the outlier
+      // aggregate) but deliberately NOT persisted: both consumers sit
+      // above the same window-sort exchanges, which Spark's exchange
+      // reuse already shares — an explicit MEMORY_AND_DISK persist
+      // was A/B'd at sf0.1 and LOST (2.13 s unpersisted vs 2.72 s
+      // persisted, same load band): it pays row materialization for
+      // work the reused exchange never repeats.
       val dev = x.join(med, "g")
         .select(col("g"), col("x"), col("med"),
           abs(col("x") - col("med")).as("adev"))
