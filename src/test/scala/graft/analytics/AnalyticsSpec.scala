@@ -314,6 +314,34 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       s"trained IVF ${recall(trainedIvf)} vs sampled ${recall(sampled)}")
   }
 
+  test("phash near-dup: planted identical payload surfaces at rank 1, hamming 0") {
+    // byte-identical payloads must collide on every band and report
+    // hamming 0 ahead of everything else; a lightly-edited twin must
+    // also surface as a candidate (≥1 intact band) with small hamming
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val tmp = java.nio.file.Files.createTempDirectory("phash").toString
+    Seq(
+      (1L, base, "en", "src0", base.length.toLong),
+      (2L, base, "en", "src0", base.length.toLong), // exact twin
+      (3L, base.replace("lazy", "hazy"), "en", "src0", base.length.toLong),
+      (4L, "completely different text about spark query engines and " +
+        "distributed joins at scale with nothing shared", "en", "src1",
+        107L),
+      (5L, "yet another unrelated document mentioning parquet files " +
+        "and shuffle partitions for good measure here", "en", "src1",
+        104L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = MultimodalQueries.qMultimodalPhash.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.nonEmpty, "no candidate pairs at all")
+    assert(out.head === ((1L, 1L, 2L, 0L)),
+      s"rank-1 should be the exact twin at hamming 0: ${out.toSeq}")
+    assert(out.exists(t => t._2 == 1L && t._3 == 3L),
+      s"edited twin never surfaced as a candidate: ${out.toSeq}")
+  }
+
   test("pq codes: native encoder matches the HOF formulation bit-for-bit") {
     // the corpus-side encode moved from higher-order functions to the
     // PqCodes loop for speed; this pins the two formulations to the
