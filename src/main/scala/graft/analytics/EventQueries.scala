@@ -571,7 +571,56 @@ object EventQueries {
       SELECT day, wau_exact, TRUE AS within_bound
       FROM wau ORDER BY day"""))
 
+  /** Cohort VALUE curves — [[qEventsRetention]]'s revenue dual: per
+    * signup cohort (first-seen day) and day-since-signup age, the
+    * active-user count and the total event value those users
+    * generated at that age — the LTV-accumulation table growth
+    * analysis reads cumulatively. Value sums accumulate in
+    * DECIMAL(25,6) (order-insensitive) then emit double; counts come
+    * from the same distinct (user, day) activity relation retention
+    * uses, so the two reports tie out by construction.
+    *
+    * Scale shape: one user-keyed shuffle derives cohorts, one
+    * broadcast-back (the cohort frame is |users| rows keyed by user,
+    * shuffled once), and the final aggregate groups a bounded
+    * |days|² grid. */
+  val qEventsCohortValue = Q(
+    "q_events_cohort_value",
+    (s, dir) => {
+      val e = ev(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+      val first = e.select(col("user_id"), col("d")).distinct()
+        .groupBy(col("user_id"))
+        .agg(min(col("d")).as("cohort_day"))
+      e.join(first, "user_id")
+        .select(col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).cast("long").as("age"),
+          col("user_id"), col("value"))
+        .groupBy(col("cohort_day"), col("age"))
+        .agg(countDistinct(col("user_id")).as("n_active"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(25, 6))).cast("double")
+            .as("total_value"))
+        .orderBy(col("cohort_day"), col("age"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, value FROM events),
+      first AS (
+        SELECT user_id, MIN(d) AS cohort_day
+        FROM (SELECT DISTINCT user_id, d FROM e) GROUP BY user_id)
+      SELECT f.cohort_day,
+             CAST(e.d - f.cohort_day AS BIGINT) AS age,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE)
+               AS total_value
+      FROM e JOIN first f USING (user_id)
+      GROUP BY f.cohort_day, age
+      ORDER BY f.cohort_day, age"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
     qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
-    qEventsFunnelTime, qEventsDauWau, qEventsWauSketch)
+    qEventsFunnelTime, qEventsDauWau, qEventsWauSketch,
+    qEventsCohortValue)
 }

@@ -1356,10 +1356,60 @@ object TextQueries {
                    / CAST(COUNT(tg) AS DOUBLE), 6) AS r_tri
       FROM grams GROUP BY source ORDER BY source"""))
 
+  /** Per-document keyword extraction — the tf·idf ranking reduced to
+    * pure integer ordering: each document's top-3 terms by
+    * (tf DESC, df ASC, term ASC). Dividing tf by df monotonically
+    * matches ranking by tf with df as the tiebreak only when tf ties
+    * — deliberately NOT a float tf·idf score: the integer triple is a
+    * total order both engines replay bit-identically, and it
+    * preserves the tf·idf intent (frequent-in-doc, rare-in-corpus)
+    * without a cross-engine division. The stage that labels each
+    * training document with its topical anchor terms for mixture /
+    * routing decisions.
+    *
+    * Scale shape: tf is one (doc, term) aggregate; df is one term
+    * aggregate broadcast back onto it (|vocab| rows); the top-3 is a
+    * doc-partitioned window — partitioned ranking, never global. */
+  val qTextKeywords = Q(
+    "q_text_keywords",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = toks.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("w"))
+        .agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("w").asc)
+      tf.join(df, "w")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("w").as("keyword"),
+          col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (
+        SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      ranked AS (
+        SELECT tf.doc_id, tf.w, tf.tf, df.df,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                 ORDER BY tf.tf DESC, df.df ASC, tf.w ASC) AS rank
+        FROM tf JOIN df USING (w))
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, w AS keyword, tf, df
+      FROM ranked WHERE rank <= 3
+      ORDER BY doc_id, rank"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
     qTextFingerprint, qTextVocab, qHeavyHitters, qTextCountmin,
     qTextRepetition,
     qTextLogprob, qTextBigramLogprob, qTextBpePairs, qTextBpeMerges,
     qTextBm25, qTextBm25Stored, qTextBm25Reingested, qTextTfidfSim,
-    qTextCollocations, qTextChisquare, qStatsSourceOverlap, qTextDistinctN, qStatsDatacard)
+    qTextCollocations, qTextChisquare, qStatsSourceOverlap, qTextDistinctN, qStatsDatacard,
+    qTextKeywords)
 }
