@@ -729,6 +729,42 @@ object RelationalQueries {
              CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1 ORDER BY bucket"""))
 
+  /** HOPPING (sliding) time windows — Spark's native
+    * `window(ts, "1 hour", "15 minutes")`: every event lands in the 4
+    * overlapping hour-wide windows that cover it, the smoothing
+    * tumbling buckets can't give (a burst straddling a tumbling
+    * boundary splits; a hop sees it whole). Gated against the manual
+    * replay: each event explodes into its 4 covering window starts
+    * (bucket arithmetic on epoch micros — exact integers), so the
+    * hash-match proves the native operator's window assignment
+    * bit-for-bit. Same decimal-exact value sums as [[qWindowHourly]].
+    *
+    * Scale shape: the native operator plans the 4× explode inside the
+    * aggregate's partial side — one exchange on (window, nothing
+    * else), fan-out bounded by window/slide = 4. */
+  val qWindowSliding = Q(
+    "q_window_sliding",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+        .select(col("w.start").as("bucket"), col("n"), col("sum_value"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        FROM events),
+      hops AS (
+        SELECT make_timestamp((us // 900000000) * 900000000
+                              - k * 900000000) AS bucket,
+               value
+        FROM e CROSS JOIN generate_series(0, 3) t(k))
+      SELECT bucket, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+               AS sum_value
+      FROM hops GROUP BY bucket ORDER BY bucket"""))
+
   /** Navigation window functions — lead, first/last value, nth value —
     * over per-user event streams, with explicit ROWS frames (the
     * default RANGE frame makes last_value the current row, a classic
@@ -1748,6 +1784,170 @@ object RelationalQueries {
       GROUP BY c.event_type, c.th, d2.n
       ORDER BY c.event_type, c.th"""))
 
+  /** Spearman rank correlation per return flag — the robust dual of
+    * [[qStatsCorr]]: Pearson's r computed on the RANKS of quantity
+    * and extended price, so monotone-but-nonlinear association still
+    * registers and outliers can't dominate. Ties take the min-rank
+    * (`rank()` — identical semantics both engines; the average-rank
+    * variant would need fractional ranks and a float surface). The
+    * rank frames are BIGINT, so the sufficient statistics reuse the
+    * Pearson discipline verbatim: exact BIGINT/DECIMAL sums, ONE
+    * double combination with an identical op tree, round 6.
+    *
+    * Scale shape: two partitioned rank windows (one sort each per
+    * group) feed one map-side-combined aggregate — same cost class as
+    * the MAD query's ranked passes. */
+  val qStatsSpearman = Q(
+    "q_stats_spearman",
+    (s, dir) => {
+      val m = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("x"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("y"))
+      val rx = rank().over(
+        Window.partitionBy(col("g")).orderBy(col("x"))).cast("long")
+      val ry = rank().over(
+        Window.partitionBy(col("g")).orderBy(col("y"))).cast("long")
+      val ranked = m.select(col("g"), rx.as("rx"), ry.as("ry"))
+      val sums = ranked.groupBy(col("g")).agg(
+        count(lit(1)).as("n"),
+        sum(expr("cast(rx as decimal(25,0))")).as("sx"),
+        sum(expr("cast(ry as decimal(25,0))")).as("sy"),
+        sum(expr("cast(rx * rx as decimal(25,0))")).as("sxx"),
+        sum(expr("cast(ry * ry as decimal(25,0))")).as("syy"),
+        sum(expr("cast(rx * ry as decimal(25,0))")).as("sxy"))
+      sums.select(col("g").as("l_returnflag"), col("n"),
+          round((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("spearman_qty_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem),
+      ranked AS (
+        SELECT g,
+               CAST(RANK() OVER (PARTITION BY g ORDER BY x) AS BIGINT)
+                 AS rx,
+               CAST(RANK() OVER (PARTITION BY g ORDER BY y) AS BIGINT)
+                 AS ry
+        FROM m),
+      sums AS (
+        SELECT g, COUNT(*) AS n,
+               CAST(SUM(CAST(rx AS DECIMAL(25,0))) AS DECIMAL(25,0)) AS sx,
+               CAST(SUM(CAST(ry AS DECIMAL(25,0))) AS DECIMAL(25,0)) AS sy,
+               CAST(SUM(CAST(rx * rx AS DECIMAL(25,0))) AS DECIMAL(25,0))
+                 AS sxx,
+               CAST(SUM(CAST(ry * ry AS DECIMAL(25,0))) AS DECIMAL(25,0))
+                 AS syy,
+               CAST(SUM(CAST(rx * ry AS DECIMAL(25,0))) AS DECIMAL(25,0))
+                 AS sxy
+        FROM ranked GROUP BY g)
+      SELECT g AS l_returnflag, n,
+             ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                   6) AS spearman_qty_price
+      FROM sums ORDER BY l_returnflag"""))
+
+  /** A/B experiment report — Welch's unequal-variance t statistic
+    * comparing mean event value between two treatment arms (the
+    * `click` and `view` event streams standing in for variant A/B):
+    * per-arm n, mean, and sample variance from exact integer
+    * micro-unit sums, combined into the t statistic in ONE double op
+    * tree (identical both engines, round 6). The decision table an
+    * experimentation pipeline emits; |t| ≳ 2 → the arms differ.
+    *
+    * Scale shape: one map-side-combined aggregate over the two arms
+    * (a 2-row frame after partial aggregation), then a 2-row pivot —
+    * no shuffle carries more than the sufficient statistics. */
+  val qStatsAbtest = Q(
+    "q_stats_abtest",
+    (s, dir) => {
+      val m = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"),
+          expr("cast(round(value * 1000000) as bigint)").as("x"))
+      val sums = m.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(expr("cast(x as decimal(25,0))")).as("sx"),
+        sum(expr("cast(x * x as decimal(38,0))")).as("sxx"))
+      val wide = sums.agg(
+        max(when(col("event_type") === "click", col("n"))).as("na"),
+        max(when(col("event_type") === "click", col("sx"))).as("sxa"),
+        max(when(col("event_type") === "click", col("sxx"))).as("sxxa"),
+        max(when(col("event_type") === "view", col("n"))).as("nb"),
+        max(when(col("event_type") === "view", col("sx"))).as("sxb"),
+        max(when(col("event_type") === "view", col("sxx"))).as("sxxb"))
+      def meanD(sx: Column, n: Column): Column =
+        sx.cast("double") / n.cast("double") / lit(1000000.0)
+      def varD(sxx: Column, sx: Column, n: Column): Column =
+        (n.cast("double") * sxx.cast("double") -
+          sx.cast("double") * sx.cast("double")) /
+          (n.cast("double") * (n.cast("double") - lit(1.0))) /
+          lit(1000000.0) / lit(1000000.0)
+      wide.select(
+          col("na"), round(meanD(col("sxa"), col("na")), 6).as("mean_a"),
+          col("nb"), round(meanD(col("sxb"), col("nb")), 6).as("mean_b"),
+          round((meanD(col("sxa"), col("na")) -
+            meanD(col("sxb"), col("nb"))) /
+            sqrt(varD(col("sxxa"), col("sxa"), col("na")) /
+              col("na").cast("double") +
+              varD(col("sxxb"), col("sxb"), col("nb")) /
+                col("nb").cast("double")), 6).as("welch_t"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT event_type, CAST(ROUND(value * 1000000) AS BIGINT) AS x
+        FROM events WHERE event_type IN ('click', 'view')),
+      sums AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(25,0))) AS DECIMAL(25,0)) AS sx,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                 AS sxx
+        FROM m GROUP BY event_type),
+      wide AS (
+        SELECT
+          MAX(CASE WHEN event_type = 'click' THEN n END) AS na,
+          MAX(CASE WHEN event_type = 'click' THEN sx END) AS sxa,
+          MAX(CASE WHEN event_type = 'click' THEN sxx END) AS sxxa,
+          MAX(CASE WHEN event_type = 'view' THEN n END) AS nb,
+          MAX(CASE WHEN event_type = 'view' THEN sx END) AS sxb,
+          MAX(CASE WHEN event_type = 'view' THEN sxx END) AS sxxb
+        FROM sums)
+      SELECT na,
+             ROUND(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 1000000.0,
+                   6) AS mean_a,
+             nb,
+             ROUND(CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) / 1000000.0,
+                   6) AS mean_b,
+             ROUND((CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 1000000.0
+                    - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)
+                      / 1000000.0)
+                   / SQRT(((CAST(na AS DOUBLE) * CAST(sxxa AS DOUBLE)
+                            - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE))
+                           / (CAST(na AS DOUBLE)
+                              * (CAST(na AS DOUBLE) - 1.0))
+                           / 1000000.0 / 1000000.0)
+                          / CAST(na AS DOUBLE)
+                          + ((CAST(nb AS DOUBLE) * CAST(sxxb AS DOUBLE)
+                              - CAST(sxb AS DOUBLE)
+                                * CAST(sxb AS DOUBLE))
+                             / (CAST(nb AS DOUBLE)
+                                * (CAST(nb AS DOUBLE) - 1.0))
+                             / 1000000.0 / 1000000.0)
+                          / CAST(nb AS DOUBLE)), 6) AS welch_t
+      FROM wide"""))
+
   /** Incremental view maintenance for AGGREGATES — the materialized-
     * view counterpart of [[qScd2Incremental]]'s dimension IVM: a
     * per-(returnflag, linestatus) sum/count view maintained under an
@@ -2638,5 +2838,6 @@ object RelationalQueries {
     qCube, qPercentile, qPivot, qUnpivot, qJsonEvents, qDnsBind9Events,
     qScd2Orders, qScd2Incremental, qStatsProfile, qTsEwma, qStatsRegression, qStatsCorr, qStatsSkew, qStatsGini,
     qStatsKappa, qJoinExistsMulti, qAggLargeOrders, qScd2Lookup,
-    qTsOhlc, qStatsMad, qEventsHistogram, qAggIvm)
+    qTsOhlc, qStatsMad, qEventsHistogram, qAggIvm,
+    qStatsSpearman, qStatsAbtest, qWindowSliding)
 }
