@@ -1859,6 +1859,101 @@ object RelationalQueries {
                    6) AS spearman_qty_price
       FROM sums ORDER BY l_returnflag"""))
 
+  /** Weighted median per group — the order statistic where each row
+    * counts with its weight (here: price median weighted by quantity,
+    * i.e. "the price of the median UNIT shipped", not the median
+    * line): sort by value within the group, accumulate weight, take
+    * the first value whose running weight reaches half the total
+    * (weighted lower median — `2·cumw ≥ totw`, all BIGINT). The
+    * estimator quantity-weighted pricing and importance-weighted
+    * corpus statistics both need; reduces to the plain median when
+    * every weight is 1.
+    *
+    * Scale shape: one partitioned window sort + a group total
+    * broadcast back — the [[qStatsMad]] cost class. */
+  val qStatsWmedian = Q(
+    "q_stats_wmedian",
+    (s, dir) => {
+      val m = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("v"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("w"))
+      val win = Window.partitionBy(col("g"))
+        .orderBy(col("v"), col("w"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = m.groupBy(col("g")).agg(sum(col("w")).as("totw"),
+        count(lit(1)).as("n"))
+      m.withColumn("cumw", sum(col("w")).over(win))
+        .join(tot, "g")
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy(col("g"))
+        .agg(min(col("v")).as("wmedian_cents"),
+          max(col("totw")).as("total_weight"), max(col("n")).as("n"))
+        .select(col("g").as("l_returnflag"), col("n"),
+          col("total_weight"), col("wmedian_cents"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+               CAST(ROUND(l_quantity * 100) AS BIGINT) AS w
+        FROM lineitem),
+      tot AS (
+        SELECT g, CAST(SUM(w) AS BIGINT) AS totw, COUNT(*) AS n
+        FROM m GROUP BY g),
+      c AS (
+        SELECT g, v, w,
+               CAST(SUM(w) OVER (PARTITION BY g ORDER BY v, w
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cumw
+        FROM m)
+      SELECT c.g AS l_returnflag, MAX(t.n) AS n,
+             CAST(MAX(t.totw) AS BIGINT) AS total_weight,
+             CAST(MIN(c.v) AS BIGINT) AS wmedian_cents
+      FROM c JOIN tot t USING (g)
+      WHERE c.cumw * 2 >= t.totw
+      GROUP BY c.g ORDER BY c.g"""))
+
+  /** Rollup REUSE — monthly aggregates derived from the daily
+    * aggregate table, never the base facts, gated against the direct
+    * monthly recompute: the distributive-aggregate property
+    * (SUM-of-SUMs, SUM-of-COUNTs) every tiered warehouse rollup
+    * chain relies on, proven exact by the hash-match. The DECIMAL
+    * accumulation discipline is what MAKES re-aggregation safe —
+    * double partial sums would make the two-level result depend on
+    * grouping order.
+    *
+    * Scale shape: the daily tier is the expensive aggregate (one
+    * exchange over facts); the monthly tier re-aggregates
+    * |days|·|groups| rows — the reuse a 100 TB pipeline banks daily. */
+  val qAggReaggregate = Q(
+    "q_agg_reaggregate",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(25, 4))).as("sq"))
+      daily
+        .groupBy(col("l_returnflag"), date_trunc("month", col("d"))
+          .cast("date").as("month"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("sq")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"), col("month"))
+    },
+    // the oracle recomputes monthly DIRECTLY from facts: the gate
+    // proves daily→monthly re-aggregation ≡ one-level aggregation
+    Some("""
+      SELECT l_returnflag,
+             CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+               AS month,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+               AS sum_qty
+      FROM lineitem
+      GROUP BY l_returnflag, month
+      ORDER BY l_returnflag, month"""))
+
   /** A/B experiment report — Welch's unequal-variance t statistic
     * comparing mean event value between two treatment arms (the
     * `click` and `view` event streams standing in for variant A/B):
@@ -2839,5 +2934,5 @@ object RelationalQueries {
     qScd2Orders, qScd2Incremental, qStatsProfile, qTsEwma, qStatsRegression, qStatsCorr, qStatsSkew, qStatsGini,
     qStatsKappa, qJoinExistsMulti, qAggLargeOrders, qScd2Lookup,
     qTsOhlc, qStatsMad, qEventsHistogram, qAggIvm,
-    qStatsSpearman, qStatsAbtest, qWindowSliding)
+    qStatsSpearman, qStatsAbtest, qWindowSliding, qStatsWmedian, qAggReaggregate)
 }
