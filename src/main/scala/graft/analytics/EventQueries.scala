@@ -619,8 +619,67 @@ object EventQueries {
       GROUP BY f.cohort_day, age
       ORDER BY f.cohort_day, age"""))
 
+  /** RFM segmentation — the classic recency / frequency / monetary
+    * user triage: days since each user's last event (against the
+    * corpus max date, so the report is replayable), total events, and
+    * exact-decimal total value, bucketed by fixed integer thresholds
+    * into the segment label a lifecycle campaign keys on. Thresholds
+    * are deliberately constants (not quantiles): the segment
+    * DEFINITION must be stable across runs and engines; the
+    * quantile-derived dual is what [[RelationalQueries]]' binning
+    * provides.
+    *
+    * Scale shape: one user-keyed aggregate + a one-row anchor-date
+    * broadcast — single exchange end to end. */
+  val qEventsRfm = Q(
+    "q_events_rfm",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val anchor = e.agg(max(to_date(col("ts"))).as("anchor"))
+      val per = e.groupBy(col("user_id"))
+        .agg(max(to_date(col("ts"))).as("last_d"),
+          count(lit(1)).as("frequency"),
+          sum(col("value").cast(DecimalType(25, 6))).as("mon"))
+      per.crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          datediff(col("anchor"), col("last_d")).cast("long")
+            .as("recency_days"),
+          col("frequency"),
+          col("mon").cast("double").as("monetary"))
+        .withColumn("segment", concat(
+          when(col("recency_days") <= 3, "active")
+            .when(col("recency_days") <= 10, "lapsing")
+            .otherwise("dormant"),
+          lit("_"),
+          when(col("frequency") >= 40, "high")
+            .when(col("frequency") >= 15, "mid")
+            .otherwise("low")))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH anchor AS (
+        SELECT MAX(CAST(ts AS DATE)) AS anchor FROM events),
+      per AS (
+        SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                 AS monetary
+        FROM events GROUP BY user_id)
+      SELECT user_id,
+             CAST(anchor - last_d AS BIGINT) AS recency_days,
+             frequency, monetary,
+             (CASE WHEN anchor - last_d <= 3 THEN 'active'
+                   WHEN anchor - last_d <= 10 THEN 'lapsing'
+                   ELSE 'dormant' END ||
+              '_' ||
+              CASE WHEN frequency >= 40 THEN 'high'
+                   WHEN frequency >= 15 THEN 'mid'
+                   ELSE 'low' END) AS segment
+      FROM per CROSS JOIN anchor
+      ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
     qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
     qEventsFunnelTime, qEventsDauWau, qEventsWauSketch,
-    qEventsCohortValue)
+    qEventsCohortValue, qEventsRfm)
 }

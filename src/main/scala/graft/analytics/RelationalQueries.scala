@@ -1914,6 +1914,66 @@ object RelationalQueries {
       WHERE c.cumw * 2 >= t.totw
       GROUP BY c.g ORDER BY c.g"""))
 
+  /** Benford first-digit screen — the forensic test for fabricated
+    * numeric data: the leading significant digit of naturally-grown
+    * quantities follows P(d) = log₁₀(1 + 1/d), and ledgers that
+    * don't are flagged for audit. Per digit 1–9: observed count,
+    * Benford-expected count in exact micro-units (N · p_micro with
+    * the nine log constants precomputed as integer literals — no
+    * runtime log, no float), and the signed deviation — ALL BIGINT,
+    * so the screen is hash-stable by construction. The χ² rollup is
+    * deliberately left to the consumer: a cross-digit double sum
+    * would reintroduce accumulation-order sensitivity for zero
+    * analytic gain.
+    *
+    * Scale shape: the digit is one string op on the scan, the
+    * screen one 9-group aggregate + a one-row total broadcast. */
+  val qStatsBenford = Q(
+    "q_stats_benford",
+    (s, dir) => {
+      val digits = t(s, dir, "lineitem")
+        .select(expr(
+          "cast(substring(cast(cast(round(l_extendedprice * 100) as bigint) as string), 1, 1) as bigint)")
+          .as("digit"))
+      val obs = digits.groupBy(col("digit"))
+        .agg(count(lit(1)).as("n_obs"))
+      val tot = obs.agg(sum(col("n_obs")).as("nn"))
+      val bb = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+        4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+        8 -> 51153L, 9 -> 45757L)
+      val benford = {
+        import s.implicits._
+        bb.toDF("digit", "p_micro").select(col("digit").cast("long")
+          .as("digit"), col("p_micro"))
+      }
+      obs.join(broadcast(benford), "digit")
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs"),
+          (col("nn") * col("p_micro")).as("expected_micro"),
+          (col("n_obs") * lit(1000000L) - col("nn") * col("p_micro"))
+            .as("deviation_micro"))
+        .orderBy(col("digit"))
+    },
+    Some("""
+      WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(l_extendedprice * 100)
+                 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM lineitem),
+      obs AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM digits GROUP BY digit),
+      tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS nn FROM obs),
+      benford(digit, p_micro) AS (VALUES
+        (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+      SELECT o.digit, o.n_obs,
+             t.nn * b.p_micro AS expected_micro,
+             o.n_obs * 1000000 - t.nn * b.p_micro AS deviation_micro
+      FROM obs o
+      JOIN benford b ON b.digit = o.digit
+      CROSS JOIN tot t
+      ORDER BY o.digit"""))
+
   /** Rollup REUSE — monthly aggregates derived from the daily
     * aggregate table, never the base facts, gated against the direct
     * monthly recompute: the distributive-aggregate property
@@ -2934,5 +2994,5 @@ object RelationalQueries {
     qScd2Orders, qScd2Incremental, qStatsProfile, qTsEwma, qStatsRegression, qStatsCorr, qStatsSkew, qStatsGini,
     qStatsKappa, qJoinExistsMulti, qAggLargeOrders, qScd2Lookup,
     qTsOhlc, qStatsMad, qEventsHistogram, qAggIvm,
-    qStatsSpearman, qStatsAbtest, qWindowSliding, qStatsWmedian, qAggReaggregate)
+    qStatsSpearman, qStatsAbtest, qWindowSliding, qStatsWmedian, qAggReaggregate, qStatsBenford)
 }

@@ -162,7 +162,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // logit-min/max scalars ride cross joins into the binning
       // projection (the q_events_histogram range pattern; both
       // bounded by construction)
-      "q_prep_calibration")
+      "q_prep_calibration",
+      // q_events_rfm: the one-row anchor-date scalar rides a cross
+      // join into the per-user frame (one-row-extrema pattern)
+      "q_events_rfm",
+      // q_stats_benford: the one-row observation-total scalar rides a
+      // cross join into the 9-row digit frame (one-row-scalar pattern)
+      "q_stats_benford")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
