@@ -2978,6 +2978,231 @@ object RelationalQueries {
         HAVING SUM(CAST(l_quantity AS DECIMAL(25,4))) > 150)
       GROUP BY o.o_orderkey, o.o_custkey ORDER BY o.o_orderkey"""))
 
+  /** Market-basket association rules over order line items — the
+    * classic co-occurrence mining shape (support / confidence / lift
+    * for part PAIRS bought in the same order) with the Apriori
+    * anti-monotone prune applied where it matters at scale: items
+    * below the item-support floor are semi-joined OUT of the basket
+    * table BEFORE the pair self-join, so the quadratic per-order pair
+    * expansion runs only over frequent items. The expansion itself is
+    * bounded by basket size (≤ 13 distinct parts per order in this
+    * fixture, ~7 in TPC-H generally), so the orderkey-keyed self-join
+    * emits O(orders · basket²) pairs — linear in the corpus, never
+    * item² — and the pair counts partial-aggregate map-side before
+    * the (item_a, item_b)-keyed exchange. The frequent-item table
+    * (#parts rows at most) broadcasts; the single order-count scalar
+    * rides a one-row cross join into the lift projection. Lift and
+    * confidence are exact-integer ratios divided once in double and
+    * rounded at 6; ordering is on the rounded value with a full key
+    * tie-break, so the top-50 cut is deterministic in both engines. */
+  val qAggBasket = Q(
+    "q_agg_basket",
+    (s, dir) => {
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val isupp = b.groupBy(col("p")).agg(count(lit(1)).as("s"))
+      val freq = isupp.filter(col("s") >= 20)
+      val fb = b.join(broadcast(freq), Seq("p"))
+      val nOrders = b.agg(countDistinct(col("o")).as("n_orders"))
+      fb.select(col("o"), col("p").as("item_a"), col("s").as("sa"))
+        .join(fb.select(col("o"), col("p").as("item_b"),
+          col("s").as("sb")), Seq("o"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("pair_supp"), max(col("sa")).as("sa"),
+          max(col("sb")).as("sb"))
+        .filter(col("pair_supp") >= 3)
+        .crossJoin(broadcast(nOrders))
+        .select(col("item_a"), col("item_b"), col("pair_supp"),
+          col("sa").as("supp_a"), col("sb").as("supp_b"),
+          round(col("pair_supp").cast("double") / col("sa").cast("double"),
+            6).as("confidence"),
+          round((col("pair_supp") * col("n_orders")).cast("double") /
+            (col("sa") * col("sb")).cast("double"), 6).as("lift"))
+        .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+        .limit(50)
+    },
+    Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                 FROM lineitem),
+      isupp AS (SELECT p, COUNT(*) AS s FROM b GROUP BY p),
+      freq AS (SELECT * FROM isupp WHERE s >= 20),
+      fb AS (SELECT b.o, b.p, f.s FROM b JOIN freq f USING (p)),
+      n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM b),
+      pairs AS (
+        SELECT a.p AS item_a, c.p AS item_b, COUNT(*) AS pair_supp,
+               MAX(a.s) AS supp_a, MAX(c.s) AS supp_b
+        FROM fb a JOIN fb c ON a.o = c.o AND a.p < c.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      SELECT item_a, item_b, pair_supp, supp_a, supp_b,
+             ROUND(CAST(pair_supp AS DOUBLE) / CAST(supp_a AS DOUBLE), 6)
+               AS confidence,
+             ROUND(CAST(pair_supp * n_orders AS DOUBLE) /
+                   CAST(supp_a * supp_b AS DOUBLE), 6) AS lift
+      FROM pairs CROSS JOIN n
+      ORDER BY lift DESC, item_a, item_b LIMIT 50"""))
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the 'view'
+    * and 'click' purchase-value distributions — the distribution-drift
+    * test a feature store runs between cohorts. D = max over pooled
+    * sample points of |F₁(x) − F₂(x)|; the textbook computation is a
+    * GLOBAL sort + running ECDFs (a partition-less window — the exact
+    * shape PlanAudit rejects). Here both cumulative counts come from
+    * [[graft.operators.OrderStatistics.countByRank]] — range-bucket,
+    * one bucket-keyed exchange, per-partition sorted scan, bounded
+    * bucket-prefix theta join — evaluated at every pooled distinct
+    * value, so the ECDFs distribute O(N log N) with no global sort.
+    * The statistic stays in exact integers to the end
+    * (|cum₁·n₂ − cum₂·n₁| over the common denominator n₁·n₂), divides
+    * once in double, rounds at 6; the argmax location is tie-broken
+    * to the smallest value attaining the max. */
+  val qStatsKs = Q(
+    "q_stats_ks",
+    (s, dir) => {
+      val v = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_type"),
+          expr("cast(round(value * 1000000) as bigint)").as("x"))
+      val q = v.select(col("x")).distinct()
+        .select(col("x").as("user_id"), lit(0L).as("session_idx"),
+          col("x").as("q"))
+      val cum1 = countByRank(
+        v.filter(col("event_type") === "view").select(col("x").as("v")),
+        q, inclusive = true)
+        .select(col("user_id").as("x"), col("cnt").as("cum1"))
+      val cum2 = countByRank(
+        v.filter(col("event_type") === "click").select(col("x").as("v")),
+        q, inclusive = true)
+        .select(col("user_id").as("x"), col("cnt").as("cum2"))
+      val ns = v.agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n2"))
+      val d = cum1.join(cum2, Seq("x")).crossJoin(broadcast(ns))
+        .select(col("x"),
+          abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("diff"))
+      val m = d.agg(max(col("diff")).as("md"))
+      val arg = d.crossJoin(broadcast(m))
+        .filter(col("diff") === col("md"))
+        .agg(min(col("x")).as("at_micros"))
+      ns.crossJoin(m).crossJoin(arg)
+        .select(col("n1"), col("n2"),
+          round(col("md").cast("double") /
+            (col("n1") * col("n2")).cast("double"), 6).as("ks_d"),
+          col("at_micros"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT event_type, CAST(ROUND(value * 1000000) AS BIGINT) AS x
+        FROM events WHERE event_type IN ('view', 'click')),
+      d AS (
+        SELECT x,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c2
+        FROM v GROUP BY x),
+      c AS (
+        SELECT x, CAST(SUM(c1) OVER (ORDER BY x) AS BIGINT) AS cum1,
+               CAST(SUM(c2) OVER (ORDER BY x) AS BIGINT) AS cum2
+        FROM d),
+      n AS (SELECT
+              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n1,
+              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n2
+            FROM v),
+      dd AS (SELECT x, ABS(cum1 * n2 - cum2 * n1) AS diff
+             FROM c CROSS JOIN n),
+      m AS (SELECT MAX(diff) AS md FROM dd),
+      arg AS (SELECT MIN(x) AS at_micros FROM dd CROSS JOIN m
+              WHERE diff = md)
+      SELECT n1, n2,
+             ROUND(CAST(md AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS ks_d,
+             at_micros
+      FROM n CROSS JOIN m CROSS JOIN arg"""))
+
+  /** Autocorrelation function of the gap-free hourly event-count
+    * series at lags 1..24 — the seasonality screen run before fitting
+    * any forecast model. The corpus-scale work is the hourly count
+    * aggregation (one exchange on the truncated hour); the series
+    * itself is bounded (span-hours rows), so the zero-fill (the
+    * [[qTsGapfill]] sequence-explode, with absence meaning a REAL
+    * count of zero, not an imputation), the 24-way lag join on the
+    * integer hour index, and the per-lag reduction all run on a
+    * data-independent frame. The sample ACF normalizes by the
+    * full-series mean/variance; multiplying through by n² keeps every
+    * term an exact BIGINT (bounded while n·S·2·S < 2⁶³ — hour counts
+    * into the tens of thousands over multi-year spans, far beyond any
+    * fixture), with one double division rounded at 6. */
+  val qTsAcf = Q(
+    "q_ts_acf",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+      val span = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = span
+        .select(col("h0"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val series = grid.join(hourly, Seq("h"), "left")
+        .select(
+          expr("(unix_micros(h) - unix_micros(h0)) div 3600000000")
+            .as("tix"),
+          coalesce(col("x"), lit(0L)).as("x"))
+      val tot = series.agg(count(lit(1)).as("n"), sum(col("x")).as("ss"),
+        sum(col("x") * col("x")).as("sxx"))
+      val lags = s.range(1, 25).toDF("k")
+      series.crossJoin(lags)
+        .select(col("k"), (col("tix") + col("k")).as("tj"),
+          col("x").as("xa"))
+        .join(series.select(col("tix").as("tj"), col("x").as("xb")),
+          Seq("tj"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("xa") * col("xb")).as("sxy"),
+          sum(col("xa")).as("hh"), sum(col("xb")).as("tt"))
+        .crossJoin(broadcast(tot))
+        .select(col("k").as("lag"), col("n_pairs"),
+          round(
+            (col("n") * col("n") * col("sxy") -
+              col("n") * col("ss") * (col("hh") + col("tt")) +
+              col("n_pairs") * col("ss") * col("ss")).cast("double") /
+            (col("n") * col("n") * col("sxx") -
+              col("n") * col("ss") * col("ss")).cast("double"), 6).as("r"))
+        .orderBy(col("lag"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x
+        FROM events GROUP BY 1),
+      span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+      grid AS (
+        SELECT h0, unnest([g for g in
+                           generate_series(h0, h1, INTERVAL 1 HOUR)]) AS h
+        FROM span),
+      series AS (
+        SELECT CAST((epoch_us(g.h) - epoch_us(g.h0)) // 3600000000
+                 AS BIGINT) AS tix,
+               COALESCE(hr.x, 0) AS x
+        FROM grid g LEFT JOIN hourly hr USING (h)),
+      tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS ss,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx
+              FROM series),
+      lags AS (SELECT unnest(range(1, 25)) AS k),
+      j AS (
+        SELECT l.k, COUNT(*) AS n_pairs,
+               CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+               CAST(SUM(a.x) AS BIGINT) AS hh,
+               CAST(SUM(b.x) AS BIGINT) AS tt
+        FROM series a CROSS JOIN lags l
+        JOIN series b ON b.tix = a.tix + l.k
+        GROUP BY l.k)
+      SELECT k AS lag, n_pairs,
+             ROUND(CAST(n * n * sxy - n * ss * (hh + tt)
+                        + n_pairs * ss * ss AS DOUBLE) /
+                   CAST(n * n * sxx - n * ss * ss AS DOUBLE), 6) AS r
+      FROM j CROSS JOIN tot ORDER BY lag"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -2994,5 +3219,6 @@ object RelationalQueries {
     qScd2Orders, qScd2Incremental, qStatsProfile, qTsEwma, qStatsRegression, qStatsCorr, qStatsSkew, qStatsGini,
     qStatsKappa, qJoinExistsMulti, qAggLargeOrders, qScd2Lookup,
     qTsOhlc, qStatsMad, qEventsHistogram, qAggIvm,
-    qStatsSpearman, qStatsAbtest, qWindowSliding, qStatsWmedian, qAggReaggregate, qStatsBenford)
+    qStatsSpearman, qStatsAbtest, qWindowSliding, qStatsWmedian, qAggReaggregate, qStatsBenford,
+    qAggBasket, qStatsKs, qTsAcf)
 }

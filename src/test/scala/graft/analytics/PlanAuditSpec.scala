@@ -168,7 +168,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q_events_rfm",
       // q_stats_benford: the one-row observation-total scalar rides a
       // cross join into the 9-row digit frame (one-row-scalar pattern)
-      "q_stats_benford")
+      "q_stats_benford",
+      // q_agg_basket: the one-row order-count scalar rides a cross
+      // join into the lift projection (one-row-scalar pattern)
+      "q_agg_basket",
+      // q_stats_ks: countByRank's broadcast extrema + bucket-prefix
+      // theta join (the q_join_interval machinery) plus the one-row
+      // n1/n2 and max-diff scalars riding cross joins into the
+      // statistic (one-row-scalar pattern)
+      "q_stats_ks",
+      // q_ts_acf: the one-row hour-span extrema seed the grid explode
+      // and the one-row series-total scalar rides a cross join into
+      // the per-lag normalization; the 24-row lag table cross-joins
+      // the bounded hourly series (bounded by construction)
+      "q_ts_acf")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
