@@ -1251,10 +1251,63 @@ object PrepQueries {
                AS pos_rate_micro
       FROM binned GROUP BY bin ORDER BY bin"""))
 
+  /** Length-bucketed batching report — the padding-waste audit behind
+    * every fixed-shape training batcher: assign each document to the
+    * smallest power-of-two length bucket that holds its token count,
+    * then report per bucket the document count, the exact token mass,
+    * the number of 32-sequence batches, and the fraction of padded
+    * slots wasted. The complement of [[qPrepPack]]: packing
+    * concatenates into a budget (zero padding, documents split),
+    * bucketed batching pads to a shape (documents intact, waste the
+    * price) — a pipeline picks per corpus, and this query prices the
+    * second option. The bucket index is EXACT integer logic in both
+    * engines (binary-digit count of n−1, never floating log2, whose
+    * last-ulp behavior at exact powers of two is not contractual),
+    * so the gate pins bucket boundaries bit-for-bit. Scale shape: one
+    * narrow projection, one bucket-keyed aggregation — the shuffle
+    * carries per-bucket partials only. */
+  val qPrepPadding = Q(
+    "q_prep_padding",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .select(col("n_tokens"),
+          expr("CAST(shiftleft(1L, length(bin(n_tokens - 1))) AS BIGINT)")
+            .as("bucket_len"))
+      d.groupBy(col("bucket_len"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .select(col("bucket_len"), col("n_docs"), col("sum_tokens"),
+          expr("CAST((n_docs + 31) DIV 32 AS BIGINT)").as("n_batches"),
+          (col("n_docs") * col("bucket_len")).as("padded_slots"),
+          round((col("n_docs") * col("bucket_len") - col("sum_tokens"))
+            .cast("double") /
+            (col("n_docs") * col("bucket_len")).cast("double"), 6)
+            .as("waste_frac"))
+        .orderBy(col("bucket_len"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT n_tokens,
+               CAST(1 << LENGTH(bin(n_tokens - 1)) AS BIGINT)
+                 AS bucket_len
+        FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+                AS n_tokens
+              FROM documents)),
+      agg AS (
+        SELECT bucket_len, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM d GROUP BY bucket_len)
+      SELECT bucket_len, n_docs, sum_tokens,
+             (n_docs + 31) // 32 AS n_batches,
+             n_docs * bucket_len AS padded_slots,
+             ROUND(CAST(n_docs * bucket_len - sum_tokens AS DOUBLE) /
+                   CAST(n_docs * bucket_len AS DOUBLE), 6) AS waste_frac
+      FROM agg ORDER BY bucket_len"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
     qPrepCurriculum, qPrepWinsorize, qPrepOversample, qPrepClassifier,
     qPrepPerplexity, qPrepBinning, qPrepEvalSample, qPrepPipeline,
-    qPrepTemperature, qPrepCalibration)
+    qPrepTemperature, qPrepCalibration, qPrepPadding)
 }

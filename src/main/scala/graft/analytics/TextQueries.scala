@@ -1405,11 +1405,147 @@ object TextQueries {
       FROM ranked WHERE rank <= 3
       ORDER BY doc_id, rank"""))
 
+  /** Per-source distribution diagnostics — Shannon entropy of each
+    * source's own unigram distribution, cross-entropy against the
+    * CORPUS unigram LM, and their difference (the KL divergence
+    * D(source ‖ corpus)) — the domain-shift report a mixture designer
+    * reads before reweighting sources: a source whose KL is high is
+    * lexically far from the corpus average. Entropy IS the mean NLL
+    * of a source under its own LM, so both numbers follow
+    * [[qTextLogprob]]'s exact parity discipline verbatim: each
+    * distinct (source, token) NLL rounds once to a 6-digit DECIMAL,
+    * per-source sums weight those decimals by exact integer counts
+    * (order-free), and the means emit as integer micro-units under
+    * floor division. KL is the difference of the two EMITTED
+    * integers — deterministic by construction, and ≥ 0 up to the two
+    * floors. Scale shape: one token explode feeds both aggregations;
+    * the shuffles carry (source, w) partial counts and the |vocab|-row
+    * corpus LM broadcasts. */
+  val qTextEntropy = Q(
+    "q_text_entropy",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val sw = toks.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val stot = sw.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+      val vocab = sw.groupBy(col("w")).agg(sum(col("c")).as("n_w"))
+      val total = vocab.agg(sum(col("n_w")).cast("long").as("n_total"))
+      val corpusLm = vocab.crossJoin(broadcast(total))
+        .select(col("w"),
+          round(-log(col("n_w") * lit(1.0) / col("n_total")), 6)
+            .cast("decimal(25,6)").as("nll_c"))
+      sw.join(stot, Seq("source"))
+        .withColumn("nll_s",
+          round(-log(col("c") * lit(1.0) / col("ns")), 6)
+            .cast("decimal(25,6)"))
+        .join(broadcast(corpusLm), Seq("w"))
+        .groupBy(col("source"))
+        .agg(max(col("ns")).as("n_tokens"),
+          (sum(col("nll_s") * col("c").cast("decimal(12,0)")) *
+            lit(1000000)).cast("long").as("self_micro"),
+          (sum(col("nll_c") * col("c").cast("decimal(12,0)")) *
+            lit(1000000)).cast("long").as("cross_micro"))
+        .select(col("source"), col("n_tokens"),
+          expr("CAST(self_micro DIV n_tokens AS BIGINT)")
+            .as("entropy_micro"),
+          expr("CAST(cross_micro DIV n_tokens AS BIGINT)")
+            .as("cross_entropy_micro"),
+          (expr("CAST(cross_micro DIV n_tokens AS BIGINT)") -
+            expr("CAST(self_micro DIV n_tokens AS BIGINT)"))
+            .as("kl_micro"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      sw AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+               FROM sw GROUP BY source),
+      vocab AS (SELECT w, CAST(SUM(c) AS BIGINT) AS n_w
+                FROM sw GROUP BY w),
+      total AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM vocab),
+      lm AS (SELECT w, CAST(ROUND(-LN(n_w * 1.0 / n_total), 6)
+                            AS DECIMAL(25,6)) AS nll_c
+             FROM vocab, total),
+      terms AS (
+        SELECT sw.source, sw.c, stot.ns,
+               CAST(ROUND(-LN(sw.c * 1.0 / stot.ns), 6)
+                    AS DECIMAL(25,6)) AS nll_s,
+               lm.nll_c
+        FROM sw JOIN stot USING (source) JOIN lm USING (w)),
+      agg AS (
+        SELECT source, MAX(ns) AS n_tokens,
+               CAST(SUM(nll_s * CAST(c AS DECIMAL(12,0))) * 1000000
+                    AS BIGINT) AS self_micro,
+               CAST(SUM(nll_c * CAST(c AS DECIMAL(12,0))) * 1000000
+                    AS BIGINT) AS cross_micro
+        FROM terms GROUP BY source)
+      SELECT source, n_tokens,
+             self_micro // n_tokens AS entropy_micro,
+             cross_micro // n_tokens AS cross_entropy_micro,
+             (cross_micro // n_tokens) - (self_micro // n_tokens)
+               AS kl_micro
+      FROM agg ORDER BY source"""))
+
+  /** Vocabulary-coverage / OOV report — per source, the share of the
+    * token stream NOT covered by a fixed-size frequency-cut vocabulary
+    * (here the top-10 corpus tokens by count with a full text
+    * tie-break — the fixture's 31-token vocabulary makes a larger cut
+    * degenerate; production would pass 32k). The tokenizer-budget
+    * question every vocab build answers: what does shrinking the
+    * vocabulary cost each source? Scale shape: the vocab cut is a
+    * bounded TakeOrdered over the token-frequency table, broadcast
+    * back as a LEFT join flag; the only corpus-scale exchange carries
+    * (source, w) partial counts. Exact integers to the end, one
+    * rounded double division per source. */
+  val qTextOov = Q(
+    "q_text_oov",
+    (s, dir) => {
+      val sw = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val vocab = sw.groupBy(col("w")).agg(sum(col("c")).as("n_w"))
+        .orderBy(col("n_w").desc, col("w")).limit(10)
+        .select(col("w"), lit(1L).as("in_vocab"))
+      sw.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, col("c")).otherwise(0L))
+            .as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") /
+            col("n_tokens").cast("double"), 6).as("oov_rate"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH sw AS (
+        SELECT source, w, COUNT(*) AS c
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2),
+      vocab AS (
+        SELECT w FROM (
+          SELECT w, CAST(SUM(c) AS BIGINT) AS n_w FROM sw GROUP BY w
+          ORDER BY n_w DESC, w LIMIT 10)),
+      agg AS (
+        SELECT sw.source, CAST(SUM(sw.c) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.w IS NULL THEN sw.c ELSE 0 END)
+                    AS BIGINT) AS n_oov
+        FROM sw LEFT JOIN vocab v USING (w)
+        GROUP BY sw.source)
+      SELECT source, n_tokens, n_oov,
+             ROUND(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS oov_rate
+      FROM agg ORDER BY source"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
     qTextFingerprint, qTextVocab, qHeavyHitters, qTextCountmin,
     qTextRepetition,
     qTextLogprob, qTextBigramLogprob, qTextBpePairs, qTextBpeMerges,
     qTextBm25, qTextBm25Stored, qTextBm25Reingested, qTextTfidfSim,
     qTextCollocations, qTextChisquare, qStatsSourceOverlap, qTextDistinctN, qStatsDatacard,
-    qTextKeywords)
+    qTextKeywords, qTextEntropy, qTextOov)
 }

@@ -181,7 +181,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // and the one-row series-total scalar rides a cross join into
       // the per-lag normalization; the 24-row lag table cross-joins
       // the bounded hourly series (bounded by construction)
-      "q_ts_acf")
+      "q_ts_acf",
+      // q_text_entropy: the one-row corpus-token-total scalar rides a
+      // cross join into the corpus LM (the q_text_logprob pattern)
+      "q_text_entropy")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
