@@ -678,8 +678,87 @@ object EventQueries {
       FROM per CROSS JOIN anchor
       ORDER BY user_id"""))
 
+  /** Revenue-concentration (Pareto/Lorenz) summary — how few users
+    * carry 50% and 80% of total purchase value, plus the single
+    * largest user's share: the whale-dependence number every
+    * marketplace reports. The textbook computation sorts users by
+    * value and scans a global running share — a partition-less window.
+    * Here the cumulative mass ahead of each user comes from
+    * [[graft.operators.OrderStatistics.prefixSumByRank]] (the WEIGHTED
+    * prefix-sum generalization of countByRank added for this family):
+    * rank order is encoded as one strictly-monotone BIGINT composite
+    * (value·2²¹ + reversed user id — descending value, ascending id;
+    * an in-plan assert_true fails LOUDLY outside the encoding bounds,
+    * the q_stats_gini discipline), so "mass ahead" = total − inclusive
+    * prefix, and the 50/80% membership tests are exact integer
+    * cross-multiplications. One user-keyed exchange + the operator's
+    * bucket exchange; every post-aggregate frame is bounded. */
+  val qEventsPareto = Q(
+    "q_events_pareto",
+    (s, dir) => {
+      val uv = ev(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(expr("cast(round(value * 1000000) as bigint)")).as("v"))
+      val guard = coalesce(expr(
+        "assert_true(v < 4398046511104 and user_id < 2097152, " +
+          "'q_events_pareto: composite-encoding bounds exceeded " +
+          "(need value micros < 2^42 and user_id < 2^21)')").cast("long"),
+        lit(0L))
+      val enc = col("v") * lit(2097152L) +
+        (lit(2097151L) - col("user_id")) + guard
+      val incl = graft.operators.OrderStatistics.prefixSumByRank(
+        uv.select(enc.as("v"), col("v").as("w")),
+        uv.select(col("user_id"), lit(0L).as("session_idx"), enc.as("q")),
+        inclusive = true)
+        .select(col("user_id"), col("wsum"))
+      val tots = uv.agg(count(lit(1)).as("n_users"),
+        sum(col("v")).as("total_micro"), max(col("v")).as("maxv"))
+      uv.join(incl, Seq("user_id"))
+        .crossJoin(broadcast(tots))
+        .select(col("n_users"), col("total_micro"), col("maxv"),
+          (col("total_micro") - col("wsum")).as("ahead"))
+        .groupBy(col("n_users"), col("total_micro"), col("maxv"))
+        .agg(
+          sum(when(col("ahead") * 2 < col("total_micro"), 1L)
+            .otherwise(0L)).as("n_users_50"),
+          sum(when(col("ahead") * 5 < col("total_micro") * 4, 1L)
+            .otherwise(0L)).as("n_users_80"))
+        .select(col("n_users"), col("total_micro"),
+          col("n_users_50"), col("n_users_80"),
+          round(col("n_users_80").cast("double") /
+            col("n_users").cast("double"), 6).as("share_users_80"),
+          round(col("maxv").cast("double") /
+            col("total_micro").cast("double"), 6).as("top_user_share"))
+    },
+    Some("""
+      WITH uv AS (
+        SELECT user_id,
+               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                 AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      t AS (SELECT COUNT(*) AS n_users, CAST(SUM(v) AS BIGINT)
+              AS total_micro, CAST(MAX(v) AS BIGINT) AS maxv
+            FROM uv),
+      r AS (SELECT user_id, v,
+                   CAST(SUM(v) OVER (ORDER BY v DESC, user_id)
+                     AS BIGINT) AS cum_incl
+            FROM uv),
+      f AS (SELECT (cum_incl - v) AS ahead FROM r)
+      SELECT n_users, total_micro,
+             (SELECT COUNT(*) FROM f CROSS JOIN t t2
+              WHERE ahead * 2 < t2.total_micro) AS n_users_50,
+             (SELECT COUNT(*) FROM f CROSS JOIN t t2
+              WHERE ahead * 5 < t2.total_micro * 4) AS n_users_80,
+             ROUND(CAST((SELECT COUNT(*) FROM f CROSS JOIN t t2
+                         WHERE ahead * 5 < t2.total_micro * 4) AS DOUBLE)
+                   / CAST(n_users AS DOUBLE), 6) AS share_users_80,
+             ROUND(CAST(maxv AS DOUBLE) / CAST(total_micro AS DOUBLE), 6)
+               AS top_user_share
+      FROM t"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
     qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
     qEventsFunnelTime, qEventsDauWau, qEventsWauSketch,
-    qEventsCohortValue, qEventsRfm)
+    qEventsCohortValue, qEventsRfm, qEventsPareto)
 }

@@ -539,6 +539,73 @@ object GraphQueries {
         FROM scored) x
       WHERE rank <= 20 ORDER BY rank"""))
 
+  /** Degree assortativity of the customer–supplier trading graph —
+    * the edge-level Pearson correlation between endpoint degrees
+    * (do high-degree customers trade with high-degree suppliers?),
+    * the one-number mixing summary that decides whether hub-targeted
+    * sampling or skew salting will pay off on this graph. All five
+    * sufficient statistics (Σdc, Σds, Σdc·ds, Σdc², Σds²) accumulate
+    * as exact BIGINTs over the edge list — an in-plan assert_true on
+    * the one-row aggregate fails LOUDLY before the n·Σ products could
+    * wrap — and the final correlation is the only floating step:
+    * IEEE sqrt is correctly rounded by spec, so the double op tree is
+    * bit-deterministic cross-engine and rounds once at 6. Scale
+    * shape: one distinct-edge exchange, two degree aggregations on
+    * the edge keys (partitioning reused), one broadcast-sized degree
+    * join per side, one scalar reduce. */
+  val qGraphAssortativity = Q(
+    "q_graph_assortativity",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val eo = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val degc = eo.groupBy(col("c")).agg(count(lit(1)).as("dc"))
+      val degs = eo.groupBy(col("s")).agg(count(lit(1)).as("ds"))
+      val agg = eo.join(degc, Seq("c")).join(degs, Seq("s"))
+        .agg(count(lit(1)).as("m"),
+          sum(col("dc")).as("sx"), sum(col("ds")).as("sy"),
+          sum(col("dc") * col("ds")).as("sxy"),
+          sum(col("dc") * col("dc")).as("sxx"),
+          sum(col("ds") * col("ds")).as("syy"))
+      val guard = coalesce(expr(
+        "assert_true(sxy <= 4611686018427387904 div m and " +
+          "sx <= 3037000499 and sy <= 3037000499, " +
+          "'q_graph_assortativity: BIGINT moment bounds exceeded')")
+        .cast("long"), lit(0L))
+      agg.select((col("m") + guard).as("n_edges"),
+        round(
+          (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+             sqrt((col("m") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))), 6).as("assortativity"))
+    },
+    Some("""
+      WITH eo AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      degc AS (SELECT c, COUNT(*) AS dc FROM eo GROUP BY c),
+      degs AS (SELECT s, COUNT(*) AS ds FROM eo GROUP BY s),
+      agg AS (
+        SELECT COUNT(*) AS m,
+               CAST(SUM(dc) AS BIGINT) AS sx,
+               CAST(SUM(ds) AS BIGINT) AS sy,
+               CAST(SUM(dc * ds) AS BIGINT) AS sxy,
+               CAST(SUM(dc * dc) AS BIGINT) AS sxx,
+               CAST(SUM(ds * ds) AS BIGINT) AS syy
+        FROM eo JOIN degc USING (c) JOIN degs USING (s))
+      SELECT m AS n_edges,
+             ROUND(CAST(m * sxy - sx * sy AS DOUBLE) /
+                   (SQRT(CAST(m * sxx - sx * sx AS DOUBLE)) *
+                    SQRT(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+               AS assortativity
+      FROM agg"""))
+
   val all: Seq[Q] =
-    Seq(qGraphPagerank, qGraphTriangles, qGraphBfs, qGraphJaccard)
+    Seq(qGraphPagerank, qGraphTriangles, qGraphBfs, qGraphJaccard,
+      qGraphAssortativity)
 }

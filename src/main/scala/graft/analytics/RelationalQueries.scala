@@ -3203,6 +3203,87 @@ object RelationalQueries {
                    CAST(n * n * sxx - n * ss * ss AS DOUBLE), 6) AS r
       FROM j CROSS JOIN tot ORDER BY lag"""))
 
+  /** CUSUM changepoint screen per event type — the hour at which the
+    * cumulative deviation of the hourly count from the series mean
+    * peaks in magnitude (the classic level-shift detector: a sustained
+    * rate change makes |CUSUM| grow linearly until the shift point).
+    * The mean is kept rational — deviations are n·xₜ − S, the ×n
+    * scaling of xₜ − S/n — so every value in the query is an exact
+    * BIGINT and the gate pins the full statistic, not a rounding of
+    * it. Scale shape: the corpus-scale work is the hourly count
+    * exchange; the zero-filled series (absent hours are REAL zero
+    * counts, the [[qTsGapfill]] sequence-explode) is bounded per type,
+    * the running sum and max windows are PARTITIONED by event_type,
+    * and the argmax resolves by earliest-hour join — no global sort,
+    * no driver loop. */
+  val qTsCusum = Q(
+    "q_ts_cusum",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val series = grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("x"), lit(0L)).as("x"))
+      val tots = series.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("total_events"))
+      val wRun = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      val cum = series.join(broadcast(tots), Seq("event_type"))
+        .withColumn("cum",
+          sum(col("n_hours") * col("x") - col("total_events")).over(wRun))
+        .withColumn("mx", max(abs(col("cum"))).over(wAll))
+      val peaks = cum.filter(abs(col("cum")) === col("mx"))
+        .groupBy(col("event_type")).agg(min(col("h")).as("peak_h"))
+        .select(col("event_type").as("pt"), col("peak_h"))
+      cum.join(peaks,
+          col("event_type") === col("pt") && col("h") === col("peak_h"))
+        .select(col("event_type"), col("n_hours"), col("total_events"),
+          col("peak_h"), col("cum").as("cusum_peak"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS x
+        FROM events GROUP BY 1, 2),
+      spans AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+                FROM hourly GROUP BY 1),
+      grid AS (
+        SELECT event_type,
+               unnest([g for g in
+                       generate_series(h0, h1, INTERVAL 1 HOUR)]) AS h
+        FROM spans),
+      series AS (
+        SELECT g.event_type, g.h, COALESCE(hr.x, 0) AS x
+        FROM grid g LEFT JOIN hourly hr USING (event_type, h)),
+      tots AS (
+        SELECT event_type, COUNT(*) AS n_hours,
+               CAST(SUM(x) AS BIGINT) AS total_events
+        FROM series GROUP BY event_type),
+      cum AS (
+        SELECT s.event_type, s.h, t.n_hours, t.total_events,
+               CAST(SUM(t.n_hours * s.x - t.total_events) OVER (
+                 PARTITION BY s.event_type ORDER BY s.h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM series s JOIN tots t USING (event_type)),
+      mx AS (
+        SELECT event_type, MAX(ABS(cum)) AS m FROM cum GROUP BY 1),
+      peaks AS (
+        SELECT c.event_type, MIN(c.h) AS peak_h
+        FROM cum c JOIN mx USING (event_type)
+        WHERE ABS(c.cum) = mx.m GROUP BY c.event_type)
+      SELECT c.event_type, c.n_hours, c.total_events, p.peak_h,
+             c.cum AS cusum_peak
+      FROM cum c JOIN peaks p
+        ON c.event_type = p.event_type AND c.h = p.peak_h
+      ORDER BY c.event_type"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -3220,5 +3301,5 @@ object RelationalQueries {
     qStatsKappa, qJoinExistsMulti, qAggLargeOrders, qScd2Lookup,
     qTsOhlc, qStatsMad, qEventsHistogram, qAggIvm,
     qStatsSpearman, qStatsAbtest, qWindowSliding, qStatsWmedian, qAggReaggregate, qStatsBenford,
-    qAggBasket, qStatsKs, qTsAcf)
+    qAggBasket, qStatsKs, qTsAcf, qTsCusum)
 }

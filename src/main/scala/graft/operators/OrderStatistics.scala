@@ -29,6 +29,20 @@ object OrderStatistics {
     * `session_idx`, `q`. Output: (user_id, session_idx, cnt).
     * Ties: `inclusive` sorts points before equal-valued queries. */
   def countByRank(points: DataFrame, queries: DataFrame,
+      inclusive: Boolean, nBuckets: Int = 256): DataFrame =
+    prefixSumByRank(points.select(col("v"), lit(1L).as("w")), queries,
+      inclusive, nBuckets)
+      .withColumnRenamed("wsum", "cnt")
+
+  /** Weighted generalization of [[countByRank]] — the distributed
+    * PREFIX SUM: for each query value `q`, Σ of point WEIGHTS `w`
+    * over points with v ≤ q (`inclusive`) or v < q (strict).
+    * `points` carries BIGINT columns `v` and `w`; output
+    * (user_id, session_idx, wsum). With w ≡ 1 this IS countByRank
+    * (which delegates here); with real weights it answers "how much
+    * mass sits at or below this rank" — cumulative-share / Lorenz /
+    * Pareto cuts — in the same O(N log N), no-global-sort shape. */
+  def prefixSumByRank(points: DataFrame, queries: DataFrame,
       inclusive: Boolean, nBuckets: Int = 256): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val sp = points.sparkSession
@@ -51,31 +65,32 @@ object OrderStatistics {
     val pTag = if (inclusive) 0 else 1
     val pts = points.crossJoin(broadcast(ext))
       .select(bucketOf(col("v")).as("bucket"), col("v").as("value"),
-        lit(pTag).as("tag"), lit(-1L).as("uid"), lit(-1L).as("idx"))
+        lit(pTag).as("tag"), lit(-1L).as("uid"), lit(-1L).as("idx"),
+        col("w").as("wt"))
     val qs = queries.crossJoin(broadcast(ext))
       .select(bucketOf(col("q")).as("bucket"), col("q").as("value"),
         lit(1 - pTag).as("tag"), col("user_id").as("uid"),
-        col("session_idx").as("idx"))
+        col("session_idx").as("idx"), lit(0L).as("wt"))
     val local = pts.unionByName(qs)
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("value"), col("tag"))
-      .toDF("_1", "_2", "_3", "_4", "_5")
-      .as[(Int, Long, Int, Long, Long)]
+      .toDF("_1", "_2", "_3", "_4", "_5", "_6")
+      .as[(Int, Long, Int, Long, Long, Long)]
       .mapPartitions { it =>
         var curBucket = Int.MinValue
-        var cnt = 0L
-        it.flatMap { case (b, _, _, uid, idx) =>
-          if (b != curBucket) { curBucket = b; cnt = 0L }
-          if (uid == -1L) { cnt += 1L; Iterator.empty }
-          else Iterator.single((uid, idx, b, cnt))
+        var acc = 0L
+        it.flatMap { case (b, _, _, uid, idx, wt) =>
+          if (b != curBucket) { curBucket = b; acc = 0L }
+          if (uid == -1L) { acc += wt; Iterator.empty }
+          else Iterator.single((uid, idx, b, acc))
         }
       }.toDF("uid", "idx", "qbucket", "local")
-    val totals = pts.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    val totals = pts.groupBy(col("bucket")).agg(sum(col("wt")).as("c"))
     local.join(broadcast(totals), col("bucket") < col("qbucket"), "left")
       .groupBy(col("uid"), col("idx"), col("local"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("base"))
       .select(col("uid").as("user_id"), col("idx").as("session_idx"),
-        (col("base") + col("local")).as("cnt"))
+        (col("base") + col("local")).as("wsum"))
   }
 
   /** Interval-overlap degree, pair-free: for each interval

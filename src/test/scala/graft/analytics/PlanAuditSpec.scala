@@ -184,7 +184,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q_ts_acf",
       // q_text_entropy: the one-row corpus-token-total scalar rides a
       // cross join into the corpus LM (the q_text_logprob pattern)
-      "q_text_entropy")
+      "q_text_entropy",
+      // q_events_pareto: prefixSumByRank's broadcast extrema +
+      // bucket-prefix theta join (the q_join_interval machinery) plus
+      // the one-row totals scalar riding a cross join into the
+      // membership tests (one-row-scalar pattern)
+      "q_events_pareto")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n

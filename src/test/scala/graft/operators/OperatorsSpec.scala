@@ -241,6 +241,39 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("prefixSumByRank: weighted brute-force parity, ties, any bucket width") {
+    import spark.implicits._
+    // value ties (three points at 50), zero and negative weights,
+    // queries off the point grid and exactly on tie values
+    val pts: Seq[(Long, Long)] =
+      Seq((10L, 3L), (50L, 7L), (50L, 1L), (50L, 2L), (90L, 5L),
+        (200L, 11L), (200L, 0L), (500L, -4L))
+    val qs: Seq[(Long, Long)] =
+      Seq((1L, 5L), (2L, 10L), (3L, 50L), (4L, 51L), (5L, 200L),
+        (6L, 499L), (7L, 500L), (8L, 1000L))
+    val p = pts.toDF("v", "w")
+    val q = qs.map { case (id, x) => (id, 0L, x) }
+      .toDF("user_id", "session_idx", "q")
+    for (incl <- Seq(true, false); nB <- Seq(1, 2, 256)) {
+      val brute = qs.map { case (id, x) =>
+        id -> pts.filter { case (v, _) =>
+          if (incl) v <= x else v < x
+        }.map(_._2).sum
+      }.toMap
+      val got = OrderStatistics.prefixSumByRank(p, q, incl, nB)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === brute, s"inclusive=$incl nBuckets=$nB")
+    }
+    // countByRank delegation: w ≡ 1 reproduces plain rank counts
+    val cnt = OrderStatistics.countByRank(
+      p.select(col("v")), q, inclusive = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bruteCnt = qs.map { case (id, x) =>
+      id -> pts.count(_._1 <= x).toLong
+    }.toMap
+    assert(cnt === bruteCnt)
+  }
+
   test("bloom prune: no false negatives, bounded pass-through, join unchanged") {
     import spark.implicits._
     // build side: 1000 composite keys; probe: 10k rows of which only
