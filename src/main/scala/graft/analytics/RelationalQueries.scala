@@ -3284,6 +3284,86 @@ object RelationalQueries {
         ON c.event_type = p.event_type AND c.h = p.peak_h
       ORDER BY c.event_type"""))
 
+  /** Poisson-bootstrap confidence interval for the mean purchase
+    * value — the distributed bootstrap (Chamandy et al.'s Poisson
+    * approximation): instead of multinomial resampling (which needs
+    * global coordination), each row independently draws a
+    * Poisson(1) weight per replicate, so the 100 replicate sums
+    * partial-aggregate map-side and the shuffle carries 100 partials
+    * per partition regardless of corpus size. The draws are
+    * DETERMINISTIC — uniform micro-integers from the engine's md5
+    * fingerprint of (event_id, replicate), inverted through the
+    * Poisson(1) CDF as fixed integer thresholds — so DuckDB rebuilds
+    * the IDENTICAL resample and the gate hash-matches the whole CI,
+    * not a distributional property. Replicate means and the CI
+    * endpoints (3rd / 98th order statistics of 100 means — the 2.5%
+    * and 97.5% percentile bootstrap) stay in exact integer micro-units
+    * under floor division; the final sort is a bounded 100-element
+    * array, never a corpus sort. */
+  val qStatsBootstrap = Q(
+    "q_stats_bootstrap",
+    (s, dir) => {
+      val x = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          expr("cast(round(value * 1000000) as bigint)").as("x"))
+      val reps = s.range(0, 100).toDF("b")
+      val u = pmod(graft.functions.TextFunctions.md5Bits(
+        concat(col("event_id").cast("string"), lit(":"),
+          col("b").cast("string"))).getField("h"), lit(1000000L))
+      val w = when(u < 367879L, 0L).when(u < 735759L, 1L)
+        .when(u < 919699L, 2L).when(u < 980830L, 3L)
+        .when(u < 996340L, 4L).when(u < 999406L, 5L).otherwise(6L)
+      val means = x.crossJoin(reps)
+        .select(col("b"), col("x"), w.as("w"))
+        .groupBy(col("b"))
+        .agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"))
+        .select(expr("CAST(swx DIV sw AS BIGINT)").as("mean_micro"))
+        // exactly |reps| rows by construction; the explicit limit puts
+        // that bound IN-PLAN so the collect_list below is provably
+        // bounded (the PlanAudit contract), order-irrelevant under
+        // sort_array
+        .limit(100)
+      val ci = means.agg(sort_array(collect_list(col("mean_micro")))
+          .as("ms"))
+        .select(element_at(col("ms"), 3).as("ci_lo_micro"),
+          element_at(col("ms"), 98).as("ci_hi_micro"))
+      x.agg(count(lit(1)).as("n_obs"), sum(col("x")).as("sx"))
+        .crossJoin(ci)
+        .select(col("n_obs"),
+          expr("CAST(sx DIV n_obs AS BIGINT)").as("mean_micro"),
+          col("ci_lo_micro"), col("ci_hi_micro"),
+          lit(100L).as("n_replicates"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT event_id, CAST(ROUND(value * 1000000) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase'),
+      reps AS (SELECT unnest(range(0, 100)) AS b),
+      draws AS (
+        SELECT b, x,
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                 || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS u
+        FROM x CROSS JOIN reps),
+      weighted AS (
+        SELECT b, x,
+               CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                    WHEN u < 919699 THEN 2 WHEN u < 980830 THEN 3
+                    WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+                    ELSE 6 END AS w
+        FROM draws),
+      r AS (SELECT b, CAST(SUM(w) AS BIGINT) AS sw,
+                   CAST(SUM(w * x) AS BIGINT) AS swx
+            FROM weighted GROUP BY b),
+      means AS (SELECT swx // sw AS mean_micro FROM r),
+      ms AS (SELECT list_sort(list(mean_micro)) AS l FROM means),
+      base AS (SELECT COUNT(*) AS n_obs, CAST(SUM(x) AS BIGINT) AS sx
+               FROM x)
+      SELECT n_obs, sx // n_obs AS mean_micro,
+             l[3] AS ci_lo_micro, l[98] AS ci_hi_micro,
+             CAST(100 AS BIGINT) AS n_replicates
+      FROM base CROSS JOIN ms"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -3301,5 +3381,5 @@ object RelationalQueries {
     qStatsKappa, qJoinExistsMulti, qAggLargeOrders, qScd2Lookup,
     qTsOhlc, qStatsMad, qEventsHistogram, qAggIvm,
     qStatsSpearman, qStatsAbtest, qWindowSliding, qStatsWmedian, qAggReaggregate, qStatsBenford,
-    qAggBasket, qStatsKs, qTsAcf, qTsCusum)
+    qAggBasket, qStatsKs, qTsAcf, qTsCusum, qStatsBootstrap)
 }

@@ -189,7 +189,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // bucket-prefix theta join (the q_join_interval machinery) plus
       // the one-row totals scalar riding a cross join into the
       // membership tests (one-row-scalar pattern)
-      "q_events_pareto")
+      "q_events_pareto",
+      // q_stats_bootstrap: the 100-row replicate table rides a cross
+      // join into the per-row weight draw (bounded by construction —
+      // the q_sim_kmeans small-broadcast-table pattern), and the one-row
+      // base/CI scalars cross-join into the summary
+      "q_stats_bootstrap")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
