@@ -757,8 +757,118 @@ object EventQueries {
                AS top_user_share
       FROM t"""))
 
+  /** Survival analysis of signup→purchase conversion — the
+    * Nelson–Aalen cumulative-hazard table with RIGHT-CENSORING, the
+    * estimator product analytics needs when "hasn't converted YET"
+    * must not count as "never converts": a user contributes to the
+    * day-t risk set while observed (until conversion or their last
+    * event), converts at day d = ⌊(first qualifying purchase −
+    * first signup)/1 day⌋, or censors at their last-seen day. Per
+    * conversion day: risk-set size, conversions, the discrete hazard
+    * dₜ/nₜ and its running sum — all in exact integer micro-units
+    * (per-term floor division, the engine's ratio discipline; a SUM
+    * of floors is deterministic where a product of rationals — the
+    * Kaplan–Meier form — would compound rounding).
+    *
+    * Scale shape: the per-user triple (signup, conversion, censor
+    * time) is two user-keyed aggregations on ONE partitioning; the
+    * risk-set counts come from
+    * [[graft.operators.OrderStatistics.countByRank]] (n_at_risk(t) =
+    * users − #{observation end < t}) — no per-(user × day) explode,
+    * no global window; the hazard table itself is bounded by the
+    * number of distinct conversion days, and its running sum rides a
+    * bounded triangular join, never a partition-less window. */
+  val qEventsSurvival = Q(
+    "q_events_survival",
+    (s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("ts"), unix_micros(col("ts")).as("us"))
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t0"))
+      val perUser = e.join(su, Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(max(col("t0")).as("t0"),
+          min(when(col("event_type") === "purchase" &&
+            col("us") > col("t0"), col("us"))).as("te"),
+          max(col("us")).as("tlast"))
+        .select(col("user_id"),
+          when(col("te").isNotNull,
+            expr("(te - t0) div 86400000000")).as("d_conv"),
+          when(col("te").isNull,
+            expr("(tlast - t0) div 86400000000")).as("d_cens"))
+        .select(col("user_id"), col("d_conv"),
+          coalesce(col("d_conv"), col("d_cens")).as("d_end"))
+      val days = perUser.filter(col("d_conv").isNotNull)
+        .groupBy(col("d_conv").as("t"))
+        .agg(count(lit(1)).as("d_events"))
+      val nUsers = perUser.agg(count(lit(1)).as("n_users"))
+      val ended = graft.operators.OrderStatistics.countByRank(
+        perUser.select(col("d_end").as("v")),
+        days.select(col("t").as("user_id"), lit(0L).as("session_idx"),
+          col("t").as("q")),
+        inclusive = false)
+        .select(col("user_id").as("t"), col("cnt").as("n_ended"))
+      val hz = days.join(ended, Seq("t")).crossJoin(broadcast(nUsers))
+        .select(col("t"), (col("n_users") - col("n_ended")).as("n_at_risk"),
+          col("d_events"))
+        .withColumn("hazard_micro",
+          expr("CAST(d_events * 1000000 DIV n_at_risk AS BIGINT)"))
+      val h2 = hz.select(col("t").as("t2"),
+        col("hazard_micro").as("h2"))
+      // bounded triangular join (≤ |distinct conversion days|² pairs);
+      // the explicit broadcast keeps it a BNLJ, never a cartesian
+      hz.join(broadcast(h2), col("t2") <= col("t"))
+        .groupBy(col("t"), col("n_at_risk"), col("d_events"),
+          col("hazard_micro"))
+        .agg(sum(col("h2")).as("cumhaz_micro"))
+        .orderBy(col("t"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      su AS (
+        SELECT user_id, MIN(us) AS t0 FROM e
+        WHERE event_type = 'signup' GROUP BY user_id),
+      pu AS (
+        SELECT e.user_id, MAX(su.t0) AS t0,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.us > su.t0
+                        THEN e.us END) AS te,
+               MAX(e.us) AS tlast
+        FROM e JOIN su USING (user_id)
+        GROUP BY e.user_id),
+      per_user AS (
+        SELECT user_id,
+               CASE WHEN te IS NOT NULL
+                    THEN (te - t0) // 86400000000 END AS d_conv,
+               CASE WHEN te IS NOT NULL
+                    THEN (te - t0) // 86400000000
+                    ELSE (tlast - t0) // 86400000000 END AS d_end
+        FROM pu),
+      days AS (
+        SELECT d_conv AS t, COUNT(*) AS d_events
+        FROM per_user WHERE d_conv IS NOT NULL GROUP BY d_conv),
+      n AS (SELECT COUNT(*) AS n_users FROM per_user),
+      hz AS (
+        SELECT d.t,
+               n.n_users - (SELECT COUNT(*) FROM per_user p
+                            WHERE p.d_end < d.t) AS n_at_risk,
+               d.d_events
+        FROM days d CROSS JOIN n),
+      hz2 AS (
+        SELECT t, n_at_risk, d_events,
+               CAST(d_events * 1000000 // n_at_risk AS BIGINT)
+                 AS hazard_micro
+        FROM hz)
+      SELECT a.t, a.n_at_risk, a.d_events, a.hazard_micro,
+             CAST(SUM(b.hazard_micro) AS BIGINT) AS cumhaz_micro
+      FROM hz2 a JOIN hz2 b ON b.t <= a.t
+      GROUP BY a.t, a.n_at_risk, a.d_events, a.hazard_micro
+      ORDER BY a.t"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
     qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
     qEventsFunnelTime, qEventsDauWau, qEventsWauSketch,
-    qEventsCohortValue, qEventsRfm, qEventsPareto)
+    qEventsCohortValue, qEventsRfm, qEventsPareto, qEventsSurvival)
 }

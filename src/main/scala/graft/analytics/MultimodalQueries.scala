@@ -299,7 +299,72 @@ object MultimodalQueries {
         FROM scored) x
       WHERE rank <= 20 ORDER BY rank"""))
 
+  /** Byte-level information screen over the opaque binary payloads —
+    * Shannon entropy of each payload's hex-digit distribution (16
+    * symbols = the byte nibbles), the cheap low-information detector a
+    * multimodal ingest runs before spending decode/model time: a
+    * constant-fill or heavily repetitive blob scores far below random
+    * or compressed content. Counting is the replace-shrink trick
+    * (length minus length-with-symbol-removed — pure integer string
+    * logic, identical in both engines, no regex); the 16 per-symbol
+    * NLL terms follow the engine's micro-unit log discipline (round
+    * each −ln(cᵢ/n) once at 6 into DECIMAL, weight by exact counts,
+    * floor-divide the ×10⁶ sum) so the statistic hash-matches
+    * cross-engine. Scale shape: one narrow projection — 16 in-row
+    * column ops + one fixed-size expression tree per payload; no
+    * explode, no shuffle beyond the mandated ORDER BY. */
+  val qMultimodalEntropy = Q(
+    "q_multimodal_entropy",
+    (s, dir) => {
+      val hexDigits = "0123456789ABCDEF"
+      val b = Multimodal.binarize(Tables.spread(Tables(s, dir, "documents")))
+        .select(col("doc_id"), hex(col("content")).as("hx"))
+        .withColumn("n", length(col("hx")).cast("long"))
+      val withCounts = hexDigits.zipWithIndex.foldLeft(b) {
+        case (df, (c, i)) => df.withColumn(s"c$i",
+          (length(col("hx")) - length(expr(s"replace(hx, '$c', '')")))
+            .cast("long"))
+      }
+      val terms = hexDigits.indices.map(i =>
+        s"""CASE WHEN c$i > 0
+              THEN CAST(ROUND(-LN(c$i * 1.0 / n), 6) AS DECIMAL(25,6))
+                   * CAST(c$i AS DECIMAL(12,0))
+              ELSE CAST(0 AS DECIMAL(37,6)) END""").mkString(" + ")
+      withCounts
+        .select(col("doc_id"), col("n").as("n_hex"),
+          expr(s"CAST(CAST(($terms) * 1000000 AS BIGINT) DIV n AS BIGINT)")
+            .as("entropy_micro"))
+        .withColumn("low_info", col("entropy_micro") < 2000000L)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val hexDigits = "0123456789ABCDEF"
+      val counts = hexDigits.zipWithIndex.map { case (c, i) =>
+        s"LENGTH(hx) - LENGTH(replace(hx, '$c', '')) AS c$i"
+      }.mkString(",\n               ")
+      val terms = hexDigits.indices.map(i =>
+        s"""CASE WHEN c$i > 0
+              THEN CAST(ROUND(-LN(c$i * 1.0 / n), 6) AS DECIMAL(25,6))
+                   * CAST(c$i AS DECIMAL(12,0))
+              ELSE CAST(0 AS DECIMAL(37,6)) END""").mkString(" + ")
+      s"""
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(LENGTH(hex(encode(text))) AS BIGINT) AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id, n,
+               $counts
+        FROM b)
+      SELECT doc_id, n AS n_hex,
+             CAST(CAST(($terms) * 1000000 AS BIGINT) // n AS BIGINT)
+               AS entropy_micro,
+             CAST(CAST(($terms) * 1000000 AS BIGINT) // n AS BIGINT)
+               < 2000000 AS low_info
+      FROM c ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFeatures,
     qMultimodalFrames, qMultimodalCdc, qMultimodalResize,
-    qMultimodalPhash)
+    qMultimodalPhash, qMultimodalEntropy)
 }

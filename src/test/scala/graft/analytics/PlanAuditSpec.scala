@@ -194,7 +194,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // join into the per-row weight draw (bounded by construction —
       // the q_sim_kmeans small-broadcast-table pattern), and the one-row
       // base/CI scalars cross-join into the summary
-      "q_stats_bootstrap")
+      "q_stats_bootstrap",
+      // q_events_survival: countByRank's machinery plus the bounded
+      // triangular cumulative-hazard join over the distinct-conversion-
+      // day table (the q_prep_pack two-level-prefix shape) and the
+      // one-row user-count scalar (one-row-scalar pattern)
+      "q_events_survival")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
