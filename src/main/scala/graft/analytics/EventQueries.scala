@@ -867,8 +867,130 @@ object EventQueries {
       GROUP BY a.t, a.n_at_risk, a.d_events, a.hazard_micro
       ORDER BY a.t"""))
 
+  /** CUPED-adjusted experiment readout — the variance-reduction
+    * technique every mature experimentation platform applies before
+    * calling an A/B result: regress the post-period metric on the
+    * PRE-period covariate (θ = cov(X,Y)/var(X), pooled), subtract
+    * θ·(X − X̄) per user, and compare per-variant ADJUSTED means —
+    * same expectation, (1 − ρ²)× the variance. Assignment is a
+    * deterministic md5 parity of the user id (replayable "experiment");
+    * the pre/post split is the fixture midpoint. Every moment (Sx, Sy,
+    * Sxy, Sxx, Syy, per variant and pooled) accumulates as exact
+    * integer cents; the n·S products that could graze BIGINT at scale
+    * go through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) before the
+    * single double division, and every emitted ratio rounds once at 6.
+    * Scale shape: one user-keyed aggregation builds (X, Y, variant);
+    * everything after runs on two variant rows + one pooled row. */
+  val qEventsUplift = Q(
+    "q_events_uplift",
+    (s, dir) => {
+      val mid = lit("2024-01-15").cast("timestamp")
+      val xy = ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase" && col("ts") < mid,
+            expr("cast(round(value * 100) as bigint)")).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase" && col("ts") >= mid,
+            expr("cast(round(value * 100) as bigint)")).otherwise(0L))
+            .as("y"))
+        .withColumn("variant",
+          pmod(graft.functions.TextFunctions.md5Bits(
+            col("user_id").cast("string")).getField("h"), lit(2L)))
+      val pooled = xy.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("cast(x as decimal(19,0)) * cast(y as decimal(19,0))"))
+          .as("sxy"),
+        sum(expr("cast(x as decimal(19,0)) * cast(x as decimal(19,0))"))
+          .as("sxx"),
+        sum(expr("cast(y as decimal(19,0)) * cast(y as decimal(19,0))"))
+          .as("syy"))
+        .select(col("n"), col("sx"), col("sy"),
+          (col("n").cast(DecimalType(20, 0)) * col("sxy") -
+            col("sx").cast(DecimalType(20, 0)) *
+            col("sy").cast(DecimalType(20, 0))).cast("double").as("covn"),
+          (col("n").cast(DecimalType(20, 0)) * col("sxx") -
+            col("sx").cast(DecimalType(20, 0)) *
+            col("sx").cast(DecimalType(20, 0))).cast("double").as("varxn"),
+          (col("n").cast(DecimalType(20, 0)) * col("syy") -
+            col("sy").cast(DecimalType(20, 0)) *
+            col("sy").cast(DecimalType(20, 0))).cast("double").as("varyn"))
+        .select(col("n"), col("sx"), col("sy"),
+          (col("covn") / col("varxn")).as("theta"),
+          (col("covn") * col("covn") / (col("varxn") * col("varyn")))
+            .as("rho2"))
+      xy.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"), sum(col("x")).as("vx"),
+          sum(col("y")).as("vy"))
+        .crossJoin(broadcast(pooled))
+        .select(col("variant"), col("n_users"),
+          round(col("vy").cast("double") / col("n_users").cast("double") /
+            100.0, 6).as("mean_post"),
+          round((col("vy").cast("double") / col("n_users").cast("double") -
+            col("theta") * (col("vx").cast("double") /
+              col("n_users").cast("double") -
+              col("sx").cast("double") / col("n").cast("double"))) / 100.0,
+            6).as("adj_mean_post"),
+          round(col("theta"), 6).as("theta"),
+          round(col("rho2"), 6).as("variance_reduction"))
+        .orderBy(col("variant"))
+    },
+    Some("""
+      WITH xy AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                              AND ts < TIMESTAMP '2024-01-15'
+                             THEN CAST(ROUND(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                              AND ts >= TIMESTAMP '2024-01-15'
+                             THEN CAST(ROUND(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id),
+      tagged AS (
+        SELECT *, CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                 1, 15)) AS BIGINT) % 2 AS variant
+        FROM xy),
+      pooled AS (
+        SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+               SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+               SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        FROM tagged),
+      scal AS (
+        SELECT n, sx, sy,
+               CAST(CAST(n AS HUGEINT) * sxy
+                    - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)
+                 AS DOUBLE) AS covn,
+               CAST(CAST(n AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+                 AS DOUBLE) AS varxn,
+               CAST(CAST(n AS HUGEINT) * syy
+                    - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT)
+                 AS DOUBLE) AS varyn
+        FROM pooled),
+      th AS (SELECT n, sx, covn / varxn AS theta,
+                    covn * covn / (varxn * varyn) AS rho2
+             FROM scal),
+      v AS (
+        SELECT variant, COUNT(*) AS n_users,
+               CAST(SUM(x) AS BIGINT) AS vx, CAST(SUM(y) AS BIGINT) AS vy
+        FROM tagged GROUP BY variant)
+      SELECT variant, n_users,
+             ROUND(CAST(vy AS DOUBLE) / CAST(n_users AS DOUBLE)
+                   / 100.0, 6) AS mean_post,
+             ROUND((CAST(vy AS DOUBLE) / CAST(n_users AS DOUBLE)
+                    - theta * (CAST(vx AS DOUBLE) / CAST(n_users AS DOUBLE)
+                               - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                   / 100.0, 6) AS adj_mean_post,
+             ROUND(theta, 6) AS theta,
+             ROUND(rho2, 6) AS variance_reduction
+      FROM v CROSS JOIN th ORDER BY variant"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
     qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
     qEventsFunnelTime, qEventsDauWau, qEventsWauSketch,
-    qEventsCohortValue, qEventsRfm, qEventsPareto, qEventsSurvival)
+    qEventsCohortValue, qEventsRfm, qEventsPareto, qEventsSurvival,
+    qEventsUplift)
 }

@@ -1304,10 +1304,71 @@ object PrepQueries {
                    CAST(n_docs * bucket_len AS DOUBLE), 6) AS waste_frac
       FROM agg ORDER BY bucket_len"""))
 
+  /** Differential-privacy release plumbing — per-key Laplace-noised
+    * counts (ε = 1), the mechanism a data platform applies before
+    * publishing aggregate statistics about a sensitive corpus. The
+    * privacy math is standard inverse-CDF Laplace; what the engine
+    * demonstrates is the DISTRIBUTED shape (noise is applied to the
+    * bounded post-aggregation key table, never per row — the corpus
+    * pays one exchange, the mechanism is free) and the parity
+    * discipline: the "draw" is the deterministic md5 micro-uniform of
+    * the key (replayable release, same recipe as the bootstrap's
+    * Poisson draws), inverted through ln with the engine's round-6
+    * micro-unit treatment and an explicit floor at the distribution
+    * tail (the u→0 singularity clamps at 10⁻⁶, bounding |noise| at
+    * ~13.8/ε — a truncated-Laplace release, stated rather than
+    * hidden). A production release would swap the md5 seed for a
+    * secret RNG; every other line is unchanged. */
+  val qPrepDpCount = Q(
+    "q_prep_dp_count",
+    (s, dir) => {
+      val counts = docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("true_count"))
+      val u = pmod(graft.functions.TextFunctions.md5Bits(
+        concat(lit("dp:"), col("source"))).getField("h"), lit(1000000L))
+      val c = u - lit(500000L)
+      // decimal route for the ×10⁶ lift: ROUND(,6)·1e6 in DOUBLE can
+      // land a hair under the integer and Spark's cast truncates where
+      // DuckDB's rounds — DECIMAL(25,6) makes the lift exact (the LM
+      // queries' discipline)
+      val mag = expr(
+        """CAST(CAST(ROUND(-LN(GREATEST(
+             1.0 - ABS(u - 500000) * 2.0 / 1000000,
+             0.000001)), 6) AS DECIMAL(25,6)) * 1000000 AS BIGINT)""")
+      counts.withColumn("u", u)
+        .withColumn("noise_micro",
+          when(c < 0, -lit(1L)).otherwise(lit(1L)) * mag)
+        .select(col("source"), col("true_count"), col("noise_micro"),
+          (col("true_count") * lit(1000000L) + col("noise_micro"))
+            .as("noised_micro"),
+          lit(1.0).as("epsilon"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT source, COUNT(*) AS true_count
+        FROM documents GROUP BY source),
+      seeded AS (
+        SELECT source, true_count,
+               CAST(('0x' || substr(md5('dp:' || source), 1, 15))
+                 AS BIGINT) % 1000000 AS u
+        FROM counts),
+      noised AS (
+        SELECT source, true_count,
+               (CASE WHEN u - 500000 < 0 THEN -1 ELSE 1 END) *
+               CAST(CAST(ROUND(-LN(GREATEST(
+                 1.0 - ABS(u - 500000) * 2.0 / 1000000, 0.000001)), 6)
+                 AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS noise_micro
+        FROM seeded)
+      SELECT source, true_count, noise_micro,
+             true_count * 1000000 + noise_micro AS noised_micro,
+             CAST(1.0 AS DOUBLE) AS epsilon
+      FROM noised ORDER BY source"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
     qPrepCurriculum, qPrepWinsorize, qPrepOversample, qPrepClassifier,
     qPrepPerplexity, qPrepBinning, qPrepEvalSample, qPrepPipeline,
-    qPrepTemperature, qPrepCalibration, qPrepPadding)
+    qPrepTemperature, qPrepCalibration, qPrepPadding, qPrepDpCount)
 }

@@ -3364,6 +3364,109 @@ object RelationalQueries {
              CAST(100 AS BIGINT) AS n_replicates
       FROM base CROSS JOIN ms"""))
 
+  /** Hour-of-day seasonality strength per event type — the variance
+    * decomposition (between-hour-of-day sum of squares over total sum
+    * of squares, the η² a forecaster checks before choosing a seasonal
+    * model) plus the peak hour-of-day. Over the ZERO-FILLED hourly
+    * series (absent hours are real zero counts), so the decomposition
+    * sees the true daily profile. Exactness discipline: both sums of
+    * squares are defined WITH explicit ×10⁶ floor divisions
+    * (SSB = Σ_g ⌊S_g²·10⁶/n_g⌋ − ⌊S²·10⁶/n⌋, SST = Sxx·10⁶ − ⌊S²·10⁶/n⌋)
+    * so every intermediate is an exact BIGINT the oracle replicates
+    * term-for-term — no order-dependent double summation; the one
+    * double division rounds at 6. Peak-hour means compare as floor
+    * micro-means with a min-hod tie-break. Scale shape: corpus work is
+    * the hourly exchange; the 24×|types| profile and per-type scalars
+    * are bounded. */
+  val qTsSeasonality = Q(
+    "q_ts_seasonality",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val series = grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), hour(col("h")).cast("long").as("hod"),
+          coalesce(col("x"), lit(0L)).as("x"))
+      val byHod = series.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"))
+      val tot = series.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("ss"),
+          sum(col("x") * col("x")).as("sxx"))
+      val ssb = byHod.groupBy(col("event_type"))
+        .agg(sum(expr("CAST(sg * sg * 1000000 DIV ng AS BIGINT)"))
+          .as("ssb_raw"))
+      val meanHod = byHod
+        .select(col("event_type"), col("hod"),
+          expr("CAST(sg * 1000000 DIV ng AS BIGINT)").as("mean_micro"))
+      val mxMean = meanHod.groupBy(col("event_type"))
+        .agg(max(col("mean_micro")).as("mm"))
+      val peak = meanHod.join(mxMean, Seq("event_type"))
+        .filter(col("mean_micro") === col("mm"))
+        .groupBy(col("event_type"))
+        .agg(min(col("hod")).as("peak_hod"), max(col("mm"))
+          .as("peak_mean_micro"))
+      tot.join(ssb, Seq("event_type")).join(peak, Seq("event_type"))
+        .select(col("event_type"), col("n").as("n_hours"),
+          col("peak_hod"), col("peak_mean_micro"),
+          round(
+            (col("ssb_raw") - expr("CAST(ss * ss * 1000000 DIV n AS BIGINT)"))
+              .cast("double") /
+            (col("sxx") * lit(1000000L) -
+              expr("CAST(ss * ss * 1000000 DIV n AS BIGINT)"))
+              .cast("double"), 6).as("seasonality_strength"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS x
+        FROM events GROUP BY 1, 2),
+      spans AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+                FROM hourly GROUP BY 1),
+      grid AS (
+        SELECT event_type,
+               unnest([g for g in
+                       generate_series(h0, h1, INTERVAL 1 HOUR)]) AS h
+        FROM spans),
+      series AS (
+        SELECT g.event_type, CAST(hour(g.h) AS BIGINT) AS hod,
+               COALESCE(hr.x, 0) AS x
+        FROM grid g LEFT JOIN hourly hr USING (event_type, h)),
+      by_hod AS (
+        SELECT event_type, hod, COUNT(*) AS ng,
+               CAST(SUM(x) AS BIGINT) AS sg
+        FROM series GROUP BY 1, 2),
+      tot AS (
+        SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS ss,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM series GROUP BY 1),
+      ssb AS (
+        SELECT event_type,
+               CAST(SUM(sg * sg * 1000000 // ng) AS BIGINT) AS ssb_raw
+        FROM by_hod GROUP BY 1),
+      mean_hod AS (
+        SELECT event_type, hod,
+               CAST(sg * 1000000 // ng AS BIGINT) AS mean_micro
+        FROM by_hod),
+      mx AS (SELECT event_type, MAX(mean_micro) AS mm
+             FROM mean_hod GROUP BY 1),
+      peak AS (
+        SELECT m.event_type, MIN(m.hod) AS peak_hod,
+               MAX(mx.mm) AS peak_mean_micro
+        FROM mean_hod m JOIN mx USING (event_type)
+        WHERE m.mean_micro = mx.mm GROUP BY m.event_type)
+      SELECT t.event_type, t.n AS n_hours, p.peak_hod, p.peak_mean_micro,
+             ROUND(CAST(s.ssb_raw - (t.ss * t.ss * 1000000 // t.n)
+                     AS DOUBLE) /
+                   CAST(t.sxx * 1000000 - (t.ss * t.ss * 1000000 // t.n)
+                     AS DOUBLE), 6) AS seasonality_strength
+      FROM tot t JOIN ssb s USING (event_type)
+      JOIN peak p USING (event_type)
+      ORDER BY t.event_type"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -3381,5 +3484,6 @@ object RelationalQueries {
     qStatsKappa, qJoinExistsMulti, qAggLargeOrders, qScd2Lookup,
     qTsOhlc, qStatsMad, qEventsHistogram, qAggIvm,
     qStatsSpearman, qStatsAbtest, qWindowSliding, qStatsWmedian, qAggReaggregate, qStatsBenford,
-    qAggBasket, qStatsKs, qTsAcf, qTsCusum, qStatsBootstrap)
+    qAggBasket, qStatsKs, qTsAcf, qTsCusum, qStatsBootstrap,
+    qTsSeasonality)
 }

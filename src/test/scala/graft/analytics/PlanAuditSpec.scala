@@ -199,7 +199,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // triangular cumulative-hazard join over the distinct-conversion-
       // day table (the q_prep_pack two-level-prefix shape) and the
       // one-row user-count scalar (one-row-scalar pattern)
-      "q_events_survival")
+      "q_events_survival",
+      // q_events_uplift: the one-row pooled-moment scalar (θ, ρ²)
+      // rides a cross join into the two variant rows (one-row-scalar
+      // pattern)
+      "q_events_uplift")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
