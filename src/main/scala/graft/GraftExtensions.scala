@@ -73,5 +73,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "graft_cdc_chunks(payload)")
         CdcChunks(children.head)
       }))
+    // Plan linting (off by default): set spark.graft.planGuard to
+    // warn/strict and the scale-hostile logical shapes this engine's
+    // own test audit bans (partition-less windows, unbounded collects,
+    // cartesian products) are flagged/rejected at optimization time
+    // for ANY query in the session.
+    ext.injectOptimizerRule(session =>
+      new graft.plans.PlanGuardRule(session))
   }
 }

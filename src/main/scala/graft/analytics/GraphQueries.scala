@@ -605,7 +605,123 @@ object GraphQueries {
                AS assortativity
       FROM agg"""))
 
+  /** k-core peeling on the part co-occurrence graph — four rounds of
+    * the classic degeneracy decomposition (repeatedly delete nodes of
+    * degree < k; what survives is the k-core, the densely-knit
+    * subgraph community detection and graph-sampling pipelines start
+    * from). k is data-derived — the ceiling of the initial average
+    * degree, ⌈2m/n⌉ — so the threshold scales with the fixture and
+    * the peel genuinely cascades (removals lower neighbors' degrees,
+    * re-tested next round). Fixed four-round horizon for oracle
+    * parity (the [[qGraphPagerank]] discipline; an untilConverged
+    * variant would follow pagerank's driver-side bounded delta).
+    *
+    * Scale shape: each round is one degree aggregation keyed on the
+    * node + two node-keyed LEFT SEMI joins back onto the edge list —
+    * never an explode beyond the 2-direction degree scan; the
+    * threshold is a one-row broadcast; per-round edge frames persist
+    * and release with the result action (QueryScopedCache). Output:
+    * one bounded row per round (surviving nodes / induced edges). */
+  val qGraphKcore = Q(
+    "q_graph_kcore",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val und = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .distinct()
+        .persist(MEMORY_AND_DISK)
+      // the round-1 degree table doubles as the graph census: one row
+      // per node (nn = its count) and Σd = 2m — so k derives from it
+      // directly, with no separate edge-count or node-distinct pass
+      // (the first draft ran both, ~2 extra corpus passes at sf0.1)
+      val deg1 = und.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .persist(MEMORY_AND_DISK)
+      // persisted: kdf is referenced by all four rounds' filters plus
+      // the final projection; unpersisted, each evaluation re-runs
+      // its aggregation
+      val kdf = deg1.agg(count(lit(1)).as("nn"), sum(col("d")).as("m2"))
+        .select(expr("CAST((m2 + nn - 1) DIV nn AS BIGINT)").as("k"))
+        .persist(MEMORY_AND_DISK)
+      var edges = und
+      var handles = List[org.apache.spark.sql.DataFrame](und, deg1, kdf)
+      val rounds = (1 to 4).map { r =>
+        val deg = if (r == 1) deg1
+        else edges.select(explode(array(col("a"), col("b"))).as("n"))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        // keep and next are lineage-truncated via EAGER
+        // localCheckpoint (the BFS/pagerank discipline): with plain
+        // persist the round-r plan nests every prior round, and the
+        // whole query spent ~20 of 32 s in DRIVER-SIDE re-analysis —
+        // the 50-job listener profile summed only 12 s of cluster
+        // time. Flat LogicalRDD leaves make each round's plan
+        // edges-leaf ⋈ keep-leaf; analysis cost scales with ROUNDS.
+        // The semi joins stay on the shuffle path (A/B'd: explicit
+        // broadcast of the node set read 18.9–22.7 s vs 16.3 s
+        // shuffled — per-round driver broadcast construction cost
+        // more than the edge exchanges it saved at this scale).
+        val keep = deg.crossJoin(broadcast(kdf))
+          .filter(col("d") >= col("k")).select(col("n"))
+          .localCheckpoint(true)
+        val next = edges
+          .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+          .localCheckpoint(true)
+        val row = keep.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(next.agg(count(lit(1)).as("n_edges")))
+          .select(lit(r.toLong).as("round"), col("n_nodes"),
+            col("n_edges"))
+        edges = next
+        row
+      }
+      val result = rounds.reduce(_.unionByName(_))
+        .crossJoin(broadcast(kdf))
+        .select(col("round"), col("k"), col("n_nodes"), col("n_edges"))
+        .orderBy(col("round"))
+      QueryScopedCache.releaseAfter(result, handles)
+    },
+    Some {
+      // every CTE is MATERIALIZED and the induced-subgraph filter is a
+      // plain two-join semi form: the naive IN-subquery unrolling made
+      // DuckDB re-evaluate each round's whole ancestry per reference
+      // (exponential in rounds — measured as a >10 min hang at sf0.01)
+      def round(i: Int): String = s"""
+      d$i AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM (
+                SELECT a AS n FROM e${i - 1}
+                UNION ALL SELECT b FROM e${i - 1}) GROUP BY n),
+      keep$i AS MATERIALIZED (
+        SELECT n FROM d$i CROSS JOIN kv WHERE d >= k),
+      e$i AS MATERIALIZED (
+        SELECT e.a, e.b FROM e${i - 1} e
+        JOIN keep$i ka ON e.a = ka.n
+        JOIN keep$i kb ON e.b = kb.n)"""
+      def stat(i: Int): String = s"""
+      SELECT CAST($i AS BIGINT) AS round, k,
+             (SELECT COUNT(*) FROM keep$i) AS n_nodes,
+             (SELECT COUNT(*) FROM e$i) AS n_edges
+      FROM kv"""
+      s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      nodes0 AS MATERIALIZED (SELECT DISTINCT n FROM (
+        SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)),
+      kv AS MATERIALIZED (
+        SELECT CAST((2 * (SELECT COUNT(*) FROM e0)
+                     + (SELECT COUNT(*) FROM nodes0) - 1)
+                    // (SELECT COUNT(*) FROM nodes0)
+              AS BIGINT) AS k),
+      ${(1 to 4).map(round).mkString(",")}
+      ${(1 to 4).map(stat).mkString(" UNION ALL ")}
+      ORDER BY round"""
+    })
+
   val all: Seq[Q] =
     Seq(qGraphPagerank, qGraphTriangles, qGraphBfs, qGraphJaccard,
-      qGraphAssortativity)
+      qGraphAssortativity, qGraphKcore)
 }

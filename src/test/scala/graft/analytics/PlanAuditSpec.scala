@@ -203,7 +203,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_events_uplift: the one-row pooled-moment scalar (θ, ρ²)
       // rides a cross join into the two variant rows (one-row-scalar
       // pattern)
-      "q_events_uplift")
+      "q_events_uplift",
+      // q_graph_kcore: the one-row k-threshold scalar rides a cross
+      // join into each round's degree filter and the bounded
+      // per-round stat rows (one-row-scalar pattern)
+      "q_graph_kcore")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
