@@ -364,7 +364,51 @@ object MultimodalQueries {
       FROM c ORDER BY doc_id"""
     })
 
+  /** Shard-manifest generation — the WebDataset-style layout step a
+    * multimodal training loader consumes: every payload is assigned to
+    * one of 8 shards by a deterministic md5 hash of its id, and the
+    * manifest records each payload's BYTE OFFSET within its shard's
+    * concatenated archive (cumulative size of everything packed before
+    * it, in doc-id order) plus the shard's running length. One narrow
+    * projection + one window PARTITIONED BY shard (never global) —
+    * the offsets a 1000-file tar-shard writer needs, computed without
+    * writing a byte. Shard count is the query's parameter; hashing by
+    * id (not round-robin) keeps assignment stable under corpus
+    * insertion — the same property the dedup stores rely on. */
+  val qMultimodalShards = Q(
+    "q_multimodal_shards",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard_id")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      Multimodal.binarize(Tables.spread(Tables(s, dir, "documents")))
+        .select(col("doc_id"), col("n_bytes"),
+          pmod(graft.functions.TextFunctions.md5Bits(
+            col("doc_id").cast("string")).getField("h"), lit(8L))
+            .as("shard_id"))
+        .withColumn("offset_bytes",
+          coalesce(sum(col("n_bytes")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard_id"), col("offset_bytes"),
+          col("n_bytes"))
+        .orderBy(col("shard_id"), col("doc_id"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 8 AS shard_id
+        FROM documents)
+      SELECT doc_id, shard_id,
+             CAST(COALESCE(SUM(n_bytes) OVER (
+               PARTITION BY shard_id ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS offset_bytes,
+             n_bytes
+      FROM b ORDER BY shard_id, doc_id"""))
+
   val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFeatures,
     qMultimodalFrames, qMultimodalCdc, qMultimodalResize,
-    qMultimodalPhash, qMultimodalEntropy)
+    qMultimodalPhash, qMultimodalEntropy, qMultimodalShards)
 }

@@ -1541,11 +1541,61 @@ object TextQueries {
                AS oov_rate
       FROM agg ORDER BY source"""))
 
+  /** Classifier-quality report for the language identifier — the
+    * confusion matrix of [[qTextLangid]]'s predictions against the
+    * corpus's labeled `lang` column, with each cell's share of its
+    * actual row (the diagonal = per-language RECALL) and of its
+    * predicted column (diagonal = PRECISION). The eval loop every
+    * model-based filter needs before its output is trusted — and the
+    * query COMPOSES the registered classifier rather than re-stating
+    * it: the Spark side calls qTextLangid.run, the oracle embeds
+    * qTextLangid's SQL as a CTE, so the eval can never drift from the
+    * classifier it evaluates. Scale shape: predictions are one narrow
+    * pass; the matrix and its margins are ≤ |langs|² rows. */
+  val qTextLangidEval = Q(
+    "q_text_langid_eval",
+    (s, dir) => {
+      val pred = qTextLangid.run(s, dir)
+        .select(col("doc_id"), col("predicted"))
+      val j = docs(s, dir).select(col("doc_id"), col("lang").as("actual"))
+        .join(pred, Seq("doc_id"))
+      val cm = j.groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+      val ra = cm.groupBy(col("actual")).agg(sum(col("n")).as("n_actual"))
+      val rp = cm.groupBy(col("predicted"))
+        .agg(sum(col("n")).as("n_predicted"))
+      cm.join(ra, Seq("actual")).join(rp, Seq("predicted"))
+        .select(col("actual"), col("predicted"), col("n"),
+          round(col("n").cast("double") / col("n_actual").cast("double"),
+            6).as("share_of_actual"),
+          round(col("n").cast("double") /
+            col("n_predicted").cast("double"), 6).as("share_of_predicted"))
+        .orderBy(col("actual"), col("predicted"))
+    },
+    Some(s"""
+      WITH pred AS (${qTextLangid.oracle.get}),
+      j AS (
+        SELECT d.lang AS actual, p.predicted
+        FROM documents d JOIN pred p USING (doc_id)),
+      cm AS (
+        SELECT actual, predicted, COUNT(*) AS n FROM j GROUP BY 1, 2),
+      ra AS (SELECT actual, CAST(SUM(n) AS BIGINT) AS n_actual
+             FROM cm GROUP BY 1),
+      rp AS (SELECT predicted, CAST(SUM(n) AS BIGINT) AS n_predicted
+             FROM cm GROUP BY 1)
+      SELECT cm.actual, cm.predicted, cm.n,
+             ROUND(CAST(cm.n AS DOUBLE) / CAST(ra.n_actual AS DOUBLE), 6)
+               AS share_of_actual,
+             ROUND(CAST(cm.n AS DOUBLE) / CAST(rp.n_predicted AS DOUBLE),
+               6) AS share_of_predicted
+      FROM cm JOIN ra USING (actual) JOIN rp USING (predicted)
+      ORDER BY actual, predicted"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
     qTextFingerprint, qTextVocab, qHeavyHitters, qTextCountmin,
     qTextRepetition,
     qTextLogprob, qTextBigramLogprob, qTextBpePairs, qTextBpeMerges,
     qTextBm25, qTextBm25Stored, qTextBm25Reingested, qTextTfidfSim,
     qTextCollocations, qTextChisquare, qStatsSourceOverlap, qTextDistinctN, qStatsDatacard,
-    qTextKeywords, qTextEntropy, qTextOov)
+    qTextKeywords, qTextEntropy, qTextOov, qTextLangidEval)
 }
