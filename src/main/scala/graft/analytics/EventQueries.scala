@@ -988,9 +988,78 @@ object EventQueries {
              ROUND(rho2, 6) AS variance_reduction
       FROM v CROSS JOIN th ORDER BY variant"""))
 
+  /** Experiment power / minimal-detectable-effect calculator — the
+    * sizing step run BEFORE [[qEventsUplift]]'s readout: given the
+    * observed per-user purchase-value distribution, the smallest true
+    * effect a 50/50 split of this population detects at α = 0.05 with
+    * 80% power (MDE = (z₀.₉₇₅ + z₀.₈)·√(2s²/(n/2)), the two z's fixed
+    * textbook literals). The sample variance comes from the same
+    * exact integer-cent moments as the uplift query (n·Σy² − (Σy)²
+    * through DECIMAL/HUGEINT above the BIGINT graze line); doubles
+    * appear only in the final sqrt/divide chain, identical
+    * op-tree cross-engine, each emitted ratio rounded once at 6.
+    * One user-keyed aggregation; everything after is one row. */
+  val qEventsPower = Q(
+    "q_events_power",
+    (s, dir) => {
+      val y = ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+          expr("cast(round(value * 100) as bigint)")).otherwise(0L))
+          .as("y"))
+      val z = lit(2.801585)
+      y.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(expr("cast(y as decimal(19,0)) * cast(y as decimal(19,0))"))
+            .as("syy"))
+        .select(col("n"),
+          round(col("sy").cast("double") / col("n").cast("double") /
+            100.0, 6).as("mean_value"),
+          ((col("n").cast(DecimalType(20, 0)) * col("syy") -
+            col("sy").cast(DecimalType(20, 0)) *
+            col("sy").cast(DecimalType(20, 0))).cast("double") /
+            (col("n").cast("double") * (col("n").cast("double") - 1.0)))
+            .as("s2"))
+        .select(col("n").as("n_users"), col("mean_value"),
+          round(sqrt(col("s2")) / 100.0, 6).as("sd_value"),
+          round(z * sqrt(col("s2") * 2.0 /
+            (col("n").cast("double") / 2.0)) / 100.0, 6).as("mde_abs"),
+          round(z * sqrt(col("s2") * 2.0 /
+            (col("n").cast("double") / 2.0)) /
+            (col("mean_value") * 100.0), 6).as("mde_rel"))
+    },
+    Some("""
+      WITH y AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(ROUND(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id),
+      m AS (
+        SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        FROM y),
+      sc AS (
+        SELECT n,
+               ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+                 AS mean_value,
+               CAST(CAST(n AS HUGEINT) * syy
+                    - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT)
+                 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS s2
+        FROM m)
+      SELECT n AS n_users, mean_value,
+             ROUND(SQRT(s2) / 100.0, 6) AS sd_value,
+             ROUND(CAST(2.801585 AS DOUBLE)
+                   * SQRT(s2 * 2.0 / (CAST(n AS DOUBLE) / 2.0))
+                   / 100.0, 6) AS mde_abs,
+             ROUND(CAST(2.801585 AS DOUBLE)
+                   * SQRT(s2 * 2.0 / (CAST(n AS DOUBLE) / 2.0))
+                   / (mean_value * 100.0), 6) AS mde_rel
+      FROM sc"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
     qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
     qEventsFunnelTime, qEventsDauWau, qEventsWauSketch,
     qEventsCohortValue, qEventsRfm, qEventsPareto, qEventsSurvival,
-    qEventsUplift)
+    qEventsUplift, qEventsPower)
 }

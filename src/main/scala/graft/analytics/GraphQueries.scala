@@ -721,7 +721,87 @@ object GraphQueries {
       ORDER BY round"""
     })
 
+  /** Two-sweep label propagation (community detection) on the part
+    * co-occurrence graph — each sweep reassigns every node the most
+    * frequent label among its neighbors, ties to the smallest label
+    * (the deterministic synchronous LPA variant; the async/random
+    * variant is not gateable). Fixed two-sweep horizon for oracle
+    * parity, sweeps lineage-truncated via eager localCheckpoint (the
+    * [[qGraphKcore]] lesson — nested sweep plans cost driver analysis
+    * time, not cluster time). Output: the 20 largest label groups.
+    *
+    * Scale shape per sweep: one exchange of the (node, neighbor-label)
+    * pairs for the count aggregation, one node-partitioned window for
+    * the argmax — label state is one row per node, never a neighbor
+    * list. */
+  val qGraphLabelProp = Q(
+    "q_graph_label_prop",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val und = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .distinct()
+      val edges = und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true)
+      var labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint(true)
+      val wArg = Window.partitionBy(col("src"))
+        .orderBy(col("n").desc, col("label"))
+      for (_ <- 1 to 2) {
+        labels = edges
+          .join(labels.select(col("node").as("dst"), col("label")),
+            Seq("dst"))
+          .groupBy(col("src"), col("label"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(wArg))
+          .filter(col("rk") === 1)
+          .select(col("src").as("node"), col("label"))
+          .localCheckpoint(true)
+      }
+      labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+        .orderBy(col("community_size").desc, col("label"))
+        .limit(20)
+    },
+    Some("""
+      WITH und AS MATERIALIZED (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      edges AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM und
+        UNION ALL SELECT b AS src, a AS dst FROM und),
+      l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM edges),
+      c1 AS MATERIALIZED (
+        SELECT e.src, l.label, COUNT(*) AS n
+        FROM edges e JOIN l0 l ON l.node = e.dst
+        GROUP BY e.src, l.label),
+      l1 AS MATERIALIZED (
+        SELECT src AS node, label FROM (
+          SELECT src, label,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY n DESC, label) AS rk
+          FROM c1) x WHERE rk = 1),
+      c2 AS MATERIALIZED (
+        SELECT e.src, l.label, COUNT(*) AS n
+        FROM edges e JOIN l1 l ON l.node = e.dst
+        GROUP BY e.src, l.label),
+      l2 AS MATERIALIZED (
+        SELECT src AS node, label FROM (
+          SELECT src, label,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY n DESC, label) AS rk
+          FROM c2) x WHERE rk = 1)
+      SELECT label, COUNT(*) AS community_size
+      FROM l2 GROUP BY label
+      ORDER BY community_size DESC, label LIMIT 20"""))
+
   val all: Seq[Q] =
     Seq(qGraphPagerank, qGraphTriangles, qGraphBfs, qGraphJaccard,
-      qGraphAssortativity, qGraphKcore)
+      qGraphAssortativity, qGraphKcore, qGraphLabelProp)
 }

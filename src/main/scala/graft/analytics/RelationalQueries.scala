@@ -3467,6 +3467,58 @@ object RelationalQueries {
       JOIN peak p USING (event_type)
       ORDER BY t.event_type"""))
 
+  /** Bitmap-word exact distinct count — the compressed-shuffle
+    * technique for dense integer keys: instead of shuffling one row
+    * per (event_type, user_id) into a COUNT(DISTINCT), pack users
+    * into 62-bit words (word = id div 62, bit = id mod 62 — 62 keeps
+    * the sign bit and bit 62 out of the cross-engine shift),
+    * BIT_OR-combine words map-side, and pop-count the result: the
+    * exchange carries at most ⌈|id-space|/62⌉ rows per group instead
+    * of |users| — a 62× shuffle compression with EXACT semantics
+    * (this is the roaring-bitmap idea reduced to its fixed-width
+    * core). The query emits both the bitmap count and the classic
+    * COUNT(DISTINCT) so the gate proves the equivalence on every
+    * group, not just asserts it. */
+  val qAggBitmapDistinct = Q(
+    "q_agg_bitmap_distinct",
+    (s, dir) => {
+      val words = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("user_id div 62").as("w"),
+          expr("shiftleft(1L, cast(user_id % 62 as int))").as("b"))
+        .groupBy(col("event_type"), col("w"))
+        .agg(expr("bit_or(b)").as("word"))
+      val viaBitmap = words.groupBy(col("event_type"))
+        .agg(sum(expr("bit_count(word)")).cast("long")
+          .as("n_distinct_bitmap"))
+      val exact = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_distinct_exact"))
+      viaBitmap.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_distinct_bitmap"),
+          col("n_distinct_exact"),
+          (col("n_distinct_bitmap") === col("n_distinct_exact"))
+            .as("agree"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH words AS (
+        SELECT event_type, user_id // 62 AS w,
+               BIT_OR(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INTEGER))
+                 AS word
+        FROM events GROUP BY event_type, user_id // 62),
+      via_bitmap AS (
+        SELECT event_type,
+               CAST(SUM(bit_count(word)) AS BIGINT) AS n_distinct_bitmap
+        FROM words GROUP BY event_type),
+      exact AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_exact
+        FROM events GROUP BY event_type)
+      SELECT event_type, n_distinct_bitmap, n_distinct_exact,
+             n_distinct_bitmap = n_distinct_exact AS agree
+      FROM via_bitmap JOIN exact USING (event_type)
+      ORDER BY event_type"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -3485,5 +3537,5 @@ object RelationalQueries {
     qTsOhlc, qStatsMad, qEventsHistogram, qAggIvm,
     qStatsSpearman, qStatsAbtest, qWindowSliding, qStatsWmedian, qAggReaggregate, qStatsBenford,
     qAggBasket, qStatsKs, qTsAcf, qTsCusum, qStatsBootstrap,
-    qTsSeasonality)
+    qTsSeasonality, qAggBitmapDistinct)
 }
