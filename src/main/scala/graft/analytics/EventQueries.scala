@@ -808,20 +808,25 @@ object EventQueries {
           col("t").as("q")),
         inclusive = false)
         .select(col("user_id").as("t"), col("cnt").as("n_ended"))
+      // persisted: hz feeds both triangular-join sides — unpersisted,
+      // the countByRank risk-set pipeline runs twice (review finding)
       val hz = days.join(ended, Seq("t")).crossJoin(broadcast(nUsers))
         .select(col("t"), (col("n_users") - col("n_ended")).as("n_at_risk"),
           col("d_events"))
         .withColumn("hazard_micro",
           expr("CAST(d_events * 1000000 DIV n_at_risk AS BIGINT)"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val h2 = hz.select(col("t").as("t2"),
         col("hazard_micro").as("h2"))
       // bounded triangular join (≤ |distinct conversion days|² pairs);
       // the explicit broadcast keeps it a BNLJ, never a cartesian
-      hz.join(broadcast(h2), col("t2") <= col("t"))
-        .groupBy(col("t"), col("n_at_risk"), col("d_events"),
-          col("hazard_micro"))
-        .agg(sum(col("h2")).as("cumhaz_micro"))
-        .orderBy(col("t"))
+      QueryScopedCache.releaseAfter(
+        hz.join(broadcast(h2), col("t2") <= col("t"))
+          .groupBy(col("t"), col("n_at_risk"), col("d_events"),
+            col("hazard_micro"))
+          .agg(sum(col("h2")).as("cumhaz_micro"))
+          .orderBy(col("t")),
+        Seq(hz))
     },
     Some("""
       WITH e AS (

@@ -192,20 +192,36 @@ object GraphQueries {
     * the low-degree node — same single-count guarantee, provably
     * minimal wedge volume); id ordering keeps the oracle SQL identical
     * and is the right call on this near-uniform graph. */
+  /** Undirected part co-occurrence edge list (a < b, distinct —
+    * two parts are adjacent when some order contains both): the ONE
+    * graph construction shared by triangles, k-core, and label
+    * propagation, with its DuckDB mirror below — a change to the
+    * edge definition lands in exactly two places.
+    * ~/basket²/ pairs per order, linear in the corpus. */
+  private[analytics] def partCoEdges(s: SparkSession,
+      dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+  }
+
+  /** [[partCoEdges]]'s oracle-side mirror. */
+  private val partCoEdgesSql: String =
+    """SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"""
+
   val qGraphTriangles = Q(
     "q_graph_triangles",
     (s, dir) => {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val li = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       // persisted (ADVICE r8): the expensive self-join + distinct is
       // consumed twice — degree build AND orientation join — and would
       // recompute without the cache; released with `e` below
-      val und = li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b"))
-        .distinct()
-        .persist(MEMORY_AND_DISK)
+      val und = partCoEdges(s, dir).persist(MEMORY_AND_DISK)
       // DEGREE-ORDERED orientation (compact-forward): orient every
       // edge from the (degree, id)-smaller endpoint to the larger, so
       // each triangle enumerates from its π-minimum corner and the
@@ -269,11 +285,9 @@ object GraphQueries {
         .orderBy(col("rank"))
       QueryScopedCache.releaseAfter(result, Seq(und, e))
     },
-    Some("""
+    Some(s"""
       WITH e AS (
-        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-        FROM lineitem x JOIN lineitem y
-          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        ${partCoEdgesSql}),
       tri AS (
         SELECT e1.a, e1.b, e2.b AS c
         FROM e e1
@@ -571,8 +585,14 @@ object GraphQueries {
           sum(col("dc") * col("ds")).as("sxy"),
           sum(col("dc") * col("dc")).as("sxx"),
           sum(col("ds") * col("ds")).as("syy"))
+      // all three m·moment products and both S·S products must fit:
+      // sxx/syy (the denominators) wrap FIRST on hub-heavy graphs
+      // (Σd³ terms) — a guard that only bounds sxy would let the
+      // denominator wrap silently while passing
       val guard = coalesce(expr(
         "assert_true(sxy <= 4611686018427387904 div m and " +
+          "sxx <= 4611686018427387904 div m and " +
+          "syy <= 4611686018427387904 div m and " +
           "sx <= 3037000499 and sy <= 3037000499, " +
           "'q_graph_assortativity: BIGINT moment bounds exceeded')")
         .cast("long"), lit(0L))
@@ -626,13 +646,7 @@ object GraphQueries {
     "q_graph_kcore",
     (s, dir) => {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val li = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val und = li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b"))
-        .distinct()
-        .persist(MEMORY_AND_DISK)
+      val und = partCoEdges(s, dir).persist(MEMORY_AND_DISK)
       // the round-1 degree table doubles as the graph census: one row
       // per node (nn = its count) and Σd = 2m — so k derives from it
       // directly, with no separate edge-count or node-distinct pass
@@ -647,7 +661,7 @@ object GraphQueries {
         .select(expr("CAST((m2 + nn - 1) DIV nn AS BIGINT)").as("k"))
         .persist(MEMORY_AND_DISK)
       var edges = und
-      var handles = List[org.apache.spark.sql.DataFrame](und, deg1, kdf)
+      val handles = List[org.apache.spark.sql.DataFrame](und, deg1, kdf)
       val rounds = (1 to 4).map { r =>
         val deg = if (r == 1) deg1
         else edges.select(explode(array(col("a"), col("b"))).as("n"))
@@ -706,9 +720,7 @@ object GraphQueries {
       FROM kv"""
       s"""
       WITH e0 AS MATERIALIZED (
-        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-        FROM lineitem x JOIN lineitem y
-          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        ${partCoEdgesSql}),
       nodes0 AS MATERIALIZED (SELECT DISTINCT n FROM (
         SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)),
       kv AS MATERIALIZED (
@@ -738,12 +750,7 @@ object GraphQueries {
     "q_graph_label_prop",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val li = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val und = li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b"))
-        .distinct()
+      val und = partCoEdges(s, dir)
       val edges = und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
         .localCheckpoint(true)
@@ -767,11 +774,9 @@ object GraphQueries {
         .orderBy(col("community_size").desc, col("label"))
         .limit(20)
     },
-    Some("""
+    Some(s"""
       WITH und AS MATERIALIZED (
-        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-        FROM lineitem x JOIN lineitem y
-          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        ${partCoEdgesSql}),
       edges AS MATERIALIZED (
         SELECT a AS src, b AS dst FROM und
         UNION ALL SELECT b AS src, a AS dst FROM und),

@@ -1272,7 +1272,11 @@ object PrepQueries {
       val d = docs(s, dir)
         .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .select(col("n_tokens"),
-          expr("CAST(shiftleft(1L, length(bin(n_tokens - 1))) AS BIGINT)")
+          // n = 1 belongs in bucket 1 (2⁰), which the digit-count form
+          // misprices (bin(0) = '0' has length 1 → bucket 2)
+          expr("""CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(shiftleft(1L, length(bin(n_tokens - 1)))
+                       AS BIGINT) END""")
             .as("bucket_len"))
       d.groupBy(col("bucket_len"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
@@ -1288,8 +1292,9 @@ object PrepQueries {
     Some("""
       WITH d AS (
         SELECT n_tokens,
-               CAST(1 << LENGTH(bin(n_tokens - 1)) AS BIGINT)
-                 AS bucket_len
+               CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)
+                    ELSE CAST(1 << LENGTH(bin(n_tokens - 1)) AS BIGINT)
+               END AS bucket_len
         FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
                 AS n_tokens
               FROM documents)),

@@ -3078,18 +3078,23 @@ object RelationalQueries {
       val ns = v.agg(
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n1"),
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n2"))
+      // persisted: d feeds both the max and the argmax — unpersisted,
+      // BOTH countByRank pipelines run twice (review finding)
       val d = cum1.join(cum2, Seq("x")).crossJoin(broadcast(ns))
         .select(col("x"),
           abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("diff"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val m = d.agg(max(col("diff")).as("md"))
       val arg = d.crossJoin(broadcast(m))
         .filter(col("diff") === col("md"))
         .agg(min(col("x")).as("at_micros"))
-      ns.crossJoin(m).crossJoin(arg)
-        .select(col("n1"), col("n2"),
-          round(col("md").cast("double") /
-            (col("n1") * col("n2")).cast("double"), 6).as("ks_d"),
-          col("at_micros"))
+      QueryScopedCache.releaseAfter(
+        ns.crossJoin(m).crossJoin(arg)
+          .select(col("n1"), col("n2"),
+            round(col("md").cast("double") /
+              (col("n1") * col("n2")).cast("double"), 6).as("ks_d"),
+            col("at_micros")),
+        Seq(d))
     },
     Some("""
       WITH v AS (
@@ -3203,6 +3208,40 @@ object RelationalQueries {
                    CAST(n * n * sxx - n * ss * ss AS DOUBLE), 6) AS r
       FROM j CROSS JOIN tot ORDER BY lag"""))
 
+  /** Zero-filled hourly count series per event type — absent hours
+    * materialize as REAL zero counts (the [[qTsGapfill]]
+    * sequence-explode, count-only form): the shared input of
+    * [[qTsCusum]] and [[qTsSeasonality]], with its oracle-side mirror
+    * below so the Spark/SQL pair can't drift. */
+  private def hourlySeriesByType(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  /** [[hourlySeriesByType]]'s oracle CTE chain (yields `series`). */
+  private val hourlySeriesByTypeSql: String =
+    """hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS x
+        FROM events GROUP BY 1, 2),
+      spans AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+                FROM hourly GROUP BY 1),
+      grid AS (
+        SELECT event_type,
+               unnest([g for g in
+                       generate_series(h0, h1, INTERVAL 1 HOUR)]) AS h
+        FROM spans),
+      series AS (
+        SELECT g.event_type, g.h, COALESCE(hr.x, 0) AS x
+        FROM grid g LEFT JOIN hourly hr USING (event_type, h))"""
+
   /** CUSUM changepoint screen per event type — the hour at which the
     * cumulative deviation of the hourly count from the series mean
     * peaks in magnitude (the classic level-shift detector: a sustained
@@ -3219,48 +3258,33 @@ object RelationalQueries {
   val qTsCusum = Q(
     "q_ts_cusum",
     (s, dir) => {
-      val hourly = t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("x"))
-      val grid = hourly.groupBy(col("event_type"))
-        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-        .select(col("event_type"),
-          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
-      val series = grid.join(hourly, Seq("event_type", "h"), "left")
-        .select(col("event_type"), col("h"),
-          coalesce(col("x"), lit(0L)).as("x"))
+      val series = hourlySeriesByType(s, dir)
       val tots = series.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("total_events"))
       val wRun = Window.partitionBy(col("event_type")).orderBy(col("h"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy(col("event_type"))
+      // persisted: cum feeds both the peak argmax and the final join —
+      // unpersisted, the corpus-scale hourly exchange and both windows
+      // run twice (review finding, this session)
       val cum = series.join(broadcast(tots), Seq("event_type"))
         .withColumn("cum",
           sum(col("n_hours") * col("x") - col("total_events")).over(wRun))
         .withColumn("mx", max(abs(col("cum"))).over(wAll))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val peaks = cum.filter(abs(col("cum")) === col("mx"))
         .groupBy(col("event_type")).agg(min(col("h")).as("peak_h"))
         .select(col("event_type").as("pt"), col("peak_h"))
-      cum.join(peaks,
-          col("event_type") === col("pt") && col("h") === col("peak_h"))
-        .select(col("event_type"), col("n_hours"), col("total_events"),
-          col("peak_h"), col("cum").as("cusum_peak"))
-        .orderBy(col("event_type"))
+      QueryScopedCache.releaseAfter(
+        cum.join(peaks,
+            col("event_type") === col("pt") && col("h") === col("peak_h"))
+          .select(col("event_type"), col("n_hours"), col("total_events"),
+            col("peak_h"), col("cum").as("cusum_peak"))
+          .orderBy(col("event_type")),
+        Seq(cum))
     },
-    Some("""
-      WITH hourly AS (
-        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS x
-        FROM events GROUP BY 1, 2),
-      spans AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
-                FROM hourly GROUP BY 1),
-      grid AS (
-        SELECT event_type,
-               unnest([g for g in
-                       generate_series(h0, h1, INTERVAL 1 HOUR)]) AS h
-        FROM spans),
-      series AS (
-        SELECT g.event_type, g.h, COALESCE(hr.x, 0) AS x
-        FROM grid g LEFT JOIN hourly hr USING (event_type, h)),
+    Some(s"""
+      WITH ${hourlySeriesByTypeSql},
       tots AS (
         SELECT event_type, COUNT(*) AS n_hours,
                CAST(SUM(x) AS BIGINT) AS total_events
@@ -3381,16 +3405,9 @@ object RelationalQueries {
   val qTsSeasonality = Q(
     "q_ts_seasonality",
     (s, dir) => {
-      val hourly = t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("x"))
-      val grid = hourly.groupBy(col("event_type"))
-        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-        .select(col("event_type"),
-          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
-      val series = grid.join(hourly, Seq("event_type", "h"), "left")
+      val series = hourlySeriesByType(s, dir)
         .select(col("event_type"), hour(col("h")).cast("long").as("hod"),
-          coalesce(col("x"), lit(0L)).as("x"))
+          col("x"))
       val byHod = series.groupBy(col("event_type"), col("hod"))
         .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"))
       val tot = series.groupBy(col("event_type"))
@@ -3420,29 +3437,19 @@ object RelationalQueries {
               .cast("double"), 6).as("seasonality_strength"))
         .orderBy(col("event_type"))
     },
-    Some("""
-      WITH hourly AS (
-        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS x
-        FROM events GROUP BY 1, 2),
-      spans AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
-                FROM hourly GROUP BY 1),
-      grid AS (
-        SELECT event_type,
-               unnest([g for g in
-                       generate_series(h0, h1, INTERVAL 1 HOUR)]) AS h
-        FROM spans),
-      series AS (
-        SELECT g.event_type, CAST(hour(g.h) AS BIGINT) AS hod,
-               COALESCE(hr.x, 0) AS x
-        FROM grid g LEFT JOIN hourly hr USING (event_type, h)),
+    Some(s"""
+      WITH ${hourlySeriesByTypeSql},
+      hseries AS (
+        SELECT event_type, CAST(hour(h) AS BIGINT) AS hod, x
+        FROM series),
       by_hod AS (
         SELECT event_type, hod, COUNT(*) AS ng,
                CAST(SUM(x) AS BIGINT) AS sg
-        FROM series GROUP BY 1, 2),
+        FROM hseries GROUP BY 1, 2),
       tot AS (
         SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS ss,
                CAST(SUM(x * x) AS BIGINT) AS sxx
-        FROM series GROUP BY 1),
+        FROM hseries GROUP BY 1),
       ssb AS (
         SELECT event_type,
                CAST(SUM(sg * sg * 1000000 // ng) AS BIGINT) AS ssb_raw

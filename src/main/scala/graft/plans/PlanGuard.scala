@@ -40,15 +40,40 @@ object PlanGuard {
     override def toString: String = s"[$kind] $operator"
   }
 
-  /** Structural boundedness: something below `p` already caps the row
-    * count, so a global sort/collect over it cannot blow up. */
-  private def bounded(p: LogicalPlan): Boolean =
-    p.collectFirst {
-      case _: GlobalLimit => ()
-      case _: LocalRelation => ()
-      case _: OneRowRelation => ()
-      case a: Aggregate if a.groupingExpressions.isEmpty => ()
-    }.nonEmpty
+  /** Rows below which a leaf/Range counts as bounded, and the stats
+    * size below which any relation does (the broadcast-threshold
+    * intuition: if it would broadcast, it won't melt a single task). */
+  private val BoundedRows = 100000L
+  private val BoundedBytes = BigInt(10L * 1024 * 1024)
+
+  /** Recursive boundedness: `p` is bounded when its OWN row count is
+    * structurally capped — not when some branch merely contains a
+    * bounded node (the first cut used collectFirst and blessed
+    * corpus ⋈ scalar joins through the scalar branch, exactly the
+    * shape the guard exists to reject). A Join is bounded only when
+    * BOTH inputs are; unary operators inherit their child; leaves
+    * fall back to optimizer statistics (a persisted one-row scalar's
+    * InMemoryRelation and a small Range both pass, a corpus relation
+    * does not). */
+  private def bounded(p: LogicalPlan): Boolean = p match {
+    case _: LocalRelation | _: OneRowRelation => true
+    case _: GlobalLimit => true
+    case r: org.apache.spark.sql.catalyst.plans.logical.Range =>
+      r.numElements <= BoundedRows
+    case a: Aggregate if a.groupingExpressions.isEmpty => true
+    case j: Join =>
+      j.joinType match {
+        // semi/anti output is a subset of the left input
+        case org.apache.spark.sql.catalyst.plans.LeftSemi |
+             org.apache.spark.sql.catalyst.plans.LeftAnti =>
+          bounded(j.left)
+        case _ => bounded(j.left) && bounded(j.right)
+      }
+    case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+      u.children.forall(bounded)
+    case n if n.children.size == 1 => bounded(n.children.head)
+    case leaf => leaf.stats.sizeInBytes <= BoundedBytes
+  }
 
   def violations(plan: LogicalPlan): Seq[Violation] =
     plan.collect {

@@ -50,8 +50,9 @@ class PlanGuardSpec extends AnyFunSuite
   }
 
   test("strict rejects a partition-less window") {
+    // 200k > the guard's BoundedRows: genuinely corpus-sized input
     expectViolation("partition-less-window") {
-      s.range(100).toDF("x")
+      s.range(200000).toDF("x")
         .withColumn("r", row_number().over(Window.orderBy("x")))
         .collect()
     }
@@ -71,7 +72,7 @@ class PlanGuardSpec extends AnyFunSuite
 
   test("strict rejects a grouping-less collect over unbounded input") {
     expectViolation("unbounded-collect") {
-      s.range(100).toDF("x")
+      s.range(200000).toDF("x")
         .agg(collect_list(col("x"))).collect()
     }
   }
@@ -87,24 +88,72 @@ class PlanGuardSpec extends AnyFunSuite
 
   test("strict rejects an unbounded cartesian; scalar cross joins pass") {
     expectViolation("unbounded-cross-join") {
-      s.range(100).toDF("x").crossJoin(s.range(100).toDF("y")).collect()
+      s.range(200000).toDF("x")
+        .crossJoin(s.range(200000).toDF("y")).limit(5).collect()
     }
     strict {
       // the engine's one-row broadcast-scalar pattern must stay legal
-      val scalar = s.range(100).toDF("x").agg(sum(col("x")).as("s"))
-      s.range(100).toDF("x").crossJoin(broadcast(scalar)).collect()
+      val scalar = s.range(200000).toDF("x").agg(sum(col("x")).as("s"))
+      s.range(200000).toDF("x").crossJoin(broadcast(scalar))
+        .agg(sum(col("x"))).collect()
+    }
+  }
+
+  test("a bounded branch does not bless the joined corpus (window/collect)") {
+    // corpus ⋈ one-row scalar is still corpus-sized: a global window or
+    // grouping-less collect over it must be rejected — the first-cut
+    // collectFirst boundedness passed these through the scalar branch
+    val corpus = s.range(200000).toDF("x")
+    val scalar = corpus.agg(sum(col("x")).as("s"))
+    expectViolation("partition-less-window") {
+      corpus.crossJoin(broadcast(scalar))
+        .withColumn("r", row_number().over(Window.orderBy("x")))
+        .collect()
+    }
+    expectViolation("unbounded-collect") {
+      corpus.crossJoin(broadcast(scalar))
+        .agg(collect_list(col("x"))).collect()
+    }
+  }
+
+  test("Range and persisted one-row scalars count as bounded join sides") {
+    // the engine's own patterns: a small Range replicate table and a
+    // PERSISTED scalar (an InMemoryRelation leaf by optimization time)
+    // riding cross joins — both must stay legal under strict
+    strict {
+      val reps = s.range(0, 100).toDF("b")
+      s.range(1000).toDF("x").crossJoin(reps).agg(sum(col("x"))).collect()
+      val kdf = s.range(1000).toDF("x").agg(sum(col("x")).as("k")).persist()
+      try {
+        kdf.count()
+        s.range(1000).toDF("x").crossJoin(broadcast(kdf))
+          .agg(sum(col("x"))).collect()
+      } finally { kdf.unpersist(); () }
+    }
+  }
+
+  test("registered engine queries run clean under strict mode") {
+    // the two shapes the review flagged as false-positives of the
+    // first-cut boundedness: a Range replicate cross join
+    // (q_stats_bootstrap) and a persisted one-row scalar riding every
+    // round (q_graph_kcore) — both must pass strict end-to-end
+    strict {
+      assert(graft.SparkEntry.queries("q_stats_bootstrap")(
+        s, "/root/testdata/sf0.001").collect().nonEmpty)
+      assert(graft.SparkEntry.queries("q_graph_kcore")(
+        s, "/root/testdata/sf0.001").collect().nonEmpty)
     }
   }
 
   test("warn and off modes never throw on a violating plan") {
     s.conf.set(PlanGuard.ConfKey, "warn")
     try {
-      s.range(100).toDF("x")
+      s.range(200000).toDF("x")
         .withColumn("r", row_number().over(Window.orderBy("x")))
-        .collect()
+        .agg(sum(col("r"))).collect()
     } finally s.conf.set(PlanGuard.ConfKey, "off")
-    s.range(100).toDF("x")
+    s.range(200000).toDF("x")
       .withColumn("r", row_number().over(Window.orderBy("x")))
-      .collect()
+      .agg(sum(col("r"))).collect()
   }
 }
