@@ -3526,6 +3526,67 @@ object RelationalQueries {
       FROM via_bitmap JOIN exact USING (event_type)
       ORDER BY event_type"""))
 
+  /** Seasonally-adjusted anomaly screen — flag hours whose count is
+    * more than 3σ away from their OWN hour-of-day mean (per event
+    * type): the screen [[qTsSeasonality]]'s decomposition exists to
+    * enable, catching anomalies a global z-score misses (a quiet-hour
+    * burst hides under the daily cycle) and un-flagging ordinary
+    * daily peaks a global screen false-alarms on. Exact integer
+    * discipline throughout: residuals in milli-units against floor
+    * hod-means, and the 3σ test as the cross-multiplication
+    * resid²·n > 9·Σresid² — no variance division, no sqrt, every
+    * comparison BIGINT. Scale shape: one corpus hourly exchange
+    * (the shared zero-filled series), bounded hod/means tables,
+    * flags computed in-row. */
+  val qTsAnomalySeasonal = Q(
+    "q_ts_anomaly_seasonal",
+    (s, dir) => {
+      val series = hourlySeriesByType(s, dir)
+        .select(col("event_type"), col("h"),
+          hour(col("h")).cast("long").as("hod"), col("x"))
+      val hodMean = series.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"))
+        .select(col("event_type"), col("hod"),
+          expr("CAST(sg * 1000 DIV ng AS BIGINT)").as("mean_milli"))
+      val resid = series.join(hodMean, Seq("event_type", "hod"))
+        .select(col("event_type"), col("h"), col("x"),
+          (col("x") * lit(1000L) - col("mean_milli")).as("resid_milli"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val disp = resid.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("resid_milli") * col("resid_milli")).as("ssr"))
+      QueryScopedCache.releaseAfter(
+        resid.join(disp, Seq("event_type"))
+          .filter(col("resid_milli") * col("resid_milli") * col("n") >
+            col("ssr") * lit(9L))
+          .select(col("event_type"), col("h"), col("x"),
+            col("resid_milli"))
+          .orderBy(col("event_type"), col("h")),
+        Seq(resid))
+    },
+    Some(s"""
+      WITH ${hourlySeriesByTypeSql},
+      hseries AS (
+        SELECT event_type, h, CAST(hour(h) AS BIGINT) AS hod, x
+        FROM series),
+      hod_mean AS (
+        SELECT event_type, hod,
+               CAST(CAST(SUM(x) AS BIGINT) * 1000 // COUNT(*) AS BIGINT)
+                 AS mean_milli
+        FROM hseries GROUP BY 1, 2),
+      resid AS (
+        SELECT s.event_type, s.h, s.x,
+               s.x * 1000 - m.mean_milli AS resid_milli
+        FROM hseries s JOIN hod_mean m USING (event_type, hod)),
+      disp AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(resid_milli * resid_milli) AS BIGINT) AS ssr
+        FROM resid GROUP BY 1)
+      SELECT r.event_type, r.h, r.x, r.resid_milli
+      FROM resid r JOIN disp d USING (event_type)
+      WHERE r.resid_milli * r.resid_milli * d.n > d.ssr * 9
+      ORDER BY r.event_type, r.h"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -3544,5 +3605,5 @@ object RelationalQueries {
     qTsOhlc, qStatsMad, qEventsHistogram, qAggIvm,
     qStatsSpearman, qStatsAbtest, qWindowSliding, qStatsWmedian, qAggReaggregate, qStatsBenford,
     qAggBasket, qStatsKs, qTsAcf, qTsCusum, qStatsBootstrap,
-    qTsSeasonality, qAggBitmapDistinct)
+    qTsSeasonality, qAggBitmapDistinct, qTsAnomalySeasonal)
 }

@@ -1283,8 +1283,58 @@ object SimilarityQueries {
                AS f_stat
       FROM pd ORDER BY dim"""))
 
+  /** Measured recall@5 of the LSH-bucketed ANN path against the exact
+    * brute-force ranking — the accuracy/cost report an ANN deployment
+    * publishes, REGISTERED AND GATED rather than spec-only: both
+    * engine sides COMPOSE the two registered queries (Spark calls
+    * their `run`, the oracle embeds their SQL as CTEs — the
+    * [[TextQueries.qTextLangidEval]] no-drift discipline), so the
+    * gate hash-matches the entire per-query hit table plus the
+    * overall recall. The `qid = -1` row is the corpus-level summary.
+    * Scale: both inputs are top-5 × 20-query frames — the expensive
+    * part is the searches themselves, already shaped for scale. */
+  val qSimRecallEval = Q(
+    "q_sim_recall_eval",
+    (s, dir) => {
+      val b = qSimTopkBrute.run(s, dir)
+        .select(col("qid"), col("neighbor_id"))
+      val l = qSimLshTopk.run(s, dir)
+        .select(col("qid").as("lq"), col("neighbor_id").as("ln"),
+          lit(1L).as("hit"))
+      val per = b.join(l,
+          col("qid") === col("lq") && col("neighbor_id") === col("ln"),
+          "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          round(col("n_hits").cast("double") / 5.0, 6).as("recall_at_5"))
+      per.unionByName(
+          per.agg(sum(col("n_hits")).as("th"), count(lit(1)).as("nq"))
+            .select(lit(-1L).as("qid"), col("th").as("n_hits"),
+              round(col("th").cast("double") /
+                (col("nq") * 5L).cast("double"), 6).as("recall_at_5")))
+        .orderBy(col("qid"))
+    },
+    Some(s"""
+      WITH brute AS (${qSimTopkBrute.oracle.get}),
+      lsh AS (${qSimLshTopk.oracle.get}),
+      per AS (
+        SELECT b.qid, COUNT(l.neighbor_id) AS n_hits
+        FROM brute b LEFT JOIN lsh l
+          ON l.qid = b.qid AND l.neighbor_id = b.neighbor_id
+        GROUP BY b.qid)
+      SELECT qid, n_hits,
+             ROUND(CAST(n_hits AS DOUBLE) / 5.0, 6) AS recall_at_5
+      FROM per
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), CAST(SUM(n_hits) AS BIGINT),
+             ROUND(CAST(SUM(n_hits) AS DOUBLE) /
+                   CAST(COUNT(*) * 5 AS DOUBLE), 6)
+      FROM per
+      ORDER BY qid"""))
+
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
     qSimIvfPqTopk, qSimIvfPqStored, qSimIvfPqAdmitted, qSimIvfPqRerank,
     qSimSqTopk, qSimKmeans, qSimIvfTrained, qSimHybridRrf, qSimHardNegatives,
-    qSimFisher)
+    qSimFisher, qSimRecallEval)
 }

@@ -207,7 +207,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_graph_kcore: the one-row k-threshold scalar rides a cross
       // join into each round's degree filter and the bounded
       // per-round stat rows (one-row-scalar pattern)
-      "q_graph_kcore")
+      "q_graph_kcore",
+      // q_sim_recall_eval: composes q_sim_topk_brute and
+      // q_sim_lsh_topk, so it carries their whitelisted
+      // 20-query-broadcast self-exclusion inequality joins
+      "q_sim_recall_eval")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
