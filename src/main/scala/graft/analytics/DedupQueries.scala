@@ -1209,9 +1209,62 @@ object DedupQueries {
       FROM cand WHERE levenshtein(a_name, b_name) = 1
       ORDER BY a_id, b_id"""))
 
+  /** Asymmetric CONTAINMENT dedup (Broder's containment coefficient):
+    * |A∩B|/|A| and |A∩B|/|B| per candidate pair — the near-dup class
+    * symmetric Jaccard structurally misses: a short document fully
+    * embedded in a long one has tiny Jaccard (the union is
+    * long-document-sized) but containment ≈ 1 from the short side.
+    * A training-data pipeline that only Jaccard-dedups keeps every
+    * quote-with-commentary duplicate; the containment screen is the
+    * standard companion pass. Pairs flag when EITHER direction ≥ 0.9.
+    * Same scale shape as [[qDedupNgramJaccard]] (shared shingle
+    * machinery, fingerprint equi-join intersection, per-doc size
+    * join); only the final arithmetic differs. */
+  val qDedupContainment = Q(
+    "q_dedup_containment",
+    (s, dir) => {
+      val (sh, handles) = shingles(docs(s, dir))
+      val shh = sh.select(col("doc_id"), fingerprint(col("sh")).as("h"))
+      val sizes = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = shh.as("a")
+        .join(shh.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .agg(count(lit(1)).as("ni"))
+      val result = inter
+        .join(sizes.as("sa"), col("ia") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("ib") === col("sb.doc_id"))
+        .select(col("ia"), col("ib"), col("ni"),
+          round(col("ni") * lit(1.0) / col("sa.n"), 6).as("contain_a"),
+          round(col("ni") * lit(1.0) / col("sb.n"), 6).as("contain_b"))
+        .filter(greatest(col("contain_a"), col("contain_b")) >= 0.9)
+        .orderBy(col("ia"), col("ib"))
+      QueryScopedCache.releaseAfter(result, handles)
+    },
+    Some(s"""
+      WITH $shinglesSql,
+      shh AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+              FROM sh),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ni
+                FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      scored AS (
+        SELECT ia, ib, ni,
+               ROUND(ni * 1.0 / sa.n, 6) AS contain_a,
+               ROUND(ni * 1.0 / sb.n, 6) AS contain_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = ia
+        JOIN sizes sb ON sb.doc_id = ib)
+      SELECT ia, ib, ni, contain_a, contain_b
+      FROM scored
+      WHERE GREATEST(contain_a, contain_b) >= 0.9
+      ORDER BY ia, ib"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupCluster,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic,
     qDedupPassage, qDedupPassageSpan, qDedupIncremental, qDedupIncrementalStored,
-    qDedupEntity)
+    qDedupEntity, qDedupContainment)
 }

@@ -556,6 +556,44 @@ object RelationalQueries {
         ON c.user_id = p.user_id AND p.ts <= c.ts
       ORDER BY click_id"""))
 
+  /** [[qAsofJoin]] with a STALENESS TOLERANCE (round-9 operator
+    * extension): clicks whose most-recent purchase is older than two
+    * days drop — the "no stale quotes" contract every financial as-of
+    * carries. Same single-exchange plan (the tolerance is a pure
+    * post-filter on the carried right timestamp, see
+    * [[graft.operators.AsOfJoin]]); the oracle is DuckDB's native
+    * ASOF JOIN with the age predicate applied after the match, which
+    * is equivalent because the most-recent match within tolerance IS
+    * the most-recent match overall whenever one qualifies. */
+  val qAsofTolerance = Q(
+    "q_asof_tolerance",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("value").as("last_purchase_value"))
+      graft.operators.AsOfJoin.asof(clicks, purchases, "user_id",
+          leftTs = "click_ts", rightTs = "ts",
+          payload = Seq("last_purchase_value"),
+          toleranceMicros = Some(2L * 86400L * 1000000L))
+        .select(col("click_id"), col("user_id"), col("click_ts"),
+          col("last_purchase_value"))
+        .orderBy(col("click_id"))
+    },
+    Some("""
+      SELECT c.event_id AS click_id, c.user_id AS user_id,
+             c.ts AS click_ts, p.value AS last_purchase_value
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'click') c
+      ASOF JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                 FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+      WHERE epoch_us(c.ts) - epoch_us(p.ts) <= 172800000000
+      ORDER BY click_id"""))
+
   // ---------------------------------------------------------------
   // Window / sort / set-op families
   // ---------------------------------------------------------------
@@ -3605,5 +3643,5 @@ object RelationalQueries {
     qTsOhlc, qStatsMad, qEventsHistogram, qAggIvm,
     qStatsSpearman, qStatsAbtest, qWindowSliding, qStatsWmedian, qAggReaggregate, qStatsBenford,
     qAggBasket, qStatsKs, qTsAcf, qTsCusum, qStatsBootstrap,
-    qTsSeasonality, qAggBitmapDistinct, qTsAnomalySeasonal)
+    qTsSeasonality, qAggBitmapDistinct, qTsAnomalySeasonal, qAsofTolerance)
 }

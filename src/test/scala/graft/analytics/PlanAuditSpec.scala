@@ -211,7 +211,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_sim_recall_eval: composes q_sim_topk_brute and
       // q_sim_lsh_topk, so it carries their whitelisted
       // 20-query-broadcast self-exclusion inequality joins
-      "q_sim_recall_eval")
+      "q_sim_recall_eval",
+      // q_dedup_containment: shares the q_dedup_ngram_jaccard shingle
+      // pipeline, so it carries the same single-row corpus-count
+      // broadcast for the stop-shingle threshold
+      "q_dedup_containment")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
