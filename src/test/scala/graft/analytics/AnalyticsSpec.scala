@@ -1527,6 +1527,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Map("L1" -> 10.0, "L2" -> 20.0, "L4" -> 40.0))
   }
 
+  test("asof join: staleness tolerance drops old matches, keeps fresh") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "L1"), // match 30 min old: fresh
+      (1L, ts("2024-01-01 13:00:00"), "L2"), // match 2h old: exactly at tol
+      (1L, ts("2024-01-01 13:00:01"), "L3")  // match 2h 1s old: stale
+    ).toDF("k", "lts", "ltag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 20.0)
+    ).toDF("k", "rts", "rval")
+    val out = AsOfJoin.asof(left, right, "k", "lts", "rts", Seq("rval"),
+        toleranceMicros = Some(2L * 3600L * 1000000L))
+      .select("ltag", "rval").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // inclusive boundary (<= tol); the stale L3 drops entirely
+    assert(out === Map("L1" -> 10.0, "L2" -> 20.0))
+    // None delegates to the unbounded semantics: all three match
+    val unbounded = AsOfJoin.asof(left, right, "k", "lts", "rts",
+      Seq("rval"), None).count()
+    assert(unbounded === 3L)
+  }
+
   test("asof join: null right payload still matches and supersedes") {
     def ts(s: String) = Timestamp.valueOf(s)
     val left = Seq(
