@@ -174,6 +174,106 @@ object GraphQueries {
         FROM r3) x
       WHERE rank <= 20 ORDER BY rank"""))
 
+  /** One PERSONALIZED-PageRank iteration level for the oracle: like
+    * [[iterSql]] but the teleport mass lands only on the seed set
+    * (LEFT JOIN `seedbase`, zero elsewhere) instead of uniformly. */
+  private def pprIterSql(prev: String, cur: String): String = s"""
+      $cur AS (
+        SELECT e.dst AS node,
+               CAST((15 * COALESCE(MIN(sb.base), 0) +
+                     85 * CAST(SUM(r.r // d.outdeg) AS BIGINT)) // 100
+                 AS BIGINT) AS r
+        FROM edges e
+        JOIN $prev r ON r.node = e.src
+        JOIN deg d ON d.src = e.src
+        LEFT JOIN seedbase sb ON sb.snode = e.dst
+        GROUP BY e.dst)"""
+
+  /** Personalized PageRank — [[qGraphPagerank]] with the teleport mass
+    * redirected to a SEED set (the ten lowest-keyed customers): ranks
+    * answer "which entities are important RELATIVE TO these seeds",
+    * the recommender / related-entities primitive, where global
+    * PageRank answers "important overall". Same integer discipline
+    * (nano-unit mass, exact `DIV` contributions, damping in BIGINT),
+    * so three sweeps hash-match DuckDB's unrolled recursion exactly.
+    *
+    * Scale shape: identical to global PageRank — one node-keyed
+    * shuffle per sweep over the persisted degree-denormalized edge
+    * list — plus one broadcast left join per sweep against the
+    * seed-base frame (|seeds| rows; a personalization vector is small
+    * by definition). The only new frame is that seed table; the
+    * one-row seed-count scalar rides a broadcast cross join. */
+  val qGraphPpr = Q(
+    "q_graph_ppr",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val eo = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      // reuse the shared setup for the persisted edge list; the
+      // uniform r0 it also builds is lazy and never executed here
+      val (edgesD, _, _) = pagerankSetup(eo, MEMORY_AND_DISK)
+      val seeds = eo.filter(col("c") <= 20)
+        .select(col("c").as("snode")).distinct()
+      val ns = seeds.agg(count(lit(1)).as("ns"))
+      val seedBase = seeds.crossJoin(broadcast(ns))
+        .select(col("snode"),
+          expr("CAST(1000000000 DIV ns AS BIGINT)").as("base"))
+      val r0 = edgesD.select(col("src")).distinct()
+        .join(broadcast(seedBase), col("src") === col("snode"), "left")
+        .select(col("src").as("node"),
+          coalesce(col("base"), lit(0L)).as("r"))
+      var r = r0
+      for (_ <- 1 to 3)
+        r = edgesD.join(r, edgesD("src") === r("node"))
+          .select(col("dst"), expr("r DIV outdeg").as("contrib"))
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("insum"))
+          .join(broadcast(seedBase), col("dst") === col("snode"), "left")
+          .select(col("dst").as("node"),
+            expr("CAST((15 * coalesce(base, 0) + 85 * insum) DIV 100" +
+              " AS BIGINT)").as("r"))
+      val res = r.orderBy(col("r").desc, col("node")).limit(20)
+        .agg(sort_array(collect_list(
+          struct((-col("r")).as("negr"), col("node")))).as("ts"))
+        .select(posexplode(col("ts")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.node").as("node"),
+          (-col("col.negr")).as("ppr_nano"))
+        .orderBy(col("rank"))
+      QueryScopedCache.releaseAfter(res, Seq(edgesD))
+    },
+    Some(s"""
+      WITH eo AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT c AS src, s AS dst FROM eo
+        UNION ALL
+        SELECT s AS src, c AS dst FROM eo),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      seeds AS (SELECT DISTINCT c AS snode FROM eo WHERE c <= 20),
+      ns AS (SELECT COUNT(*) AS ns FROM seeds),
+      seedbase AS (
+        SELECT snode, CAST(1000000000 // ns AS BIGINT) AS base
+        FROM seeds CROSS JOIN ns),
+      r0 AS (
+        SELECT d.src AS node, COALESCE(sb.base, 0) AS r
+        FROM deg d LEFT JOIN seedbase sb ON sb.snode = d.src),
+      ${pprIterSql("r0", "r1")},
+      ${pprIterSql("r1", "r2")},
+      ${pprIterSql("r2", "r3")}
+      SELECT rank, node, ppr_nano FROM (
+        SELECT node, r AS ppr_nano,
+               ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rank
+        FROM r3) x
+      WHERE rank <= 20 ORDER BY rank"""))
+
   /** Triangle participation on the part CO-OCCURRENCE graph (two
     * parts are adjacent when some order contains both): the classic
     * distributed triangle count — orient every edge low-id → high-id
@@ -807,6 +907,6 @@ object GraphQueries {
       ORDER BY community_size DESC, label LIMIT 20"""))
 
   val all: Seq[Q] =
-    Seq(qGraphPagerank, qGraphTriangles, qGraphBfs, qGraphJaccard,
-      qGraphAssortativity, qGraphKcore, qGraphLabelProp)
+    Seq(qGraphPagerank, qGraphPpr, qGraphTriangles, qGraphBfs,
+      qGraphJaccard, qGraphAssortativity, qGraphKcore, qGraphLabelProp)
 }

@@ -3625,6 +3625,198 @@ object RelationalQueries {
       WHERE r.resid_milli * r.resid_milli * d.n > d.ssr * 9
       ORDER BY r.event_type, r.h"""))
 
+  /** Mann–Whitney U rank screen, one-vs-rest per event type over the
+    * event `value` column: does this type's value distribution sit
+    * systematically above or below everything else? The nonparametric
+    * A/B cousin of [[qStatsAbtest]] (no normality assumption — pure
+    * rank statistics), and the standard robust screen for "does
+    * segment X behave differently" before any model sees the data.
+    *
+    * One-vs-rest means the pooled sample IS the whole column, so ONE
+    * global midrank table serves every group — and the global ranking
+    * needs no partition-less window: distinct values are counted once
+    * (`2·midrank(v) = 2·#{<v} + #{=v} + 1`, an exact integer) with
+    * `#{<v}` from [[graft.operators.OrderStatistics.countByRank]] —
+    * the bucketed two-level prefix scan, one hash exchange, no global
+    * sort. U stays integer (doubled: `U2 = Σ 2·midrank − n_g(n_g+1)`)
+    * and is gated exactly; only the final tie-corrected z-score is a
+    * rounded double (both engines evaluate the identical IEEE
+    * expression over the same BIGINT inputs). Rank sums accumulate in
+    * DECIMAL(25,0) — at corpus scale Σ2·midrank reaches 2N² long
+    * before BIGINT wraps ([[qStatsSpearman]] discipline).
+    *
+    * Scale shape: one exchange to count value multiplicities, one
+    * bucketed countByRank pass, a value-keyed join back (values are
+    * near-unique — no skew), one group aggregation; the one-row
+    * (N, tie-term) scalar rides a broadcast cross join. */
+  val qStatsMannWhitney = Q(
+    "q_stats_mannwhitney",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("v"))
+      val vals = ev.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val lt = graft.operators.OrderStatistics.countByRank(
+          ev.select(col("v")),
+          vals.select(col("v").as("user_id"), lit(0L).as("session_idx"),
+            col("v").as("q")),
+          inclusive = false)
+        .select(col("user_id").as("v"), col("cnt").as("n_lt"))
+      val mid = vals.join(lt, Seq("v"))
+        .select(col("v"),
+          (lit(2) * col("n_lt") + col("c") + lit(1)).as("mr2"))
+      val tot = vals.agg(sum(col("c")).as("nn"),
+        sum(expr("cast(c as decimal(25,0)) * c * c - c")).as("tie_t"))
+      ev.join(mid, Seq("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(expr("cast(mr2 as decimal(25,0))")).as("r2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("u2",
+          col("r2").cast("long") - col("n_g") * (col("n_g") + 1))
+        .withColumn("nb", col("nn") - col("n_g"))
+        .select(col("event_type"), col("n_g"), col("u2"),
+          round((col("u2") - col("n_g") * col("nb")).cast("double") /
+            (lit(2.0) * sqrt(
+              (col("n_g") * col("nb")).cast("double") / lit(12.0) *
+              ((col("nn") + 1).cast("double") -
+                col("tie_t").cast("double") /
+                (col("nn") * (col("nn") - 1)).cast("double")))), 6)
+            .as("z"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events),
+      vals AS (SELECT v, COUNT(*) AS c FROM ev GROUP BY v),
+      cum AS (
+        SELECT v, c,
+               COALESCE(CAST(SUM(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS n_lt
+        FROM vals),
+      mid AS (SELECT v, 2 * n_lt + c + 1 AS mr2 FROM cum),
+      tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS nn,
+               SUM(CAST(c AS DECIMAL(25,0)) * c * c - c) AS tie_t
+        FROM vals),
+      grp AS (
+        SELECT e.event_type, COUNT(*) AS n_g,
+               SUM(CAST(m.mr2 AS DECIMAL(25,0))) AS r2
+        FROM ev e JOIN mid m USING (v) GROUP BY 1),
+      fin AS (
+        SELECT g.event_type, g.n_g,
+               CAST(g.r2 AS BIGINT) - g.n_g * (g.n_g + 1) AS u2,
+               t.nn - g.n_g AS nb, t.nn AS nn, t.tie_t AS tie_t
+        FROM grp g CROSS JOIN tot t)
+      SELECT event_type, n_g, u2,
+             ROUND(CAST(u2 - n_g * nb AS DOUBLE) /
+                   (2.0 * SQRT(CAST(n_g * nb AS DOUBLE) / 12.0 *
+                     (CAST(nn + 1 AS DOUBLE) -
+                      CAST(tie_t AS DOUBLE) /
+                      CAST(nn * (nn - 1) AS DOUBLE)))), 6) AS z
+      FROM fin ORDER BY event_type"""))
+
+  /** Lead-lag cross-correlation between two event streams — the
+    * hourly click series against the hourly purchase series at lags
+    * −12…+12: at which offset does one stream best predict the other
+    * (positive lag k = clicks now vs purchases k hours LATER — the
+    * conversion-delay detector)? [[qTsAcf]]'s machinery pointed at a
+    * PAIR of series; unlike ACF's symmetric normalizer, each lag here
+    * is a full Pearson over the overlapping window (per-lag sums on
+    * both sides), so r ∈ [−1, 1] exactly.
+    *
+    * Both series zero-fill on one SHARED hour grid (absent hours are
+    * real zero counts), so lags align by integer hour index. All six
+    * per-lag sums are BIGINT; the only double is the final rounded
+    * correlation, evaluated as the identical IEEE expression in both
+    * engines. Scale shape: the corpus-scale work is one hourly
+    * count exchange; the 25-row lag table cross-joins only the
+    * bounded hourly series, and each lag's alignment is an integer
+    * equi-join on the hour index — no windows at all. */
+  val qTsXcorr = Q(
+    "q_ts_xcorr",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+      val span = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val tixed = span
+        .select(col("h0"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        .select(
+          expr("(unix_micros(h) - unix_micros(h0)) div 3600000000")
+            .as("tix"),
+          col("h"))
+      val sa = tixed
+        .join(hourly.filter(col("event_type") === "click")
+          .select(col("h"), col("x")), Seq("h"), "left")
+        .select(col("tix"), coalesce(col("x"), lit(0L)).as("xa"))
+      val sb = tixed
+        .join(hourly.filter(col("event_type") === "purchase")
+          .select(col("h"), col("x")), Seq("h"), "left")
+        .select(col("tix").as("tj"), coalesce(col("x"), lit(0L)).as("xb"))
+      val lags = s.range(-12, 13).toDF("k")
+      sa.crossJoin(lags)
+        .select(col("k"), (col("tix") + col("k")).as("tj"), col("xa"))
+        .join(sb, Seq("tj"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("xa") * col("xb")).as("sab"),
+          sum(col("xa")).as("sa"), sum(col("xb")).as("sb"),
+          sum(col("xa") * col("xa")).as("saa"),
+          sum(col("xb") * col("xb")).as("sbb"))
+        .select(col("k").as("lag"), col("n_pairs"),
+          round(
+            (col("n_pairs") * col("sab") - col("sa") * col("sb"))
+              .cast("double") /
+            sqrt(
+              (col("n_pairs") * col("saa") - col("sa") * col("sa"))
+                .cast("double") *
+              (col("n_pairs") * col("sbb") - col("sb") * col("sb"))
+                .cast("double")), 6).as("r"))
+        .orderBy(col("lag"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS x
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1, 2),
+      span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+      tixed AS (
+        SELECT CAST((epoch_us(h) - epoch_us(h0)) // 3600000000
+                 AS BIGINT) AS tix, h
+        FROM (SELECT h0, unnest([g for g in
+                generate_series(h0, h1, INTERVAL 1 HOUR)]) AS h
+              FROM span)),
+      sa AS (
+        SELECT t.tix, COALESCE(a.x, 0) AS xa
+        FROM tixed t LEFT JOIN (
+          SELECT h, x FROM hourly WHERE event_type = 'click') a
+          USING (h)),
+      sb AS (
+        SELECT t.tix AS tj, COALESCE(b.x, 0) AS xb
+        FROM tixed t LEFT JOIN (
+          SELECT h, x FROM hourly WHERE event_type = 'purchase') b
+          USING (h)),
+      lags AS (SELECT unnest(range(-12, 13)) AS k),
+      j AS (
+        SELECT l.k, COUNT(*) AS n_pairs,
+               CAST(SUM(a.xa * b.xb) AS BIGINT) AS sab,
+               CAST(SUM(a.xa) AS BIGINT) AS sa,
+               CAST(SUM(b.xb) AS BIGINT) AS sb,
+               CAST(SUM(a.xa * a.xa) AS BIGINT) AS saa,
+               CAST(SUM(b.xb * b.xb) AS BIGINT) AS sbb
+        FROM sa a CROSS JOIN lags l JOIN sb b ON b.tj = a.tix + l.k
+        GROUP BY l.k)
+      SELECT k AS lag, n_pairs,
+             ROUND(CAST(n_pairs * sab - sa * sb AS DOUBLE) /
+                   SQRT(CAST(n_pairs * saa - sa * sa AS DOUBLE) *
+                        CAST(n_pairs * sbb - sb * sb AS DOUBLE)), 6)
+               AS r
+      FROM j ORDER BY lag"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -3643,5 +3835,6 @@ object RelationalQueries {
     qTsOhlc, qStatsMad, qEventsHistogram, qAggIvm,
     qStatsSpearman, qStatsAbtest, qWindowSliding, qStatsWmedian, qAggReaggregate, qStatsBenford,
     qAggBasket, qStatsKs, qTsAcf, qTsCusum, qStatsBootstrap,
-    qTsSeasonality, qAggBitmapDistinct, qTsAnomalySeasonal, qAsofTolerance)
+    qTsSeasonality, qAggBitmapDistinct, qTsAnomalySeasonal, qAsofTolerance,
+    qStatsMannWhitney, qTsXcorr)
 }

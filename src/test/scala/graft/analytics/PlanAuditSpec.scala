@@ -215,7 +215,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_dedup_containment: shares the q_dedup_ngram_jaccard shingle
       // pipeline, so it carries the same single-row corpus-count
       // broadcast for the stop-shingle threshold
-      "q_dedup_containment")
+      "q_dedup_containment",
+      // q_graph_ppr: the one-row seed-count scalar rides a cross join
+      // into the |seeds|-row teleport table (one-row-scalar pattern)
+      "q_graph_ppr",
+      // q_stats_mannwhitney: countByRank's broadcast extrema +
+      // bucket-prefix theta join (the q_join_interval machinery) plus
+      // the one-row (N, tie-term) scalar riding a cross join into the
+      // per-group statistic (one-row-scalar pattern)
+      "q_stats_mannwhitney",
+      // q_ts_xcorr: the one-row hour-span extrema seed the shared
+      // grid explode and the 25-row lag table cross-joins the bounded
+      // hourly series (the q_ts_acf pattern)
+      "q_ts_xcorr")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
