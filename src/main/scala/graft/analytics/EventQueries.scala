@@ -1062,9 +1062,94 @@ object EventQueries {
                    / (mean_value * 100.0), 6) AS mde_rel
       FROM sc"""))
 
+  /** Stationary distribution of the user-journey Markov chain — where
+    * does a long-run session "spend its time"? [[qEventsTransitions]]
+    * estimates the row-normalized transition matrix; this query
+    * power-iterates it (4 sweeps from uniform) to the long-run state
+    * occupancy — the journey-level importance score behind
+    * Markov-chain attribution and PageRank itself, here on the
+    * event-type state graph.
+    *
+    * Integer discipline ([[GraphQueries]] pagerank): occupancy lives
+    * in nano-units and each sweep's contribution is the exact BIGINT
+    * `π·n DIV n_from` (π ≤ 1e9 keeps the product far from overflow at
+    * any realistic per-cell transition count; a chain whose cell
+    * counts approach 1e9 would pre-reduce the matrix). Every state
+    * observed here both emits and receives transitions; a state with
+    * NO outgoing transitions would absorb mass silently — a corpus
+    * where that matters adds a self-loop row first.
+    *
+    * Scale shape: the corpus-scale work is the per-user lead() window
+    * (user-partitioned); everything after collapses to the k×k
+    * transition matrix (k = |event types|, persisted across sweeps so
+    * the corpus window runs once) and k-row occupancy frames. */
+  val qEventsMarkov = Q(
+    "q_events_markov",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val seqW = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = ev(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(seqW))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromT = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("n_from"))
+      val tm = pairs.join(fromT, Seq("prev_type")).persist(MEMORY_AND_DISK)
+      val k = fromT.agg(count(lit(1)).as("k"))
+      var pi = fromT.crossJoin(broadcast(k))
+        .select(col("prev_type").as("state"),
+          expr("CAST(1000000000 DIV k AS BIGINT)").as("pi"))
+      for (_ <- 1 to 4)
+        pi = tm.join(pi, col("prev_type") === col("state"))
+          .select(col("next_type"),
+            expr("pi * n DIV n_from").as("contrib"))
+          .groupBy(col("next_type"))
+          .agg(sum(col("contrib")).as("pi"))
+          .select(col("next_type").as("state"), col("pi"))
+      QueryScopedCache.releaseAfter(
+        pi.select(col("state"), col("pi").as("pi_nano"))
+          .orderBy(col("state")),
+        Seq(tm))
+    },
+    Some {
+      def sweep(prev: String, cur: String) = s"""
+      $cur AS (
+        SELECT tm.next_type AS state,
+               CAST(SUM(p.pi * tm.n // tm.n_from) AS BIGINT) AS pi
+        FROM tm JOIN $prev p ON p.state = tm.prev_type
+        GROUP BY 1)"""
+      s"""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events),
+      t AS (
+        SELECT event_type AS prev_type, next_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      fromt AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from
+        FROM t GROUP BY 1),
+      tm AS (
+        SELECT t.prev_type, t.next_type, t.n, f.n_from
+        FROM t JOIN fromt f USING (prev_type)),
+      k AS (SELECT COUNT(*) AS k FROM fromt),
+      p0 AS (
+        SELECT prev_type AS state, CAST(1000000000 // k AS BIGINT) AS pi
+        FROM fromt CROSS JOIN k),
+      ${sweep("p0", "p1")},
+      ${sweep("p1", "p2")},
+      ${sweep("p2", "p3")},
+      ${sweep("p3", "p4")}
+      SELECT state, pi AS pi_nano FROM p4 ORDER BY state"""
+    })
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
     qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
     qEventsFunnelTime, qEventsDauWau, qEventsWauSketch,
     qEventsCohortValue, qEventsRfm, qEventsPareto, qEventsSurvival,
-    qEventsUplift, qEventsPower)
+    qEventsUplift, qEventsPower, qEventsMarkov)
 }

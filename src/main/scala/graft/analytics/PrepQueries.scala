@@ -1370,10 +1370,59 @@ object PrepQueries {
              CAST(1.0 AS DOUBLE) AS epsilon
       FROM noised ORDER BY source"""))
 
+  /** Deterministic k-fold cross-validation layout (k = 5):
+    * [[qPrepSplit]]'s content-free md5 bucket rule reduced mod k, so
+    * fold membership is a pure function of the id — replayable on any
+    * engine, stable under corpus growth (a new doc lands in one fold
+    * without moving any other), and mergeable across shards. Output is
+    * the CV audit a training loop consumes: per fold, the held-out
+    * size and the complementary train-side size (totals minus the
+    * fold — k-fold complements need no second scan).
+    *
+    * Scale shape: one map-side-combining aggregation to k rows; the
+    * one-row totals scalar rides a broadcast cross join. */
+  val qPrepKfold = Q(
+    "q_prep_kfold",
+    (s, dir) => {
+      val per = docs(s, dir)
+        .withColumn("fold", pmod(splitBucket(col("doc_id")), lit(5)))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("held_docs"),
+          sum(col("n_chars")).as("held_chars"))
+      val tot = per.agg(sum(col("held_docs")).as("td"),
+        sum(col("held_chars")).as("tc"))
+      per.crossJoin(broadcast(tot))
+        .select(col("fold"), col("held_docs"), col("held_chars"),
+          (col("td") - col("held_docs")).as("train_docs"),
+          (col("tc") - col("held_chars")).as("train_chars"))
+        .orderBy(col("fold"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT ((instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                + instr('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 5
+                 AS fold,
+               n_chars
+        FROM documents),
+      per AS (
+        SELECT fold, COUNT(*) AS held_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS held_chars
+        FROM f GROUP BY fold),
+      tot AS (
+        SELECT CAST(SUM(held_docs) AS BIGINT) AS td,
+               CAST(SUM(held_chars) AS BIGINT) AS tc
+        FROM per)
+      SELECT fold, held_docs, held_chars,
+             td - held_docs AS train_docs, tc - held_chars AS train_chars
+      FROM per CROSS JOIN tot ORDER BY fold"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
     qPrepCurriculum, qPrepWinsorize, qPrepOversample, qPrepClassifier,
     qPrepPerplexity, qPrepBinning, qPrepEvalSample, qPrepPipeline,
-    qPrepTemperature, qPrepCalibration, qPrepPadding, qPrepDpCount)
+    qPrepTemperature, qPrepCalibration, qPrepPadding, qPrepDpCount,
+    qPrepKfold)
 }

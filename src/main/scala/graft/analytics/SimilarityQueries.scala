@@ -1333,8 +1333,89 @@ object SimilarityQueries {
       FROM per
       ORDER BY qid"""))
 
+  /** k-NN graph construction over a deterministic embedding sample
+    * (`vec_id % 4 = 0`) — each node's exact top-5 cosine neighbors,
+    * then the MUTUAL-kNN reduction (keep an edge only when both
+    * endpoints rank each other): the standard manifold/clustering
+    * substrate, where mutual degree < k flags boundary/outlier points
+    * (hubs rank many nodes that don't rank them back). Output per
+    * node: mutual degree + the top-1 neighbor with its cosine —
+    * [[qSimTopkBrute]]'s scoring discipline (ascending-index double
+    * dot, round-6 cosine) verbatim, so the pair hash-matches.
+    *
+    * Scale shape: the SAMPLE is bounded by construction (a kNN-graph
+    * build at corpus scale goes through the LSH/IVF bucketed paths —
+    * [[qSimLshTopk]]; this is the exact subgraph those approximate
+    * builds are validated against, [[qSimRecallEval]] style). The
+    * sample broadcasts (|sample|·dim doubles), each corpus-side
+    * partition scores its share, the per-node top-5 window partitions
+    * by node, and the mutual reduction is a self-join of the
+    * (|sample|·5)-row edge list on both endpoints. */
+  val qSimKnnGraph = Q(
+    "q_sim_knn_graph",
+    (s, dir) => {
+      val n = emb(s, dir).filter(col("vec_id") % 4 === 0)
+      val q = n.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+      val scored = n.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nbr"),
+          round(dot(col("qv"), col("v")) /
+            (sqrt(col("qnrm")) * sqrt(col("nrm"))), 6).as("cos_sim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("nbr"))
+      val edges = scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mutual = edges.as("a").join(edges.as("b"),
+          col("a.qid") === col("b.nbr") && col("a.nbr") === col("b.qid"),
+          "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("mutual_degree"))
+      val top1 = edges.filter(col("rank") === 1)
+        .select(col("qid"), col("nbr").as("top1_id"),
+          col("cos_sim").as("top1_cos"))
+      QueryScopedCache.releaseAfter(
+        top1.join(mutual, Seq("qid"), "left")
+          .select(col("qid").as("vec_id"),
+            coalesce(col("mutual_degree"), lit(0L)).as("mutual_degree"),
+            col("top1_id"), col("top1_cos"))
+          .orderBy(col("vec_id")),
+        Seq(edges))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x)) AS nrm
+        FROM embeddings WHERE vec_id % 4 = 0),
+      scored AS (
+        SELECT q.vec_id AS qid, e.vec_id AS nbr,
+               ROUND(list_sum(list_transform(generate_series(1, len(q.v)),
+                       i -> q.v[i] * e.v[i]))
+                     / (SQRT(q.nrm) * SQRT(e.nrm)), 6) AS cos_sim
+        FROM e CROSS JOIN e q WHERE e.vec_id <> q.vec_id),
+      edges AS (
+        SELECT qid, nbr, cos_sim, rank FROM (
+          SELECT qid, nbr, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos_sim DESC, nbr) AS rank
+          FROM scored) x WHERE rank <= 5),
+      mutual AS (
+        SELECT a.qid, COUNT(*) AS mutual_degree
+        FROM edges a
+        WHERE EXISTS (SELECT 1 FROM edges b
+                      WHERE b.qid = a.nbr AND b.nbr = a.qid)
+        GROUP BY a.qid),
+      top1 AS (
+        SELECT qid, nbr AS top1_id, cos_sim AS top1_cos
+        FROM edges WHERE rank = 1)
+      SELECT t.qid AS vec_id,
+             COALESCE(m.mutual_degree, 0) AS mutual_degree,
+             t.top1_id, t.top1_cos
+      FROM top1 t LEFT JOIN mutual m USING (qid)
+      ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
     qSimIvfPqTopk, qSimIvfPqStored, qSimIvfPqAdmitted, qSimIvfPqRerank,
     qSimSqTopk, qSimKmeans, qSimIvfTrained, qSimHybridRrf, qSimHardNegatives,
-    qSimFisher, qSimRecallEval)
+    qSimFisher, qSimRecallEval, qSimKnnGraph)
 }

@@ -227,7 +227,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_ts_xcorr: the one-row hour-span extrema seed the shared
       // grid explode and the 25-row lag table cross-joins the bounded
       // hourly series (the q_ts_acf pattern)
-      "q_ts_xcorr")
+      "q_ts_xcorr",
+      // q_events_markov: the one-row state-count scalar rides a cross
+      // join into the k-row uniform start vector (one-row-scalar
+      // pattern)
+      "q_events_markov",
+      // q_prep_kfold: the one-row corpus-totals scalar rides a cross
+      // join into the k-row fold table (one-row-scalar pattern)
+      "q_prep_kfold",
+      // q_sim_knn_graph: the bounded embedding sample broadcasts into
+      // the self-exclusion inequality join (the q_sim_topk_brute
+      // pattern)
+      "q_sim_knn_graph")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
