@@ -274,6 +274,109 @@ object GraphQueries {
         FROM r3) x
       WHERE rank <= 20 ORDER BY rank"""))
 
+  /** HITS hubs-and-authorities on the DIRECTED customer→supplier
+    * purchase graph: authority(s) = Σ hub(c) over buyers, hub(c) =
+    * Σ authority(s) over suppliers bought from — broad, well-connected
+    * buyers confer authority; buying from authoritative suppliers
+    * makes a good hub. Two full rounds from a uniform hub vector.
+    * Where PageRank mixes the two roles through the undirected walk,
+    * HITS keeps them separate — the bipartite ranking primitive.
+    *
+    * Integer discipline: classic HITS L2-normalizes (irrational —
+    * ungateable); this uses L1 renormalization to 1e9 nano-units
+    * (`x·1e9 DIV Σx`), which preserves the score ORDER (the statistic
+    * HITS exists for) and keeps every step exact BIGINT. Per-node raw
+    * sums are bounded by the previous vector's total (≤ 1e9), so
+    * `raw·1e9` stays below 2^63. Scale shape: each half-round is one
+    * edge join + one node-keyed aggregation over the persisted edge
+    * list (the [[pagerank]] sweep shape on the directed relation);
+    * renormalization totals are one-row broadcast scalars. Top-20 per
+    * side via TakeOrdered, never a partition-less window. */
+  val qGraphHits = Q(
+    "q_graph_hits",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val eo = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+        .distinct()
+        .persist(MEMORY_AND_DISK)
+      def renorm(x: DataFrame, key: String, v: String): DataFrame = {
+        val tot = x.agg(sum(col(v)).as("tot"))
+        x.crossJoin(broadcast(tot))
+          .select(col(key),
+            expr(s"CAST($v * 1000000000 DIV tot AS BIGINT)").as(v))
+      }
+      val nc = eo.select(col("c")).distinct().agg(count(lit(1)).as("nc"))
+      var h = eo.select(col("c")).distinct().crossJoin(broadcast(nc))
+        .select(col("c"), expr("CAST(1000000000 DIV nc AS BIGINT)").as("h"))
+      var a: DataFrame = null
+      for (_ <- 1 to 2) {
+        a = renorm(
+          eo.join(h, Seq("c"))
+            .groupBy(col("sup")).agg(sum(col("h")).as("a")),
+          "sup", "a")
+        h = renorm(
+          eo.join(a, Seq("sup"))
+            .groupBy(col("c")).agg(sum(col("a")).as("h")),
+          "c", "h")
+      }
+      def top20(x: DataFrame, key: String, v: String, side: String) =
+        x.orderBy(col(v).desc, col(key)).limit(20)
+          .agg(sort_array(collect_list(
+            struct((-col(v)).as("neg"), col(key).as("node")))).as("ts"))
+          .select(posexplode(col("ts")))
+          .select(lit(side).as("side"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.node").as("node"), (-col("col.neg")).as("score_nano"))
+      val res = top20(a, "sup", "a", "authority")
+        .unionByName(top20(h, "c", "h", "hub"))
+        .orderBy(col("side"), col("rank"))
+      QueryScopedCache.releaseAfter(res, Seq(eo))
+    },
+    Some {
+      def rn(src: String, cur: String, key: String) = s"""
+      $cur AS (
+        SELECT $key, CAST(v * 1000000000 // (SELECT SUM(v) FROM $src)
+          AS BIGINT) AS v FROM $src)"""
+      s"""
+      WITH eo AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      nc AS (SELECT COUNT(DISTINCT c) AS nc FROM eo),
+      h0 AS (SELECT DISTINCT c, CAST(1000000000 // nc AS BIGINT) AS v
+             FROM eo CROSS JOIN nc),
+      a1r AS (SELECT e.sup, CAST(SUM(h.v) AS BIGINT) AS v
+              FROM eo e JOIN h0 h ON h.c = e.c GROUP BY e.sup),
+      ${rn("a1r", "a1", "sup")},
+      h1r AS (SELECT e.c, CAST(SUM(a.v) AS BIGINT) AS v
+              FROM eo e JOIN a1 a ON a.sup = e.sup GROUP BY e.c),
+      ${rn("h1r", "h1", "c")},
+      a2r AS (SELECT e.sup, CAST(SUM(h.v) AS BIGINT) AS v
+              FROM eo e JOIN h1 h ON h.c = e.c GROUP BY e.sup),
+      ${rn("a2r", "a2", "sup")},
+      h2r AS (SELECT e.c, CAST(SUM(a.v) AS BIGINT) AS v
+              FROM eo e JOIN a2 a ON a.sup = e.sup GROUP BY e.c),
+      ${rn("h2r", "h2", "c")},
+      ta AS (
+        SELECT 'authority' AS side, rank, node, score_nano FROM (
+          SELECT sup AS node, v AS score_nano,
+                 ROW_NUMBER() OVER (ORDER BY v DESC, sup) AS rank
+          FROM a2) x WHERE rank <= 20),
+      th AS (
+        SELECT 'hub' AS side, rank, node, score_nano FROM (
+          SELECT c AS node, v AS score_nano,
+                 ROW_NUMBER() OVER (ORDER BY v DESC, c) AS rank
+          FROM h2) x WHERE rank <= 20)
+      SELECT side, rank, node, score_nano FROM ta
+      UNION ALL
+      SELECT side, rank, node, score_nano FROM th
+      ORDER BY side, rank"""
+    })
+
   /** Triangle participation on the part CO-OCCURRENCE graph (two
     * parts are adjacent when some order contains both): the classic
     * distributed triangle count — orient every edge low-id → high-id
@@ -907,6 +1010,6 @@ object GraphQueries {
       ORDER BY community_size DESC, label LIMIT 20"""))
 
   val all: Seq[Q] =
-    Seq(qGraphPagerank, qGraphPpr, qGraphTriangles, qGraphBfs,
+    Seq(qGraphPagerank, qGraphPpr, qGraphHits, qGraphTriangles, qGraphBfs,
       qGraphJaccard, qGraphAssortativity, qGraphKcore, qGraphLabelProp)
 }

@@ -1414,8 +1414,147 @@ object SimilarityQueries {
       FROM top1 t LEFT JOIN mutual m USING (qid)
       ORDER BY vec_id"""))
 
+  /** Maximal-marginal-relevance (MMR) diversified rerank: from each
+    * query's top-20 cosine candidate pool, greedily select 5 — first
+    * the most relevant, then repeatedly argmax
+    * `0.7·rel − 0.3·max sim to already-selected` — trading relevance
+    * against redundancy (the Carbonell–Goldstein objective). The
+    * retrieval-side twin of SemDeDup: where [[DedupQueries]] drops
+    * near-duplicates from the corpus, MMR drops them from each
+    * RESULT LIST — the context-window diversifier for RAG-style
+    * training-data assembly.
+    *
+    * Determinism: rel and pairwise sims are round-6 cosines under the
+    * [[qSimTopkBrute]] discipline, the score is the identical IEEE
+    * expression in both engines, and every argmax breaks ties by
+    * candidate id — so the full greedy trajectory hash-matches.
+    *
+    * Scale shape: the greedy loop is INHERENTLY sequential in k, so
+    * the right distribution is per-query dataflow: each of the 4
+    * selection rounds is an anti-join (drop selected) + a bounded
+    * max-sim aggregation + a qid-partitioned argmax window over
+    * (|queries|·20)-row frames — thousands of queries run one
+    * selection step in one pass. The candidate pool and its pairwise
+    * sim table (≤ 20·19 rows per query) persist once; each round's
+    * selected set eager-localCheckpoints (the BFS lineage lesson —
+    * the union-of-references plan would otherwise triple per round). */
+  val qSimMmr = Q(
+    "q_sim_mmr",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          round(dot(col("qv"), col("v")) /
+            (sqrt(col("qnrm")) * sqrt(col("nrm"))), 6).as("rel"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("rel").desc, col("cid"))
+      val cand = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20).select(col("qid"), col("cid"), col("rel"))
+        .persist(MEMORY_AND_DISK)
+      val sims = cand.select(col("qid"), col("cid").as("a"))
+        .join(cand.select(col("qid"), col("cid").as("b")), Seq("qid"))
+        .filter(col("a") =!= col("b"))
+        .join(e.select(col("vec_id").as("a"), col("v").as("av"),
+          col("nrm").as("anrm")), Seq("a"))
+        .join(e.select(col("vec_id").as("b"), col("v").as("bv"),
+          col("nrm").as("bnrm")), Seq("b"))
+        .select(col("qid"), col("a"), col("b"),
+          round(dot(col("av"), col("bv")) /
+            (sqrt(col("anrm")) * sqrt(col("bnrm"))), 6).as("sim"))
+        .persist(MEMORY_AND_DISK)
+      var sel = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("cid"), col("rel"), lit(1L).as("sel_rank"))
+        .localCheckpoint(true)
+      for (t <- 2 to 5) {
+        val rem = cand.join(sel.select(col("qid"), col("cid")),
+          Seq("qid", "cid"), "left_anti")
+        val ms = sims.join(sel.select(col("qid"), col("cid").as("b")),
+            Seq("qid", "b"))
+          .groupBy(col("qid"), col("a")).agg(max(col("sim")).as("ms"))
+          .select(col("qid"), col("a").as("cid"), col("ms"))
+        val wp = Window.partitionBy(col("qid"))
+          .orderBy((lit(0.7) * col("rel") - lit(0.3) * col("ms")).desc,
+            col("cid"))
+        val pick = rem.join(ms, Seq("qid", "cid"))
+          .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+          .select(col("qid"), col("cid"), col("rel"),
+            lit(t.toLong).as("sel_rank"))
+        sel = sel.unionByName(pick).localCheckpoint(true)
+      }
+      QueryScopedCache.releaseAfter(
+        sel.select(col("qid"), col("sel_rank"), col("cid"), col("rel"))
+          .orderBy(col("qid"), col("sel_rank")),
+        Seq(cand, sims))
+    },
+    Some {
+      def lvl(t: Int) = s"""
+      pick$t AS (
+        SELECT qid, cid, rel, CAST($t AS BIGINT) AS sel_rank FROM (
+          SELECT r.qid, r.cid, r.rel,
+                 ROW_NUMBER() OVER (PARTITION BY r.qid
+                   ORDER BY 0.7 * r.rel - 0.3 * m.ms DESC, r.cid) AS rn
+          FROM (SELECT c.* FROM cand c
+                WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+                                  WHERE s.qid = c.qid
+                                    AND s.cid = c.cid)) r
+          JOIN (SELECT si.qid, si.a AS cid, MAX(si.sim) AS ms
+                FROM sims si JOIN sel${t - 1} s
+                  ON s.qid = si.qid AND s.cid = si.b
+                GROUP BY 1, 2) m
+            ON m.qid = r.qid AND m.cid = r.cid) x
+        WHERE rn = 1),
+      sel$t AS (SELECT * FROM sel${t - 1}
+                UNION ALL SELECT * FROM pick$t)"""
+      s"""
+      WITH e AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x)) AS nrm
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM e
+            WHERE vec_id < 20),
+      scored AS (
+        SELECT q.qid, e.vec_id AS cid,
+               ROUND(list_sum(list_transform(generate_series(1, len(q.qv)),
+                       i -> q.qv[i] * e.v[i]))
+                     / (SQRT(q.qnrm) * SQRT(e.nrm)), 6) AS rel
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+      cand AS MATERIALIZED (
+        SELECT qid, cid, rel FROM (
+          SELECT qid, cid, rel,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY rel DESC, cid) AS rn
+          FROM scored) x WHERE rn <= 20),
+      sims AS MATERIALIZED (
+        SELECT ca.qid, ca.cid AS a, cb.cid AS b,
+               ROUND(list_sum(list_transform(generate_series(1, len(va.v)),
+                       i -> va.v[i] * vb.v[i]))
+                     / (SQRT(va.nrm) * SQRT(vb.nrm)), 6) AS sim
+        FROM cand ca JOIN cand cb
+          ON cb.qid = ca.qid AND cb.cid <> ca.cid
+        JOIN e va ON va.vec_id = ca.cid
+        JOIN e vb ON vb.vec_id = cb.cid),
+      sel1 AS (
+        SELECT qid, cid, rel, CAST(1 AS BIGINT) AS sel_rank FROM (
+          SELECT qid, cid, rel,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY rel DESC, cid) AS rn
+          FROM cand) x WHERE rn = 1),
+      ${lvl(2)},
+      ${lvl(3)},
+      ${lvl(4)},
+      ${lvl(5)}
+      SELECT qid, sel_rank, cid, rel FROM sel5
+      ORDER BY qid, sel_rank"""
+    })
+
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
     qSimIvfPqTopk, qSimIvfPqStored, qSimIvfPqAdmitted, qSimIvfPqRerank,
     qSimSqTopk, qSimKmeans, qSimIvfTrained, qSimHybridRrf, qSimHardNegatives,
-    qSimFisher, qSimRecallEval, qSimKnnGraph)
+    qSimFisher, qSimRecallEval, qSimKnnGraph, qSimMmr)
 }

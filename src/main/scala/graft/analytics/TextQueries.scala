@@ -1591,11 +1591,69 @@ object TextQueries {
       FROM cm JOIN ra USING (actual) JOIN rp USING (predicted)
       ORDER BY actual, predicted"""))
 
+  /** Lexical-complexity (readability) screen, all-BIGINT: per doc,
+    * syllable mass by the vowel-group heuristic (one syllable per
+    * maximal `[aeiou]+` run — the standard dictionary-free
+    * approximation; spaces break runs, so the doc-level regexp count
+    * IS the word-sum) plus the complex-word count (words with ≥ 3
+    * vowel groups — the Gunning-fog "hard word" class). Both ratios
+    * ship in exact integer micro/milli units (`·1e6 DIV n_words`) —
+    * no floats anywhere, so the gate pins the full statistic. The
+    * corpus has no sentence punctuation, so the grade-formula
+    * sentence term is deliberately out of scope; these two ratios
+    * are the formula's other inputs and the quality-filter signal.
+    *
+    * Scale shape: one narrow projection per doc for the syllable
+    * count; the complex-word count explodes words once ([[qTextTokens]]
+    * shape) and re-aggregates by doc id — both map-side-combining,
+    * one exchange. */
+  val qTextReadability = Q(
+    "q_text_readability",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        regexp_count(col("text"), lit("[aeiou]+")).cast("long")
+          .as("n_syll"))
+      val cplx = d
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(regexp_count(col("w"), lit("[aeiou]+")) >= 3, 1L)
+          .otherwise(0L)).as("n_complex"))
+      base.join(cplx, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"), col("n_syll"),
+          col("n_complex"),
+          expr("n_syll * 1000000 DIV n_words").as("syll_per_word_micro"),
+          expr("n_complex * 1000 DIV n_words").as("complex_milli"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+                 AS n_syll
+        FROM documents),
+      cplx AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN len(regexp_extract_all(w, '[aeiou]+'))
+                             >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_complex
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id)
+      SELECT b.doc_id, b.n_words, b.n_syll, c.n_complex,
+             b.n_syll * 1000000 // b.n_words AS syll_per_word_micro,
+             c.n_complex * 1000 // b.n_words AS complex_milli
+      FROM base b JOIN cplx c USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
     qTextFingerprint, qTextVocab, qHeavyHitters, qTextCountmin,
     qTextRepetition,
     qTextLogprob, qTextBigramLogprob, qTextBpePairs, qTextBpeMerges,
     qTextBm25, qTextBm25Stored, qTextBm25Reingested, qTextTfidfSim,
     qTextCollocations, qTextChisquare, qStatsSourceOverlap, qTextDistinctN, qStatsDatacard,
-    qTextKeywords, qTextEntropy, qTextOov, qTextLangidEval)
+    qTextKeywords, qTextEntropy, qTextOov, qTextLangidEval,
+    qTextReadability)
 }

@@ -238,7 +238,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_sim_knn_graph: the bounded embedding sample broadcasts into
       // the self-exclusion inequality join (the q_sim_topk_brute
       // pattern)
-      "q_sim_knn_graph")
+      "q_sim_knn_graph",
+      // q_graph_hits: the one-row customer-count and renormalization
+      // totals are one-row broadcast scalars riding cross joins
+      // (one-row-scalar pattern)
+      "q_graph_hits",
+      // q_sim_mmr: the 20-query broadcast self-exclusion inequality
+      // join (the q_sim_topk_brute pattern) seeds the candidate pool
+      "q_sim_mmr")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
