@@ -1147,9 +1147,153 @@ object EventQueries {
       SELECT state, pi AS pi_nano FROM p4 ORDER BY state"""
     })
 
+  /** Weekly growth accounting — every active user classified per week
+    * as NEW (first week ever seen), RETAINED (also active the
+    * immediately preceding week) or RESURRECTED (active before, but
+    * not last week), plus the week's CHURNED count (active last week,
+    * silent this week) — the new/retained/resurrected/churned ledger
+    * behind every growth dashboard, and the identity
+    * active(w) = new + retained + resurrected with
+    * churned(w) = active(w−1) − retained(w) auditable row by row.
+    *
+    * The whole classification is ONE user-keyed window over the
+    * distinct (user, week) activity table: lag(week) separates
+    * new/retained/resurrected; the SAME row, read from the lead side
+    * (next active week more than 7 days out, or never), emits the
+    * user's churn week. Churn weeks beyond the observed horizon are
+    * clipped against the broadcast max-week scalar — a user active in
+    * the final week hasn't churned yet, they're censored
+    * ([[qEventsSurvival]]'s convention).
+    *
+    * Scale shape: one exchange to distinct user-weeks, one user
+    * window, and a week-keyed rollup on a bounded key — the event
+    * stream crosses the wire once; per-user state is two timestamps,
+    * never the event list. */
+  val qEventsLifecycle = Q(
+    "q_events_lifecycle",
+    (s, dir) => {
+      val uw = ev(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val horizon = uw.agg(max(col("wk")).as("wk_max"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+      val flagged = uw
+        .withColumn("prev", lag(col("wk"), 1).over(w))
+        .withColumn("nxt", lead(col("wk"), 1).over(w))
+      val classed = flagged.groupBy(col("wk")).agg(
+        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev") === col("wk") - expr("interval 7 days"), 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("prev").isNotNull &&
+            col("prev") < col("wk") - expr("interval 7 days"), 1L)
+          .otherwise(0L)).as("n_resurrected"))
+      val churn = flagged
+        .filter(col("nxt").isNull ||
+          col("nxt") > col("wk") + expr("interval 7 days"))
+        .select((col("wk") + expr("interval 7 days")).as("wk"))
+        .crossJoin(broadcast(horizon))
+        .filter(col("wk") <= col("wk_max"))
+        .groupBy(col("wk")).agg(count(lit(1)).as("n_churned"))
+      classed.join(churn, Seq("wk"), "left")
+        .select(col("wk"), col("n_new"), col("n_retained"),
+          col("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+          (col("n_new") + col("n_retained") + col("n_resurrected"))
+            .as("n_active"))
+        .orderBy(col("wk"))
+    },
+    Some("""
+      WITH uw AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        FROM events),
+      horizon AS (SELECT MAX(wk) AS wk_max FROM uw),
+      flagged AS (
+        SELECT user_id, wk,
+               LAG(wk, 1) OVER w AS prev,
+               LEAD(wk, 1) OVER w AS nxt
+        FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY wk)),
+      classed AS (
+        SELECT wk,
+               CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN prev = wk - INTERVAL 7 DAY
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN prev IS NOT NULL
+                   AND prev < wk - INTERVAL 7 DAY
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        FROM flagged GROUP BY wk),
+      churn AS (
+        SELECT f.wk + INTERVAL 7 DAY AS wk, COUNT(*) AS n_churned
+        FROM flagged f CROSS JOIN horizon h
+        WHERE (f.nxt IS NULL OR f.nxt > f.wk + INTERVAL 7 DAY)
+          AND f.wk + INTERVAL 7 DAY <= h.wk_max
+        GROUP BY 1)
+      SELECT c.wk, c.n_new, c.n_retained, c.n_resurrected,
+             COALESCE(ch.n_churned, 0) AS n_churned,
+             c.n_new + c.n_retained + c.n_resurrected AS n_active
+      FROM classed c LEFT JOIN churn ch USING (wk)
+      ORDER BY c.wk"""))
+
+  /** Sequence-pattern matching (MATCH_RECOGNIZE's core) — find every
+    * STRICTLY CONSECUTIVE view→click→purchase run inside each user's
+    * event stream (no other event of theirs in between — the
+    * "clean conversion burst" pattern, stricter than [[qEventsFunnel]]
+    * which allows arbitrary gaps) and report per matching user the
+    * match count, the first burst's start, and the median burst
+    * duration in seconds. The pattern-automaton-over-partitions shape
+    * is the general one: any fixed k-step pattern is k−1 leads over
+    * the same window.
+    *
+    * Scale shape: ONE user-keyed exchange; both lead() columns fuse
+    * into a single Window over it ([[qEventsPaths]] discipline), the
+    * rollup reuses the same partitioning, and burst duration is
+    * exact integer seconds (timestamp microseconds div 10⁶); the
+    * per-user median is the exact interpolating percentile over
+    * those BIGINTs, rounded ([[RelationalQueries.qPercentile]]
+    * parity: percentile ≡ quantile_cont). */
+  val qEventsPattern = Q(
+    "q_events_pattern",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val runs = ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .withColumn("t3", lead(col("ts"), 2).over(w))
+        .filter(col("event_type") === "view" && col("e2") === "click" &&
+          col("e3") === "purchase")
+      runs
+        .withColumn("dur_s",
+          expr("(unix_micros(t3) - unix_micros(ts)) div 1000000"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_bursts"),
+          min(col("ts")).as("first_burst"),
+          round(expr("percentile(dur_s, 0.5D)"), 6).as("median_burst_s"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH runs AS (
+        SELECT user_id, ts, event_id, event_type,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3,
+               LEAD(ts, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, COUNT(*) AS n_bursts,
+             MIN(ts) AS first_burst,
+             ROUND(quantile_cont(
+               (epoch_us(t3) - epoch_us(ts)) // 1000000, 0.5), 6)
+               AS median_burst_s
+      FROM runs
+      WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
+      GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
     qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
     qEventsFunnelTime, qEventsDauWau, qEventsWauSketch,
     qEventsCohortValue, qEventsRfm, qEventsPareto, qEventsSurvival,
-    qEventsUplift, qEventsPower, qEventsMarkov)
+    qEventsUplift, qEventsPower, qEventsMarkov, qEventsLifecycle,
+    qEventsPattern)
 }

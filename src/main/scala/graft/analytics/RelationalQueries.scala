@@ -3817,6 +3817,380 @@ object RelationalQueries {
                AS r
       FROM j ORDER BY lag"""))
 
+  /** Kruskal–Wallis omnibus rank test across ALL event types over the
+    * event `value` column — the k-group generalization of
+    * [[qStatsMannWhitney]]: are the k per-type value distributions
+    * drawn from one population, or does at least one sit apart? The
+    * screen that decides whether any per-segment analysis is worth
+    * running at all, before k·(k−1)/2 pairwise U tests.
+    *
+    * Reuses the Mann–Whitney midrank machinery verbatim: ONE global
+    * midrank table (doubled midranks stay integer; `#{<v}` from
+    * [[graft.operators.OrderStatistics.countByRank]] — no
+    * partition-less window), per-group doubled rank sums R2_g
+    * accumulate in DECIMAL(25,0) and gate exactly. With R_g = R2_g/2,
+    *   H = 12/(N(N+1)) Σ R_g²/n_g − 3(N+1)
+    *     = 3/(N(N+1)) Σ R2_g²/n_g − 3(N+1),
+    * and the tie-corrected H' = H / (1 − Σ(c³−c)/(N³−N)). The
+    * per-group term R2_g²/n_g is the one division — rounded to 3
+    * decimals then DECIMAL-summed ([[qTextLogprob]] discipline), so
+    * the cross-group reduction is order-independent in both engines;
+    * H/H' are single rounded IEEE expressions over gated inputs.
+    *
+    * Scale shape: identical to Mann–Whitney — one value-multiplicity
+    * exchange, one bucketed countByRank pass, a value-keyed join
+    * back, one k-row group aggregate; the k-row statistic reduction
+    * and the one-row (N, tie) scalar are broadcast-sized. */
+  val qStatsKruskal = Q(
+    "q_stats_kruskal",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("v"))
+      val vals = ev.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val lt = graft.operators.OrderStatistics.countByRank(
+          ev.select(col("v")),
+          vals.select(col("v").as("user_id"), lit(0L).as("session_idx"),
+            col("v").as("q")),
+          inclusive = false)
+        .select(col("user_id").as("v"), col("cnt").as("n_lt"))
+      val mid = vals.join(lt, Seq("v"))
+        .select(col("v"),
+          (lit(2) * col("n_lt") + col("c") + lit(1)).as("mr2"))
+      val tot = vals.agg(sum(col("c")).as("nn"),
+        sum(expr("cast(c as decimal(25,0)) * c * c - c")).as("tie_t"))
+      // grp is consumed twice (the k-row scalar AND the output rows);
+      // persist the k-row result so the corpus-scale midrank join
+      // runs once, released by the first action on the result.
+      val grp = ev.join(mid, Seq("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(expr("cast(mr2 as decimal(25,0))")).as("r2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sAgg = grp.agg(count(lit(1)).as("k"),
+        sum(expr("""cast(round(cast(r2 as double) * cast(r2 as double)
+                    / n_g, 3) as decimal(25,3))""")).as("s"))
+      val out = grp.select(col("event_type"), col("n_g"),
+          col("r2").cast("long").as("r2"))
+        .crossJoin(broadcast(sAgg.crossJoin(tot)
+          .select(col("k"),
+            round(lit(3.0) * col("s").cast("double") /
+              (col("nn") * (col("nn") + 1)).cast("double") -
+              lit(3.0) * (col("nn") + 1).cast("double"), 6).as("h"),
+            round((lit(3.0) * col("s").cast("double") /
+              (col("nn") * (col("nn") + 1)).cast("double") -
+              lit(3.0) * (col("nn") + 1).cast("double")) /
+              (lit(1.0) - col("tie_t").cast("double") /
+                (col("nn").cast("decimal(25,0)") * col("nn") * col("nn")
+                  - col("nn")).cast("double")), 6).as("h_corr"))))
+        .select(col("event_type"), col("n_g"), col("r2"), col("k"),
+          col("h"), col("h_corr"))
+        .orderBy(col("event_type"))
+      QueryScopedCache.releaseAfter(out, Seq(grp))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events),
+      vals AS (SELECT v, COUNT(*) AS c FROM ev GROUP BY v),
+      cum AS (
+        SELECT v, c,
+               COALESCE(CAST(SUM(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS n_lt
+        FROM vals),
+      mid AS (SELECT v, 2 * n_lt + c + 1 AS mr2 FROM cum),
+      tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS nn,
+               SUM(CAST(c AS DECIMAL(25,0)) * c * c - c) AS tie_t
+        FROM vals),
+      grp AS (
+        SELECT e.event_type, COUNT(*) AS n_g,
+               SUM(CAST(m.mr2 AS DECIMAL(25,0))) AS r2
+        FROM ev e JOIN mid m USING (v) GROUP BY 1),
+      sagg AS (
+        SELECT COUNT(*) AS k,
+               SUM(CAST(ROUND(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+                   / n_g, 3) AS DECIMAL(25,3))) AS s
+        FROM grp),
+      fin AS (
+        SELECT a.k,
+               ROUND(3.0 * CAST(a.s AS DOUBLE) /
+                 CAST(t.nn * (t.nn + 1) AS DOUBLE) -
+                 3.0 * CAST(t.nn + 1 AS DOUBLE), 6) AS h,
+               ROUND((3.0 * CAST(a.s AS DOUBLE) /
+                 CAST(t.nn * (t.nn + 1) AS DOUBLE) -
+                 3.0 * CAST(t.nn + 1 AS DOUBLE)) /
+                 (1.0 - CAST(t.tie_t AS DOUBLE) /
+                   CAST(CAST(t.nn AS DECIMAL(25,0)) * t.nn * t.nn - t.nn
+                     AS DOUBLE)), 6) AS h_corr
+        FROM sagg a CROSS JOIN tot t)
+      SELECT g.event_type, g.n_g, CAST(g.r2 AS BIGINT) AS r2,
+             f.k, f.h, f.h_corr
+      FROM grp g CROSS JOIN fin f
+      ORDER BY g.event_type"""))
+
+  /** Largest-Triangle-Three-Buckets downsampling of the hourly event
+    * series to ~60 visually-representative points — the what-does-a-
+    * year-of-telemetry-look-like operator behind every dashboard that
+    * cannot ship 10⁶ points to a browser. Classic LTTB chains each
+    * bucket's pick to the PREVIOUS pick (inherently sequential), so
+    * the engine implements the parallel mean-anchor variant: each
+    * interior bucket keeps the point maximizing the triangle area
+    * against the MEAN of the previous bucket and the MEAN of the next
+    * bucket; the global first/last points are kept verbatim (the LTTB
+    * edge rule). Dropping the pick-chain is what makes the operator
+    * one window pass instead of a driver loop — the standard
+    * large-scale LTTB decomposition.
+    *
+    * Exactness: with P=(Σt,Σx,n_p) the prev anchor sums, Q likewise
+    * next, and candidate B=(t,x), the doubled area scaled by n_p·n_q,
+    *   |（Pt−t·n_p)(Qx−x·n_q) − (Px−x·n_p)(Qt−t·n_q)|,
+    * is pure BIGINT — no float ever enters the ranking, so the
+    * argmax (area DESC, t ASC) is total and both engines pick
+    * identical points. Buckets assign by integer `tix*60 div span`.
+    *
+    * Scale shape: one hourly count exchange, one bucket aggregate
+    * (60 rows) with lag/lead anchors on the bounded bucket table, a
+    * bucket-keyed join back, and a per-bucket (never global) argmax
+    * window. The raw series crosses the wire once. */
+  val qTsLttb = Q(
+    "q_ts_lttb",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+      val span = hourly.agg(min(col("h")).as("h0"),
+        unix_micros(max(col("h"))).as("u1"))
+      val pts = hourly.crossJoin(broadcast(span))
+        .select(
+          expr("(unix_micros(h) - unix_micros(h0)) div 3600000000")
+            .as("tix"),
+          expr("(u1 - unix_micros(h0)) div 3600000000 + 1").as("ntix"),
+          col("h"), col("x"))
+        .select(col("tix"), col("h"), col("x"),
+          expr("tix * 60 div ntix").as("b"))
+      // Neighbor anchors WITHOUT a partition-less window: the ≤60-row
+      // bucket table (b ∈ [0,59] by construction; limit(61) states
+      // the bound mechanically) collapses to ONE sorted array row,
+      // prev/next context is array indexing inside codegen, and
+      // explode rebuilds the bounded ctx table.
+      val anchors = pts.groupBy(col("b"))
+        .agg(sum(col("tix")).as("st"), sum(col("x")).as("sx"),
+          count(lit(1)).as("n"))
+        .limit(61)
+        .agg(sort_array(collect_list(struct(
+          col("b"), col("st"), col("sx"), col("n")))).as("a"))
+      val ctx = anchors
+        .select(col("a"), posexplode(col("a")).as(Seq("i", "c")))
+        .select(col("c.b").as("b"),
+          expr("try_element_at(a, nullif(i, 0))").as("p"),
+          expr("try_element_at(a, i + 2)").as("q"))
+        .select(col("b"), col("p.st").as("pt"), col("p.sx").as("px"),
+          col("p.n").as("pn"), col("q.st").as("qt"),
+          col("q.sx").as("qx"), col("q.n").as("qn"))
+      val lim = pts.agg(min(col("b")).as("b_lo"), max(col("b")).as("b_hi"))
+      val tagged = pts.crossJoin(broadcast(lim))
+      val interior = tagged
+        .filter(col("b") =!= col("b_lo") && col("b") =!= col("b_hi"))
+        .join(broadcast(ctx), Seq("b"))
+        .withColumn("area2", abs(
+          (col("pt") - col("tix") * col("pn")) *
+            (col("qx") - col("x") * col("qn")) -
+          (col("px") - col("x") * col("pn")) *
+            (col("qt") - col("tix") * col("qn"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("b")).orderBy(
+            col("area2").desc, col("tix"))))
+        .filter(col("rn") === 1)
+        .select(col("b"), col("tix"), col("h"), col("x"), col("area2"))
+      val edges = tagged
+        .filter(col("b") === col("b_lo") || col("b") === col("b_hi"))
+        .groupBy(col("b"))
+        .agg(min_by(struct(col("tix"), col("h"), col("x")),
+          when(col("b") === col("b_lo"), col("tix"))
+            .otherwise(-col("tix"))).as("pick"))
+        .select(col("b"), col("pick.tix").as("tix"),
+          col("pick.h").as("h"), col("pick.x").as("x"),
+          lit(null).cast("long").as("area2"))
+      interior.unionByName(edges).orderBy(col("b"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x
+        FROM events GROUP BY 1),
+      span AS (
+        SELECT MIN(h) AS h0, epoch_us(MAX(h)) AS u1 FROM hourly),
+      pts AS (
+        SELECT (epoch_us(h) - epoch_us(h0)) // 3600000000 AS tix,
+               h, x,
+               ((epoch_us(h) - epoch_us(h0)) // 3600000000) * 60 //
+                 ((u1 - epoch_us(h0)) // 3600000000 + 1) AS b
+        FROM hourly CROSS JOIN span),
+      anchors AS (
+        SELECT b, CAST(SUM(tix) AS BIGINT) AS st,
+               CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS n
+        FROM pts GROUP BY b),
+      ctx AS (
+        SELECT b,
+               LAG(st, 1) OVER w AS pt, LAG(sx, 1) OVER w AS px,
+               LAG(n, 1) OVER w AS pn,
+               LEAD(st, 1) OVER w AS qt, LEAD(sx, 1) OVER w AS qx,
+               LEAD(n, 1) OVER w AS qn
+        FROM anchors WINDOW w AS (ORDER BY b)),
+      lim AS (SELECT MIN(b) AS b_lo, MAX(b) AS b_hi FROM pts),
+      scored AS (
+        SELECT p.b, p.tix, p.h, p.x,
+               CASE WHEN p.b = l.b_lo OR p.b = l.b_hi
+                    THEN CAST(NULL AS BIGINT)
+                    ELSE abs((c.pt - p.tix * c.pn) * (c.qx - p.x * c.qn)
+                           - (c.px - p.x * c.pn) * (c.qt - p.tix * c.qn))
+               END AS area2,
+               l.b_lo, l.b_hi
+        FROM pts p JOIN ctx c USING (b) CROSS JOIN lim l),
+      ranked AS (
+        SELECT b, tix, h, x, area2, b_lo, b_hi,
+               ROW_NUMBER() OVER (PARTITION BY b
+                 ORDER BY area2 DESC NULLS LAST, tix) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY b
+                 ORDER BY CASE WHEN b = b_lo THEN tix ELSE -tix END)
+                 AS edge_rank
+        FROM scored)
+      SELECT b, tix, h, x, area2 FROM ranked
+      WHERE CASE WHEN b = b_lo OR b = b_hi THEN edge_rank = 1
+                 ELSE rn = 1 END
+      ORDER BY b"""))
+
+  /** Kendall τ-b rank correlation between event value and hour of day
+    * — the fully tie-corrected concordance statistic ("do higher
+    * values land later in the day?"), the third rank-correlation
+    * family member after [[qStatsSpearman]] (midranks) and
+    * [[qStatsMannWhitney]] (two-sample U): τ-b is the one that stays
+    * honest under massive ties, which a 24-valued hour column
+    * guarantees.
+    *
+    * Pair-free decomposition: aggregate to (x, y, c) cells, then count
+    * concordant/discordant PAIRS through per-y strict prefix counts
+    * F_y(x−) = #{points: y'' = y, x'' < x} — each pair counted once at
+    * its higher-x cell: C = Σ_cell c · Σ_{y'<y} F_{y'}(x−), D likewise
+    * over y' > y. F comes from ONE weighted
+    * [[graft.operators.OrderStatistics.prefixSumByRank]] pass over the
+    * composite key y·2⁴² + x (the [[qStatsGini]] encoding; x < 2⁴²
+    * asserted by the value domain, hour < 2⁶) minus the 24-row
+    * cumulative-y marginal — O(N log N), no pair join, no window
+    * anywhere on the Spark side. Products cast to DECIMAL(25,0)
+    * BEFORE multiplying ([[qStatsRegression]] overflow discipline);
+    * C, D, and both doubled tie terms gate as exact integers; τ-b is
+    * one rounded IEEE expression over them.
+    *
+    * Scale shape: one cell exchange, one bucketed prefix pass, a
+    * 24-way bounded fan-out join back on x, and three one-row/24-row
+    * broadcast marginals. The event stream crosses the wire once. */
+  val qStatsKendall = Q(
+    "q_stats_kendall",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val K = lit(1L << 42)
+      val ev = t(s, dir, "events").select(
+        expr("cast(round(value * 100) as bigint)").as("x"),
+        hour(col("ts")).cast("long").as("y"))
+      val cells = ev.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("c"))
+        .persist(MEMORY_AND_DISK)
+      val mx = cells.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+      val my = cells.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+      val cumy = my.as("a")
+        .join(broadcast(my.as("b")), col("b.y") < col("a.y"), "left")
+        .groupBy(col("a.y"))
+        .agg(coalesce(sum(col("b.cy")), lit(0L)).as("cum"))
+        .select(col("y").as("yp"), col("cum"))
+      val yps = s.range(0, 24).toDF("yp")
+      val probes = mx.select(col("x")).crossJoin(broadcast(yps))
+      val f = graft.operators.OrderStatistics.prefixSumByRank(
+          cells.select((col("y") * K + col("x")).as("v"),
+            col("c").as("w")),
+          probes.select(col("x").as("user_id"),
+            col("yp").as("session_idx"),
+            (col("yp") * K + col("x")).as("q")),
+          inclusive = false)
+        .select(col("user_id").as("x"), col("session_idx").as("yp"),
+          col("wsum"))
+        .join(broadcast(cumy), Seq("yp"))
+        .select(col("x"), col("yp"), (col("wsum") - col("cum")).as("fl"))
+      val cd = cells.join(f, Seq("x"))
+        .agg(
+          sum(when(col("yp") < col("y"),
+            col("c").cast(DecimalType(25, 0)) * col("fl"))
+            .otherwise(lit(0).cast(DecimalType(25, 0)))).as("conc"),
+          sum(when(col("yp") > col("y"),
+            col("c").cast(DecimalType(25, 0)) * col("fl"))
+            .otherwise(lit(0).cast(DecimalType(25, 0)))).as("disc"))
+      val margx = mx.agg(sum(col("cx")).as("n"),
+        sum(col("cx").cast(DecimalType(25, 0)) * (col("cx") - 1))
+          .as("n1_2"))
+      val margy = my.agg(
+        sum(col("cy").cast(DecimalType(25, 0)) * (col("cy") - 1))
+          .as("n2_2"))
+      val out = cd.crossJoin(broadcast(margx)).crossJoin(broadcast(margy))
+        .select(col("n"),
+          col("conc").cast("long").as("conc"),
+          col("disc").cast("long").as("disc"),
+          round((col("conc") - col("disc")).cast("double") /
+            sqrt(
+              (col("n").cast("double") * (col("n") - 1).cast("double") -
+                col("n1_2").cast("double")) / lit(2.0) *
+              ((col("n").cast("double") * (col("n") - 1).cast("double") -
+                col("n2_2").cast("double")) / lit(2.0))), 6).as("tau_b"))
+      QueryScopedCache.releaseAfter(out, Seq(cells))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS x,
+               CAST(hour(ts) AS BIGINT) AS y
+        FROM events),
+      cells AS (SELECT x, y, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+      mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx
+             FROM cells GROUP BY x),
+      my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy
+             FROM cells GROUP BY y),
+      probes AS (
+        SELECT t1.x, t2.yp FROM (SELECT DISTINCT x FROM cells) t1
+        CROSS JOIN (SELECT unnest(range(0, 24)) AS yp) t2),
+      u AS (
+        SELECT y AS yy, x, c, 0 AS probe FROM cells
+        UNION ALL
+        SELECT yp AS yy, x, 0 AS c, 1 AS probe FROM probes),
+      f0 AS (
+        SELECT yy, x, probe,
+               COALESCE(CAST(SUM(c) OVER (PARTITION BY yy
+                 ORDER BY x ASC, probe DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT), 0) AS fl
+        FROM u),
+      f AS (SELECT yy AS yp, x, fl FROM f0 WHERE probe = 1),
+      cd AS (
+        SELECT SUM(CASE WHEN f.yp < cl.y
+                 THEN CAST(cl.c AS DECIMAL(25,0)) * f.fl
+                 ELSE CAST(0 AS DECIMAL(25,0)) END) AS conc,
+               SUM(CASE WHEN f.yp > cl.y
+                 THEN CAST(cl.c AS DECIMAL(25,0)) * f.fl
+                 ELSE CAST(0 AS DECIMAL(25,0)) END) AS disc
+        FROM cells cl JOIN f ON f.x = cl.x),
+      margx AS (
+        SELECT CAST(SUM(cx) AS BIGINT) AS n,
+               SUM(CAST(cx AS DECIMAL(25,0)) * (cx - 1)) AS n1_2
+        FROM mx),
+      margy AS (
+        SELECT SUM(CAST(cy AS DECIMAL(25,0)) * (cy - 1)) AS n2_2
+        FROM my)
+      SELECT x.n, CAST(c.conc AS BIGINT) AS conc,
+             CAST(c.disc AS BIGINT) AS disc,
+             ROUND(CAST(c.conc - c.disc AS DOUBLE) /
+               SQRT((CAST(x.n AS DOUBLE) * CAST(x.n - 1 AS DOUBLE) -
+                     CAST(x.n1_2 AS DOUBLE)) / 2.0 *
+                    ((CAST(x.n AS DOUBLE) * CAST(x.n - 1 AS DOUBLE) -
+                      CAST(y.n2_2 AS DOUBLE)) / 2.0)), 6) AS tau_b
+      FROM cd c CROSS JOIN margx x CROSS JOIN margy y"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -3836,5 +4210,5 @@ object RelationalQueries {
     qStatsSpearman, qStatsAbtest, qWindowSliding, qStatsWmedian, qAggReaggregate, qStatsBenford,
     qAggBasket, qStatsKs, qTsAcf, qTsCusum, qStatsBootstrap,
     qTsSeasonality, qAggBitmapDistinct, qTsAnomalySeasonal, qAsofTolerance,
-    qStatsMannWhitney, qTsXcorr)
+    qStatsMannWhitney, qTsXcorr, qStatsKruskal, qTsLttb, qStatsKendall)
 }

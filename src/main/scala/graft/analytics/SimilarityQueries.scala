@@ -1553,8 +1553,128 @@ object SimilarityQueries {
       ORDER BY qid, sel_rank"""
     })
 
+  /** Top principal component of the embedding space by distributed
+    * power iteration — the PCA direction every embedding-space
+    * diagnostic starts from (dominant-axis variance share, anisotropy
+    * screens, whitening, the "is this embedding model collapsing"
+    * check). Two stages, both integer-exact so the training run
+    * itself gates by full hash-match (the [[qSimKmeans]] discipline):
+    *
+    * 1. GRAM ACCUMULATION — vectors quantize to micro-units and the
+    *    64×64 Gram matrix G = Σ v·vᵀ accumulates as BIGINT via a
+    *    double posexplode with map-side partial aggregation: each
+    *    task emits ≤4096 (j,k) cells regardless of row count, so the
+    *    corpus-scale shuffle is 4096 cells per task, never n·d².
+    * 2. POWER ITERATION — G rescales once by its max |cell| to a
+    *    ≤2²⁰ integer range, then 4 fixed sweeps u ← Ĝu with L1
+    *    renormalization to ~10⁶; every division is truncation toward
+    *    zero on BOTH engines (Spark `div`; the oracle spells the
+    *    sign-split CASE because DuckDB `//` floors, which differs on
+    *    negative loadings). Fixed horizon for oracle parity
+    *    ([[GraphQueries.qGraphPagerank]] discipline).
+    *
+    * Each 64-row sweep result localCheckpoints eagerly — the sweep
+    * consumes its input twice (norm + renormalize), and without the
+    * cut the four chained sweeps re-derive upstream levels
+    * exponentially (the [[GraphQueries.qGraphHits]] lesson). The
+    * 4096-cell rescaled Gram persists across all four sweeps.
+    *
+    * Scale bound (docstring contract, [[qStatsGini]] convention):
+    * micro-unit products |e_j·e_k| ≤ ~4·10¹² per row keep the BIGINT
+    * Gram exact to n ≈ 2·10⁶ rows per cell; beyond that accumulate
+    * the Gram in DECIMAL(25,0). */
+  val qSimPca = Q(
+    "q_sim_pca",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val e = Tables.spread(Tables(s, dir, "embeddings"))
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000000, 0).cast("long"))
+            .as("m"))
+      val cells = e
+        .select(col("m"), posexplode(col("m")).as(Seq("j", "ej")))
+        .select(col("j"), col("ej"), posexplode(col("m")).as(Seq("k", "ek")))
+        .groupBy(col("j"), col("k"))
+        .agg(sum(col("ej") * col("ek")).as("g"))
+      val mx = cells.agg(max(abs(col("g"))).as("mg"))
+      val gs = cells.crossJoin(broadcast(mx))
+        .select(col("j"), col("k"),
+          expr("g div (mg div 1048576 + 1)").as("gs"))
+        .persist(MEMORY_AND_DISK)
+      val u0 = s.range(0, 64).toDF("j")
+        .select(col("j").cast("int").as("j"), lit(1000000L).as("u"))
+      def sweep(u: DataFrame): DataFrame = {
+        val up = gs
+          .join(broadcast(u.select(col("j").as("k"), col("u").as("uk"))),
+            Seq("k"))
+          .groupBy(col("j")).agg(sum(col("gs") * col("uk")).as("up"))
+          .localCheckpoint(true)
+        val nrm = up.agg(sum(abs(col("up"))).as("snorm"))
+        up.crossJoin(broadcast(nrm))
+          .select(col("j"),
+            expr("up div (snorm div 1000000 + 1)").as("u"))
+      }
+      val u4 = sweep(sweep(sweep(sweep(u0))))
+      val out = u4
+        .select(col("j").cast("long").as("j"),
+          col("u").as("loading_micro"))
+        .orderBy(col("j"))
+      QueryScopedCache.releaseAfter(out, Seq(gs))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id,
+               [CAST(ROUND(x * 1000000) AS BIGINT)
+                FOR x IN CAST(embedding AS DOUBLE[])] AS m
+        FROM embeddings),
+      cells AS (
+        SELECT s1.j, s2.k,
+               CAST(SUM(m[s1.j + 1] * m[s2.k + 1]) AS BIGINT) AS g
+        FROM e
+        CROSS JOIN generate_series(0, 63) s1(j)
+        CROSS JOIN generate_series(0, 63) s2(k)
+        GROUP BY s1.j, s2.k),
+      mx AS (SELECT CAST(MAX(abs(g)) AS BIGINT) AS mg FROM cells),
+      gs AS (
+        SELECT j, k,
+               CASE WHEN g < 0 THEN -((-g) // (mg // 1048576 + 1))
+                    ELSE g // (mg // 1048576 + 1) END AS gs
+        FROM cells CROSS JOIN mx),
+      u0 AS (SELECT j, CAST(1000000 AS BIGINT) AS u
+             FROM generate_series(0, 63) t(j)),
+      s1 AS (SELECT g.j, CAST(SUM(g.gs * u.u) AS BIGINT) AS up
+             FROM gs g JOIN u0 u ON u.j = g.k GROUP BY g.j),
+      n1 AS (SELECT CAST(SUM(abs(up)) AS BIGINT) AS s FROM s1),
+      u1 AS (SELECT j, CASE WHEN up < 0
+                 THEN -((-up) // (s // 1000000 + 1))
+                 ELSE up // (s // 1000000 + 1) END AS u
+             FROM s1 CROSS JOIN n1),
+      s2 AS (SELECT g.j, CAST(SUM(g.gs * u.u) AS BIGINT) AS up
+             FROM gs g JOIN u1 u ON u.j = g.k GROUP BY g.j),
+      n2 AS (SELECT CAST(SUM(abs(up)) AS BIGINT) AS s FROM s2),
+      u2 AS (SELECT j, CASE WHEN up < 0
+                 THEN -((-up) // (s // 1000000 + 1))
+                 ELSE up // (s // 1000000 + 1) END AS u
+             FROM s2 CROSS JOIN n2),
+      s3 AS (SELECT g.j, CAST(SUM(g.gs * u.u) AS BIGINT) AS up
+             FROM gs g JOIN u2 u ON u.j = g.k GROUP BY g.j),
+      n3 AS (SELECT CAST(SUM(abs(up)) AS BIGINT) AS s FROM s3),
+      u3 AS (SELECT j, CASE WHEN up < 0
+                 THEN -((-up) // (s // 1000000 + 1))
+                 ELSE up // (s // 1000000 + 1) END AS u
+             FROM s3 CROSS JOIN n3),
+      s4 AS (SELECT g.j, CAST(SUM(g.gs * u.u) AS BIGINT) AS up
+             FROM gs g JOIN u3 u ON u.j = g.k GROUP BY g.j),
+      n4 AS (SELECT CAST(SUM(abs(up)) AS BIGINT) AS s FROM s4),
+      u4 AS (SELECT j, CASE WHEN up < 0
+                 THEN -((-up) // (s // 1000000 + 1))
+                 ELSE up // (s // 1000000 + 1) END AS u
+             FROM s4 CROSS JOIN n4)
+      SELECT j, u AS loading_micro FROM u4 ORDER BY j"""))
+
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
     qSimIvfPqTopk, qSimIvfPqStored, qSimIvfPqAdmitted, qSimIvfPqRerank,
     qSimSqTopk, qSimKmeans, qSimIvfTrained, qSimHybridRrf, qSimHardNegatives,
-    qSimFisher, qSimRecallEval, qSimKnnGraph, qSimMmr)
+    qSimFisher, qSimRecallEval, qSimKnnGraph, qSimMmr, qSimPca)
 }

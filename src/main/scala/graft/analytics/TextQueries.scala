@@ -1648,6 +1648,81 @@ object TextQueries {
       FROM base b JOIN cplx c USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** Per-source novel-content contribution — for each document, the
+    * fraction of its distinct 8-grams whose FIRST corpus occurrence
+    * (min doc_id over the whole corpus) is that document, rolled up
+    * per source: the data-valuation screen that answers "which feed
+    * still contributes new content and which is re-crawling what the
+    * corpus already holds" before paying to ingest more of it.
+    * [[qDedupPassage]] profiles which docs SHARE content; this
+    * attributes every shared 8-gram to its earliest holder and scores
+    * the marginal novelty of everything else.
+    *
+    * Exactness: first-holder is min(doc_id) — a total tie-break, so
+    * attribution is deterministic; counts are BIGINT; the two
+    * fractions are single rounded divisions over gated integers.
+    *
+    * Scale shape: the doc-distinct fingerprint table shuffles once on
+    * the 8-gram hash (count + min in the SAME aggregate), joins back
+    * doc-keyed, and lands on a bounded source rollup; only md5 hashes
+    * cross the wire, never text ([[qDedupPassage]] discipline). The
+    * instance table feeds the hash aggregate and the join back, so it
+    * persists for exactly one action via [[QueryScopedCache]]. */
+  val qTextNovelty = Q(
+    "q_text_novelty",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val ps = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.shingles(col("ws"), 8))
+            .as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("h"))
+        .persist(MEMORY_AND_DISK)
+      val first = ps.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      val perDoc = ps.join(first, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      val result = perDoc
+        .join(docs(s, dir).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_sh")).as("n_shingles"),
+          sum(col("n_novel")).as("n_novel"))
+        .select(col("source"), col("n_docs"), col("n_shingles"),
+          col("n_novel"),
+          round(col("n_novel").cast("double") /
+            col("n_shingles").cast("double"), 6).as("novelty_frac"))
+        .orderBy(col("source"))
+      QueryScopedCache.releaseAfter(result, Seq(ps))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      ps AS (
+        SELECT DISTINCT doc_id, md5(sh) AS h FROM (
+          SELECT doc_id,
+                 unnest([array_to_string(ws[i:i+7], ' ')
+                         for i in generate_series(1, len(ws) - 7)]) AS sh
+          FROM w)),
+      first AS (SELECT h, MIN(doc_id) AS first_doc FROM ps GROUP BY h),
+      per_doc AS (
+        SELECT p.doc_id, COUNT(*) AS n_sh,
+               CAST(SUM(CASE WHEN f.first_doc = p.doc_id
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM ps p JOIN first f USING (h) GROUP BY p.doc_id)
+      SELECT d.source, COUNT(*) AS n_docs,
+             CAST(SUM(pd.n_sh) AS BIGINT) AS n_shingles,
+             CAST(SUM(pd.n_novel) AS BIGINT) AS n_novel,
+             ROUND(CAST(SUM(pd.n_novel) AS DOUBLE) /
+                   CAST(SUM(pd.n_sh) AS DOUBLE), 6) AS novelty_frac
+      FROM per_doc pd JOIN documents d USING (doc_id)
+      GROUP BY d.source ORDER BY d.source"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
     qTextFingerprint, qTextVocab, qHeavyHitters, qTextCountmin,
     qTextRepetition,
@@ -1655,5 +1730,5 @@ object TextQueries {
     qTextBm25, qTextBm25Stored, qTextBm25Reingested, qTextTfidfSim,
     qTextCollocations, qTextChisquare, qStatsSourceOverlap, qTextDistinctN, qStatsDatacard,
     qTextKeywords, qTextEntropy, qTextOov, qTextLangidEval,
-    qTextReadability)
+    qTextReadability, qTextNovelty)
 }

@@ -245,7 +245,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q_graph_hits",
       // q_sim_mmr: the 20-query broadcast self-exclusion inequality
       // join (the q_sim_topk_brute pattern) seeds the candidate pool
-      "q_sim_mmr")
+      "q_sim_mmr",
+      // q_stats_kruskal: the q_stats_mannwhitney machinery verbatim —
+      // countByRank's broadcast extrema + bucket-prefix theta join,
+      // plus the one-row (k, S, N, tie-term) scalar riding a cross
+      // join into the per-group rows (one-row-scalar pattern)
+      "q_stats_kruskal",
+      // q_ts_lttb: the one-row hour-span and bucket-extrema scalars
+      // ride cross joins into the hourly series (one-row-scalar
+      // pattern); the ≤60-row anchor-context join is a broadcast
+      // HASH join, not a BNLJ
+      "q_ts_lttb",
+      // q_events_lifecycle: the one-row max-week horizon scalar rides
+      // a cross join into the churn-week clip (one-row-scalar pattern)
+      "q_events_lifecycle",
+      // q_stats_kendall: the prefixSumByRank bucket-prefix theta join
+      // (the q_stats_mannwhitney machinery), the bounded 24-row
+      // hour-marginal prefix theta join and 24-row probe fan-out
+      // (the q_ts_acf lag-table pattern), and the one-row tie-term
+      // scalars riding cross joins (one-row-scalar pattern)
+      "q_stats_kendall",
+      // q_sim_pca: the one-row Gram-max and L1-norm scalars ride
+      // cross joins into rescale and each sweep's renormalization
+      // (one-row-scalar pattern); the 64-row u joins are broadcast
+      // HASH joins
+      "q_sim_pca")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
