@@ -1262,9 +1262,123 @@ object DedupQueries {
       WHERE GREATEST(contain_a, contain_b) >= 0.9
       ORDER BY ia, ib"""))
 
+  /** Quality-aware duplicate-cluster resolution — [[qDedupCluster]]
+    * keeps each cluster's MINIMUM doc_id (the arbitrary-but-
+    * deterministic rule); production dedup keeps the BEST member.
+    * This query resolves the same MinHash near-dup clusters and
+    * elects per cluster the longest document (n_chars, ties to the
+    * smallest doc_id — a total order, so the election is
+    * deterministic and cross-engine replayable), reporting the kept
+    * doc, its length, and the drop count — the canonicalization
+    * table a dedup pass actually applies.
+    *
+    * Scale shape: pair discovery and min-label/pointer-jumping
+    * resolution are the [[qDedupCluster]] machinery verbatim; the
+    * election adds ONE doc-keyed join to attach n_chars and ONE
+    * cluster-partitioned window (never global) for the argmax, with
+    * the membership rollup riding the same partitioning. */
+  val qDedupKeepBest = Q(
+    "q_dedup_keep_best",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val (pairs0, handles) = minhashPairs(s, dir)
+      val pairs = pairs0.persist(MEMORY_AND_DISK)
+      val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+      val members = resolveClusters(edges)
+        .join(docs(s, dir).select(col("doc_id"), col("n_chars")),
+          Seq("doc_id"))
+      val w = Window.partitionBy(col("cluster_rep"))
+      val result = members
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rk") === 1)
+        .select(col("cluster_rep"), col("n_members"),
+          col("doc_id").as("kept_doc"), col("n_chars").as("kept_len"),
+          (col("n_members") - 1).as("n_dropped"))
+        .orderBy(col("cluster_rep"))
+      QueryScopedCache.releaseAfter(result, handles :+ pairs)
+    },
+    Some(s"""
+      WITH RECURSIVE ${minhashPairsSql()},
+      edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                UNION ALL SELECT ib, ia FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      rep AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+              FROM reach GROUP BY src),
+      csize AS (SELECT cluster_rep, COUNT(*) AS n_members
+                FROM rep GROUP BY 1),
+      members AS (
+        SELECT r.doc_id, r.cluster_rep, c.n_members, d.n_chars
+        FROM rep r
+        JOIN csize c USING (cluster_rep)
+        JOIN documents d USING (doc_id)),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_rep
+                 ORDER BY n_chars DESC, doc_id) AS rk
+        FROM members)
+      SELECT cluster_rep, n_members, doc_id AS kept_doc,
+             n_chars AS kept_len, n_members - 1 AS n_dropped
+      FROM ranked WHERE rk = 1
+      ORDER BY cluster_rep"""))
+
+  /** Cross-source duplication matrix — the MinHash near-dup pairs
+    * attributed to the (source, source) feed pair that produced them:
+    * which feeds duplicate each other (cross-source mass → one is
+    * re-crawling the other; drop the cheaper feed) and which
+    * duplicate themselves (within-source mass → the feed re-serves
+    * its own content; dedup at ingest). The provenance triage view on
+    * the same pair table [[qDedupCluster]] resolves — the
+    * per-feed-pair answer to [[TextQueries.qTextNovelty]]'s per-feed
+    * question.
+    *
+    * Scale shape: pair discovery is the shared machinery verbatim;
+    * attribution is two doc-keyed broadcast-size joins to the
+    * documents (doc_id, source) projection and one bounded
+    * (source, source) rollup; the pair key is normalized with
+    * least/greatest so the matrix is upper-triangular and
+    * deterministic. */
+  val qDedupSourceMatrix = Q(
+    "q_dedup_source_matrix",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val (pairs0, handles) = minhashPairs(s, dir)
+      val pairs = pairs0.persist(MEMORY_AND_DISK)
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      val result = pairs
+        .join(src.select(col("doc_id").as("ia"),
+          col("source").as("sa")), Seq("ia"))
+        .join(src.select(col("doc_id").as("ib"),
+          col("source").as("sb")), Seq("ib"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("source_a"), col("source_b"), col("n_pairs"),
+          (col("source_a") === col("source_b")).as("within_source"))
+        .orderBy(col("source_a"), col("source_b"))
+      QueryScopedCache.releaseAfter(result, handles :+ pairs)
+    },
+    Some(s"""
+      WITH ${minhashPairsSql()},
+      att AS (
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.ia
+        JOIN documents db ON db.doc_id = p.ib)
+      SELECT source_a, source_b, COUNT(*) AS n_pairs,
+             source_a = source_b AS within_source
+      FROM att GROUP BY source_a, source_b
+      ORDER BY source_a, source_b"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupCluster,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic,
     qDedupPassage, qDedupPassageSpan, qDedupIncremental, qDedupIncrementalStored,
-    qDedupEntity, qDedupContainment)
+    qDedupEntity, qDedupContainment, qDedupKeepBest, qDedupSourceMatrix)
 }

@@ -1290,10 +1290,175 @@ object EventQueries {
       WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
       GROUP BY user_id ORDER BY user_id"""))
 
+  /** Rolling 28-day active users (MAU) per day, with same-day actives
+    * (DAU) and the DAU/MAU stickiness ratio — the growth-team
+    * headline series, and the operator class "distinct count over a
+    * sliding window" that plain windowed aggregation cannot express
+    * (distinct does not decompose over overlapping frames).
+    *
+    * Exact formulation: each distinct (user, day) activity CONTRIBUTES
+    * to the 28 target days it keeps the user active for — a bounded
+    * 28× explode ([[RelationalQueries.qTsEwma]]'s horizon-explode
+    * discipline), deduplicated per (target day, user), counted per
+    * day. Target days past the observed horizon are clipped against
+    * the broadcast max-day scalar ([[qEventsLifecycle]]'s censoring
+    * rule). At 100 TB the same shape runs with per-day HLL sketches
+    * merged over the 28-day window instead of the exact dedup — the
+    * [[qEventsWauSketch]] swap, documented not gated here because the
+    * exact path IS the oracle.
+    *
+    * Scale shape: one exchange to distinct user-days (persisted for
+    * its two consumers), the bounded explode, one (day, user) dedup
+    * exchange, and a bounded per-day rollup. */
+  val qEventsMau = Q(
+    "q_events_mau",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val ud = ev(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+        .persist(MEMORY_AND_DISK)
+      val mx = ud.agg(max(col("day")).as("mxd"))
+      val mau = ud
+        .select(col("user_id"), explode(expr(
+          "sequence(day, day + interval 27 days, interval 1 day)"))
+          .as("tday"))
+        .crossJoin(broadcast(mx))
+        .filter(col("tday") <= col("mxd"))
+        .groupBy(col("tday"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      val dau = ud.groupBy(col("day"))
+        .agg(count(lit(1)).as("dau"))
+        .withColumnRenamed("day", "tday")
+      val result = mau.join(dau, Seq("tday"), "left")
+        .select(col("tday").as("day"),
+          coalesce(col("dau"), lit(0L)).as("dau"), col("mau"),
+          round(coalesce(col("dau"), lit(0L)).cast("double") /
+            col("mau").cast("double"), 6).as("stickiness"))
+        .orderBy(col("day"))
+      QueryScopedCache.releaseAfter(result, Seq(ud))
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        FROM events),
+      mx AS (SELECT MAX(day) AS mxd FROM ud),
+      span AS (
+        SELECT user_id,
+               unnest([day + i * INTERVAL 1 DAY
+                       for i in generate_series(0, 27)]) AS tday
+        FROM ud),
+      mau AS (
+        SELECT s.tday, COUNT(DISTINCT s.user_id) AS mau
+        FROM span s CROSS JOIN mx
+        WHERE s.tday <= mx.mxd
+        GROUP BY s.tday),
+      dau AS (
+        SELECT day AS tday, COUNT(*) AS dau FROM ud GROUP BY day)
+      SELECT m.tday AS day, COALESCE(d.dau, 0) AS dau, m.mau,
+             ROUND(CAST(COALESCE(d.dau, 0) AS DOUBLE) /
+                   CAST(m.mau AS DOUBLE), 6) AS stickiness
+      FROM mau m LEFT JOIN dau d USING (tday)
+      ORDER BY day"""))
+
+  /** Position-based (U-shaped) multi-touch attribution — where
+    * [[qEventsAttribution]] reports only the first and last touch,
+    * this DISTRIBUTES each conversion's credit across ALL its
+    * preceding touches 40/20/40 (first / middles split evenly / last)
+    * and rolls the credit up per channel — the model marketing
+    * actually budgets against when neither endpoint deserves full
+    * credit. Credit lives in integer BASIS POINTS (10000 per
+    * conversion): n=1 → 10000; n=2 → 5000/5000; n≥3 → 4000 first,
+    * 4000 last, `2000 div (n−2)` per middle with the integer-division
+    * remainder assigned to the last touch — a total, deterministic
+    * rule, so every credit cell gates exactly and per-channel totals
+    * are pure BIGINT sums.
+    *
+    * Scale shape: one user-keyed join pairs each purchase with that
+    * user's earlier touches (per-user fan-out, the
+    * [[qEventsFunnel]]/[[qEventsPaths]] cost envelope — per-user
+    * activity is bounded); position/count ride ONE conv-partitioned
+    * window; the rollup lands on the bounded channel key and the
+    * one-row grand-total scalar rides a broadcast cross join. */
+  val qEventsAttributionPosition = Q(
+    "q_events_attribution_position",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val e = ev(s, dir)
+      val convs = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          col("ts").as("conv_ts"))
+      val touches = e.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("ts").as("tts"), col("event_id").as("tid"))
+      val w = Window.partitionBy(col("conv_id"))
+      val credited = convs.join(touches, Seq("user_id"))
+        .filter(col("tts") < col("conv_ts"))
+        .withColumn("p", row_number().over(
+          w.orderBy(col("tts"), col("tid"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("credit_bp",
+          when(col("n") === 1, 10000L)
+            .when(col("n") === 2, 5000L)
+            .when(col("p") === 1, 4000L)
+            .when(col("p") === col("n"),
+              lit(4000L) + lit(2000L) -
+                expr("2000 div (n - 2)") * (col("n") - 2))
+            .otherwise(expr("2000 div (n - 2)")))
+        .persist(MEMORY_AND_DISK)
+      val tot = credited.agg(sum(col("credit_bp")).as("total_bp"))
+      QueryScopedCache.releaseAfter(
+        credited.groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_credited"),
+            countDistinct(col("conv_id")).as("n_convs"),
+            sum(col("credit_bp")).as("credit_bp"))
+          .crossJoin(broadcast(tot))
+          .select(col("channel"), col("n_credited"), col("n_convs"),
+            col("credit_bp"),
+            round(col("credit_bp").cast("double") /
+              col("total_bp").cast("double"), 6).as("credit_share"))
+          .orderBy(col("channel")),
+        Seq(credited))
+    },
+    Some("""
+      WITH convs AS (
+        SELECT user_id, event_id AS conv_id, ts AS conv_ts
+        FROM events WHERE event_type = 'purchase'),
+      touches AS (
+        SELECT user_id, event_type AS channel, ts AS tts,
+               event_id AS tid
+        FROM events WHERE event_type IN ('click', 'view')),
+      paired AS (
+        SELECT c.conv_id, t.channel, t.tts, t.tid,
+               ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                 ORDER BY t.tts, t.tid) AS p,
+               COUNT(*) OVER (PARTITION BY c.conv_id) AS n
+        FROM convs c JOIN touches t USING (user_id)
+        WHERE t.tts < c.conv_ts),
+      credited AS (
+        SELECT conv_id, channel,
+               CASE WHEN n = 1 THEN 10000
+                    WHEN n = 2 THEN 5000
+                    WHEN p = 1 THEN 4000
+                    WHEN p = n THEN 4000 + 2000 -
+                      (2000 // (n - 2)) * (n - 2)
+                    ELSE 2000 // (n - 2) END AS credit_bp
+        FROM paired),
+      tot AS (SELECT CAST(SUM(credit_bp) AS BIGINT) AS total_bp
+              FROM credited)
+      SELECT c.channel, COUNT(*) AS n_credited,
+             CAST(COUNT(DISTINCT c.conv_id) AS BIGINT) AS n_convs,
+             CAST(SUM(c.credit_bp) AS BIGINT) AS credit_bp,
+             ROUND(CAST(SUM(c.credit_bp) AS DOUBLE) /
+                   CAST(t.total_bp AS DOUBLE), 6) AS credit_share
+      FROM credited c CROSS JOIN tot t
+      GROUP BY c.channel, t.total_bp
+      ORDER BY c.channel"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
     qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
     qEventsFunnelTime, qEventsDauWau, qEventsWauSketch,
     qEventsCohortValue, qEventsRfm, qEventsPareto, qEventsSurvival,
     qEventsUplift, qEventsPower, qEventsMarkov, qEventsLifecycle,
-    qEventsPattern)
+    qEventsPattern, qEventsMau, qEventsAttributionPosition)
 }

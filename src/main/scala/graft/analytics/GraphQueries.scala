@@ -941,6 +941,36 @@ object GraphQueries {
       ORDER BY round"""
     })
 
+  /** `rounds` sweeps of argmax label propagation over a directed edge
+    * list (src, dst): every node adopts its neighbors' plurality
+    * label, ties to the smallest label (a total order, so every sweep
+    * is deterministic and cross-engine replayable). Each round's
+    * label table eager-localCheckpoints — the sweep output feeds the
+    * next round's join AND any downstream consumer, and flat leaves
+    * keep plan analysis linear in rounds (the [[bfsHistogram]]
+    * discipline). Shared by [[qGraphLabelProp]] and
+    * [[qGraphModularity]]. */
+  private def lpLabels(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    val wArg = Window.partitionBy(col("src"))
+      .orderBy(col("n").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels.select(col("node").as("dst"), col("label")),
+          Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(wArg))
+        .filter(col("rk") === 1)
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Two-sweep label propagation (community detection) on the part
     * co-occurrence graph — each sweep reassigns every node the most
     * frequent label among its neighbors, ties to the smallest label
@@ -957,28 +987,12 @@ object GraphQueries {
   val qGraphLabelProp = Q(
     "q_graph_label_prop",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val und = partCoEdges(s, dir)
       val edges = und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
         .localCheckpoint(true)
-      var labels = edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
-        .localCheckpoint(true)
-      val wArg = Window.partitionBy(col("src"))
-        .orderBy(col("n").desc, col("label"))
-      for (_ <- 1 to 2) {
-        labels = edges
-          .join(labels.select(col("node").as("dst"), col("label")),
-            Seq("dst"))
-          .groupBy(col("src"), col("label"))
-          .agg(count(lit(1)).as("n"))
-          .withColumn("rk", row_number().over(wArg))
-          .filter(col("rk") === 1)
-          .select(col("src").as("node"), col("label"))
-          .localCheckpoint(true)
-      }
-      labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+      lpLabels(edges, 2)
+        .groupBy(col("label")).agg(count(lit(1)).as("community_size"))
         .orderBy(col("community_size").desc, col("label"))
         .limit(20)
     },
@@ -1014,7 +1028,343 @@ object GraphQueries {
       FROM l2 GROUP BY label
       ORDER BY community_size DESC, label LIMIT 20"""))
 
+  /** Multi-source closeness/harmonic centrality — joint BFS from the
+    * 4 lowest-id customer nodes of the (o_custkey < 500) trading
+    * subgraph out to 4 hops, reporting per seed the reached-node
+    * count, total hop distance, harmonic sum, and closeness — the
+    * landmark-centrality estimator (computing exact closeness for
+    * ALL nodes is |V| BFS traversals; production samples a seed set
+    * and this is that operator for k seeds at once).
+    *
+    * The joint traversal carries (seed, node) state through ONE
+    * shared frontier iteration — the [[qGraphBfs]] machinery with a
+    * seed column: the edge relation still shuffles once for the whole
+    * traversal (partitioned-by-src persist), each level is one
+    * frontier join + anti-join + distinct keyed the same way, and
+    * per-level lineage truncates via eager localCheckpoint (the
+    * plan-doubling fix). k seeds multiply only the frontier rows,
+    * never the edge passes — the reason landmark batching beats k
+    * separate traversals.
+    *
+    * Centrality arithmetic is all-integer: harmonic_micro sums
+    * `1000000 DIV d` (exact truncated reciprocals), closeness_micro
+    * is `n_reached·1000000 DIV sum_dist` — no float anywhere, so the
+    * recursive-CTE oracle hash-matches exactly. */
+  val qGraphCloseness = Q(
+    "q_graph_closeness",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_custkey") < 500)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val eo = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = eo.select(col("c").as("src"), col("s").as("dst"))
+        .union(eo.select(col("s").as("src"), col("c").as("dst")))
+        .repartition(col("src"))
+        .persist(MEMORY_AND_DISK)
+      // 4 lowest-id customer nodes (even ids): TakeOrdered, bounded
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") % 2 === 0)
+        .orderBy(col("node")).limit(4)
+        .select(col("node").as("seed"))
+      var visited = seeds.select(col("seed"), col("seed").as("node"),
+          lit(0L).as("dist"))
+        .localCheckpoint(true)
+      var frontier = visited
+      for (d <- 1 to 4) {
+        val next = edges
+          .join(frontier, edges("src") === frontier("node"))
+          .select(frontier("seed"), edges("dst").as("node"))
+          .join(visited, Seq("seed", "node"), "left_anti")
+          .distinct()
+          .select(col("seed"), col("node"), lit(d.toLong).as("dist"))
+          .localCheckpoint(true)
+        visited = visited.union(next)
+        frontier = next
+      }
+      val result = visited.filter(col("dist") >= 1)
+        .groupBy(col("seed"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(col("dist")).as("sum_dist"),
+          sum(expr("1000000 div dist")).as("harmonic_micro"))
+        .select(col("seed"), col("n_reached"), col("sum_dist"),
+          col("harmonic_micro"),
+          expr("n_reached * 1000000 div sum_dist").as("closeness_micro"))
+        .orderBy(col("seed"))
+      QueryScopedCache.releaseAfter(result, Seq(edges))
+    },
+    Some("""
+      WITH RECURSIVE eo AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_custkey < 500),
+      edges AS (
+        SELECT c AS src, s AS dst FROM eo
+        UNION ALL
+        SELECT s AS src, c AS dst FROM eo),
+      seeds AS (
+        SELECT src AS seed FROM (
+          SELECT DISTINCT src FROM edges WHERE src % 2 = 0)
+        ORDER BY src LIMIT 4),
+      reach AS (
+        SELECT seed, seed AS node, 0 AS dist FROM seeds
+        UNION
+        SELECT r.seed, e.dst, r.dist + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.dist < 4),
+      best AS (
+        SELECT seed, node, MIN(dist) AS dist
+        FROM reach GROUP BY seed, node)
+      SELECT seed, COUNT(*) AS n_reached,
+             CAST(SUM(dist) AS BIGINT) AS sum_dist,
+             CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_micro,
+             COUNT(*) * 1000000 // CAST(SUM(dist) AS BIGINT)
+               AS closeness_micro
+      FROM best WHERE dist >= 1
+      GROUP BY seed ORDER BY seed"""))
+
+  /** Modularity of the communities [[qGraphLabelProp]] itself finds —
+    * the partition-quality score Q = Σ_c (e_c/m − (deg_c/2m)²) that
+    * turns "label propagation produced groups" into "and they are
+    * denser than chance": the evaluation closure every community
+    * pipeline needs before acting on its clusters. Output: the 20
+    * largest communities with their internal-edge count e_c, degree
+    * mass deg_c, per-community contribution, and the global Q on
+    * every row.
+    *
+    * e_c, deg_c, m gate as exact integers; each contribution is one
+    * rounded IEEE expression over them and the global Q is the
+    * rounded-then-DECIMAL order-independent sum
+    * ([[TextQueries.qTextLogprob]] discipline). The shared two-sweep
+    * [[lpLabels]] state is checkpointed, so the three consumers
+    * (sizes, internal-edge join, degree join) read flat leaves; the
+    * contribution table persists for its two actions (global sum +
+    * top-20).
+    *
+    * Scale shape: beyond label propagation itself, one a-keyed and
+    * one b-keyed hash join attach labels to the undirected edge list,
+    * one src-keyed join attaches them to the degree list, and all
+    * rollups land on the community key; the one-row m scalar and the
+    * one-row Q total ride broadcast cross joins. */
+  val qGraphModularity = Q(
+    "q_graph_modularity",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val und = partCoEdges(s, dir).persist(MEMORY_AND_DISK)
+      val edges = und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true)
+      val labels = lpLabels(edges, 2)
+      val mrow = und.agg(count(lit(1)).as("m"))
+      val sizes = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("community_size"))
+      val ec = und
+        .join(labels.select(col("node").as("a"), col("label").as("la")),
+          Seq("a"))
+        .join(labels.select(col("node").as("b"), col("label").as("lb")),
+          Seq("b"))
+        .filter(col("la") === col("lb"))
+        .select(col("la").as("label"))
+        .groupBy(col("label")).agg(count(lit(1)).as("e_c"))
+      val deg = edges
+        .join(labels.select(col("node").as("src"), col("label")),
+          Seq("src"))
+        .groupBy(col("label")).agg(count(lit(1)).as("deg_c"))
+      val contrib = sizes
+        .join(ec, Seq("label"), "left")
+        .join(deg, Seq("label"))
+        .crossJoin(broadcast(mrow))
+        .select(col("label"), col("community_size"),
+          coalesce(col("e_c"), lit(0L)).as("e_c"), col("deg_c"),
+          col("m"))
+        .withColumn("q_contrib", round(
+          col("e_c").cast("double") / col("m").cast("double") -
+            (col("deg_c").cast("double") /
+              (lit(2.0) * col("m").cast("double"))) *
+            (col("deg_c").cast("double") /
+              (lit(2.0) * col("m").cast("double"))), 9))
+        .persist(MEMORY_AND_DISK)
+      val qtot = contrib
+        .agg(sum(expr("cast(q_contrib as decimal(25,9))")).as("qd"))
+        .select(col("qd").cast("double").as("q_total"))
+      val result = contrib
+        .orderBy(col("community_size").desc, col("label")).limit(20)
+        .crossJoin(broadcast(qtot))
+        .select(col("label"), col("community_size"), col("e_c"),
+          col("deg_c"), col("q_contrib"), col("q_total"))
+        .orderBy(col("community_size").desc, col("label"))
+      QueryScopedCache.releaseAfter(result, Seq(und, contrib))
+    },
+    Some(s"""
+      WITH und AS MATERIALIZED (
+        ${partCoEdgesSql}),
+      edges AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM und
+        UNION ALL SELECT b AS src, a AS dst FROM und),
+      l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM edges),
+      c1 AS MATERIALIZED (
+        SELECT e.src, l.label, COUNT(*) AS n
+        FROM edges e JOIN l0 l ON l.node = e.dst
+        GROUP BY e.src, l.label),
+      l1 AS MATERIALIZED (
+        SELECT src AS node, label FROM (
+          SELECT src, label,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY n DESC, label) AS rk
+          FROM c1) x WHERE rk = 1),
+      c2 AS MATERIALIZED (
+        SELECT e.src, l.label, COUNT(*) AS n
+        FROM edges e JOIN l1 l ON l.node = e.dst
+        GROUP BY e.src, l.label),
+      l2 AS MATERIALIZED (
+        SELECT src AS node, label FROM (
+          SELECT src, label,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY n DESC, label) AS rk
+          FROM c2) x WHERE rk = 1),
+      m AS (SELECT COUNT(*) AS m FROM und),
+      sizes AS (SELECT label, COUNT(*) AS community_size
+                FROM l2 GROUP BY label),
+      ec AS (
+        SELECT la.label, COUNT(*) AS e_c
+        FROM und u
+        JOIN l2 la ON la.node = u.a
+        JOIN l2 lb ON lb.node = u.b
+        WHERE la.label = lb.label
+        GROUP BY la.label),
+      deg AS (
+        SELECT l.label, COUNT(*) AS deg_c
+        FROM edges e JOIN l2 l ON l.node = e.src
+        GROUP BY l.label),
+      contrib AS (
+        SELECT s.label, s.community_size,
+               COALESCE(ec.e_c, 0) AS e_c, d.deg_c, m.m,
+               ROUND(CAST(COALESCE(ec.e_c, 0) AS DOUBLE) /
+                       CAST(m.m AS DOUBLE) -
+                     (CAST(d.deg_c AS DOUBLE) /
+                       (2.0 * CAST(m.m AS DOUBLE))) *
+                     (CAST(d.deg_c AS DOUBLE) /
+                       (2.0 * CAST(m.m AS DOUBLE))), 9) AS q_contrib
+        FROM sizes s
+        LEFT JOIN ec USING (label)
+        JOIN deg d USING (label)
+        CROSS JOIN m),
+      qtot AS (
+        SELECT CAST(SUM(CAST(q_contrib AS DECIMAL(25,9))) AS DOUBLE)
+          AS q_total
+        FROM contrib)
+      SELECT c.label, c.community_size, c.e_c, c.deg_c,
+             c.q_contrib, q.q_total
+      FROM contrib c CROSS JOIN qtot q
+      ORDER BY c.community_size DESC, c.label LIMIT 20"""))
+
+  /** Deterministic random-walk corpus over the trading subgraph — the
+    * DeepWalk/node2vec TRAINING-DATA generator: one length-4 walk per
+    * customer node, where each step moves to the neighbor minimizing
+    * md5(current−step−neighbor) — hash-derived pseudo-randomness, the
+    * same derandomization the MinHash permutations and LSH
+    * hyperplanes use, so the "random" walks are bit-reproducible and
+    * the whole corpus gates by hash-match. Feed the emitted node
+    * sequences to any skip-gram trainer and you have graph
+    * embeddings; this query is the distributed corpus-builder stage.
+    *
+    * Scale shape: the edge relation partitions by src once and
+    * persists ([[bfsHistogram]] discipline); each of the 4 steps is
+    * one frontier join on that same keying plus one seed-partitioned
+    * argmin window (never global), with the frontier
+    * eager-localCheckpointed per step so plans stay flat. Walk count
+    * scales with seed nodes, walk state is one row per seed. */
+  val qGraphWalks = Q(
+    "q_graph_walks",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_custkey") < 500)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val eo = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = eo.select(col("c").as("src"), col("s").as("dst"))
+        .union(eo.select(col("s").as("src"), col("c").as("dst")))
+        .repartition(col("src"))
+        .persist(MEMORY_AND_DISK)
+      val wS = Window.partitionBy(col("seed"))
+      var walk = edges.select(col("src").as("seed")).distinct()
+        .filter(col("seed") % 2 === 0)
+        .withColumn("cur", col("seed"))
+        .localCheckpoint(true)
+      for (t <- 1 to 4) {
+        walk = walk
+          .join(edges, col("cur") === col("src"))
+          .withColumn("h",
+            md5(concat_ws("-", col("cur"), lit(t), col("dst"))))
+          .withColumn("rk", row_number().over(
+            wS.orderBy(col("h"), col("dst"))))
+          .filter(col("rk") === 1)
+          .drop("src", "h", "rk", "cur")
+          .withColumnRenamed("dst", s"n$t")
+          .withColumn("cur", col(s"n$t"))
+          .localCheckpoint(true)
+      }
+      val result = walk.select(col("seed"), col("n1"), col("n2"),
+          col("n3"), col("n4"))
+        .orderBy(col("seed"))
+      QueryScopedCache.releaseAfter(result, Seq(edges))
+    },
+    Some("""
+      WITH eo AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_custkey < 500),
+      edges AS (
+        SELECT c AS src, s AS dst FROM eo
+        UNION ALL
+        SELECT s AS src, c AS dst FROM eo),
+      w0 AS (
+        SELECT src AS seed, src AS cur FROM (
+          SELECT DISTINCT src FROM edges WHERE src % 2 = 0)),
+      s1 AS (
+        SELECT seed, dst AS n1 FROM (
+          SELECT w.seed, e.dst,
+                 ROW_NUMBER() OVER (PARTITION BY w.seed
+                   ORDER BY md5(concat_ws('-', w.cur, 1, e.dst)), e.dst)
+                   AS rk
+          FROM w0 w JOIN edges e ON e.src = w.cur) x WHERE rk = 1),
+      s2 AS (
+        SELECT seed, n1, dst AS n2 FROM (
+          SELECT w.seed, w.n1, e.dst,
+                 ROW_NUMBER() OVER (PARTITION BY w.seed
+                   ORDER BY md5(concat_ws('-', w.n1, 2, e.dst)), e.dst)
+                   AS rk
+          FROM s1 w JOIN edges e ON e.src = w.n1) x WHERE rk = 1),
+      s3 AS (
+        SELECT seed, n1, n2, dst AS n3 FROM (
+          SELECT w.seed, w.n1, w.n2, e.dst,
+                 ROW_NUMBER() OVER (PARTITION BY w.seed
+                   ORDER BY md5(concat_ws('-', w.n2, 3, e.dst)), e.dst)
+                   AS rk
+          FROM s2 w JOIN edges e ON e.src = w.n2) x WHERE rk = 1),
+      s4 AS (
+        SELECT seed, n1, n2, n3, dst AS n4 FROM (
+          SELECT w.seed, w.n1, w.n2, w.n3, e.dst,
+                 ROW_NUMBER() OVER (PARTITION BY w.seed
+                   ORDER BY md5(concat_ws('-', w.n3, 4, e.dst)), e.dst)
+                   AS rk
+          FROM s3 w JOIN edges e ON e.src = w.n3) x WHERE rk = 1)
+      SELECT seed, n1, n2, n3, n4 FROM s4 ORDER BY seed"""))
+
   val all: Seq[Q] =
     Seq(qGraphPagerank, qGraphPpr, qGraphHits, qGraphTriangles, qGraphBfs,
-      qGraphJaccard, qGraphAssortativity, qGraphKcore, qGraphLabelProp)
+      qGraphJaccard, qGraphAssortativity, qGraphKcore, qGraphLabelProp,
+      qGraphCloseness, qGraphModularity, qGraphWalks)
 }

@@ -408,7 +408,121 @@ object MultimodalQueries {
              n_bytes
       FROM b ORDER BY shard_id, doc_id"""))
 
+  /** Chunk-level storage-dedup estimator per source — what a
+    * content-addressed store would actually save on each feed:
+    * [[qMultimodalCdc]] profiles the top shared chunks; this rolls
+    * the SAME chunk table up into the capacity-planning numbers.
+    * Per source: chunk instances, logical bytes, the fraction of
+    * instances whose chunk recurs anywhere in the corpus (dedupable
+    * mass), and the store charge-back — distinct chunks ATTRIBUTED
+    * to the source of their first holder (min doc_id, the
+    * [[TextQueries.qTextNovelty]] attribution rule) with their
+    * stored bytes.
+    *
+    * Scale shape: the native CDC kernel is a narrow per-payload
+    * pass; the chunk table shuffles once on chunk_hash (count + min
+    * holder in ONE aggregate, md5s never bytes), instances join
+    * doc-keyed to sources, and both rollups land on the bounded
+    * source key. The chunk instance table feeds the global aggregate
+    * AND the per-source join, so it persists for one action
+    * ([[QueryScopedCache]]). */
+  val qMultimodalDedup = Q(
+    "q_multimodal_dedup",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val ch = cdcChunks(s, dir)
+        .persist(MEMORY_AND_DISK)
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val first = ch.groupBy(col("chunk_hash"))
+        .agg(min(col("doc_id")).as("first_doc"),
+          count(lit(1)).as("n_occ"),
+          max(col("len")).as("clen"))
+      val inst = ch.join(src, Seq("doc_id"))
+        .join(first.select(col("chunk_hash"), col("n_occ")),
+          Seq("chunk_hash"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("len")).as("logical_bytes"),
+          sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup"))
+      val stored = first.join(src,
+          col("first_doc") === col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_first"),
+          sum(col("clen")).as("stored_bytes"))
+      val result = inst.join(stored, Seq("source"))
+        .select(col("source"), col("n_chunks"), col("logical_bytes"),
+          col("n_dup"),
+          round(col("n_dup").cast("double") /
+            col("n_chunks").cast("double"), 6).as("dup_frac"),
+          col("n_first"), col("stored_bytes"))
+        .orderBy(col("source"))
+      QueryScopedCache.releaseAfter(result, Seq(ch))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents),
+      pos AS (
+        SELECT doc_id, unnest(generate_series(1, n)) AS i FROM b),
+      byts AS (
+        SELECT p.doc_id, p.i,
+               (instr('0123456789ABCDEF', substr(b.hx, 2*p.i-1, 1)) - 1)
+                 * 16 +
+               instr('0123456789ABCDEF', substr(b.hx, 2*p.i, 1)) - 1 AS bv
+        FROM pos p JOIN b ON b.doc_id = p.doc_id),
+      h AS (
+        SELECT doc_id, i,
+               CASE WHEN i >= 4 AND
+                 (bv + 257 * LAG(bv, 1) OVER win
+                     + 66049 * LAG(bv, 2) OVER win
+                     + 16974593 * LAG(bv, 3) OVER win) % 64 = 0
+                 THEN 1 ELSE 0 END AS bnd
+        FROM byts
+        WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      ck AS (
+        SELECT doc_id, i,
+               COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS chunk
+        FROM h),
+      gr AS (
+        SELECT doc_id, chunk, MIN(i) AS start, COUNT(*) AS len
+        FROM ck GROUP BY doc_id, chunk),
+      ch AS (
+        SELECT g.doc_id,
+               md5(substr(b.hx, CAST(2*g.start-1 AS BIGINT),
+                          CAST(2*g.len AS BIGINT))) AS chunk_hash,
+               g.len
+        FROM gr g JOIN b ON b.doc_id = g.doc_id),
+      first AS (
+        SELECT chunk_hash, MIN(doc_id) AS first_doc,
+               COUNT(*) AS n_occ, MAX(len) AS clen
+        FROM ch GROUP BY chunk_hash),
+      inst AS (
+        SELECT d.source, COUNT(*) AS n_chunks,
+               CAST(SUM(c.len) AS BIGINT) AS logical_bytes,
+               CAST(SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dup
+        FROM ch c
+        JOIN documents d USING (doc_id)
+        JOIN first f USING (chunk_hash)
+        GROUP BY d.source),
+      stored AS (
+        SELECT d.source, COUNT(*) AS n_first,
+               CAST(SUM(f.clen) AS BIGINT) AS stored_bytes
+        FROM first f JOIN documents d ON d.doc_id = f.first_doc
+        GROUP BY d.source)
+      SELECT i.source, i.n_chunks, i.logical_bytes, i.n_dup,
+             ROUND(CAST(i.n_dup AS DOUBLE) /
+                   CAST(i.n_chunks AS DOUBLE), 6) AS dup_frac,
+             s.n_first, s.stored_bytes
+      FROM inst i JOIN stored s USING (source)
+      ORDER BY i.source"""))
+
   val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFeatures,
     qMultimodalFrames, qMultimodalCdc, qMultimodalResize,
-    qMultimodalPhash, qMultimodalEntropy, qMultimodalShards)
+    qMultimodalPhash, qMultimodalEntropy, qMultimodalShards,
+    qMultimodalDedup)
 }

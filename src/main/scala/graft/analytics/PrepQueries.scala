@@ -1418,11 +1418,78 @@ object PrepQueries {
              td - held_docs AS train_docs, tc - held_chars AS train_chars
       FROM per CROSS JOIN tot ORDER BY fold"""))
 
+  /** k-anonymity audit before data release — group every document
+    * by its quasi-identifier tuple (lang, source, 100-char length
+    * band: the attributes a release would expose and a linker could
+    * join on) and profile the equivalence-class sizes: a class of
+    * size 1 is a uniquely re-identifiable record, classes under k=5
+    * fail the usual release bar. Output: one row per class-size band
+    * (1 / 2-4 / 5-9 / 10+) with class and row counts, plus the
+    * release verdict on every row — the minimum class size and the
+    * fraction of rows living in sub-k classes.
+    *
+    * Everything is exact: class sizes are one QI-keyed count, bands
+    * are integer CASE cuts, and the single rounded division is the
+    * at-risk row fraction. Scale shape: one QI exchange (the QI
+    * tuple is low-cardinality by construction — that is WHY it is a
+    * re-identification risk), one bounded band rollup, one one-row
+    * risk scalar riding a broadcast cross join. */
+  val qPrepKanon = Q(
+    "q_prep_kanon",
+    (s, dir) => {
+      val classes = docs(s, dir)
+        .select(col("lang"), col("source"),
+          expr("n_chars div 100").as("len_band"))
+        .groupBy(col("lang"), col("source"), col("len_band"))
+        .agg(count(lit(1)).as("c"))
+      val banded = classes.select(col("c"),
+        when(col("c") === 1, "1")
+          .when(col("c") < 5, "2-4")
+          .when(col("c") < 10, "5-9")
+          .otherwise("10+").as("band"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val risk = banded.agg(
+        min(col("c")).as("min_class_size"),
+        sum(when(col("c") < 5, col("c")).otherwise(0L)).as("rows_sub_k"),
+        sum(col("c")).as("n_rows"))
+        .select(col("min_class_size"),
+          round(col("rows_sub_k").cast("double") /
+            col("n_rows").cast("double"), 6).as("sub_k_frac"))
+      QueryScopedCache.releaseAfter(
+        banded.groupBy(col("band"))
+          .agg(count(lit(1)).as("n_classes"), sum(col("c")).as("n_rows"))
+          .crossJoin(broadcast(risk))
+          .orderBy(col("band")),
+        Seq(banded))
+    },
+    Some("""
+      WITH classes AS (
+        SELECT lang, source, n_chars // 100 AS len_band, COUNT(*) AS c
+        FROM documents GROUP BY 1, 2, 3),
+      banded AS (
+        SELECT c, CASE WHEN c = 1 THEN '1'
+                       WHEN c < 5 THEN '2-4'
+                       WHEN c < 10 THEN '5-9'
+                       ELSE '10+' END AS band
+        FROM classes),
+      risk AS (
+        SELECT CAST(MIN(c) AS BIGINT) AS min_class_size,
+               ROUND(CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END)
+                   AS DOUBLE) /
+                 CAST(SUM(c) AS DOUBLE), 6) AS sub_k_frac
+        FROM banded)
+      SELECT b.band, COUNT(*) AS n_classes,
+             CAST(SUM(b.c) AS BIGINT) AS n_rows,
+             r.min_class_size, r.sub_k_frac
+      FROM banded b CROSS JOIN risk r
+      GROUP BY b.band, r.min_class_size, r.sub_k_frac
+      ORDER BY b.band"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
     qPrepCurriculum, qPrepWinsorize, qPrepOversample, qPrepClassifier,
     qPrepPerplexity, qPrepBinning, qPrepEvalSample, qPrepPipeline,
     qPrepTemperature, qPrepCalibration, qPrepPadding, qPrepDpCount,
-    qPrepKfold)
+    qPrepKfold, qPrepKanon)
 }

@@ -4191,6 +4191,375 @@ object RelationalQueries {
                       CAST(y.n2_2 AS DOUBLE)) / 2.0)), 6) AS tau_b
       FROM cd c CROSS JOIN margx x CROSS JOIN margy y"""))
 
+  /** Forecast-model backtest over the hourly event series — holds out
+    * the final week and scores two deterministic forecasters on it:
+    * NAIVE (tomorrow looks like the last observed hour, x(t−1)) vs
+    * SEASONAL-NAIVE (tomorrow looks like the same hour last week,
+    * x(t−168)) — the two baselines every forecasting deployment must
+    * beat, and the model-selection readout ("is this series seasonal
+    * enough that lag-168 beats lag-1?") that decides which one ships.
+    * Per event type: holdout size, both SUM-of-absolute-error totals
+    * (exact BIGINT — counts in, integers out), both MAEs as rounded
+    * doubles, and the winner flag.
+    *
+    * Scale shape: the zero-filled per-type hourly spine
+    * ([[hourlySeriesByType]]) indexes by integer hour; both forecast
+    * alignments are (event_type, tix) equi-joins of the spine against
+    * itself shifted +1 / +168 — no window, no explode; the spine
+    * persists for its three consumers and everything lands on the
+    * bounded event-type key. */
+  val qTsForecast = Q(
+    "q_ts_forecast",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val series = hourlySeriesByType(s, dir)
+      val base = series.groupBy(col("event_type"))
+        .agg(unix_micros(min(col("h"))).as("u0"),
+          unix_micros(max(col("h"))).as("u1"))
+      val st = series.join(base, Seq("event_type"))
+        .select(col("event_type"),
+          expr("(unix_micros(h) - u0) div 3600000000").as("tix"),
+          expr("(u1 - u0) div 3600000000").as("mxtix"), col("x"))
+        .persist(MEMORY_AND_DISK)
+      val test = st.filter(col("tix") > col("mxtix") - 168 &&
+        col("tix") >= 168)
+      val lag1 = st.select(col("event_type"),
+        (col("tix") + 1).as("tix"), col("x").as("x1"))
+      val lag168 = st.select(col("event_type"),
+        (col("tix") + 168).as("tix"), col("x").as("x168"))
+      val result = test
+        .join(lag1, Seq("event_type", "tix"))
+        .join(lag168, Seq("event_type", "tix"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(abs(col("x") - col("x1"))).as("sae_naive"),
+          sum(abs(col("x") - col("x168"))).as("sae_snaive"))
+        .select(col("event_type"), col("n_test"),
+          col("sae_naive"), col("sae_snaive"),
+          round(col("sae_naive").cast("double") /
+            col("n_test").cast("double"), 6).as("mae_naive"),
+          round(col("sae_snaive").cast("double") /
+            col("n_test").cast("double"), 6).as("mae_snaive"),
+          (col("sae_snaive") < col("sae_naive")).as("seasonal_wins"))
+        .orderBy(col("event_type"))
+      QueryScopedCache.releaseAfter(result, Seq(st))
+    },
+    Some(s"""
+      WITH ${hourlySeriesByTypeSql},
+      base AS (
+        SELECT event_type, epoch_us(MIN(h)) AS u0, epoch_us(MAX(h)) AS u1
+        FROM series GROUP BY 1),
+      st AS (
+        SELECT s.event_type,
+               (epoch_us(s.h) - b.u0) // 3600000000 AS tix,
+               (b.u1 - b.u0) // 3600000000 AS mxtix, s.x
+        FROM series s JOIN base b USING (event_type)),
+      test AS (
+        SELECT * FROM st WHERE tix > mxtix - 168 AND tix >= 168),
+      j AS (
+        SELECT t.event_type, COUNT(*) AS n_test,
+               CAST(SUM(abs(t.x - a.x)) AS BIGINT) AS sae_naive,
+               CAST(SUM(abs(t.x - b.x)) AS BIGINT) AS sae_snaive
+        FROM test t
+        JOIN st a ON a.event_type = t.event_type AND a.tix = t.tix - 1
+        JOIN st b ON b.event_type = t.event_type AND b.tix = t.tix - 168
+        GROUP BY 1)
+      SELECT event_type, n_test, sae_naive, sae_snaive,
+             ROUND(CAST(sae_naive AS DOUBLE) /
+                   CAST(n_test AS DOUBLE), 6) AS mae_naive,
+             ROUND(CAST(sae_snaive AS DOUBLE) /
+                   CAST(n_test AS DOUBLE), 6) AS mae_snaive,
+             sae_snaive < sae_naive AS seasonal_wins
+      FROM j ORDER BY event_type"""))
+
+  /** Series-completeness audit — per event type: how many hours the
+    * observed span covers, how many actually have data, the coverage
+    * fraction, and the LONGEST consecutive outage in hours — the
+    * monitoring-feed SLA readout ("is this source streaming, and how
+    * bad was its worst gap") that decides whether downstream hourly
+    * models ([[qTsForecast]], [[qTsAnomalySeasonal]]) can trust the
+    * spine. The gaps-and-islands cousin of [[qTsGapfill]]: gap-fill
+    * DENSIFIES the holes, this MEASURES them.
+    *
+    * All integers except the one rounded coverage division: hour
+    * indexes come from the per-type extrema broadcast, the outage run
+    * length is `tix − lag(tix) − 1` on the observed-hour table (one
+    * type-partitioned window, never global), and the rollup rides the
+    * same keying. One exchange of distinct (type, hour) rows total. */
+  val qTsCompleteness = Q(
+    "q_ts_completeness",
+    (s, dir) => {
+      val hx = t(s, dir, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .distinct()
+      val base = hx.groupBy(col("event_type"))
+        .agg(unix_micros(min(col("h"))).as("u0"),
+          unix_micros(max(col("h"))).as("u1"))
+      val tix = hx.join(base, Seq("event_type"))
+        .select(col("event_type"),
+          expr("(unix_micros(h) - u0) div 3600000000").as("tix"),
+          expr("(u1 - u0) div 3600000000 + 1").as("span_hours"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("tix"))
+      tix
+        .withColumn("gap", col("tix") - lag(col("tix"), 1).over(w) - 1)
+        .groupBy(col("event_type"))
+        .agg(max(col("span_hours")).as("span_hours"),
+          count(lit(1)).as("observed_hours"),
+          coalesce(max(when(col("gap") > 0, col("gap"))), lit(0L))
+            .as("longest_gap_h"))
+        .select(col("event_type"), col("span_hours"),
+          col("observed_hours"),
+          round(col("observed_hours").cast("double") /
+            col("span_hours").cast("double"), 6).as("coverage_frac"),
+          col("longest_gap_h"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH hx AS (
+        SELECT DISTINCT event_type, date_trunc('hour', ts) AS h
+        FROM events),
+      base AS (
+        SELECT event_type, epoch_us(MIN(h)) AS u0, epoch_us(MAX(h)) AS u1
+        FROM hx GROUP BY 1),
+      tix AS (
+        SELECT x.event_type,
+               (epoch_us(x.h) - b.u0) // 3600000000 AS tix,
+               (b.u1 - b.u0) // 3600000000 + 1 AS span_hours
+        FROM hx x JOIN base b USING (event_type)),
+      gaps AS (
+        SELECT event_type, span_hours, tix,
+               tix - LAG(tix, 1) OVER (PARTITION BY event_type
+                 ORDER BY tix) - 1 AS gap
+        FROM tix)
+      SELECT event_type, CAST(MAX(span_hours) AS BIGINT) AS span_hours,
+             COUNT(*) AS observed_hours,
+             ROUND(CAST(COUNT(*) AS DOUBLE) /
+                   CAST(MAX(span_hours) AS DOUBLE), 6) AS coverage_frac,
+             CAST(COALESCE(MAX(CASE WHEN gap > 0 THEN gap END), 0)
+               AS BIGINT) AS longest_gap_h
+      FROM gaps GROUP BY event_type ORDER BY event_type"""))
+
+  /** Brown–Forsythe variance-homogeneity screen (Levene's test on
+    * deviations from the MEDIAN) across event types over the event
+    * value column — the guard every pooled-variance analysis
+    * ([[qStatsAbtest]]'s equal-variance t, ANOVA F) should run first:
+    * are the per-group SPREADS even comparable? Median-centering is
+    * what makes it robust to the skew these value distributions have.
+    *
+    * Exactness: values double to `2·round(value·100)` so each group's
+    * interpolated median is an INTEGER ([[qPercentile]] parity:
+    * percentile ≡ quantile_cont, and midpoints of even integers are
+    * exact); absolute deviations d are then pure BIGINT, and each
+    * group gates on (n_g, Σd, Σd²) exactly. The F statistic's
+    * cross-group sums use the rounded-then-DECIMAL discipline
+    * ([[qStatsKruskal]]): per-group numerator/denominator terms are
+    * single IEEE expressions over gated integers rounded to 3
+    * decimals, summed order-independently; F itself is one rounded
+    * expression over those sums.
+    *
+    * Scale shape: one value exchange for the per-group median (exact
+    * percentile — the GK sketch is the documented 100 TB swap), one
+    * broadcast median join back, one group aggregate; the one-row
+    * (N, S, k) scalar and the k-row term reduction ride broadcast
+    * cross joins. */
+  val qStatsLevene = Q(
+    "q_stats_levene",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("cast(round(value * 100) as bigint) * 2").as("x2"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("cast(percentile(x2, 0.5D) as bigint)").as("med2"))
+      val g = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), abs(col("x2") - col("med2")).as("d"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(col("d")).as("s_d"),
+          sum(col("d") * col("d")).as("ss_d"))
+      val tot = g.agg(sum(col("n_g")).as("nn"), sum(col("s_d")).as("ss"),
+        count(lit(1)).as("k"))
+      val terms = g.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_g"), col("s_d"), col("ss_d"),
+          col("nn"), col("ss"), col("k"),
+          expr("""cast(round(
+              (cast(s_d as double) * cast(nn as double) -
+               cast(ss as double) * cast(n_g as double)) *
+              (cast(s_d as double) * cast(nn as double) -
+               cast(ss as double) * cast(n_g as double)) /
+              (cast(n_g as double) * cast(nn as double) *
+               cast(nn as double)), 3) as decimal(25,3))""").as("t_num"),
+          expr("""cast(round(cast(ss_d as double) -
+              cast(s_d as double) * cast(s_d as double) /
+              cast(n_g as double), 3) as decimal(25,3))""").as("t_den"))
+        // the k-row term table feeds the F reduction AND the output
+        // rows; persist so the corpus median/deviation chain runs once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val f = terms.agg(sum(col("t_num")).as("num"),
+          sum(col("t_den")).as("den"),
+          max(col("nn")).as("nn"), max(col("k")).as("k"))
+        .select(round(
+          (col("nn") - col("k")).cast("double") /
+            (col("k") - 1).cast("double") *
+            col("num").cast("double") / col("den").cast("double"), 6)
+          .as("f_stat"))
+      QueryScopedCache.releaseAfter(
+        terms
+          .select(col("event_type"), col("n_g"), col("s_d"), col("ss_d"))
+          .crossJoin(broadcast(f))
+          .orderBy(col("event_type")),
+        Seq(terms))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) * 2 AS x2
+        FROM events),
+      med AS (
+        SELECT event_type,
+               CAST(quantile_cont(x2, 0.5) AS BIGINT) AS med2
+        FROM ev GROUP BY 1),
+      g AS (
+        SELECT e.event_type, COUNT(*) AS n_g,
+               CAST(SUM(abs(e.x2 - m.med2)) AS BIGINT) AS s_d,
+               CAST(SUM(abs(e.x2 - m.med2) * abs(e.x2 - m.med2))
+                 AS BIGINT) AS ss_d
+        FROM ev e JOIN med m USING (event_type)
+        GROUP BY e.event_type),
+      tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS nn,
+               CAST(SUM(s_d) AS BIGINT) AS ss,
+               COUNT(*) AS k
+        FROM g),
+      terms AS (
+        SELECT g.event_type, g.n_g, g.s_d, g.ss_d, t.nn, t.ss, t.k,
+               CAST(ROUND(
+                 (CAST(g.s_d AS DOUBLE) * CAST(t.nn AS DOUBLE) -
+                  CAST(t.ss AS DOUBLE) * CAST(g.n_g AS DOUBLE)) *
+                 (CAST(g.s_d AS DOUBLE) * CAST(t.nn AS DOUBLE) -
+                  CAST(t.ss AS DOUBLE) * CAST(g.n_g AS DOUBLE)) /
+                 (CAST(g.n_g AS DOUBLE) * CAST(t.nn AS DOUBLE) *
+                  CAST(t.nn AS DOUBLE)), 3) AS DECIMAL(25,3)) AS t_num,
+               CAST(ROUND(CAST(g.ss_d AS DOUBLE) -
+                 CAST(g.s_d AS DOUBLE) * CAST(g.s_d AS DOUBLE) /
+                 CAST(g.n_g AS DOUBLE), 3) AS DECIMAL(25,3)) AS t_den
+        FROM g CROSS JOIN tot t),
+      f AS (
+        SELECT ROUND(
+                 CAST(MAX(nn) - MAX(k) AS DOUBLE) /
+                 CAST(MAX(k) - 1 AS DOUBLE) *
+                 CAST(SUM(t_num) AS DOUBLE) /
+                 CAST(SUM(t_den) AS DOUBLE), 6) AS f_stat
+        FROM terms)
+      SELECT t.event_type, t.n_g, t.s_d, t.ss_d, f.f_stat
+      FROM terms t CROSS JOIN f
+      ORDER BY t.event_type"""))
+
+  /** Referential-integrity audit across the whole star schema — for
+    * each foreign-key edge (lineitem→orders, orders→customer,
+    * lineitem→part, lineitem→supplier, embeddings→documents), the
+    * row count, orphan count (child rows whose parent key is
+    * missing), and orphan fraction: the first report a warehouse runs
+    * on any delivered feed, and the join-safety precondition every
+    * query in this registry silently assumes. Five anti-join counts,
+    * one result row each.
+    *
+    * Scale shape: each check is one LEFT ANTI join on the FK — the
+    * parent side is the smaller relation (broadcast where Catalyst
+    * chooses) and ONLY the key columns are scanned (column pruning
+    * reaches the parquet footer); the five one-row aggregates union
+    * into a bounded result. No window, no explode. */
+  val qStatsIntegrity = Q(
+    "q_stats_integrity",
+    (s, dir) => {
+      def check(name: String, child: DataFrame, childKey: String,
+          parent: DataFrame, parentKey: String): DataFrame = {
+        val orphans = child
+          .join(parent.select(col(parentKey).as(childKey)),
+            Seq(childKey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        child.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(broadcast(orphans))
+          .select(lit(name).as("fk_edge"), col("n_rows"),
+            col("n_orphans"),
+            round(col("n_orphans").cast("double") /
+              col("n_rows").cast("double"), 6).as("orphan_frac"))
+      }
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      check("embeddings->documents",
+          Tables.spread(t(s, dir, "embeddings"))
+            .select(col("vec_id").as("doc_id")), "doc_id",
+          t(s, dir, "documents"), "doc_id")
+        .unionByName(check("lineitem->orders",
+          li.select(col("l_orderkey")), "l_orderkey",
+          o, "o_orderkey"))
+        .unionByName(check("lineitem->part",
+          li.select(col("l_partkey")), "l_partkey",
+          t(s, dir, "part"), "p_partkey"))
+        .unionByName(check("lineitem->supplier",
+          li.select(col("l_suppkey")), "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(check("orders->customer",
+          o.select(col("o_custkey")), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"))
+        .orderBy(col("fk_edge"))
+    },
+    Some("""
+      SELECT 'embeddings->documents' AS fk_edge,
+             (SELECT COUNT(*) FROM embeddings) AS n_rows,
+             (SELECT COUNT(*) FROM embeddings e
+              WHERE NOT EXISTS (SELECT 1 FROM documents d
+                                WHERE d.doc_id = e.vec_id)) AS n_orphans,
+             ROUND(CAST((SELECT COUNT(*) FROM embeddings e
+               WHERE NOT EXISTS (SELECT 1 FROM documents d
+                                 WHERE d.doc_id = e.vec_id)) AS DOUBLE) /
+               CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE), 6)
+               AS orphan_frac
+      UNION ALL
+      SELECT 'lineitem->orders',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)),
+             ROUND(CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+               AS DOUBLE) /
+               CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE), 6)
+      UNION ALL
+      SELECT 'lineitem->part',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey)),
+             ROUND(CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = l.l_partkey))
+               AS DOUBLE) /
+               CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE), 6)
+      UNION ALL
+      SELECT 'lineitem->supplier',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                WHERE s.s_suppkey = l.l_suppkey)),
+             ROUND(CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                 WHERE s.s_suppkey = l.l_suppkey))
+               AS DOUBLE) /
+               CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE), 6)
+      UNION ALL
+      SELECT 'orders->customer',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)),
+             ROUND(CAST((SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+               AS DOUBLE) /
+               CAST((SELECT COUNT(*) FROM orders) AS DOUBLE), 6)
+      ORDER BY fk_edge"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -4210,5 +4579,6 @@ object RelationalQueries {
     qStatsSpearman, qStatsAbtest, qWindowSliding, qStatsWmedian, qAggReaggregate, qStatsBenford,
     qAggBasket, qStatsKs, qTsAcf, qTsCusum, qStatsBootstrap,
     qTsSeasonality, qAggBitmapDistinct, qTsAnomalySeasonal, qAsofTolerance,
-    qStatsMannWhitney, qTsXcorr, qStatsKruskal, qTsLttb, qStatsKendall)
+    qStatsMannWhitney, qTsXcorr, qStatsKruskal, qTsLttb, qStatsKendall,
+    qTsForecast, qTsCompleteness, qStatsLevene, qStatsIntegrity)
 }

@@ -1723,6 +1723,93 @@ object TextQueries {
       FROM per_doc pd JOIN documents d USING (doc_id)
       GROUP BY d.source ORDER BY d.source"""))
 
+  /** Population Stability Index of each source's document-length
+    * distribution against the corpus — THE production drift score
+    * ("has this feed's shape moved?"; PSI < 0.1 stable, > 0.25
+    * investigate) that risk and data-quality teams run on every
+    * feature between baseline and current. Ten equal-width length
+    * bins from the broadcast corpus extrema (the
+    * [[PrepQueries.qPrepCurriculum]] banding — deliberately not
+    * ntile), +1 Laplace smoothing on every (source, bin) cell so
+    * empty bins stay finite, PSI = Σ_bins (q−p)·ln(q/p).
+    *
+    * Cross-engine exactness: bin assignment is integer arithmetic,
+    * all counts gate exactly, and each bin's term is one IEEE
+    * expression over (c_sb, n_s, c_b, N) rounded to 9 decimals then
+    * DECIMAL-summed per source ([[qTextLogprob]] discipline — ln of
+    * identical rational doubles agrees bit-for-bit, the engine-wide
+    * precedent). Scale shape: one doc pass to bin, two bounded
+    * aggregates, a 10-row bin explode on the bounded source table,
+    * no window anywhere. */
+  val qStatsPsi = Q(
+    "q_stats_psi",
+    (s, dir) => {
+      val ext = docs(s, dir).agg(min(col("n_chars")).as("mn"),
+        max(col("n_chars")).as("mx"))
+      val binned = docs(s, dir).crossJoin(broadcast(ext))
+        .select(col("source"),
+          expr("least(9L, (n_chars - mn) * 10 div (mx - mn + 1))")
+            .as("bin"))
+      val cb = binned.groupBy(col("bin")).agg(count(lit(1)).as("c_b"))
+      val sb = binned.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("c_sb"))
+      val ns = binned.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val nn = binned.agg(count(lit(1)).as("n"))
+      val grid = ns
+        .crossJoin(broadcast(s.range(0, 10).toDF("bin")))
+        .join(sb, Seq("source", "bin"), "left")
+        .join(broadcast(cb), Seq("bin"))
+        .crossJoin(broadcast(nn))
+        .select(col("source"), col("n_s"),
+          coalesce(col("c_sb"), lit(0L)).as("c_sb"),
+          col("c_b"), col("n"))
+      grid
+        .select(col("source"), col("n_s"), expr("""
+          cast(round(
+            (cast(c_sb + 1 as double) / cast(n_s + 10 as double) -
+             cast(c_b + 1 as double) / cast(n + 10 as double)) *
+            ln((cast(c_sb + 1 as double) / cast(n_s + 10 as double)) /
+               (cast(c_b + 1 as double) / cast(n + 10 as double))), 9)
+          as decimal(25,9))""").as("term"))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_docs"),
+          sum(col("term")).cast("double").as("psi"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH ext AS (
+        SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents),
+      binned AS (
+        SELECT d.source,
+               CAST(LEAST(9, (d.n_chars - e.mn) * 10 //
+                 (e.mx - e.mn + 1)) AS BIGINT) AS bin
+        FROM documents d CROSS JOIN ext e),
+      cb AS (SELECT bin, COUNT(*) AS c_b FROM binned GROUP BY bin),
+      sb AS (SELECT source, bin, COUNT(*) AS c_sb
+             FROM binned GROUP BY 1, 2),
+      ns AS (SELECT source, COUNT(*) AS n_s FROM binned GROUP BY 1),
+      nn AS (SELECT COUNT(*) AS n FROM binned),
+      grid AS (
+        SELECT s.source, s.n_s, COALESCE(sb.c_sb, 0) AS c_sb,
+               cb.c_b, nn.n
+        FROM ns s
+        CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) t
+        LEFT JOIN sb ON sb.source = s.source AND sb.bin = t.bin
+        JOIN cb ON cb.bin = t.bin
+        CROSS JOIN nn),
+      terms AS (
+        SELECT source, n_s,
+               CAST(ROUND(
+                 (CAST(c_sb + 1 AS DOUBLE) / CAST(n_s + 10 AS DOUBLE) -
+                  CAST(c_b + 1 AS DOUBLE) / CAST(n + 10 AS DOUBLE)) *
+                 ln((CAST(c_sb + 1 AS DOUBLE) / CAST(n_s + 10 AS DOUBLE)) /
+                    (CAST(c_b + 1 AS DOUBLE) / CAST(n + 10 AS DOUBLE))), 9)
+               AS DECIMAL(25,9)) AS term
+        FROM grid)
+      SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+             CAST(SUM(term) AS DOUBLE) AS psi
+      FROM terms GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
     qTextFingerprint, qTextVocab, qHeavyHitters, qTextCountmin,
     qTextRepetition,
@@ -1730,5 +1817,5 @@ object TextQueries {
     qTextBm25, qTextBm25Stored, qTextBm25Reingested, qTextTfidfSim,
     qTextCollocations, qTextChisquare, qStatsSourceOverlap, qTextDistinctN, qStatsDatacard,
     qTextKeywords, qTextEntropy, qTextOov, qTextLangidEval,
-    qTextReadability, qTextNovelty)
+    qTextReadability, qTextNovelty, qStatsPsi)
 }

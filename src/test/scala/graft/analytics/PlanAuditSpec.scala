@@ -269,7 +269,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // cross joins into rescale and each sweep's renormalization
       // (one-row-scalar pattern); the 64-row u joins are broadcast
       // HASH joins
-      "q_sim_pca")
+      "q_sim_pca",
+      // q_events_mau: the one-row max-day horizon scalar rides a
+      // cross join into the target-day clip (one-row-scalar pattern)
+      "q_events_mau",
+      // q_graph_modularity: the one-row edge-count m and Q-total
+      // scalars ride cross joins into the contribution table and the
+      // top-20 rows (one-row-scalar pattern)
+      "q_graph_modularity",
+      // q_dedup_keep_best embeds the same minhash pair pipeline as
+      // q_dedup_cluster, so it carries the same single-row
+      // corpus-count broadcast for the stop-shingle threshold
+      "q_dedup_keep_best",
+      // q_stats_levene: the one-row (N, S, k) totals and the one-row
+      // F statistic ride cross joins into the k-row term table and
+      // the output rows (one-row-scalar pattern)
+      "q_stats_levene",
+      // q_prep_kanon: the one-row release-risk scalar rides a cross
+      // join into the band rows (one-row-scalar pattern)
+      "q_prep_kanon",
+      // q_stats_psi: the one-row length-extrema and corpus-total
+      // scalars plus the bounded 10-row bin table ride cross joins
+      // (one-row-scalar / q_ts_acf lag-table patterns)
+      "q_stats_psi",
+      // q_events_attribution_position: the one-row grand-total-credit
+      // scalar rides a cross join into the channel rollup
+      // (one-row-scalar pattern)
+      "q_events_attribution_position",
+      // q_dedup_source_matrix embeds the same minhash pair pipeline
+      // as q_dedup_cluster, so it carries the same single-row
+      // corpus-count broadcast for the stop-shingle threshold
+      "q_dedup_source_matrix",
+      // q_stats_integrity: each FK check's one-row orphan count rides
+      // a cross join onto the one-row total (one-row-scalar pattern)
+      "q_stats_integrity")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
