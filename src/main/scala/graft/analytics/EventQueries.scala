@@ -1455,10 +1455,79 @@ object EventQueries {
       GROUP BY c.channel, t.total_bp
       ORDER BY c.channel"""))
 
+  /** Variable-length sequence pattern — `view click+ purchase`
+    * (one view, ONE OR MORE consecutive clicks, then purchase, with
+    * nothing else in between): the quantified MATCH_RECOGNIZE shape
+    * [[qEventsPattern]]'s fixed 3-step automaton cannot express. The
+    * trick that keeps it one window pass at any pattern length: for
+    * every event, carry the row number and type of the LAST NON-CLICK
+    * event before it (one last-ignore-nulls window each); a purchase
+    * row then matches iff that anchor is a 'view' and the row-number
+    * gap proves ≥1 click strictly between — run length and click
+    * count fall out of the same integer gap, no self-join, no
+    * per-row recursion.
+    *
+    * Scale shape: ONE user-keyed exchange; row_number and both
+    * last-ignore-nulls columns share the same window frame, the
+    * match filter is a per-row predicate, and the per-user rollup
+    * reuses the partitioning. All outputs exact integers. */
+  val qEventsPatternVar = Q(
+    "q_events_pattern_var",
+    (s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+      val nonClick = when(col("event_type") =!= "click",
+        col("event_type"))
+      val marked = ev(s, dir)
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("anchor_type",
+          last(nonClick, ignoreNulls = true).over(wPrev))
+        .withColumn("anchor_rn",
+          last(when(col("event_type") =!= "click", col("rn")),
+            ignoreNulls = true).over(wPrev))
+      marked
+        .filter(col("event_type") === "purchase" &&
+          col("anchor_type") === "view" &&
+          col("rn") - col("anchor_rn") >= 2)
+        .select(col("user_id"),
+          (col("rn") - col("anchor_rn") - 1).cast("long").as("n_clicks"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          max(col("n_clicks")).as("max_clicks"),
+          sum(col("n_clicks")).as("total_clicks"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH numbered AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn
+        FROM events),
+      marked AS (
+        SELECT user_id, event_type, rn,
+               LAST_VALUE(CASE WHEN event_type <> 'click'
+                 THEN event_type END IGNORE NULLS) OVER wp
+                 AS anchor_type,
+               LAST_VALUE(CASE WHEN event_type <> 'click'
+                 THEN rn END IGNORE NULLS) OVER wp AS anchor_rn
+        FROM numbered
+        WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING))
+      SELECT user_id, COUNT(*) AS n_matches,
+             CAST(MAX(rn - anchor_rn - 1) AS BIGINT) AS max_clicks,
+             CAST(SUM(rn - anchor_rn - 1) AS BIGINT) AS total_clicks
+      FROM marked
+      WHERE event_type = 'purchase' AND anchor_type = 'view'
+        AND rn - anchor_rn >= 2
+      GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
     qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
     qEventsFunnelTime, qEventsDauWau, qEventsWauSketch,
     qEventsCohortValue, qEventsRfm, qEventsPareto, qEventsSurvival,
     qEventsUplift, qEventsPower, qEventsMarkov, qEventsLifecycle,
-    qEventsPattern, qEventsMau, qEventsAttributionPosition)
+    qEventsPattern, qEventsMau, qEventsAttributionPosition,
+    qEventsPatternVar)
 }

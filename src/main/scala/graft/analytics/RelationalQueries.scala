@@ -1152,6 +1152,42 @@ object RelationalQueries {
              l_orderkey % 7 AS key_mod
       FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey"""))
 
+  /** Bitwise scalar family — AND/OR/XOR, shifts, popcount, and the
+    * pack-two-ints-into-one-key trick ([[qStatsGini]]'s composite
+    * encoding as a gated scalar): the integer-bit toolbox behind
+    * bitmap indexes ([[qAggBitmapDistinct]]), SimHash/pHash Hamming
+    * distances, and bucket-id packing. Spark's `^`/`&`/`|`/`shiftleft`
+    * and DuckDB's `xor()`/`&`/`|`/`<<` must agree bit-for-bit on
+    * BIGINT for every one of those operators to gate — this query
+    * pins that contract directly. */
+  val qScalarBitwise = Q(
+    "q_scalar_bitwise",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1)
+        .select(
+          col("l_orderkey"),
+          (col("l_orderkey").bitwiseAND(col("l_partkey"))).as("k_and"),
+          (col("l_orderkey").bitwiseOR(col("l_partkey"))).as("k_or"),
+          (col("l_orderkey").bitwiseXOR(col("l_partkey"))).as("k_xor"),
+          expr("shiftleft(l_suppkey, 20)").as("k_shl"),
+          expr("shiftright(l_partkey, 3)").as("k_shr"),
+          expr("cast(bit_count(l_orderkey ^ l_partkey) as bigint)")
+            .as("hamming"),
+          expr("l_partkey * 1048576 + l_suppkey").as("packed"))
+        .orderBy(col("l_orderkey")),
+    Some("""
+      SELECT l_orderkey,
+             l_orderkey & l_partkey AS k_and,
+             l_orderkey | l_partkey AS k_or,
+             xor(l_orderkey, l_partkey) AS k_xor,
+             l_suppkey << 20 AS k_shl,
+             l_partkey >> 3 AS k_shr,
+             CAST(bit_count(xor(l_orderkey, l_partkey)) AS BIGINT)
+               AS hamming,
+             l_partkey * 1048576 + l_suppkey AS packed
+      FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey"""))
+
   /** JSON extraction from a string column (the reference's
     * parse-JSON-out-of-a-string shape, over events.props). */
   val qJsonEvents = Q(
@@ -4580,5 +4616,6 @@ object RelationalQueries {
     qAggBasket, qStatsKs, qTsAcf, qTsCusum, qStatsBootstrap,
     qTsSeasonality, qAggBitmapDistinct, qTsAnomalySeasonal, qAsofTolerance,
     qStatsMannWhitney, qTsXcorr, qStatsKruskal, qTsLttb, qStatsKendall,
-    qTsForecast, qTsCompleteness, qStatsLevene, qStatsIntegrity)
+    qTsForecast, qTsCompleteness, qStatsLevene, qStatsIntegrity,
+    qScalarBitwise)
 }
