@@ -1523,11 +1523,99 @@ object EventQueries {
         AND rn - anchor_rn >= 2
       GROUP BY user_id ORDER BY user_id"""))
 
+  /** Multi-window SLO burn-rate alerting (the SRE error-budget
+    * pattern): per hour, the error rate over the last hour AND over
+    * the trailing 6 hours, both expressed as burn multiples of a 2%
+    * error budget, alerting only when BOTH windows burn — the short
+    * window for responsiveness, the long window to suppress blips.
+    * [[qEventsAnomaly]] finds statistical outliers; this enforces a
+    * CONTRACT.
+    *
+    * The trailing-6h sums avoid any window: each hour's (err, total)
+    * contributes to the 6 target hours it trails — the bounded 6×
+    * explode ([[RelationalQueries.qTsEwma]]'s horizon discipline) —
+    * and the per-target-hour aggregate is exact BIGINT. Rates and
+    * burn multiples are single rounded IEEE expressions; the alert
+    * flag compares the INTEGER cross-multiplication
+    * (err · 50 > total, i.e. rate > 2%) so the decision never
+    * touches a float. One hourly exchange, one bounded explode, one
+    * grid join — the event stream crosses the wire once. */
+  val qEventsSloBurn = Q(
+    "q_events_slo_burn",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val hourly = ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_err"))
+      val span = hourly.agg(min(col("h")).as("h0"),
+        unix_micros(max(col("h"))).as("u1"))
+      val st = hourly.crossJoin(broadcast(span))
+        .select(
+          expr("(unix_micros(h) - unix_micros(h0)) div 3600000000")
+            .as("tix"),
+          expr("(u1 - unix_micros(h0)) div 3600000000").as("mxtix"),
+          col("h"), col("n_total"), col("n_err"))
+        .persist(MEMORY_AND_DISK)
+      val roll6 = st
+        .select(col("n_total"), col("n_err"), col("mxtix"),
+          explode(expr("sequence(tix, tix + 5)")).as("t6"))
+        .filter(col("t6") <= col("mxtix"))
+        .groupBy(col("t6"))
+        .agg(sum(col("n_total")).as("tot6"), sum(col("n_err")).as("err6"))
+      val result = st.join(roll6, col("tix") === col("t6"))
+        .select(col("h"), col("n_err"), col("n_total"),
+          col("err6"), col("tot6"),
+          round(col("n_err").cast("double") /
+            greatest(col("n_total"), lit(1L)).cast("double") / 0.02, 6)
+            .as("burn_1h"),
+          round(col("err6").cast("double") /
+            greatest(col("tot6"), lit(1L)).cast("double") / 0.02, 6)
+            .as("burn_6h"),
+          (col("n_err") * 50 > col("n_total") &&
+            col("err6") * 50 > col("tot6")).as("alert"))
+        .orderBy(col("h"))
+      QueryScopedCache.releaseAfter(result, Seq(st))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_err
+        FROM events GROUP BY 1),
+      span AS (
+        SELECT MIN(h) AS h0, epoch_us(MAX(h)) AS u1 FROM hourly),
+      st AS (
+        SELECT (epoch_us(h) - epoch_us(h0)) // 3600000000 AS tix,
+               (u1 - epoch_us(h0)) // 3600000000 AS mxtix,
+               h, n_total, n_err
+        FROM hourly CROSS JOIN span),
+      roll6 AS (
+        SELECT t6, CAST(SUM(n_total) AS BIGINT) AS tot6,
+               CAST(SUM(n_err) AS BIGINT) AS err6
+        FROM (SELECT n_total, n_err, mxtix,
+                     unnest([tix + i for i in generate_series(0, 5)])
+                       AS t6
+              FROM st) x
+        WHERE t6 <= mxtix
+        GROUP BY t6)
+      SELECT s.h, s.n_err, s.n_total, r.err6, r.tot6,
+             ROUND(CAST(s.n_err AS DOUBLE) /
+               CAST(GREATEST(s.n_total, 1) AS DOUBLE) / 0.02, 6)
+               AS burn_1h,
+             ROUND(CAST(r.err6 AS DOUBLE) /
+               CAST(GREATEST(r.tot6, 1) AS DOUBLE) / 0.02, 6)
+               AS burn_6h,
+             s.n_err * 50 > s.n_total AND r.err6 * 50 > r.tot6 AS alert
+      FROM st s JOIN roll6 r ON r.t6 = s.tix
+      ORDER BY s.h"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
     qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
     qEventsFunnelTime, qEventsDauWau, qEventsWauSketch,
     qEventsCohortValue, qEventsRfm, qEventsPareto, qEventsSurvival,
     qEventsUplift, qEventsPower, qEventsMarkov, qEventsLifecycle,
     qEventsPattern, qEventsMau, qEventsAttributionPosition,
-    qEventsPatternVar)
+    qEventsPatternVar, qEventsSloBurn)
 }

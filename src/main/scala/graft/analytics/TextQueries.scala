@@ -1810,6 +1810,63 @@ object TextQueries {
              CAST(SUM(term) AS DOUBLE) AS psi
       FROM terms GROUP BY source ORDER BY source"""))
 
+  /** Code-vs-prose screen — the pretraining router that decides
+    * whether a document goes to the code pipeline or the text
+    * pipeline (and catches config/log spam pretending to be prose):
+    * per doc, integer counts of code-signal characters (braces,
+    * semicolons, equals, underscores) and an integer code score in
+    * basis points of character mass, thresholded; rolled up per
+    * source with the routed fractions. Everything is exact character
+    * counting (length-difference trick — no regex, no tokenizer) but
+    * the two rounded fractions, so the gate is a full hash-match.
+    *
+    * Scale shape: one narrow codegen pass over the text column (the
+    * counts are `length(text) − length(replace(text, c, ''))`), one
+    * bounded source rollup. Text never shuffles — only the per-doc
+    * count row. */
+  val qTextCodeScreen = Q(
+    "q_text_code_screen",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        expr("length(text)").as("len"),
+        expr("""length(text) - length(replace(text, '{', ''))
+             + length(text) - length(replace(text, '}', ''))
+             + length(text) - length(replace(text, ';', ''))
+             + length(text) - length(replace(text, '=', ''))
+             + length(text) - length(replace(text, '_', ''))""")
+          .as("code_chars"))
+      d.select(col("source"),
+          expr("code_chars * 10000 div greatest(len, 1)").as("bp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("bp") >= 100, 1L).otherwise(0L)).as("n_code"),
+          sum(col("bp")).as("sum_bp"))
+        .select(col("source"), col("n_docs"), col("n_code"),
+          round(col("n_code").cast("double") /
+            col("n_docs").cast("double"), 6).as("code_frac"),
+          round(col("sum_bp").cast("double") /
+            col("n_docs").cast("double"), 6).as("mean_bp"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source,
+               (length(text) - length(replace(text, '{', ''))
+              + length(text) - length(replace(text, '}', ''))
+              + length(text) - length(replace(text, ';', ''))
+              + length(text) - length(replace(text, '=', ''))
+              + length(text) - length(replace(text, '_', '')))
+               * 10000 // GREATEST(length(text), 1) AS bp
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN bp >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_code,
+             ROUND(CAST(SUM(CASE WHEN bp >= 100 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS code_frac,
+             ROUND(CAST(SUM(bp) AS DOUBLE) /
+                   CAST(COUNT(*) AS DOUBLE), 6) AS mean_bp
+      FROM d GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
     qTextFingerprint, qTextVocab, qHeavyHitters, qTextCountmin,
     qTextRepetition,
@@ -1817,5 +1874,5 @@ object TextQueries {
     qTextBm25, qTextBm25Stored, qTextBm25Reingested, qTextTfidfSim,
     qTextCollocations, qTextChisquare, qStatsSourceOverlap, qTextDistinctN, qStatsDatacard,
     qTextKeywords, qTextEntropy, qTextOov, qTextLangidEval,
-    qTextReadability, qTextNovelty, qStatsPsi)
+    qTextReadability, qTextNovelty, qStatsPsi, qTextCodeScreen)
 }

@@ -302,7 +302,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q_dedup_source_matrix",
       // q_stats_integrity: each FK check's one-row orphan count rides
       // a cross join onto the one-row total (one-row-scalar pattern)
-      "q_stats_integrity")
+      "q_stats_integrity",
+      // q_events_slo_burn: the one-row hour-span scalar rides a cross
+      // join into the bounded hourly series (the q_ts_acf pattern)
+      "q_events_slo_burn")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
