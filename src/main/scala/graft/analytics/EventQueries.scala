@@ -1611,11 +1611,80 @@ object EventQueries {
       FROM st s JOIN roll6 r ON r.t6 = s.tix
       ORDER BY s.h"""))
 
+  /** Longest daily-activity streak per user — the top-20 streak
+    * leaderboard (engagement gamification's core metric, and the
+    * gaps-and-islands exercise at DAY grain that
+    * [[qEventsLifecycle]] runs at week grain): consecutive active
+    * days chain into islands via the lag-difference flag + running
+    * island id, the longest island per user wins, ties break on
+    * earlier start then user id — a total order, so the leaderboard
+    * is deterministic.
+    *
+    * Scale shape: one exchange to distinct (user, day), ONE user
+    * window carrying both the lag flag and the island-id running
+    * sum, a (user, island) rollup on the same keying, and a
+    * TakeOrdered top-20 — never a global sort. All columns exact. */
+  val qEventsStreak = Q(
+    "q_events_streak",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val islands = ev(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+        .withColumn("brk",
+          when(lag(col("day"), 1).over(w).isNull ||
+            lag(col("day"), 1).over(w) =!=
+              col("day") - expr("interval 1 day"), 1L).otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("streak_days"),
+          min(col("day")).as("streak_start"))
+      val wBest = Window.partitionBy(col("user_id"))
+        .orderBy(col("streak_days").desc, col("streak_start"))
+      islands
+        .withColumn("rk", row_number().over(wBest))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("streak_days"), col("streak_start"))
+        .orderBy(col("streak_days").desc, col("streak_start"),
+          col("user_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        FROM events),
+      flagged AS (
+        SELECT user_id, day,
+               CASE WHEN LAG(day, 1) OVER w IS NULL
+                      OR LAG(day, 1) OVER w <> day - INTERVAL 1 DAY
+                    THEN 1 ELSE 0 END AS brk
+        FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      islands AS (
+        SELECT user_id,
+               CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS island,
+               day
+        FROM flagged),
+      runs AS (
+        SELECT user_id, island, COUNT(*) AS streak_days,
+               MIN(day) AS streak_start
+        FROM islands GROUP BY user_id, island),
+      best AS (
+        SELECT user_id, streak_days, streak_start,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY streak_days DESC, streak_start) AS rk
+        FROM runs)
+      SELECT user_id, streak_days, streak_start
+      FROM best WHERE rk = 1
+      ORDER BY streak_days DESC, streak_start, user_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
     qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
     qEventsFunnelTime, qEventsDauWau, qEventsWauSketch,
     qEventsCohortValue, qEventsRfm, qEventsPareto, qEventsSurvival,
     qEventsUplift, qEventsPower, qEventsMarkov, qEventsLifecycle,
     qEventsPattern, qEventsMau, qEventsAttributionPosition,
-    qEventsPatternVar, qEventsSloBurn)
+    qEventsPatternVar, qEventsSloBurn, qEventsStreak)
 }

@@ -1129,6 +1129,38 @@ object RelationalQueries {
              date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_95
       FROM orders ORDER BY o_orderkey"""))
 
+  /** Calendar-interval family — the engine-switch hazards
+    * [[qScalarDate]]'s extraction functions don't touch: month
+    * arithmetic with end-of-month CLAMPING (add_months — both engines
+    * clamp Jan 31 + 1 month to Feb 29/28, pinned here), last_day,
+    * quarter truncation/extraction, ISO week-of-year, and day-of-week
+    * NUMBERING — Spark's dayofweek is 1-based Sunday-first while
+    * DuckDB's dayofweek is 0-based, so the query ships Spark's value
+    * minus 1 and the oracle states DuckDB's directly: the off-by-one
+    * every cross-engine port hits, made a gated contract. */
+  val qScalarInterval = Q(
+    "q_scalar_interval",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          add_months(col("o_orderdate"), 3).as("plus_3mo"),
+          last_day(col("o_orderdate")).as("month_end"),
+          date_trunc("quarter", col("o_orderdate")).as("quarter_start"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"))
+        .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+             last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             date_trunc('quarter', o_orderdate) AS quarter_start,
+             CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+             CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+             CAST(dayofweek(o_orderdate) AS BIGINT) AS dow
+      FROM orders ORDER BY o_orderkey"""))
+
   /** Math family (IEEE-exact ops only — no libm divergence). */
   val qScalarMath = Q(
     "q_scalar_math",
@@ -4596,6 +4628,138 @@ object RelationalQueries {
                CAST((SELECT COUNT(*) FROM orders) AS DOUBLE), 6)
       ORDER BY fk_edge"""))
 
+  /** Index-of-dispersion (variance-to-mean) screen over the hourly
+    * event counts per type — the Poisson sanity check every count
+    * model rests on: D ≈ 1 means arrivals are Poisson-compatible,
+    * D ≫ 1 means bursty/overdispersed (use a negative-binomial or
+    * expect clustered traffic), D ≪ 1 means regularized. Computed on
+    * the zero-filled spine ([[hourlySeriesByType]] — absent hours are
+    * real zero counts, and skipping them would bias D upward).
+    *
+    * (n, Σx, Σx²) gate as exact BIGINTs; D = (nQ − S²)/((n−1)·S) is
+    * one rounded IEEE expression over them, and the overdispersion
+    * verdict is the INTEGER cross-multiplication
+    * 2·(nQ − S²) > 3·(n−1)·S (D > 1.5) — the
+    * [[EventQueries.qEventsSloBurn]] no-float-decision rule. One
+    * hourly exchange, one bounded per-type aggregate. */
+  val qStatsDispersion = Q(
+    "q_stats_dispersion",
+    (s, dir) =>
+      hourlySeriesByType(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(col("x") * col("x")).as("q"))
+        .select(col("event_type"), col("n"), col("s"), col("q"),
+          round((col("n") * col("q") - col("s") * col("s"))
+            .cast("double") /
+            ((col("n") - 1) * col("s")).cast("double"), 6)
+            .as("dispersion"),
+          (lit(2) * (col("n") * col("q") - col("s") * col("s")) >
+            lit(3) * (col("n") - 1) * col("s")).as("overdispersed"))
+        .orderBy(col("event_type")),
+    Some(s"""
+      WITH ${hourlySeriesByTypeSql}
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS q,
+             ROUND(CAST(COUNT(*) * CAST(SUM(x * x) AS BIGINT) -
+                     CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT)
+                   AS DOUBLE) /
+                   CAST((COUNT(*) - 1) * CAST(SUM(x) AS BIGINT)
+                   AS DOUBLE), 6) AS dispersion,
+             2 * (COUNT(*) * CAST(SUM(x * x) AS BIGINT) -
+                  CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT)) >
+             3 * (COUNT(*) - 1) * CAST(SUM(x) AS BIGINT)
+               AS overdispersed
+      FROM series GROUP BY event_type ORDER BY event_type"""))
+
+  /** SCD2 dimension-invariant audit — the acceptance test a warehouse
+    * runs on ANY delivered interval table (including the one this
+    * engine builds): per customer-keyed dimension, count interval
+    * rows, zero-width versions, GAPS (valid_to < next valid_from),
+    * OVERLAPS (valid_to > next valid_from), open intervals, and
+    * whether every key holds exactly one open interval. Run here on
+    * [[qScd2Orders]]'s own output, the audit doubles as a machine-
+    * checked proof of that builder's contract: 0 gaps, 0 overlaps,
+    * one open interval per customer — but the OPERATOR is generic
+    * over any (key, valid_from, valid_to) table.
+    *
+    * One key-partitioned lead() window re-derives adjacency, all
+    * counters are exact integers, and the single-row summary is a
+    * bounded aggregate. */
+  val qScd2Audit = Q(
+    "q_scd2_audit",
+    (s, dir) => {
+      val dim = scd2Close(scd2Runs(
+        t(s, dir, "orders").filter(col("o_custkey") < 300)))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
+      dim
+        .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_intervals"),
+          sum(when(col("valid_to").isNotNull &&
+            col("valid_from") === col("valid_to"), 1L).otherwise(0L))
+            .as("n_zero_width"),
+          sum(when(col("next_from").isNotNull &&
+            col("valid_to") < col("next_from"), 1L).otherwise(0L))
+            .as("n_gaps"),
+          sum(when(col("next_from").isNotNull &&
+            col("valid_to") > col("next_from"), 1L).otherwise(0L))
+            .as("n_overlaps"),
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L))
+            .as("n_open"))
+        .select(col("n_customers"), col("n_intervals"),
+          col("n_zero_width"), col("n_gaps"), col("n_overlaps"),
+          col("n_open"),
+          (col("n_open") === col("n_customers")).as("one_open_per_key"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+               CASE WHEN LAG(o_orderstatus, 1) OVER w IS NULL
+                      OR LAG(o_orderstatus, 1) OVER w <> o_orderstatus
+                    THEN 1 ELSE 0 END AS chg
+        FROM orders WHERE o_custkey < 300
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)),
+      versioned AS (
+        SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS version
+        FROM flagged),
+      islands AS (
+        SELECT o_custkey, version, MIN(o_orderdate) AS valid_from
+        FROM versioned GROUP BY o_custkey, version),
+      dim AS (
+        SELECT o_custkey, version, valid_from,
+               LEAD(valid_from, 1) OVER (PARTITION BY o_custkey
+                 ORDER BY version) AS valid_to
+        FROM islands),
+      adj AS (
+        SELECT o_custkey, valid_from, valid_to,
+               LEAD(valid_from, 1) OVER (PARTITION BY o_custkey
+                 ORDER BY version) AS next_from
+        FROM dim)
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+             COUNT(*) AS n_intervals,
+             CAST(SUM(CASE WHEN valid_to IS NOT NULL
+                 AND valid_from = valid_to THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_zero_width,
+             CAST(SUM(CASE WHEN next_from IS NOT NULL
+                 AND valid_to < next_from THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_gaps,
+             CAST(SUM(CASE WHEN next_from IS NOT NULL
+                 AND valid_to > next_from THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_overlaps,
+             CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_open,
+             CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) = CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+               AS one_open_per_key
+      FROM adj"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -4617,5 +4781,5 @@ object RelationalQueries {
     qTsSeasonality, qAggBitmapDistinct, qTsAnomalySeasonal, qAsofTolerance,
     qStatsMannWhitney, qTsXcorr, qStatsKruskal, qTsLttb, qStatsKendall,
     qTsForecast, qTsCompleteness, qStatsLevene, qStatsIntegrity,
-    qScalarBitwise)
+    qScalarBitwise, qStatsDispersion, qScd2Audit, qScalarInterval)
 }

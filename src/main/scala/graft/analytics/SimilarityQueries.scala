@@ -1673,8 +1673,188 @@ object SimilarityQueries {
              FROM s4 CROSS JOIN n4)
       SELECT j, u AS loading_micro FROM u4 ORDER BY j"""))
 
+  /** External cluster validation — purity and NMI of the trained
+    * integer-Lloyd clustering ([[qSimKmeans]]) against the held
+    * ground-truth labels: the evaluation closure for the clustering
+    * family, exactly as [[GraphQueries.qGraphModularity]] closes
+    * label propagation and [[qSimRecallEval]] closes ANN. Per
+    * cluster: size, majority label, majority count; on every row:
+    * global purity (Σ majority / N — exact integers, one rounded
+    * division) and NMI = I(C;L)/√(H(C)·H(L)), each entropy/MI term a
+    * rounded-then-DECIMAL sum over the bounded k×L contingency cells
+    * ([[TextQueries.qTextLogprob]] discipline).
+    *
+    * Scale shape: training is [[kmeansTrain]]'s bounded sweeps over
+    * the persisted micro-unit corpus; validation adds one vec-keyed
+    * label join, one (cluster, label) cell aggregate (≤ k·L rows),
+    * and bounded reductions — the contingency table persists for its
+    * three consumers. */
+  val qSimPurity = Q(
+    "q_sim_purity",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val (cents, vm0, assign) = kmeansTrain(s, dir, 8, 2)
+      val cells = assign(cents)
+        .join(Tables.spread(Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy(col("cid"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .persist(MEMORY_AND_DISK)
+      val nTot = cells.agg(sum(col("c")).as("n"))
+      val byC = cells.groupBy(col("cid")).agg(sum(col("c")).as("nc"))
+      val byL = cells.groupBy(col("label")).agg(sum(col("c")).as("nl"))
+      val hC = byC.crossJoin(broadcast(nTot))
+        .agg(sum(expr("""cast(round(-(cast(nc as double) / n) *
+          ln(cast(nc as double) / n), 9) as decimal(25,9))"""))
+          .as("hc"))
+      val hL = byL.crossJoin(broadcast(nTot))
+        .agg(sum(expr("""cast(round(-(cast(nl as double) / n) *
+          ln(cast(nl as double) / n), 9) as decimal(25,9))"""))
+          .as("hl"))
+      val mi = cells.join(broadcast(byC), Seq("cid"))
+        .join(broadcast(byL), Seq("label"))
+        .crossJoin(broadcast(nTot))
+        .agg(sum(expr("""cast(round((cast(c as double) / n) *
+          ln(cast(c as double) * n / (cast(nc as double) * nl)), 9)
+          as decimal(25,9))""")).as("mi"))
+      val wTop = Window.partitionBy(col("cid"))
+        .orderBy(col("c").desc, col("label"))
+      val maj = cells
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") === 1)
+        .select(col("cid"), col("label").as("majority_label"),
+          col("c").as("majority_n"))
+      val scalars = maj.agg(sum(col("majority_n")).as("sum_maj"))
+        .crossJoin(broadcast(nTot))
+        .crossJoin(broadcast(hC)).crossJoin(broadcast(hL))
+        .crossJoin(broadcast(mi))
+        .select(
+          round(col("sum_maj").cast("double") /
+            col("n").cast("double"), 6).as("purity"),
+          round(col("mi").cast("double") /
+            sqrt(col("hc").cast("double") * col("hl").cast("double")),
+            6).as("nmi"))
+      val result = byC.join(maj, Seq("cid"))
+        .crossJoin(broadcast(scalars))
+        .select(col("cid").as("cluster"), col("nc").as("n_members"),
+          col("majority_label"), col("majority_n"),
+          col("purity"), col("nmi"))
+        .orderBy(col("cluster"))
+      QueryScopedCache.releaseAfter(result, Seq(vm0, cells))
+    },
+    Some(s"""
+      WITH $kmTrainSqlPrefix,
+      ${kmAssignSql("a3", "c2")},
+      cells AS (
+        SELECT a.cid, e.label, COUNT(*) AS c
+        FROM a3 a JOIN embeddings e USING (vec_id)
+        GROUP BY a.cid, e.label),
+      ntot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+      byc AS (SELECT cid, CAST(SUM(c) AS BIGINT) AS nc
+              FROM cells GROUP BY cid),
+      byl AS (SELECT label, CAST(SUM(c) AS BIGINT) AS nl
+              FROM cells GROUP BY label),
+      hc AS (
+        SELECT SUM(CAST(ROUND(-(CAST(nc AS DOUBLE) / n) *
+          ln(CAST(nc AS DOUBLE) / n), 9) AS DECIMAL(25,9))) AS hc
+        FROM byc CROSS JOIN ntot),
+      hl AS (
+        SELECT SUM(CAST(ROUND(-(CAST(nl AS DOUBLE) / n) *
+          ln(CAST(nl AS DOUBLE) / n), 9) AS DECIMAL(25,9))) AS hl
+        FROM byl CROSS JOIN ntot),
+      mi AS (
+        SELECT SUM(CAST(ROUND((CAST(ce.c AS DOUBLE) / t.n) *
+          ln(CAST(ce.c AS DOUBLE) * t.n /
+             (CAST(bc.nc AS DOUBLE) * bl.nl)), 9)
+          AS DECIMAL(25,9))) AS mi
+        FROM cells ce
+        JOIN byc bc USING (cid)
+        JOIN byl bl USING (label)
+        CROSS JOIN ntot t),
+      maj AS (
+        SELECT cid, label AS majority_label, c AS majority_n FROM (
+          SELECT cid, label, c,
+                 ROW_NUMBER() OVER (PARTITION BY cid
+                   ORDER BY c DESC, label) AS rk
+          FROM cells) x WHERE rk = 1),
+      scalars AS (
+        SELECT ROUND(CAST((SELECT CAST(SUM(majority_n) AS BIGINT)
+                 FROM maj) AS DOUBLE) /
+               CAST(t.n AS DOUBLE), 6) AS purity,
+               ROUND(CAST(m.mi AS DOUBLE) /
+                 SQRT(CAST(h1.hc AS DOUBLE) * CAST(h2.hl AS DOUBLE)),
+                 6) AS nmi
+        FROM ntot t CROSS JOIN hc h1 CROSS JOIN hl h2 CROSS JOIN mi m)
+      SELECT b.cid AS cluster, b.nc AS n_members,
+             j.majority_label, j.majority_n, s.purity, s.nmi
+      FROM byc b JOIN maj j ON j.cid = b.cid CROSS JOIN scalars s
+      ORDER BY cluster"""))
+
+  /** Embedding-space outlier screen — the 20 most ISOLATED vectors of
+    * the deterministic sample by mean cosine to their 5 nearest
+    * neighbors: the out-of-distribution detector a training pipeline
+    * runs before trusting new embeddings (mislabeled points, encoder
+    * failures, and genuinely novel content all surface as low kNN
+    * affinity). The [[qSimKnnGraph]] scoring discipline verbatim
+    * (ascending-index double dot, round-6 cosine); the 5 rounded
+    * cosines DECIMAL-sum per vector so the mean is order-independent,
+    * and the leaderboard orders ascending affinity with total
+    * tie-breaks.
+    *
+    * Scale shape: sample broadcast + per-partition scoring + one
+    * per-vector top-5 window (the kNN-graph plan), then a bounded
+    * TakeOrdered(20); at corpus scale the candidate generation swaps
+    * to the LSH/IVF bucketed paths exactly as the kNN graph does. */
+  val qSimOod = Q(
+    "q_sim_ood",
+    (s, dir) => {
+      val n = emb(s, dir).filter(col("vec_id") % 4 === 0)
+      val q = n.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("label").as("qlabel"))
+      val scored = n.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id").as("nbr"),
+          round(dot(col("qv"), col("v")) /
+            (sqrt(col("qnrm")) * sqrt(col("nrm"))), 6).as("cos_sim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("nbr"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .groupBy(col("qid"), col("qlabel"))
+        .agg(round(
+          sum(expr("cast(cos_sim as decimal(10,6))")).cast("double")
+            / 5.0, 6).as("knn_mean_cos"))
+        .select(col("qid").as("vec_id"), col("qlabel").as("label"),
+          col("knn_mean_cos"))
+        .orderBy(col("knn_mean_cos"), col("vec_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x)) AS nrm
+        FROM embeddings WHERE vec_id % 4 = 0),
+      scored AS (
+        SELECT q.vec_id AS qid, q.label AS qlabel, e.vec_id AS nbr,
+               ROUND(list_sum(list_transform(generate_series(1, len(q.v)),
+                       i -> q.v[i] * e.v[i]))
+                     / (SQRT(q.nrm) * SQRT(e.nrm)), 6) AS cos_sim
+        FROM e CROSS JOIN e q WHERE e.vec_id <> q.vec_id),
+      top5 AS (
+        SELECT qid, qlabel, cos_sim FROM (
+          SELECT qid, qlabel, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos_sim DESC, nbr) AS rank
+          FROM scored) x WHERE rank <= 5)
+      SELECT qid AS vec_id, qlabel AS label,
+             ROUND(CAST(SUM(CAST(cos_sim AS DECIMAL(10,6)))
+               AS DOUBLE) / 5.0, 6) AS knn_mean_cos
+      FROM top5 GROUP BY qid, qlabel
+      ORDER BY knn_mean_cos, vec_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
     qSimIvfPqTopk, qSimIvfPqStored, qSimIvfPqAdmitted, qSimIvfPqRerank,
     qSimSqTopk, qSimKmeans, qSimIvfTrained, qSimHybridRrf, qSimHardNegatives,
-    qSimFisher, qSimRecallEval, qSimKnnGraph, qSimMmr, qSimPca)
+    qSimFisher, qSimRecallEval, qSimKnnGraph, qSimMmr, qSimPca,
+    qSimPurity, qSimOod)
 }

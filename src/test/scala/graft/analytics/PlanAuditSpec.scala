@@ -305,7 +305,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q_stats_integrity",
       // q_events_slo_burn: the one-row hour-span scalar rides a cross
       // join into the bounded hourly series (the q_ts_acf pattern)
-      "q_events_slo_burn")
+      "q_events_slo_burn",
+      // q_sim_purity: the one-row trained-centroid broadcast rides
+      // the assignment cross join (the q_sim_kmeans pattern), and
+      // the one-row N/H/MI scalar reductions ride cross joins into
+      // the per-cluster rows (one-row-scalar pattern)
+      "q_sim_purity",
+      // q_sim_ood: the bounded embedding sample broadcasts into the
+      // self-exclusion inequality join (the q_sim_knn_graph pattern)
+      "q_sim_ood")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
