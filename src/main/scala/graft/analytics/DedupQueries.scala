@@ -1376,9 +1376,91 @@ object DedupQueries {
       FROM att GROUP BY source_a, source_b
       ORDER BY source_a, source_b"""))
 
+  /** Train/test split leakage audit — near-duplicate pairs that CROSS
+    * the deterministic train/val/test split
+    * ([[PrepQueries.qPrepSplit]]'s exact bucket rule, shared so the
+    * audit cannot drift from the split it audits): a test document
+    * with a train-side near-duplicate is memorization leakage that
+    * inflates every eval metric, and THIS — not benchmark
+    * decontamination ([[PrepQueries.qPrepDecontam]], which guards
+    * against EXTERNAL benchmarks) — is the audit that catches it.
+    * Output: the split-pair matrix of near-dup pair counts with a
+    * leakage flag on cross-split rows, plus the total leakage count
+    * on every row.
+    *
+    * Scale shape: pair discovery is the shared MinHash machinery
+    * verbatim; the split labels derive per doc in-row (one md5 — no
+    * join against a split table), the rollup lands on the ≤9-row
+    * split-pair key, and the one-row leakage total rides a broadcast
+    * cross join. */
+  val qDedupSplitLeakage = Q(
+    "q_dedup_split_leakage",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val (pairs0, handles) = minhashPairs(s, dir)
+      val pairs = pairs0.persist(MEMORY_AND_DISK)
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val b = PrepQueries.splitBucket(c)
+        when(b < 204, lit("train")).when(b < 230, lit("val"))
+          .otherwise(lit("test"))
+      }
+      val labeled = pairs.select(
+        splitOf(col("ia")).as("sa0"), splitOf(col("ib")).as("sb0"))
+        .select(least(col("sa0"), col("sb0")).as("split_a"),
+          greatest(col("sa0"), col("sb0")).as("split_b"))
+      val cells = labeled
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaks", col("split_a") =!= col("split_b"))
+      val tot = cells.filter(col("leaks"))
+        .agg(coalesce(sum(col("n_pairs")), lit(0L)).as("n_leaked"))
+      val result = cells.crossJoin(broadcast(tot))
+        .select(col("split_a"), col("split_b"), col("n_pairs"),
+          col("leaks"), col("n_leaked"))
+        .orderBy(col("split_a"), col("split_b"))
+      QueryScopedCache.releaseAfter(result, handles :+ pairs)
+    },
+    Some(s"""
+      WITH ${minhashPairsSql()},
+      labeled AS (
+        SELECT LEAST(sa0, sb0) AS split_a, GREATEST(sa0, sb0) AS split_b
+        FROM (
+          SELECT CASE WHEN (instr('0123456789abcdef',
+                   substr(md5(CAST(ia AS VARCHAR)), 1, 1)) - 1) * 16
+                 + instr('0123456789abcdef',
+                   substr(md5(CAST(ia AS VARCHAR)), 2, 1)) - 1 < 204
+                 THEN 'train'
+                 WHEN (instr('0123456789abcdef',
+                   substr(md5(CAST(ia AS VARCHAR)), 1, 1)) - 1) * 16
+                 + instr('0123456789abcdef',
+                   substr(md5(CAST(ia AS VARCHAR)), 2, 1)) - 1 < 230
+                 THEN 'val' ELSE 'test' END AS sa0,
+                 CASE WHEN (instr('0123456789abcdef',
+                   substr(md5(CAST(ib AS VARCHAR)), 1, 1)) - 1) * 16
+                 + instr('0123456789abcdef',
+                   substr(md5(CAST(ib AS VARCHAR)), 2, 1)) - 1 < 204
+                 THEN 'train'
+                 WHEN (instr('0123456789abcdef',
+                   substr(md5(CAST(ib AS VARCHAR)), 1, 1)) - 1) * 16
+                 + instr('0123456789abcdef',
+                   substr(md5(CAST(ib AS VARCHAR)), 2, 1)) - 1 < 230
+                 THEN 'val' ELSE 'test' END AS sb0
+          FROM pairs)),
+      cells AS (
+        SELECT split_a, split_b, COUNT(*) AS n_pairs,
+               split_a <> split_b AS leaks
+        FROM labeled GROUP BY split_a, split_b),
+      tot AS (
+        SELECT COALESCE(CAST(SUM(n_pairs) AS BIGINT), 0) AS n_leaked
+        FROM cells WHERE leaks)
+      SELECT c.split_a, c.split_b, c.n_pairs, c.leaks, t.n_leaked
+      FROM cells c CROSS JOIN tot t
+      ORDER BY c.split_a, c.split_b"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupCluster,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic,
     qDedupPassage, qDedupPassageSpan, qDedupIncremental, qDedupIncrementalStored,
-    qDedupEntity, qDedupContainment, qDedupKeepBest, qDedupSourceMatrix)
+    qDedupEntity, qDedupContainment, qDedupKeepBest, qDedupSourceMatrix,
+    qDedupSplitLeakage)
 }

@@ -26,7 +26,7 @@ object PrepQueries {
     * digits of the id as an integer in [0, 256)) — ONE definition
     * shared with the pipeline flagship so the composed chain cannot
     * drift from the registered operator's rule. */
-  private def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[analytics] def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("long")
 
   /** Per-doc DISTINCT word-3-gram shingle rows — the probe relation

@@ -4760,6 +4760,110 @@ object RelationalQueries {
                AS one_open_per_key
       FROM adj"""))
 
+  /** NEAREST-in-time as-of join — the third member of the as-of
+    * family after backward ([[qAsofJoin]]) and tolerance-bounded
+    * ([[qAsofTolerance]]): each click matches the purchase CLOSEST in
+    * time in EITHER direction (sensor alignment, "which transaction
+    * does this log line belong to"), ties to the backward match. The
+    * operator composes two single-exchange [[AsOfJoin]] passes — the
+    * backward pass as-is, the forward pass by running the SAME
+    * operator over negated epoch-micros (most-recent ≤ on the negated
+    * axis IS earliest ≥ on the real axis — no new operator code) —
+    * then a click-keyed full outer join picks the closer side with
+    * integer micros arithmetic. DuckDB mirrors with two native ASOF
+    * JOINs (≤ and ≥), so the gate certifies the negation trick
+    * against the engine that has the operator built in.
+    *
+    * Scale: two key-exchanges + one click-keyed join — still no range
+    * probe, no pair explosion; gap seconds are exact integers. */
+  val qAsofNearest = Q(
+    "q_asof_nearest",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("bval"),
+          col("ts").as("bts"))
+      val bwd = AsOfJoin.asof(clicks, purchases, "user_id",
+          leftTs = "click_ts", rightTs = "ts", payload = Seq("bval", "bts"))
+        .select(col("click_id"), col("user_id"), col("click_ts"),
+          col("bval"), col("bts"))
+      val clicksF = clicks
+        .withColumn("cnts", -unix_micros(col("click_ts")))
+      val purchasesF = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), (-unix_micros(col("ts"))).as("nts"),
+          col("value").as("fval"), col("ts").as("fts"))
+      val fwd = AsOfJoin.asof(clicksF, purchasesF, "user_id",
+          leftTs = "cnts", rightTs = "nts", payload = Seq("fval", "fts"))
+        .select(col("click_id").as("fcid"),
+          col("user_id").as("fuid"), col("click_ts").as("fcts"),
+          col("fval"), col("fts"))
+      bwd.join(fwd, col("click_id") === col("fcid"), "full_outer")
+        .select(
+          coalesce(col("click_id"), col("fcid")).as("click_id"),
+          coalesce(col("user_id"), col("fuid")).as("user_id"),
+          coalesce(col("click_ts"), col("fcts")).as("cts"),
+          col("bval"), col("bts"), col("fval"), col("fts"))
+        .select(col("click_id"), col("user_id"),
+          col("cts").as("click_ts"),
+          when(col("fts").isNull || (col("bts").isNotNull &&
+            unix_micros(col("cts")) - unix_micros(col("bts")) <=
+              unix_micros(col("fts")) - unix_micros(col("cts"))),
+            lit("backward")).otherwise(lit("forward")).as("direction"),
+          when(col("fts").isNull || (col("bts").isNotNull &&
+            unix_micros(col("cts")) - unix_micros(col("bts")) <=
+              unix_micros(col("fts")) - unix_micros(col("cts"))),
+            col("bval")).otherwise(col("fval")).as("nearest_value"),
+          when(col("fts").isNull || (col("bts").isNotNull &&
+            unix_micros(col("cts")) - unix_micros(col("bts")) <=
+              unix_micros(col("fts")) - unix_micros(col("cts"))),
+            expr("(unix_micros(cts) - unix_micros(bts)) div 1000000"))
+            .otherwise(
+              expr("(unix_micros(fts) - unix_micros(cts)) div 1000000"))
+            .as("gap_s"))
+        .orderBy(col("click_id"))
+    },
+    Some("""
+      WITH c AS (SELECT event_id AS click_id, user_id,
+                        CAST(ts AS TIMESTAMP) AS cts
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'purchase'),
+      b AS (
+        SELECT c.click_id, c.user_id, c.cts,
+               p.value AS bval, p.ts AS bts
+        FROM c ASOF JOIN p
+          ON c.user_id = p.user_id AND p.ts <= c.cts),
+      f AS (
+        SELECT c.click_id AS fcid, c.user_id AS fuid, c.cts AS fcts,
+               p.value AS fval, p.ts AS fts
+        FROM c ASOF JOIN p
+          ON c.user_id = p.user_id AND p.ts >= c.cts),
+      j AS (
+        SELECT COALESCE(b.click_id, f.fcid) AS click_id,
+               COALESCE(b.user_id, f.fuid) AS user_id,
+               COALESCE(b.cts, f.fcts) AS cts,
+               b.bval, b.bts, f.fval, f.fts
+        FROM b FULL OUTER JOIN f ON f.fcid = b.click_id)
+      SELECT click_id, user_id, cts AS click_ts,
+             CASE WHEN fts IS NULL OR (bts IS NOT NULL AND
+                    epoch_us(cts) - epoch_us(bts) <=
+                    epoch_us(fts) - epoch_us(cts))
+                  THEN 'backward' ELSE 'forward' END AS direction,
+             CASE WHEN fts IS NULL OR (bts IS NOT NULL AND
+                    epoch_us(cts) - epoch_us(bts) <=
+                    epoch_us(fts) - epoch_us(cts))
+                  THEN bval ELSE fval END AS nearest_value,
+             CASE WHEN fts IS NULL OR (bts IS NOT NULL AND
+                    epoch_us(cts) - epoch_us(bts) <=
+                    epoch_us(fts) - epoch_us(cts))
+                  THEN (epoch_us(cts) - epoch_us(bts)) // 1000000
+                  ELSE (epoch_us(fts) - epoch_us(cts)) // 1000000
+             END AS gap_s
+      FROM j ORDER BY click_id"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -4781,5 +4885,6 @@ object RelationalQueries {
     qTsSeasonality, qAggBitmapDistinct, qTsAnomalySeasonal, qAsofTolerance,
     qStatsMannWhitney, qTsXcorr, qStatsKruskal, qTsLttb, qStatsKendall,
     qTsForecast, qTsCompleteness, qStatsLevene, qStatsIntegrity,
-    qScalarBitwise, qStatsDispersion, qScd2Audit, qScalarInterval)
+    qScalarBitwise, qStatsDispersion, qScd2Audit, qScalarInterval,
+    qAsofNearest)
 }

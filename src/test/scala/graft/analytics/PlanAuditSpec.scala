@@ -313,7 +313,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q_sim_purity",
       // q_sim_ood: the bounded embedding sample broadcasts into the
       // self-exclusion inequality join (the q_sim_knn_graph pattern)
-      "q_sim_ood")
+      "q_sim_ood",
+      // q_dedup_split_leakage embeds the same minhash pair pipeline
+      // as q_dedup_cluster, so it carries the same single-row
+      // corpus-count broadcast for the stop-shingle threshold
+      "q_dedup_split_leakage")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
