@@ -4864,6 +4864,107 @@ object RelationalQueries {
              END AS gap_s
       FROM j ORDER BY click_id"""))
 
+  /** One-way ANOVA F — the parametric mean-difference test completing
+    * the group-comparison triptych: [[qStatsKruskal]] is its rank
+    * (non-parametric) twin and [[qStatsLevene]] its variance-
+    * homogeneity precondition check, and all three share one plan
+    * shape. Per event type the gate carries the exact integer
+    * (n_g, Σx, Σx²) over centi-unit values; SSB decomposes per group
+    * as (s_g·N − S·n_g)²/(n_g·N²) and SSW as ss_g − s_g²/n_g — each a
+    * single IEEE expression over gated integers rounded to 3 and
+    * DECIMAL-summed (order-independent), F and η² one rounded
+    * expression each over those sums. At 100 TB the Σx² BIGINT
+    * accumulate swaps to DECIMAL(25,0) (the [[qStatsRegression]]
+    * overflow discipline); at fixture value ranges it is exact.
+    *
+    * Scale shape: one map-side-combined group aggregate over a
+    * two-column scan; the one-row (N, S, k) totals, the k-row term
+    * reduction, and the one-row (F, η²) scalar all ride broadcast
+    * cross joins — no window, no value exchange (unlike Levene,
+    * which needs the median). */
+  val qStatsAnova = Q(
+    "q_stats_anova",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("x"))
+      val g = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(col("x")).as("s_x"),
+          sum(col("x") * col("x")).as("ss_x"))
+      val tot = g.agg(sum(col("n_g")).as("nn"), sum(col("s_x")).as("ss"),
+        count(lit(1)).as("k"))
+      val terms = g.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_g"), col("s_x"), col("ss_x"),
+          col("nn"), col("ss"), col("k"),
+          expr("""cast(round(
+              (cast(s_x as double) * cast(nn as double) -
+               cast(ss as double) * cast(n_g as double)) *
+              (cast(s_x as double) * cast(nn as double) -
+               cast(ss as double) * cast(n_g as double)) /
+              (cast(n_g as double) * cast(nn as double) *
+               cast(nn as double)), 3) as decimal(25,3))""").as("t_b"),
+          expr("""cast(round(cast(ss_x as double) -
+              cast(s_x as double) * cast(s_x as double) /
+              cast(n_g as double), 3) as decimal(25,3))""").as("t_w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val f = terms.agg(sum(col("t_b")).as("ssb"),
+          sum(col("t_w")).as("ssw"),
+          max(col("nn")).as("nn"), max(col("k")).as("k"))
+        .select(
+          round((col("nn") - col("k")).cast("double") /
+              (col("k") - 1).cast("double") *
+              col("ssb").cast("double") / col("ssw").cast("double"), 6)
+            .as("f_stat"),
+          round(col("ssb").cast("double") /
+              (col("ssb") + col("ssw")).cast("double"), 6)
+            .as("eta_sq"))
+      QueryScopedCache.releaseAfter(
+        terms
+          .select(col("event_type"), col("n_g"), col("s_x"), col("ss_x"))
+          .crossJoin(broadcast(f))
+          .orderBy(col("event_type")),
+        Seq(terms))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS x
+        FROM events),
+      g AS (
+        SELECT event_type, COUNT(*) AS n_g,
+               CAST(SUM(x) AS BIGINT) AS s_x,
+               CAST(SUM(x * x) AS BIGINT) AS ss_x
+        FROM ev GROUP BY event_type),
+      tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS nn,
+               CAST(SUM(s_x) AS BIGINT) AS ss,
+               COUNT(*) AS k
+        FROM g),
+      terms AS (
+        SELECT g.event_type, g.n_g, g.s_x, g.ss_x, t.nn, t.ss, t.k,
+               CAST(ROUND(
+                 (CAST(g.s_x AS DOUBLE) * CAST(t.nn AS DOUBLE) -
+                  CAST(t.ss AS DOUBLE) * CAST(g.n_g AS DOUBLE)) *
+                 (CAST(g.s_x AS DOUBLE) * CAST(t.nn AS DOUBLE) -
+                  CAST(t.ss AS DOUBLE) * CAST(g.n_g AS DOUBLE)) /
+                 (CAST(g.n_g AS DOUBLE) * CAST(t.nn AS DOUBLE) *
+                  CAST(t.nn AS DOUBLE)), 3) AS DECIMAL(25,3)) AS t_b,
+               CAST(ROUND(CAST(g.ss_x AS DOUBLE) -
+                 CAST(g.s_x AS DOUBLE) * CAST(g.s_x AS DOUBLE) /
+                 CAST(g.n_g AS DOUBLE), 3) AS DECIMAL(25,3)) AS t_w
+        FROM g CROSS JOIN tot t),
+      f AS (
+        SELECT ROUND(
+                 CAST(MAX(nn) - MAX(k) AS DOUBLE) /
+                 CAST(MAX(k) - 1 AS DOUBLE) *
+                 CAST(SUM(t_b) AS DOUBLE) /
+                 CAST(SUM(t_w) AS DOUBLE), 6) AS f_stat,
+               ROUND(CAST(SUM(t_b) AS DOUBLE) /
+                 CAST(SUM(t_b) + SUM(t_w) AS DOUBLE), 6) AS eta_sq
+        FROM terms)
+      SELECT t.event_type, t.n_g, t.s_x, t.ss_x, f.f_stat, f.eta_sq
+      FROM terms t CROSS JOIN f
+      ORDER BY t.event_type"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -4886,5 +4987,5 @@ object RelationalQueries {
     qStatsMannWhitney, qTsXcorr, qStatsKruskal, qTsLttb, qStatsKendall,
     qTsForecast, qTsCompleteness, qStatsLevene, qStatsIntegrity,
     qScalarBitwise, qStatsDispersion, qScd2Audit, qScalarInterval,
-    qAsofNearest)
+    qAsofNearest, qStatsAnova)
 }

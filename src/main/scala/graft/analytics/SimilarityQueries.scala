@@ -1852,9 +1852,95 @@ object SimilarityQueries {
       FROM top5 GROUP BY qid, qlabel
       ORDER BY knn_mean_cos, vec_id LIMIT 20"""))
 
+  /** INTERNAL cluster validation — simplified silhouette of the
+    * trained integer-Lloyd clustering ([[qSimKmeans]]): where
+    * [[qSimPurity]] judges the clustering against held labels,
+    * silhouette judges it from geometry alone (the metric available
+    * when no labels exist). Per vector, a = squared micro-unit L2 to
+    * its own (nearest) centroid and b = to the second-nearest; both
+    * are EXACT integers from one array_sort over the broadcast
+    * centroid array, so the only float step is the per-vector score
+    * s = (b−a)/b ∈ [0,1] (a ≤ b by construction; b = 0 ⇒ coincident
+    * centroids ⇒ s = 0), rounded to 6 and DECIMAL-summed so the
+    * per-cluster and overall means are order-independent. The
+    * squared-distance centroid variant (Hruschka's simplified
+    * silhouette) is the gated contract — full pairwise silhouette is
+    * O(n²) and exists only as a small-sample diagnostic.
+    *
+    * Scale shape: training is [[kmeansTrain]]'s bounded sweeps; the
+    * a/b pass is ONE narrow scan of the persisted micro-unit corpus
+    * against the one-row broadcast centroid array (no corpus
+    * shuffle), the rollup lands on the ≤k-row cluster key, and the
+    * one-row overall mean reduces the per-cluster DECIMAL sums —
+    * exact, so overall and per-cluster views agree bit-for-bit. */
+  val qSimSilhouette = Q(
+    "q_sim_silhouette",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val (cents, vm0, _) = kmeansTrain(s, dir, 8, 2)
+      val ab = vm0.crossJoin(broadcast(cents))
+        .withColumn("ds", expr(
+          """slice(array_sort(transform(cents, c -> struct(
+               aggregate(zip_with(vm, c.cm, (a, b) -> (a - b) * (a - b)),
+                         cast(0 as bigint), (acc, x) -> acc + x) as d,
+               c.cid as cid))), 1, 2)"""))
+        .select(col("vec_id"),
+          col("ds").getItem(0).getField("cid").as("cid"),
+          col("ds").getItem(0).getField("d").as("a2"),
+          col("ds").getItem(1).getField("d").as("b2"))
+      val perVec = ab.select(col("cid"),
+        expr("""cast(round(case when b2 = 0 then 0.0d
+                else cast(b2 - a2 as double) / cast(b2 as double) end, 6)
+                as decimal(25,6))""").as("s6"))
+      val perC = perVec.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("s6")).as("ssum"))
+        .persist(MEMORY_AND_DISK)
+      val tot = perC.agg(round(
+          sum(col("ssum")).cast("double") /
+            sum(col("n_members")).cast("double"), 6).as("overall_sil"))
+      val result = perC.crossJoin(broadcast(tot))
+        .select(col("cid").as("cluster"), col("n_members"),
+          round(col("ssum").cast("double") /
+            col("n_members").cast("double"), 6).as("mean_sil"),
+          col("overall_sil"))
+        .orderBy(col("cluster"))
+      QueryScopedCache.releaseAfter(result, Seq(vm0, perC))
+    },
+    Some(s"""
+      WITH $kmTrainSqlPrefix,
+      ds AS (
+        SELECT vec_id, cid, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY d, cid) AS rn
+        FROM (SELECT v.vec_id, c.cid, ${kmDistSql("v", "c")} AS d
+              FROM vm v CROSS JOIN c2 c)),
+      ab AS (
+        SELECT a.vec_id, a.cid, a.d AS a2, b.d AS b2
+        FROM ds a JOIN ds b USING (vec_id)
+        WHERE a.rn = 1 AND b.rn = 2),
+      sv AS (
+        SELECT cid,
+               CAST(ROUND(CASE WHEN b2 = 0 THEN 0.0
+                 ELSE CAST(b2 - a2 AS DOUBLE) / CAST(b2 AS DOUBLE) END,
+                 6) AS DECIMAL(25,6)) AS s6
+        FROM ab),
+      perc AS (
+        SELECT cid, COUNT(*) AS n_members, SUM(s6) AS ssum
+        FROM sv GROUP BY cid),
+      tot AS (
+        SELECT ROUND(CAST(SUM(ssum) AS DOUBLE) /
+                 CAST(SUM(n_members) AS DOUBLE), 6) AS overall_sil
+        FROM perc)
+      SELECT p.cid AS cluster, p.n_members,
+             ROUND(CAST(p.ssum AS DOUBLE) /
+               CAST(p.n_members AS DOUBLE), 6) AS mean_sil,
+             t.overall_sil
+      FROM perc p CROSS JOIN tot t
+      ORDER BY cluster"""))
+
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
     qSimIvfPqTopk, qSimIvfPqStored, qSimIvfPqAdmitted, qSimIvfPqRerank,
     qSimSqTopk, qSimKmeans, qSimIvfTrained, qSimHybridRrf, qSimHardNegatives,
     qSimFisher, qSimRecallEval, qSimKnnGraph, qSimMmr, qSimPca,
-    qSimPurity, qSimOod)
+    qSimPurity, qSimOod, qSimSilhouette)
 }

@@ -317,7 +317,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_dedup_split_leakage embeds the same minhash pair pipeline
       // as q_dedup_cluster, so it carries the same single-row
       // corpus-count broadcast for the stop-shingle threshold
-      "q_dedup_split_leakage")
+      "q_dedup_split_leakage",
+      // q_stats_anova: the one-row (N, S, k) totals and the one-row
+      // (F, eta^2) scalar ride cross joins into the k-row term table
+      // and the output rows (one-row-scalar pattern)
+      "q_stats_anova",
+      // q_sim_silhouette: the one-row trained-centroid broadcast
+      // rides the a/b scoring cross join (the q_sim_kmeans pattern)
+      // and the one-row overall mean rides a cross join into the
+      // per-cluster rows (one-row-scalar pattern)
+      "q_sim_silhouette")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
