@@ -521,8 +521,83 @@ object MultimodalQueries {
       FROM inst i JOIN stored s USING (source)
       ORDER BY i.source"""))
 
+  /** Aspect-ratio bucketed batch packing — the image-training batching
+    * layout: variable-resolution media can only batch with
+    * SAME-SHAPE peers (a training batch is one tensor), so the
+    * pipeline snaps each item to an aspect bucket, then packs each
+    * bucket into fixed-size batches in a deterministic order, flagging
+    * the partial tail batch that padding or dropping must absorb.
+    * Dimensions derive deterministically from the content hash (the
+    * stub recipe every multimodal query here uses — real decoders
+    * swap in behind the same schema): width/height from two hex
+    * digits onto a 256–768 ladder, bucket = (4·w) div h (exact
+    * integer bands around the ratio), batch slots by doc_id order.
+    *
+    * Scale shape: dimensions and bucket are in-row codegen (no join);
+    * batch assignment is ONE bucket-partitioned window, and the
+    * batch-size count rides a second window over the SAME partitioning
+    * prefix — one exchange total. Bucket count is bounded (~13), so at
+    * 100 TB the per-bucket partitions are the skew hazard: the
+    * production swap is the [[PrepQueries.qPrepPack]] two-level
+    * per-partition-count → offset layout, which this query's batch
+    * arithmetic composes with unchanged. */
+  val qMultimodalAspectBatch = Q(
+    "q_multimodal_aspect_batch",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dims = Tables.spread(Tables(s, dir, "documents"))
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .select(col("doc_id"),
+          (lit(64L) * (lit(4L) +
+            expr("cast(conv(substr(h, 1, 1), 16, 10) as bigint) % 9")))
+            .as("w"),
+          (lit(64L) * (lit(4L) +
+            expr("cast(conv(substr(h, 2, 1), 16, 10) as bigint) % 9")))
+            .as("h_px"))
+        .withColumn("bucket", expr("(w * 4L) div h_px"))
+      val wAssign = Window.partitionBy(col("bucket"))
+        .orderBy(col("doc_id"))
+      val assigned = dims
+        .withColumn("rn", row_number().over(wAssign).cast("long"))
+        .withColumn("batch_idx", expr("(rn - 1L) div 16L"))
+        .withColumn("slot", (col("rn") - 1L) % 16L)
+      val wBatch = Window.partitionBy(col("bucket"), col("batch_idx"))
+      assigned
+        .withColumn("batch_n", count(lit(1)).over(wBatch))
+        .select(col("doc_id"), col("w"), col("h_px"), col("bucket"),
+          col("batch_idx"), col("slot"), col("batch_n"),
+          (col("batch_n") === 16L).as("is_full"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH dims AS (
+        SELECT doc_id,
+               64 * (4 + ((instr('0123456789abcdef',
+                 substr(md5(text), 1, 1)) - 1) % 9)) AS w,
+               64 * (4 + ((instr('0123456789abcdef',
+                 substr(md5(text), 2, 1)) - 1) % 9)) AS h_px
+        FROM documents),
+      b AS (
+        SELECT doc_id, w, h_px, (w * 4) // h_px AS bucket FROM dims),
+      assigned AS (
+        SELECT doc_id, w, h_px, bucket,
+               (ROW_NUMBER() OVER (PARTITION BY bucket
+                  ORDER BY doc_id) - 1) // 16 AS batch_idx,
+               (ROW_NUMBER() OVER (PARTITION BY bucket
+                  ORDER BY doc_id) - 1) % 16 AS slot
+        FROM b)
+      SELECT doc_id, CAST(w AS BIGINT) AS w,
+             CAST(h_px AS BIGINT) AS h_px,
+             CAST(bucket AS BIGINT) AS bucket,
+             CAST(batch_idx AS BIGINT) AS batch_idx,
+             CAST(slot AS BIGINT) AS slot,
+             COUNT(*) OVER (PARTITION BY bucket, batch_idx) AS batch_n,
+             COUNT(*) OVER (PARTITION BY bucket, batch_idx) = 16
+               AS is_full
+      FROM assigned ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFeatures,
     qMultimodalFrames, qMultimodalCdc, qMultimodalResize,
     qMultimodalPhash, qMultimodalEntropy, qMultimodalShards,
-    qMultimodalDedup)
+    qMultimodalDedup, qMultimodalAspectBatch)
 }

@@ -1867,6 +1867,134 @@ object TextQueries {
                    CAST(COUNT(*) AS DOUBLE), 6) AS mean_bp
       FROM d GROUP BY source ORDER BY source"""))
 
+  /** Zipf rank-frequency fit — OLS of ln(count) on ln(rank) over the
+    * top-100 vocabulary: natural corpora follow count ∝ rank^s with
+    * s ≈ −1, and a slope far from −1 or a poor R² is the canonical
+    * screen for TEMPLATED or machine-generated text whose token
+    * distribution is too flat (|s| small) or too spiky (|s| large) —
+    * the distribution-level companion to the per-doc
+    * [[qTextRepetition]] screen. The vocabulary comes from the same
+    * token aggregate as [[qTextVocab]]; ranks are computed WITHOUT a
+    * global window: the TakeOrdered top-100 is bounded by
+    * construction, so rank = 1 + |{rows strictly earlier in
+    * (count desc, token) order}| via a 100×100 theta join — exactly
+    * the bounded-prefix pattern [[RelationalQueries.qStatsKendall]]
+    * uses, and provably equal to ROW_NUMBER (total tie-break), which
+    * is what the oracle uses. ln terms round to 9 and DECIMAL-sum;
+    * slope, intercept, and R² are one rounded expression each.
+    *
+    * Scale shape: one map-side-combined token aggregate (the only
+    * unbounded shuffle, carrying (token, count) only), a bounded
+    * TakeOrdered(100), then all ranking/fit work rides 100-row
+    * broadcast joins and one-row scalar cross joins. */
+  val qTextZipf = Q(
+    "q_text_zipf",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val vocab = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("w")).limit(100)
+        .persist(MEMORY_AND_DISK)
+      val other = vocab.select(col("w").as("w2"), col("n_occ").as("c2"))
+      val ranked = vocab.join(broadcast(other),
+          col("c2") > col("n_occ") ||
+            (col("c2") === col("n_occ") && col("w2") < col("w")), "left")
+        .groupBy(col("w"), col("n_occ"))
+        .agg((count(col("w2")) + 1L).as("rank"))
+        .select(col("rank"), col("w"), col("n_occ"),
+          expr("cast(round(ln(cast(rank as double)), 9) as decimal(25,9))")
+            .as("x"),
+          expr("cast(round(ln(cast(n_occ as double)), 9) as decimal(25,9))")
+            .as("y"))
+        .persist(MEMORY_AND_DISK)
+      val sums = ranked.agg(count(lit(1)).as("k"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("""cast(round(cast(x as double) * cast(x as double), 9)
+                  as decimal(25,9))""")).as("sxx"),
+        sum(expr("""cast(round(cast(y as double) * cast(y as double), 9)
+                  as decimal(25,9))""")).as("syy"),
+        sum(expr("""cast(round(cast(x as double) * cast(y as double), 9)
+                  as decimal(25,9))""")).as("sxy"))
+      val fit = sums.select(
+        round(expr("""(k * cast(sxy as double) -
+            cast(sx as double) * cast(sy as double)) /
+            (k * cast(sxx as double) -
+             cast(sx as double) * cast(sx as double))"""), 6)
+          .as("zipf_slope"),
+        round(expr("""(cast(sy as double) * cast(sxx as double) -
+            cast(sx as double) * cast(sxy as double)) /
+            (k * cast(sxx as double) -
+             cast(sx as double) * cast(sx as double))"""), 6)
+          .as("zipf_intercept"),
+        round(expr("""(k * cast(sxy as double) -
+            cast(sx as double) * cast(sy as double)) *
+            (k * cast(sxy as double) -
+             cast(sx as double) * cast(sy as double)) /
+            ((k * cast(sxx as double) -
+              cast(sx as double) * cast(sx as double)) *
+             (k * cast(syy as double) -
+              cast(sy as double) * cast(sy as double)))"""), 6)
+          .as("zipf_r2"))
+      val result = ranked.filter(col("rank") <= 20)
+        .crossJoin(broadcast(fit))
+        .select(col("rank"), col("w"), col("n_occ"),
+          col("zipf_slope"), col("zipf_intercept"), col("zipf_r2"))
+        .orderBy(col("rank"))
+      QueryScopedCache.releaseAfter(result, Seq(vocab, ranked))
+    },
+    Some("""
+      WITH vocab AS (
+        SELECT w, COUNT(*) AS n_occ
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY w ORDER BY n_occ DESC, w LIMIT 100),
+      ranked AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY n_occ DESC, w) AS rank,
+               w, n_occ,
+               CAST(ROUND(ln(CAST(ROW_NUMBER() OVER
+                 (ORDER BY n_occ DESC, w) AS DOUBLE)), 9)
+                 AS DECIMAL(25,9)) AS x,
+               CAST(ROUND(ln(CAST(n_occ AS DOUBLE)), 9)
+                 AS DECIMAL(25,9)) AS y
+        FROM vocab),
+      sums AS (
+        SELECT COUNT(*) AS k,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+                 AS DECIMAL(25,9))) AS sxx,
+               SUM(CAST(ROUND(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 9)
+                 AS DECIMAL(25,9))) AS syy,
+               SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 9)
+                 AS DECIMAL(25,9))) AS sxy
+        FROM ranked),
+      fit AS (
+        SELECT ROUND((k * CAST(sxy AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 (k * CAST(sxx AS DOUBLE) -
+                  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 AS zipf_slope,
+               ROUND((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)) /
+                 (k * CAST(sxx AS DOUBLE) -
+                  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 AS zipf_intercept,
+               ROUND((k * CAST(sxy AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+                 (k * CAST(sxy AS DOUBLE) -
+                  CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 ((k * CAST(sxx AS DOUBLE) -
+                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                  (k * CAST(syy AS DOUBLE) -
+                   CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                 AS zipf_r2
+        FROM sums)
+      SELECT r.rank, r.w, r.n_occ,
+             f.zipf_slope, f.zipf_intercept, f.zipf_r2
+      FROM ranked r CROSS JOIN fit f
+      WHERE r.rank <= 20
+      ORDER BY r.rank"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
     qTextFingerprint, qTextVocab, qHeavyHitters, qTextCountmin,
     qTextRepetition,
@@ -1874,5 +2002,6 @@ object TextQueries {
     qTextBm25, qTextBm25Stored, qTextBm25Reingested, qTextTfidfSim,
     qTextCollocations, qTextChisquare, qStatsSourceOverlap, qTextDistinctN, qStatsDatacard,
     qTextKeywords, qTextEntropy, qTextOov, qTextLangidEval,
-    qTextReadability, qTextNovelty, qStatsPsi, qTextCodeScreen)
+    qTextReadability, qTextNovelty, qStatsPsi, qTextCodeScreen,
+    qTextZipf)
 }

@@ -326,7 +326,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // rides the a/b scoring cross join (the q_sim_kmeans pattern)
       // and the one-row overall mean rides a cross join into the
       // per-cluster rows (one-row-scalar pattern)
-      "q_sim_silhouette")
+      "q_sim_silhouette",
+      // q_text_zipf: the bounded TakeOrdered(100) vocab ranks via a
+      // 100x100 prefix theta join (the q_stats_kendall bounded-
+      // prefix pattern) and the one-row OLS fit rides a cross join
+      // into the top-20 rows (one-row-scalar pattern)
+      "q_text_zipf")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
