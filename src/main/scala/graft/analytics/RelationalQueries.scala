@@ -4965,6 +4965,137 @@ object RelationalQueries {
       FROM terms t CROSS JOIN f
       ORDER BY t.event_type"""))
 
+  /** Rolling 7-day MEDIAN of daily totals — the windowed ORDER
+    * STATISTIC the window family lacked: running/sliding means
+    * ([[qWindowRunning]], [[qWindowSliding]]) smear outliers into the
+    * trend, while the rolling median is the robust centerline ops
+    * dashboards actually want. Exactness: daily totals are centi-unit
+    * BIGINTs DOUBLED (the [[qStatsLevene]] ×2 trick), so the
+    * interpolated even-count median is an exact even integer in both
+    * engines — `percentile(…, 0.5)` here, `quantile_cont` there —
+    * gated as the integer `med2` with the readable double alongside.
+    * The RANGE frame is calendar-aware: 6 PRECEDING on the epoch-day
+    * key covers calendar gaps, not 6 physical rows ([[
+    * qWindowRangeFrame]] discipline).
+    *
+    * Scale shape: the unbounded scan ends at the (type, day) rollup —
+    * map-side combined, bounded by types × horizon — and the window
+    * runs on that bounded spine, partitioned by type. */
+  val qWindowRollingMedian = Q(
+    "q_window_rolling_median",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"),
+          to_date(col("ts")).as("d"),
+          expr("cast(round(value * 100) as bigint)").as("v"))
+        .groupBy(col("event_type"), col("d"))
+        .agg((sum(col("v")) * 2L).as("tot2"))
+        .withColumn("day_idx",
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("day_idx")).rangeBetween(-6, 0)
+      daily
+        .withColumn("n_in_win", count(lit(1)).over(w))
+        .withColumn("med2",
+          expr("percentile(tot2, 0.5D)").over(w).cast("long"))
+        .select(col("event_type"), col("d"), col("tot2"),
+          col("n_in_win"), col("med2"),
+          round(col("med2").cast("double") / 200.0, 3).as("med_val"))
+        .orderBy(col("event_type"), col("d"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 * 2 AS tot2,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS day_idx
+        FROM events GROUP BY event_type, CAST(ts AS DATE))
+      SELECT event_type, d, tot2,
+             COUNT(*) OVER w AS n_in_win,
+             CAST(quantile_cont(tot2, 0.5) OVER w AS BIGINT) AS med2,
+             ROUND(CAST(CAST(quantile_cont(tot2, 0.5) OVER w AS BIGINT)
+               AS DOUBLE) / 200.0, 3) AS med_val
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY event_type, d"""))
+
+  /** Theil–Sen robust trend — the MEDIAN of all pairwise slopes of the
+    * daily-total series per event type: a single anomalous day drags
+    * an OLS slope ([[qStatsRegression]]) arbitrarily far, but moves
+    * the pairwise-slope median not at all (29% breakdown point) — the
+    * trend estimator monitoring pipelines want on spiky series.
+    * Exactness: each pairwise slope rounds to micro-units then
+    * DOUBLES ([[qStatsLevene]] ×2 trick), so the interpolated median
+    * is an exact even integer cross-engine; the gate carries n_days,
+    * n_pairs, and the integer median with the readable double
+    * alongside.
+    *
+    * Scale shape: the unbounded scan ends at the bounded (type, day)
+    * rollup; the pair space is an equi-join on type over that bounded
+    * spine (days²/2 per type — at multi-year horizons the documented
+    * swap is the sampled median-of-medians Theil–Sen), and the
+    * per-type median is one exact percentile over the pair table. */
+  val qStatsTheilsen = Q(
+    "q_stats_theilsen",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val daily = t(s, dir, "events")
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("x"),
+          expr("cast(round(value * 100) as bigint)").as("v"))
+        .groupBy(col("event_type"), col("x"))
+        .agg(sum(col("v")).as("y"))
+        .persist(MEMORY_AND_DISK)
+      val pairs = daily.join(
+          daily.select(col("event_type"), col("x").as("x2"),
+            col("y").as("y2")),
+          Seq("event_type"))
+        .filter(col("x2") > col("x"))
+        .select(col("event_type"),
+          (expr("""cast(round(cast(y2 - y as double) * 1000000.0d /
+                   cast(x2 - x as double)) as bigint)""") * 2L)
+            .as("sl2"))
+      val result = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"))
+        .join(pairs.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("cast(percentile(sl2, 0.5D) as bigint)").as("med_sl2")),
+          Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          col("med_sl2"),
+          round(col("med_sl2").cast("double") / 2000000.0, 6)
+            .as("ts_slope"))
+        .orderBy(col("event_type"))
+      QueryScopedCache.releaseAfter(result, Seq(daily))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS x,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      pairs AS (
+        SELECT a.event_type,
+               CAST(ROUND(CAST(b.y - a.y AS DOUBLE) * 1000000.0 /
+                 CAST(b.x - a.x AS DOUBLE)) AS BIGINT) * 2 AS sl2
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.x > a.x),
+      nd AS (
+        SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1),
+      med AS (
+        SELECT event_type, COUNT(*) AS n_pairs,
+               CAST(quantile_cont(sl2, 0.5) AS BIGINT) AS med_sl2
+        FROM pairs GROUP BY event_type)
+      SELECT n.event_type, n.n_days, m.n_pairs, m.med_sl2,
+             ROUND(CAST(m.med_sl2 AS DOUBLE) / 2000000.0, 6) AS ts_slope
+      FROM nd n JOIN med m USING (event_type)
+      ORDER BY n.event_type"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -4987,5 +5118,5 @@ object RelationalQueries {
     qStatsMannWhitney, qTsXcorr, qStatsKruskal, qTsLttb, qStatsKendall,
     qTsForecast, qTsCompleteness, qStatsLevene, qStatsIntegrity,
     qScalarBitwise, qStatsDispersion, qScd2Audit, qScalarInterval,
-    qAsofNearest, qStatsAnova)
+    qAsofNearest, qStatsAnova, qWindowRollingMedian, qStatsTheilsen)
 }
