@@ -1680,11 +1680,101 @@ object EventQueries {
       FROM best WHERE rk = 1
       ORDER BY streak_days DESC, streak_start, user_id LIMIT 20"""))
 
+  /** Input/output rows for the throttle's typed per-partition scan. */
+  private[analytics] case class ThrottleIn(
+      user_id: Long, event_id: Long, tsu: Long)
+  private[analytics] case class ThrottleKept(
+      user_id: Long, event_id: Long, tsu: Long, kept_rank: Long,
+      gap_s: Option[Long])
+
+  /** Greedy per-user rate limiting (throttle/debounce) — keep an
+    * event only if ≥ 24 h have passed since the PREVIOUS KEPT event:
+    * alerting dedup, notification capping, and sampling-one-per-
+    * quiet-period all share this shape. This is a genuinely different
+    * operator class from sessionization: gaps-and-islands compares
+    * each event to its raw predecessor (a `lag` — stateless per
+    * row), while the throttle chain is defined by its OWN output
+    * (kept(i+1) = first event ≥ kept(i)+24 h), an inherently
+    * sequential recurrence no window formulation expresses. The
+    * engine runs it as the secondary-sort pattern: hash-exchange on
+    * user_id, sort each partition by (user, ts, event_id), then ONE
+    * streaming `mapPartitions` pass with O(1) state (current user +
+    * last kept micros) — no per-user event-list materialization, so
+    * a hot user spills nothing. The oracle is a recursive CTE with a
+    * per-step LATERAL argmin — the chain semantics stated
+    * declaratively — so the gate certifies the imperative scan
+    * against the declarative recurrence.
+    *
+    * Scale shape: one user-keyed exchange + one ordered scan;
+    * output order rides the same sort. The streaming twin is
+    * flatMapGroupsWithState with the same O(1) per-key state. */
+  val qEventsThrottle = Q(
+    "q_events_throttle",
+    (s, dir) => {
+      import s.implicits._
+      val kept = ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsu"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("tsu"), col("event_id"))
+        .as[ThrottleIn]
+        .mapPartitions { it =>
+          var curUser = Long.MinValue
+          var lastKept = Long.MinValue
+          var rank = 0L
+          var first = true
+          it.flatMap { r =>
+            if (first || r.user_id != curUser) {
+              first = false; curUser = r.user_id; lastKept = r.tsu
+              rank = 1L
+              Iterator.single(
+                ThrottleKept(r.user_id, r.event_id, r.tsu, 1L, None))
+            } else if (r.tsu >= lastKept + 86400000000L) {
+              val gap = (r.tsu - lastKept) / 1000000L
+              lastKept = r.tsu; rank += 1L
+              Iterator.single(
+                ThrottleKept(r.user_id, r.event_id, r.tsu, rank,
+                  Some(gap)))
+            } else Iterator.empty
+          }
+        }
+        .toDF()
+      kept.select(col("user_id"), col("event_id"),
+          timestamp_micros(col("tsu")).as("ts"), col("kept_rank"),
+          col("gap_s"))
+        .orderBy(col("user_id"), col("kept_rank"))
+    },
+    Some("""
+      WITH RECURSIVE ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn
+        FROM events),
+      kept AS (
+        SELECT user_id, event_id, ts, 1 AS kept_rank FROM ev
+        WHERE rn = 1
+        UNION ALL
+        SELECT n.user_id, n.event_id, n.ts, k.kept_rank + 1
+        FROM kept k, LATERAL (
+          SELECT e.user_id, e.event_id, e.ts
+          FROM ev e
+          WHERE e.user_id = k.user_id
+            AND epoch_us(e.ts) >=
+                epoch_us(k.ts) + CAST(86400 AS BIGINT) * 1000000
+          ORDER BY e.ts, e.event_id LIMIT 1) n)
+      SELECT user_id, event_id, ts, CAST(kept_rank AS BIGINT)
+               AS kept_rank,
+             (epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY kept_rank)) // 1000000
+               AS gap_s
+      FROM kept
+      ORDER BY user_id, kept_rank"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
     qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
     qEventsFunnelTime, qEventsDauWau, qEventsWauSketch,
     qEventsCohortValue, qEventsRfm, qEventsPareto, qEventsSurvival,
     qEventsUplift, qEventsPower, qEventsMarkov, qEventsLifecycle,
     qEventsPattern, qEventsMau, qEventsAttributionPosition,
-    qEventsPatternVar, qEventsSloBurn, qEventsStreak)
+    qEventsPatternVar, qEventsSloBurn, qEventsStreak, qEventsThrottle)
 }

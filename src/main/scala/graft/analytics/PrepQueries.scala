@@ -1485,11 +1485,94 @@ object PrepQueries {
       GROUP BY b.band, r.min_class_size, r.sub_k_frac
       ORDER BY b.band"""))
 
+  /** Rendezvous (highest-random-weight) consistent sharding — assign
+    * each document to the shard whose md5(doc:shard) weight is
+    * highest, then remove shard 7 and reassign: HRW's defining
+    * guarantee is MINIMAL MOVEMENT (only the removed shard's keys
+    * move, everything else is pinned), which is why storage systems
+    * shard this way instead of `mod n` (where removing one shard
+    * reshuffles ~all keys). The invariant is not just probed — it is
+    * IN the gate: `minimal_movement` is the machine-checked "no doc
+    * moved whose before-shard survived", and `moved_frac` carries the
+    * ~1/16 expected movement. Weights compare as md5 HEX STRINGS
+    * (lowercase hex compares lexicographically = numerically —
+    * identical in both engines, no radix conversion); ties break to
+    * the smaller shard id via the (weight, 15−s) struct max.
+    *
+    * Scale shape: both assignments are in-row argmaxes over a 16-slot
+    * literal sequence inside codegen — no join, no explode, no
+    * shuffle until the ≤16-row shard rollup; the one-row movement
+    * scalars ride broadcast cross joins. */
+  val qPrepRendezvous = Q(
+    "q_prep_rendezvous",
+    (s, dir) => {
+      def argmax(seq: String) = expr(
+        s"""15 - array_max(transform($seq, sh -> struct(
+              md5(concat(cast(doc_id as string), ':',
+                         cast(sh as string))) as w,
+              15 - sh as inv))).inv""")
+      val assigned = Tables.spread(Tables(s, dir, "documents"))
+        .select(col("doc_id"))
+        .withColumn("shard_before", argmax("sequence(0, 15)").cast("long"))
+        .withColumn("shard_after",
+          argmax("filter(sequence(0, 15), sh -> sh != 7)").cast("long"))
+        .withColumn("moved", col("shard_before") =!= col("shard_after"))
+      val scalars = assigned.agg(
+        sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved_tot"),
+        count(lit(1)).as("n_tot"),
+        max(when(col("moved") && col("shard_before") =!= 7L, 1L)
+          .otherwise(0L)).as("bad"))
+        .select(
+          round(col("n_moved_tot").cast("double") /
+            col("n_tot").cast("double"), 6).as("moved_frac"),
+          (col("bad") === 0L).as("minimal_movement"))
+      assigned.groupBy(col("shard_before"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+        .crossJoin(broadcast(scalars))
+        .select(col("shard_before"), col("n_docs"), col("n_moved"),
+          col("moved_frac"), col("minimal_movement"))
+        .orderBy(col("shard_before"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT d.doc_id, t.s,
+               md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                   CAST(t.s AS VARCHAR)) AS w
+        FROM documents d CROSS JOIN generate_series(0, 15) AS t(s)),
+      bef AS (
+        SELECT doc_id, s AS shard_before FROM (
+          SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY w DESC, s) AS rn FROM w) x WHERE rn = 1),
+      aft AS (
+        SELECT doc_id, s AS shard_after FROM (
+          SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY w DESC, s) AS rn FROM w WHERE s <> 7) x
+        WHERE rn = 1),
+      a AS (
+        SELECT b.doc_id, CAST(b.shard_before AS BIGINT) AS shard_before,
+               b.shard_before <> f.shard_after AS moved
+        FROM bef b JOIN aft f USING (doc_id)),
+      scal AS (
+        SELECT ROUND(CAST(SUM(CASE WHEN moved THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS moved_frac,
+               CAST(MAX(CASE WHEN moved AND shard_before <> 7
+                 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS minimal_movement
+        FROM a)
+      SELECT g.shard_before, g.n_docs, g.n_moved,
+             s.moved_frac, s.minimal_movement
+      FROM (SELECT shard_before, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN moved THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_moved
+            FROM a GROUP BY shard_before) g
+      CROSS JOIN scal s
+      ORDER BY g.shard_before"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
     qPrepCurriculum, qPrepWinsorize, qPrepOversample, qPrepClassifier,
     qPrepPerplexity, qPrepBinning, qPrepEvalSample, qPrepPipeline,
     qPrepTemperature, qPrepCalibration, qPrepPadding, qPrepDpCount,
-    qPrepKfold, qPrepKanon)
+    qPrepKfold, qPrepKanon, qPrepRendezvous)
 }
