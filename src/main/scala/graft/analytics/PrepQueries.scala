@@ -1568,11 +1568,57 @@ object PrepQueries {
       CROSS JOIN scal s
       ORDER BY g.shard_before"""))
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-Res) — draw a 100-document sample where each document's
+    * inclusion odds are proportional to its length: every document
+    * gets the priority key u^(1/w) (equivalently ln(u)/w, the form
+    * both engines compute) with w = n_chars and u a deterministic
+    * uniform from md5(doc_id∥'#ws') (first 12 hex digits → integer
+    * v, u = (v+0.5)/2^48 — the '+0.5' keeps u strictly inside
+    * (0,1)), and the k largest keys ARE a without-replacement
+    * weighted sample — the one-pass/distributed-friendly identity
+    * that makes length-proportional corpus sampling (sampling by
+    * token budget rather than by document count) a top-k instead of
+    * k sequential draws. Unlike [[qPrepSample]] (Bernoulli,
+    * per-document independent) and [[qPrepTemperature]] (per-stratum
+    * rates), the sample size here is EXACT and competition between
+    * documents is global. Keys are rounded to 6 decimals before the
+    * top-k with doc_id as the tiebreak, so selection is identical
+    * cross-engine (the repo's round(…,6) parity discipline); the
+    * md5 path reuses the [[qPrepSample]] salt convention.
+    *
+    * Scale shape: the key is an in-row codegen expression over the
+    * scan (no shuffle), and the global top-500 is TakeOrdered —
+    * per-partition heaps, one bounded driver merge, never a full
+    * sort. At 100 TB this is the canonical "sample 1M docs
+    * proportional to length" plan: one scan, one bounded reduce. */
+  val qPrepWeightedSample = Q(
+    "q_prep_weighted_sample",
+    (s, dir) =>
+      Tables.spread(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("priority",
+          round(
+            log((conv(substring(md5(concat(col("doc_id").cast("string"),
+                lit("#ws"))), 1, 12), 16, 10).cast("double") + 0.5d) /
+              281474976710656.0d) /
+              col("n_chars").cast("double"), 6))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(100),
+    Some("""
+      SELECT doc_id, source, n_chars,
+             ROUND(LN((CAST(('0x' ||
+                 SUBSTR(md5(CAST(doc_id AS VARCHAR) || '#ws'), 1, 12))
+                 AS BIGINT) + 0.5) / 281474976710656.0)
+               / CAST(n_chars AS DOUBLE), 6) AS priority
+      FROM documents
+      ORDER BY priority DESC, doc_id LIMIT 100"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
     qPrepCurriculum, qPrepWinsorize, qPrepOversample, qPrepClassifier,
     qPrepPerplexity, qPrepBinning, qPrepEvalSample, qPrepPipeline,
     qPrepTemperature, qPrepCalibration, qPrepPadding, qPrepDpCount,
-    qPrepKfold, qPrepKanon, qPrepRendezvous)
+    qPrepKfold, qPrepKanon, qPrepRendezvous, qPrepWeightedSample)
 }

@@ -5096,6 +5096,90 @@ object RelationalQueries {
       FROM nd n JOIN med m USING (event_type)
       ORDER BY n.event_type"""))
 
+  /** Input/output rows for the skyline's typed per-partition scan. */
+  private[analytics] case class SkyIn(
+      l_suppkey: Long, l_extendedprice: Double, l_quantity: Double,
+      l_orderkey: Long, l_linenumber: Int)
+
+  /** Per-group skyline (Pareto frontier) — for each supplier, the
+    * lineitems no other lineitem of the same supplier dominates
+    * (dominates = price ≤ AND quantity ≥, strictly better in at least
+    * one). The skyline is the classic multi-criteria shortlist
+    * operator (cheapest-for-its-size supplier offers, best
+    * price/quality catalog rows) and is NOT expressible as a
+    * window aggregate in general; the 2-D case admits an exact
+    * one-pass formulation the engine exploits: sort each group by
+    * (price ASC, quantity DESC), then a row survives iff its quantity
+    * strictly exceeds the running max quantity over all STRICTLY
+    * cheaper rows, and is not beaten by a same-price row above it.
+    * Duplicated (price, quantity) points are mutually non-dominating
+    * and both survive — the scan's same-price test is a strict `>`,
+    * so ties fall through to "keep", matching the NOT EXISTS
+    * dominance oracle exactly.
+    *
+    * Engine side is the secondary-sort pattern ([[EventQueries
+    * .qEventsThrottle]] discipline): one hash exchange on the group
+    * key, sortWithinPartitions, then a single streaming
+    * mapPartitions pass with O(1) state (group, running max, current
+    * price band top) — no per-group materialization, so a hot
+    * supplier spills nothing. The oracle states dominance
+    * declaratively (NOT EXISTS a dominating row), certifying the
+    * linear scan against the quadratic definition.
+    *
+    * Scale shape: one group-keyed exchange + ordered scan; output
+    * order rides the same sort. Higher dimensions would swap the
+    * scan for partition-local skyline + bounded global merge. */
+  val qSkylineSuppliers = Q(
+    "q_skyline_suppliers",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice"),
+          col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        .repartition(col("l_suppkey"))
+        .sortWithinPartitions(col("l_suppkey"), col("l_extendedprice"),
+          col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+        .as[SkyIn]
+        .mapPartitions { it =>
+          var curSupp = Long.MinValue
+          var prevMax = Double.NegativeInfinity // max qty, strictly cheaper
+          var curPrice = Double.NaN
+          var curTop = Double.NegativeInfinity // max qty at curPrice
+          var first = true
+          it.filter { r =>
+            if (first || r.l_suppkey != curSupp) {
+              first = false; curSupp = r.l_suppkey
+              prevMax = Double.NegativeInfinity
+              curPrice = r.l_extendedprice; curTop = r.l_quantity
+              true
+            } else if (r.l_extendedprice == curPrice) {
+              // same price band: beaten by the band top or a cheaper row
+              prevMax < r.l_quantity && curTop <= r.l_quantity
+            } else {
+              prevMax = math.max(prevMax, curTop)
+              curPrice = r.l_extendedprice; curTop = r.l_quantity
+              prevMax < r.l_quantity
+            }
+          }
+        }
+        .toDF()
+        .orderBy(col("l_suppkey"), col("l_extendedprice"),
+          col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      SELECT l_suppkey, l_extendedprice, l_quantity, l_orderkey,
+             l_linenumber
+      FROM lineitem b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem a
+        WHERE a.l_suppkey = b.l_suppkey
+          AND a.l_extendedprice <= b.l_extendedprice
+          AND a.l_quantity >= b.l_quantity
+          AND (a.l_extendedprice < b.l_extendedprice
+               OR a.l_quantity > b.l_quantity))
+      ORDER BY l_suppkey, l_extendedprice, l_quantity DESC,
+               l_orderkey, l_linenumber"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -5118,5 +5202,6 @@ object RelationalQueries {
     qStatsMannWhitney, qTsXcorr, qStatsKruskal, qTsLttb, qStatsKendall,
     qTsForecast, qTsCompleteness, qStatsLevene, qStatsIntegrity,
     qScalarBitwise, qStatsDispersion, qScd2Audit, qScalarInterval,
-    qAsofNearest, qStatsAnova, qWindowRollingMedian, qStatsTheilsen)
+    qAsofNearest, qStatsAnova, qWindowRollingMedian, qStatsTheilsen,
+    qSkylineSuppliers)
 }

@@ -331,7 +331,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // 100x100 prefix theta join (the q_stats_kendall bounded-
       // prefix pattern) and the one-row OLS fit rides a cross join
       // into the top-20 rows (one-row-scalar pattern)
-      "q_text_zipf")
+      "q_text_zipf",
+      // q_prep_rendezvous: the one-row (moved_frac,
+      // minimal_movement) invariant scalar rides a cross join into
+      // the 16-row shard rollup (one-row-scalar pattern)
+      "q_prep_rendezvous")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
