@@ -1614,11 +1614,96 @@ object PrepQueries {
       FROM documents
       ORDER BY priority DESC, doc_id LIMIT 100"""))
 
+  /** Integer quota apportionment (Hamilton / largest-remainder) — turn
+    * a mixture's REAL-valued proportions into EXACT integer sample
+    * quotas: split a fixed budget of 1,000,000 training-sample slots
+    * across document sources proportional to each source's total
+    * characters, with every quota an integer and the quotas summing to
+    * the budget EXACTLY. Floor quotas (budget·w DIV W) under-allocate
+    * by < n_sources slots; the leftover goes one slot each to the
+    * sources with the LARGEST division remainders (source name breaks
+    * ties), the classic apportionment rule. This is the planning step
+    * [[qPrepMixture]] consumes: mixture keeps per-stratum RATES, this
+    * emits the per-stratum integer COUNTS a sharded sampler needs to
+    * hand each stratum before drawing ([[qPrepWeightedSample]] within
+    * a stratum). All arithmetic is BIGINT-exact — no floating-point
+    * proportion ever appears, so reruns are bit-stable cross-engine.
+    *
+    * Scale shape: the corpus pass is one groupBy(source) rollup (the
+    * only shuffle, map-side combined to one row per source); sources
+    * are bounded by definition (a mixture spec enumerates them), so
+    * everything after the rollup is bounded-frame work: the budget·w
+    * product rides an in-plan assert_true bound guard (w < 2^43 keeps
+    * BIGINT exact; beyond that fail loudly, never silently — the
+    * [[RelationalQueries.qStatsGini]] discipline), the one-row W and
+    * leftover scalars ride broadcast cross joins, and remainder
+    * ranking is a TakeOrdered + in-row posexplode, never a global
+    * window. At 100 TB: one corpus scan, one bounded reduce. */
+  val qPrepQuota = Q(
+    "q_prep_quota",
+    (s, dir) => {
+      val budget = 1000000L
+      val src = docs(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("w"))
+      val tot = src.agg(sum(col("w")).as("wtot"))
+      val guard = coalesce(expr(
+        "assert_true(w >= 0 and w < 8796093022208, " +
+          "'q_prep_quota: source weight exceeds BIGINT-safe bound " +
+          "(need 0 <= w < 2^43)')").cast("long"), lit(0L))
+      val j = src.crossJoin(broadcast(tot))
+        .select(col("source"), col("w"),
+          (expr(s"CAST(($budget * w) DIV wtot AS BIGINT)") + guard)
+            .as("floor_quota"),
+          expr(s"($budget * w) % wtot").as("remainder"))
+      val lt = j.agg((lit(budget) - sum(col("floor_quota")))
+        .as("leftover"))
+      j.orderBy(col("remainder").desc, col("source")).limit(4096)
+        .agg(sort_array(collect_list(struct(
+          (-col("remainder")).as("negrem"), col("source"),
+          col("w"), col("floor_quota")))).as("ts"))
+        .select(posexplode(col("ts")))
+        .select((col("pos") + 1).cast("long").as("rk"),
+          col("col.source").as("source"), col("col.w").as("w"),
+          col("col.floor_quota").as("floor_quota"),
+          (-col("col.negrem")).as("remainder"))
+        .crossJoin(broadcast(lt))
+        .select(col("source"), col("w"), col("floor_quota"),
+          col("remainder"), col("rk"),
+          (col("floor_quota") +
+            when(col("rk") <= col("leftover"), lit(1L))
+              .otherwise(lit(0L))).as("quota"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM w),
+      j AS (
+        SELECT source, w,
+               CAST((1000000 * w) // wtot AS BIGINT) AS floor_quota,
+               CAST((1000000 * w) % wtot AS BIGINT) AS remainder
+        FROM w CROSS JOIN tot),
+      lt AS (
+        SELECT 1000000 - CAST(SUM(floor_quota) AS BIGINT) AS leftover
+        FROM j),
+      r AS (
+        SELECT *, CAST(ROW_NUMBER()
+                 OVER (ORDER BY remainder DESC, source) AS BIGINT) AS rk
+        FROM j)
+      SELECT source, w, floor_quota, remainder, rk,
+             floor_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+               AS quota
+      FROM r CROSS JOIN lt
+      ORDER BY source"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
     qPrepCurriculum, qPrepWinsorize, qPrepOversample, qPrepClassifier,
     qPrepPerplexity, qPrepBinning, qPrepEvalSample, qPrepPipeline,
     qPrepTemperature, qPrepCalibration, qPrepPadding, qPrepDpCount,
-    qPrepKfold, qPrepKanon, qPrepRendezvous, qPrepWeightedSample)
+    qPrepKfold, qPrepKanon, qPrepRendezvous, qPrepWeightedSample,
+    qPrepQuota)
 }

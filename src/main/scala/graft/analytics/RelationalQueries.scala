@@ -5180,6 +5180,97 @@ object RelationalQueries {
       ORDER BY l_suppkey, l_extendedprice, l_quantity DESC,
                l_orderkey, l_linenumber"""))
 
+  /** Interval UNION length (coverage) per customer — merge each
+    * customer's overlapping order-fulfillment windows into maximal
+    * disjoint islands and report how many islands, how many days the
+    * union covers, and the longest island. The measure-of-union
+    * primitive behind SLA coverage ("how many days was at least one
+    * order in flight"), calendar billing (bill covered time once, not
+    * per overlapping contract), and monitoring-window consolidation —
+    * the third member of the interval family: [[qJoinInterval]] PAIRS
+    * overlapping intervals, [[qTsCompleteness]] measures holes in a
+    * POINT series, this measures the covered length of an INTERVAL
+    * set. Fulfillment window = orderdate + 7 days per priority class
+    * digit ('1-URGENT' ships in 7, '5-LOW' in 35) — both engines
+    * derive it from the leading priority digit.
+    *
+    * The sweep is the running-max form of gaps-and-islands: with
+    * intervals sorted by start within a customer, an interval starts a
+    * NEW island iff its start exceeds the max end seen so far
+    * (touching intervals merge — coverage has no zero-width gaps);
+    * the island id is the running flag sum, and min(start)/max(end)
+    * per island are the merged bounds. Everything is exact integer
+    * epoch-day arithmetic — no rounding seam.
+    *
+    * Scale shape: ONE hash exchange on o_custkey carries both windows
+    * (the lagged running max and the island-flag running sum share
+    * partitioning and ordering, so Catalyst fuses them into one Window
+    * operator after one sort) and BOTH group-bys ((custkey, island)
+    * then custkey — each clustered by the o_custkey prefix, so neither
+    * re-shuffles). Per-customer state is one running max, never the
+    * interval list; a hot customer costs a sort, not memory. */
+  val qWindowIntervalUnion = Q(
+    "q_window_interval_union",
+    (s, dir) => {
+      val iv = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long").as("st"),
+          (datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long") +
+            substring(col("o_orderpriority"), 1, 1).cast("long") * 7)
+            .as("en"))
+      val wOrd = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("st"), col("en"), col("o_orderkey"))
+      val prevMax = max(col("en"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+      iv
+        .withColumn("isl0",
+          when(prevMax.isNull || col("st") > prevMax, lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn("island", sum(col("isl0")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("o_custkey"), col("island"))
+        .agg(min(col("st")).as("i_start"), max(col("en")).as("i_end"),
+          count(lit(1)).as("n_orders"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("i_end") - col("i_start")).as("covered_days"),
+          max(col("i_end") - col("i_start")).as("longest_days"),
+          sum(col("n_orders")).as("n_orders"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      WITH iv AS (
+        SELECT o_custkey, o_orderkey,
+               DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate) AS st,
+               DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+                 + CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) * 7 AS en
+        FROM orders),
+      flagged AS (
+        SELECT o_custkey, o_orderkey, st, en,
+               CASE WHEN MAX(en) OVER w IS NULL OR st > MAX(en) OVER w
+                    THEN 1 ELSE 0 END AS isl0
+        FROM iv
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY st, en, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      numbered AS (
+        SELECT o_custkey, st, en,
+               CAST(SUM(isl0) OVER (PARTITION BY o_custkey
+                 ORDER BY st, en, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS island
+        FROM flagged),
+      merged AS (
+        SELECT o_custkey, island, MIN(st) AS i_start, MAX(en) AS i_end,
+               COUNT(*) AS n_orders
+        FROM numbered GROUP BY o_custkey, island)
+      SELECT o_custkey, COUNT(*) AS n_islands,
+             CAST(SUM(i_end - i_start) AS BIGINT) AS covered_days,
+             MAX(i_end - i_start) AS longest_days,
+             CAST(SUM(n_orders) AS BIGINT) AS n_orders
+      FROM merged GROUP BY o_custkey ORDER BY o_custkey"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -5203,5 +5294,5 @@ object RelationalQueries {
     qTsForecast, qTsCompleteness, qStatsLevene, qStatsIntegrity,
     qScalarBitwise, qStatsDispersion, qScd2Audit, qScalarInterval,
     qAsofNearest, qStatsAnova, qWindowRollingMedian, qStatsTheilsen,
-    qSkylineSuppliers)
+    qSkylineSuppliers, qWindowIntervalUnion)
 }

@@ -335,7 +335,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_prep_rendezvous: the one-row (moved_frac,
       // minimal_movement) invariant scalar rides a cross join into
       // the 16-row shard rollup (one-row-scalar pattern)
-      "q_prep_rendezvous")
+      "q_prep_rendezvous",
+      // q_prep_quota: the one-row corpus-weight total and the
+      // one-row leftover scalar each ride a cross join into the
+      // bounded per-source frame (one-row-scalar pattern)
+      "q_prep_quota")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
