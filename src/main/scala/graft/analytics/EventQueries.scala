@@ -1770,11 +1770,128 @@ object EventQueries {
       FROM kept
       ORDER BY user_id, kept_rank"""))
 
+  /** Input/output rows for the ledger's typed per-partition scan. */
+  private[analytics] case class LedgerIn(
+      user_id: Long, event_id: Long, tsu: Long, d: Long)
+  private[analytics] case class LedgerOut(
+      user_id: Long, n_events: Long, final_balance_c: Long,
+      floor_clamps: Long, cap_clamps: Long, absorbed_c: Long)
+
+  /** Saturating running balance (token bucket / credit ledger) — per
+    * user, in event order: balance(i) = clamp(balance(i−1) + Δᵢ,
+    * 0, cap), starting from 2500 cents with cap 5000; purchases and
+    * signups credit round(value·100) cents, other events debit the
+    * same. The CLAMP is the point: a capped prefix sum is a
+    * recurrence on the operator's own output (the clamp at step i
+    * feeds step i+1), which no window/prefix-sum formulation
+    * expresses — the same inherently-sequential class as
+    * [[qEventsThrottle]], but with saturation ARITHMETIC rather than
+    * a keep/drop decision: billing credits that can't go negative,
+    * inventory with stockouts, and rate-limit token buckets all share
+    * this shape. Output per user: final balance, how often each clamp
+    * fired, and the total absorbed (clamped-away) cents — all exact
+    * BIGINT cents ([[RelationalQueries]] micro-unit parity rule).
+    *
+    * The engine runs the secondary-sort pattern: hash-exchange on
+    * user_id, sort each partition by (user, ts, event_id), ONE
+    * streaming mapPartitions with O(1) state (six longs) — a sentinel
+    * appended to the iterator flushes the last user's summary, and no
+    * per-user event list ever materializes. The oracle is a recursive
+    * CTE stepping the recurrence declaratively, so the gate certifies
+    * the imperative scan against the declarative recurrence (the
+    * [[qEventsThrottle]] proof discipline).
+    *
+    * Scale shape: one user-keyed exchange + one ordered scan; the
+    * streaming twin is flatMapGroupsWithState with the same six-long
+    * state. Recursion depth in the oracle is max events/user —
+    * bounded at the gate SFs; the ENGINE's cost never depends on it. */
+  val qEventsLedger = Q(
+    "q_events_ledger",
+    (s, dir) => {
+      import s.implicits._
+      val cap = 5000L
+      val start = 2500L
+      val out = ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsu"),
+          (when(col("event_type").isin("purchase", "signup"), lit(1L))
+            .otherwise(lit(-1L)) *
+            round(col("value") * 100).cast("long")).as("d"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("tsu"), col("event_id"))
+        .as[LedgerIn]
+        .mapPartitions { it =>
+          var cur = Long.MinValue
+          var has = false
+          var b = 0L; var n = 0L; var fc = 0L; var cc = 0L; var ab = 0L
+          (it.map(Some(_)) ++ Iterator(None)).flatMap {
+            case None =>
+              if (has) Iterator.single(LedgerOut(cur, n, b, fc, cc, ab))
+              else Iterator.empty
+            case Some(r) =>
+              val flush =
+                if (has && r.user_id != cur)
+                  Iterator.single(LedgerOut(cur, n, b, fc, cc, ab))
+                else Iterator.empty
+              if (!has || r.user_id != cur) {
+                cur = r.user_id; has = true
+                b = start; n = 0L; fc = 0L; cc = 0L; ab = 0L
+              }
+              val raw = b + r.d
+              val clamped = math.max(0L, math.min(cap, raw))
+              if (raw < 0L) fc += 1L
+              if (raw > cap) cc += 1L
+              ab += math.abs(raw - clamped)
+              b = clamped
+              n += 1L
+              flush
+          }
+        }
+        .toDF()
+      out.orderBy(col("user_id"))
+    },
+    Some("""
+      WITH RECURSIVE ev AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_type IN ('purchase', 'signup') THEN 1
+                    ELSE -1 END
+                 * CAST(ROUND(value * 100) AS BIGINT) AS d,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS ne
+        FROM events),
+      bal AS (
+        SELECT user_id, rn, ne,
+               GREATEST(CAST(0 AS BIGINT),
+                 LEAST(CAST(5000 AS BIGINT), 2500 + d)) AS b,
+               CAST(CASE WHEN 2500 + d < 0 THEN 1 ELSE 0 END
+                 AS BIGINT) AS fc,
+               CAST(CASE WHEN 2500 + d > 5000 THEN 1 ELSE 0 END
+                 AS BIGINT) AS cc,
+               ABS(2500 + d - GREATEST(CAST(0 AS BIGINT),
+                 LEAST(CAST(5000 AS BIGINT), 2500 + d))) AS ab
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, e.ne,
+               GREATEST(CAST(0 AS BIGINT),
+                 LEAST(CAST(5000 AS BIGINT), b.b + e.d)),
+               b.fc + CASE WHEN b.b + e.d < 0 THEN 1 ELSE 0 END,
+               b.cc + CASE WHEN b.b + e.d > 5000 THEN 1 ELSE 0 END,
+               b.ab + ABS(b.b + e.d - GREATEST(CAST(0 AS BIGINT),
+                 LEAST(CAST(5000 AS BIGINT), b.b + e.d)))
+        FROM bal b JOIN ev e
+          ON e.user_id = b.user_id AND e.rn = b.rn + 1)
+      SELECT user_id, ne AS n_events, b AS final_balance_c,
+             fc AS floor_clamps, cc AS cap_clamps, ab AS absorbed_c
+      FROM bal WHERE rn = ne
+      ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
     qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
     qEventsFunnelTime, qEventsDauWau, qEventsWauSketch,
     qEventsCohortValue, qEventsRfm, qEventsPareto, qEventsSurvival,
     qEventsUplift, qEventsPower, qEventsMarkov, qEventsLifecycle,
     qEventsPattern, qEventsMau, qEventsAttributionPosition,
-    qEventsPatternVar, qEventsSloBurn, qEventsStreak, qEventsThrottle)
+    qEventsPatternVar, qEventsSloBurn, qEventsStreak, qEventsThrottle,
+    qEventsLedger)
 }

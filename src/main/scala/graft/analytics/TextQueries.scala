@@ -1995,6 +1995,93 @@ object TextQueries {
       WHERE r.rank <= 20
       ORDER BY r.rank"""))
 
+  /** Winnowing fingerprint selection (the MOSS document-fingerprint
+    * algorithm): slide a window of w = 4 consecutive word-3-gram
+    * hashes over each document and keep each window's MINIMUM — the
+    * selected ~2/(w+1) of positions carry the guarantee that any two
+    * documents sharing a run of ≥ w+k−1 = 7 words share at least one
+    * selected fingerprint, which is what makes winnowed sets a
+    * sound plagiarism/near-dup candidate index at a fraction of
+    * [[qTextFingerprint]]'s full-shingle cost. Ties break by
+    * POSITION (leftmost) because the minimum is taken over the
+    * composite key hash·2²⁰ + position — exact-integer, so both
+    * engines select the identical set; an in-plan assert_true bounds
+    * position < 2²⁰ (the composite stays inside BIGINT; beyond, fail
+    * loudly — the [[RelationalQueries.qStatsGini]] discipline). The
+    * per-doc output is (k-gram count, selected count, density, and
+    * the bit-XOR of the selected composite keys — a value that is
+    * wrong unless BOTH engines picked exactly the same positions).
+    *
+    * Scale shape: ONE doc_id exchange carries the window, the
+    * distinct (doc, key) dedup, and both per-doc rollups (all keyed
+    * on the doc_id prefix, so nothing re-shuffles); the final join of
+    * the two doc-keyed aggregates reuses the same partitioning. The
+    * md5 k-gram hash is in-row codegen over the explode — no UDF. */
+  val qTextWinnow = Q(
+    "q_text_winnow",
+    (s, dir) => {
+      val guard = coalesce(expr(
+        "assert_true(pos < 1048576, " +
+          "'q_text_winnow: k-gram position exceeds composite bound " +
+          "(need pos < 2^20)')").cast("long"), lit(0L))
+      // positional k-grams — NOT [[graft.functions.TextFunctions
+      // .shingles]], which dedups (winnowing needs every position)
+      val grams = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(ws) - 3), i -> " +
+            "concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+          .as(Seq("pos", "sh")))
+        .select(col("doc_id"), col("pos"),
+          (conv(substring(md5(col("sh")), 1, 10), 16, 10).cast("long") *
+            lit(1048576L) + col("pos") + guard).as("key"))
+      val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(-3, Window.currentRow)
+      val sel = grams
+        .withColumn("mk", min(col("key")).over(wWin))
+        .filter(col("pos") >= 3)
+        .select(col("doc_id"), col("mk")).distinct()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_selected"),
+          expr("bit_xor(mk)").as("sel_xor"))
+      grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kgrams"))
+        .join(sel, Seq("doc_id"))
+        .select(col("doc_id"), col("n_kgrams"), col("n_selected"),
+          round(col("n_selected").cast("double") /
+            col("n_kgrams").cast("double"), 6).as("density"),
+          col("sel_xor"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH grams AS (
+        SELECT doc_id, u.i - 1 AS pos,
+               CAST(('0x' || SUBSTR(md5(u.sh), 1, 10)) AS BIGINT)
+                 * 1048576 + (u.i - 1) AS key
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents),
+             LATERAL unnest(
+               [{'i': i,
+                 'sh': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]}
+                for i in generate_series(1, len(ws)-2)]) AS t(u)),
+      mins AS (
+        SELECT doc_id, pos,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+        FROM grams),
+      sel AS (SELECT DISTINCT doc_id, mk FROM mins WHERE pos >= 3),
+      sa AS (SELECT doc_id, COUNT(*) AS n_selected,
+                    bit_xor(mk) AS sel_xor
+             FROM sel GROUP BY doc_id),
+      ga AS (SELECT doc_id, COUNT(*) AS n_kgrams
+             FROM grams GROUP BY doc_id)
+      SELECT g.doc_id, g.n_kgrams, s.n_selected,
+             ROUND(CAST(s.n_selected AS DOUBLE)
+                   / CAST(g.n_kgrams AS DOUBLE), 6) AS density,
+             s.sel_xor
+      FROM ga g JOIN sa s USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qTextQuality, qTextLangid, qTextTokens,
     qTextFingerprint, qTextVocab, qHeavyHitters, qTextCountmin,
     qTextRepetition,
@@ -2003,5 +2090,5 @@ object TextQueries {
     qTextCollocations, qTextChisquare, qStatsSourceOverlap, qTextDistinctN, qStatsDatacard,
     qTextKeywords, qTextEntropy, qTextOov, qTextLangidEval,
     qTextReadability, qTextNovelty, qStatsPsi, qTextCodeScreen,
-    qTextZipf)
+    qTextZipf, qTextWinnow)
 }
