@@ -5271,6 +5271,91 @@ object RelationalQueries {
              CAST(SUM(n_orders) AS BIGINT) AS n_orders
       FROM merged GROUP BY o_custkey ORDER BY o_custkey"""))
 
+  /** Sequential probability ratio test (Wald SPRT) — the
+    * early-stopping monitor an experimentation platform runs INSTEAD
+    * of a fixed-horizon test ([[qStatsAbtest]]): per stream, walk the
+    * Bernoulli outcomes in time order accumulating the log-likelihood
+    * ratio for H1: p = 0.22 against H0: p = 0.18, and STOP at the
+    * first boundary crossing (upper ln((1−β)/α) → accept H1, lower
+    * ln(β/(1−α)) → accept H0, α = β = 0.05); report where each stream
+    * stopped, the verdict, and the LLR there. Because a Bernoulli
+    * LLR takes only TWO increment values, the running sum is
+    * n_succ·ln(p1/p0) + n_fail·ln(q1/q0) — so the engine holds the
+    * increments as MICRO-scaled integer constants (200671 / −50010,
+    * boundaries ±2944439) and the whole walk is exact BIGINT prefix
+    * counting: no floating-point accumulation anywhere, the
+    * [[RelationalQueries]] micro-unit parity rule. Streams are the
+    * five event types; success = round(value·100) divisible by 5
+    * (deterministic ≈ 0.2 Bernoulli both engines).
+    *
+    * Scale shape: ONE stream-keyed exchange carries all four windows
+    * (two prefix counts, the row number, the first-crossing argmin
+    * and per-stream total share partitioning and ordering) and the
+    * final stop-row filter — per-stream state is four longs, never
+    * the outcome list. */
+  val qStatsSprt = Q(
+    "q_stats_sprt",
+    (s, dir) => {
+      val wSeq = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val run = wSeq.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          when(round(col("value") * 100).cast("long") % 5 === 0, lit(1L))
+            .otherwise(lit(0L)).as("succ"))
+        .withColumn("rn", row_number().over(wSeq).cast("long"))
+        .withColumn("llr_micro",
+          sum(col("succ")).over(run) * lit(200671L) +
+            (col("rn") - sum(col("succ")).over(run)) * lit(-50010L))
+        .withColumn("crossed",
+          col("llr_micro") >= 2944439L || col("llr_micro") <= -2944439L)
+        .withColumn("stop_rn",
+          min(when(col("crossed"), col("rn"))).over(wAll))
+        .withColumn("n_total", count(lit(1)).over(wAll))
+        .filter(col("rn") === coalesce(col("stop_rn"), col("n_total")))
+        .select(col("event_type"), col("n_total"),
+          col("stop_rn").isNotNull.as("stopped"),
+          col("rn").as("stop_n"), col("llr_micro"),
+          when(col("llr_micro") >= 2944439L, lit("H1"))
+            .when(col("llr_micro") <= -2944439L, lit("H0"))
+            .otherwise(lit("continue")).as("decision"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT event_type, ts, event_id,
+               CASE WHEN CAST(ROUND(value * 100) AS BIGINT) % 5 = 0
+                    THEN 1 ELSE 0 END AS succ,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      walked AS (
+        SELECT event_type, rn,
+               CAST(SUM(succ) OVER run AS BIGINT) * 200671
+                 + (rn - CAST(SUM(succ) OVER run AS BIGINT)) * -50010
+                 AS llr_micro
+        FROM o
+        WINDOW run AS (PARTITION BY event_type ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      marked AS (
+        SELECT event_type, rn, llr_micro,
+               MIN(CASE WHEN llr_micro >= 2944439
+                          OR llr_micro <= -2944439
+                        THEN rn END)
+                 OVER (PARTITION BY event_type) AS stop_rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_total
+        FROM walked)
+      SELECT event_type, n_total, stop_rn IS NOT NULL AS stopped,
+             rn AS stop_n, llr_micro,
+             CASE WHEN llr_micro >= 2944439 THEN 'H1'
+                  WHEN llr_micro <= -2944439 THEN 'H0'
+                  ELSE 'continue' END AS decision
+      FROM marked
+      WHERE rn = COALESCE(stop_rn, n_total)
+      ORDER BY event_type"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -5294,5 +5379,5 @@ object RelationalQueries {
     qTsForecast, qTsCompleteness, qStatsLevene, qStatsIntegrity,
     qScalarBitwise, qStatsDispersion, qScd2Audit, qScalarInterval,
     qAsofNearest, qStatsAnova, qWindowRollingMedian, qStatsTheilsen,
-    qSkylineSuppliers, qWindowIntervalUnion)
+    qSkylineSuppliers, qWindowIntervalUnion, qStatsSprt)
 }

@@ -1938,9 +1938,105 @@ object SimilarityQueries {
       FROM perc p CROSS JOIN tot t
       ORDER BY cluster"""))
 
+  /** Matryoshka truncation evaluation — how much exact-cosine recall
+    * survives when embeddings are cut to their first 8/16/32/64
+    * dimensions: for every query (vec_id < 20) and every prefix
+    * width, rank the corpus by cosine over the TRUNCATED vectors and
+    * measure top-5 overlap against the full-width top-5. This is the
+    * dimension-vs-quality curve a Matryoshka-representation deployment
+    * reads before choosing its serving width (store 64, search 8 —
+    * if recall holds), the same storage/recall trade [[qSimSqTopk]]
+    * and [[qSimPqTopk]] probe via quantization, measured here via
+    * truncation. The dim = 64 row is the built-in control (recall
+    * exactly 1). Cosines follow the module's parity discipline
+    * (sequential double accumulation, round 6, neighbor-id ties).
+    *
+    * Scale shape: the corpus never shuffles — the 20-query × 4-width
+    * frame broadcasts into ONE narrow corpus scan (bounded-block
+    * BNLJ, the [[qSimTopkBrute]] pattern), per-(width, query) top-5
+    * is a partitioned window over candidate rows, and the per-width
+    * rollup is bounded-frame work. Prefix dots cost Σdᵢ ≈ 2× one
+    * full-width pass. */
+  val qSimMatryoshka = Q(
+    "q_sim_matryoshka",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val dims = Seq(8, 16, 32, 64)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .crossJoin(broadcast(
+          s.range(0, 1).select(explode(array(dims.map(d => lit(d)): _*))
+            .as("dim"))))
+        .select(col("qid"), col("dim"),
+          slice(col("qv"), lit(1), col("dim")).as("qv"))
+        .withColumn("qnrm", dot(col("qv"), col("qv")))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("dim"), col("qid"), col("vec_id").as("neighbor_id"),
+          round(dot(col("qv"), slice(col("v"), lit(1), col("dim"))) /
+            (sqrt(col("qnrm")) *
+              sqrt(dot(slice(col("v"), lit(1), col("dim")),
+                slice(col("v"), lit(1), col("dim"))))), 6).as("cos_sim"))
+      val w = Window.partitionBy(col("dim"), col("qid"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      val top5 = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .groupBy(col("dim"), col("qid"))
+        .agg(collect_set(col("neighbor_id")).as("ids"))
+      val truth = top5.filter(col("dim") === 64)
+        .select(col("qid"), col("ids").as("tids"))
+      top5.join(truth, Seq("qid"))
+        .select(col("dim"), col("qid"),
+          size(array_intersect(col("ids"), col("tids"))).cast("long")
+            .as("hits"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("hits"),
+          round(sum(col("hits")).cast("double") /
+            (count(lit(1)) * 5).cast("double"), 6).as("recall5"))
+        .orderBy(col("dim"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      q AS (
+        SELECT e.vec_id AS qid, d.dim, e.v[1:d.dim] AS qv,
+               list_sum(list_transform(e.v[1:d.dim], x -> x * x))
+                 AS qnrm
+        FROM e, (SELECT unnest([8, 16, 32, 64]) AS dim) d
+        WHERE e.vec_id < 20),
+      scored AS (
+        SELECT q.dim, q.qid, e.vec_id AS neighbor_id,
+               ROUND(list_sum(list_transform(
+                       list_zip(q.qv, e.v[1:q.dim]),
+                       p -> p[1] * p[2]))
+                 / (SQRT(q.qnrm) *
+                    SQRT(list_sum(list_transform(e.v[1:q.dim],
+                      x -> x * x)))), 6) AS cos_sim
+        FROM e JOIN q ON e.vec_id <> q.qid),
+      ranked AS (
+        SELECT dim, qid, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY dim, qid
+                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored),
+      top5 AS (
+        SELECT dim, qid, neighbor_id FROM ranked WHERE rank <= 5),
+      hits AS (
+        SELECT t.dim, t.qid,
+               SUM(CASE WHEN g.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS h
+        FROM top5 t
+        LEFT JOIN (SELECT qid, neighbor_id FROM top5 WHERE dim = 64) g
+          ON g.qid = t.qid AND g.neighbor_id = t.neighbor_id
+        GROUP BY t.dim, t.qid)
+      SELECT dim, COUNT(*) AS n_queries,
+             CAST(SUM(h) AS BIGINT) AS hits,
+             ROUND(CAST(SUM(h) AS DOUBLE)
+                   / CAST(COUNT(*) * 5 AS DOUBLE), 6) AS recall5
+      FROM hits GROUP BY dim ORDER BY dim"""))
+
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
     qSimIvfPqTopk, qSimIvfPqStored, qSimIvfPqAdmitted, qSimIvfPqRerank,
     qSimSqTopk, qSimKmeans, qSimIvfTrained, qSimHybridRrf, qSimHardNegatives,
     qSimFisher, qSimRecallEval, qSimKnnGraph, qSimMmr, qSimPca,
-    qSimPurity, qSimOod, qSimSilhouette)
+    qSimPurity, qSimOod, qSimSilhouette, qSimMatryoshka)
 }

@@ -339,7 +339,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_prep_quota: the one-row corpus-weight total and the
       // one-row leftover scalar each ride a cross join into the
       // bounded per-source frame (one-row-scalar pattern)
-      "q_prep_quota")
+      "q_prep_quota",
+      // q_sim_matryoshka: the 80-row (query x width) frame broadcasts
+      // into the corpus inequality scan (the q_sim_topk_brute
+      // bounded-block pattern) plus its 4-row width table cross join
+      "q_sim_matryoshka")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
