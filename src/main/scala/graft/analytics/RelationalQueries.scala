@@ -5356,6 +5356,169 @@ object RelationalQueries {
       WHERE rn = COALESCE(stop_rn, n_total)
       ORDER BY event_type"""))
 
+  /** Run-length encoding advisor — for each candidate column, how many
+    * VALUE RUNS survive when lineitem is laid out bucket-sorted by
+    * (l_suppkey, l_shipdate, l_orderkey, l_linenumber): runs ≈ RLE/
+    * dictionary pages after encoding, so rows/runs is the compression
+    * leverage each column gets from this sort order — the estimate a
+    * layout planner reads before choosing Z-order vs linear sort keys
+    * (the write side lives in [[graft.analytics.Bucketing]]). One pass
+    * computes all four columns' change flags from the SAME fused
+    * lag window; a run starts where the value differs from its
+    * predecessor (or at each bucket head — runs never span buckets,
+    * exactly like parquet row groups).
+    *
+    * Scale shape: ONE suppkey exchange carries the single Window
+    * operator (four lags, one sort) and the global rollup is a 4-value
+    * stack over map-side-combined sums — output is 4 rows regardless
+    * of input size. Exact integers plus one rounded double ratio. */
+  val qAggRle = Q(
+    "q_agg_rle",
+    (s, dir) => {
+      val wSeq = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      def runFlag(c: String) =
+        when(lag(col(c), 1).over(wSeq).isNull ||
+          lag(col(c), 1).over(wSeq) =!= col(c), lit(1L)).otherwise(lit(0L))
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_partkey"))
+        .withColumn("r_returnflag", runFlag("l_returnflag"))
+        .withColumn("r_linestatus", runFlag("l_linestatus"))
+        .withColumn("r_quantity", runFlag("l_quantity"))
+        .withColumn("r_partkey", runFlag("l_partkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r_returnflag")).as("s1"), sum(col("r_linestatus")).as("s2"),
+          sum(col("r_quantity")).as("s3"), sum(col("r_partkey")).as("s4"))
+        .select(expr(
+          "stack(4, 'l_returnflag', s1, 'l_linestatus', s2, " +
+            "'l_quantity', s3, 'l_partkey', s4) AS (column_name, n_runs)"),
+          col("n").as("n_rows"))
+        .select(col("column_name"), col("n_rows"), col("n_runs"),
+          round(col("n_rows").cast("double") / col("n_runs").cast("double"),
+            6).as("rows_per_run"))
+        .orderBy(col("column_name"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT
+          CASE WHEN LAG(l_returnflag) OVER w IS NULL
+                 OR LAG(l_returnflag) OVER w <> l_returnflag
+               THEN 1 ELSE 0 END AS r1,
+          CASE WHEN LAG(l_linestatus) OVER w IS NULL
+                 OR LAG(l_linestatus) OVER w <> l_linestatus
+               THEN 1 ELSE 0 END AS r2,
+          CASE WHEN LAG(l_quantity) OVER w IS NULL
+                 OR LAG(l_quantity) OVER w <> l_quantity
+               THEN 1 ELSE 0 END AS r3,
+          CASE WHEN LAG(l_partkey) OVER w IS NULL
+                 OR LAG(l_partkey) OVER w <> l_partkey
+               THEN 1 ELSE 0 END AS r4
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_suppkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+      sums AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(r1) AS BIGINT) AS s1, CAST(SUM(r2) AS BIGINT) AS s2,
+               CAST(SUM(r3) AS BIGINT) AS s3, CAST(SUM(r4) AS BIGINT) AS s4
+        FROM flagged),
+      stacked AS (
+        SELECT 'l_returnflag' AS column_name, n AS n_rows, s1 AS n_runs
+          FROM sums
+        UNION ALL SELECT 'l_linestatus', n, s2 FROM sums
+        UNION ALL SELECT 'l_quantity', n, s3 FROM sums
+        UNION ALL SELECT 'l_partkey', n, s4 FROM sums)
+      SELECT column_name, n_rows, n_runs,
+             ROUND(CAST(n_rows AS DOUBLE) / CAST(n_runs AS DOUBLE), 6)
+               AS rows_per_run
+      FROM stacked ORDER BY column_name"""))
+
+  /** Quantile normalization — map every stream's value distribution
+    * onto a REFERENCE stream's empirical distribution by rank (the
+    * batch-effect-removal standard from bioinformatics, used in
+    * pipelines to make per-source score distributions comparable
+    * before a global threshold): value at within-stream rank r of n
+    * maps to the reference value at index ceil(r·N/n) of N. Rank →
+    * index → value is ALL integer arithmetic plus one equi-join
+    * against the ranked reference ('view' events), so both engines
+    * map identically — no interpolation seam. Output: per (stream,
+    * decile-of-rank) row counts and the mean/min/max of the
+    * normalized cents, proving the whole mapped distribution (not
+    * just a summary moment) agrees.
+    *
+    * Scale shape: ranks are stream-partitioned windows (one
+    * exchange); the mapping join is an equi-join on the reference
+    * rank index (reference side 1/5 of events here; at 100 TB the
+    * reference would be a GK-sketch quantile table — [[
+    * qQuantileSketch]] — making this side tiny/broadcast); the
+    * decile rollup reuses stream keys. */
+  val qStatsQnorm = Q(
+    "q_stats_qnorm",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val wRk = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))
+      val wN = Window.partitionBy(col("event_type"))
+      val ranked = ev
+        .withColumn("r", row_number().over(wRk).cast("long"))
+        .withColumn("n", count(lit(1)).over(wN))
+      val ref = ranked.filter(col("event_type") === "view")
+        .select(col("r").as("ref_r"), col("cents").as("ref_cents"),
+          col("n").as("ref_n"))
+      ranked
+        .join(broadcast(ref.select(max(col("ref_n")).as("nref"))))
+        .select(col("event_type"), col("r"), col("n"),
+          expr("(r * nref + n - 1) DIV n").as("tidx"))
+        .join(ref.select(col("ref_r"), col("ref_cents")),
+          col("tidx") === col("ref_r"))
+        .select(col("event_type"),
+          expr("((r - 1) * 10) DIV n").as("decile"),
+          col("ref_cents"))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("ref_cents")).as("sum_c"),
+          min(col("ref_cents")).as("min_c"),
+          max(col("ref_cents")).as("max_c"))
+        .select(col("event_type"), col("decile"), col("n_rows"),
+          round(col("sum_c").cast("double") /
+            col("n_rows").cast("double"), 6).as("mean_c"),
+          col("min_c"), col("max_c"))
+        .orderBy(col("event_type"), col("decile"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events),
+      ranked AS (
+        SELECT event_type, cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY cents, event_id) AS BIGINT) AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM ev),
+      ref AS (
+        SELECT r AS ref_r, cents AS ref_cents, n AS ref_n
+        FROM ranked WHERE event_type = 'view'),
+      nref AS (SELECT MAX(ref_n) AS nref FROM ref),
+      mapped AS (
+        SELECT k.event_type,
+               (k.r - 1) * 10 // k.n AS decile,
+               f.ref_cents
+        FROM ranked k
+        CROSS JOIN nref
+        JOIN ref f
+          ON (k.r * nref.nref + k.n - 1) // k.n = f.ref_r)
+      SELECT event_type, decile, COUNT(*) AS n_rows,
+             ROUND(CAST(SUM(ref_cents) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS mean_c,
+             MIN(ref_cents) AS min_c, MAX(ref_cents) AS max_c
+      FROM mapped
+      GROUP BY event_type, decile
+      ORDER BY event_type, decile"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -5379,5 +5542,6 @@ object RelationalQueries {
     qTsForecast, qTsCompleteness, qStatsLevene, qStatsIntegrity,
     qScalarBitwise, qStatsDispersion, qScd2Audit, qScalarInterval,
     qAsofNearest, qStatsAnova, qWindowRollingMedian, qStatsTheilsen,
-    qSkylineSuppliers, qWindowIntervalUnion, qStatsSprt)
+    qSkylineSuppliers, qWindowIntervalUnion, qStatsSprt, qAggRle,
+    qStatsQnorm)
 }

@@ -343,7 +343,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_sim_matryoshka: the 80-row (query x width) frame broadcasts
       // into the corpus inequality scan (the q_sim_topk_brute
       // bounded-block pattern) plus its 4-row width table cross join
-      "q_sim_matryoshka")
+      "q_sim_matryoshka",
+      // q_stats_qnorm: the one-row reference-count scalar rides a
+      // cross join into the ranked stream (one-row-scalar pattern)
+      "q_stats_qnorm")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
