@@ -5519,6 +5519,142 @@ object RelationalQueries {
       GROUP BY event_type, decile
       ORDER BY event_type, decile"""))
 
+  /** Input/output rows for the isotonic fit's typed per-partition
+    * scan. */
+  private[analytics] case class IsoIn(
+      g: String, bin: Long, n: Long, pos: Long)
+  private[analytics] case class IsoOut(
+      g: String, bin: Long, n: Long, pos: Long,
+      fit_num: Long, fit_den: Long)
+
+  /** Isotonic regression (PAVA — pool-adjacent-violators) — fit the
+    * best NON-DECREASING rate curve to each group's binned
+    * positive-rate profile (weighted least squares): the calibration
+    * step that turns [[PrepQueries.qPrepCalibration]]-style
+    * reliability tables into a usable monotone score→probability
+    * map (reward-model and quality-classifier calibration both end
+    * here). Bins are quantity buckets, the label is "discount ≥
+    * 0.05", groups are return flags. The engine runs the O(bins)
+    * PAVA STACK — merge a new bin into the previous block while the
+    * block means violate monotonicity — over each group's bounded
+    * pre-aggregated bin frame; block means stay EXACT RATIONALS
+    * (pos-sum, n-sum) compared by BIGINT cross-multiplication, so no
+    * float ever steers a pooling decision. The oracle states the
+    * closed-form minimax characterization — fit(i) = max over j ≤ i
+    * of min over k ≥ i of mean(bins j..k) — which equals the PAVA
+    * solution, so the gate certifies the imperative stack against
+    * the declarative minimax over every cell (both engines render
+    * the same block rational num/den with one IEEE division).
+    *
+    * Scale shape: the corpus pass is ONE (group, bin) rollup —
+    * everything after operates on the bounded bin frame (a
+    * calibration curve has dozens of bins by construction): one
+    * group exchange, an in-partition sort, a single O(bins)-state
+    * scan. The oracle's O(bins³) minimax never runs on the engine. */
+  val qStatsIsotonic = Q(
+    "q_stats_isotonic",
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("g"),
+          (round(col("l_quantity")).cast("long") / lit(5))
+            .cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_discount") >= 0.05, lit(1L)).otherwise(lit(0L)))
+            .as("pos"))
+      val fitted = bins
+        .repartition(col("g"))
+        .sortWithinPartitions(col("g"), col("bin"))
+        .as[IsoIn]
+        .mapPartitions { it =>
+          // blocks: (startIdx in buf, pos-sum, n-sum); buf holds the
+          // group's bins (bounded: a calibration grid, ≤ dozens)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[IsoIn]
+          val blocks =
+            scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+          var cur: String = null
+          def flush(): Iterator[IsoOut] = {
+            val out = blocks.iterator.zipWithIndex.flatMap {
+              case ((st, p, nn), bi) =>
+                val end = if (bi + 1 < blocks.length) blocks(bi + 1)._1
+                          else buf.length
+                (st until end).iterator.map { k =>
+                  val b = buf(k)
+                  IsoOut(b.g, b.bin, b.n, b.pos, p, nn)
+                }
+            }.toVector
+            buf.clear(); blocks.clear()
+            out.iterator
+          }
+          def push(r: IsoIn): Unit = {
+            buf += r
+            blocks += ((buf.length - 1, r.pos, r.n))
+            // pool while mean(prev) > mean(last): p1/n1 > p2/n2
+            while (blocks.length >= 2 && {
+              val (_, p1, n1) = blocks(blocks.length - 2)
+              val (_, p2, n2) = blocks(blocks.length - 1)
+              p1 * n2 > p2 * n1
+            }) {
+              val (s2, p2, n2) = blocks.remove(blocks.length - 1)
+              val (s1, p1, n1) = blocks.remove(blocks.length - 1)
+              blocks += ((s1, p1 + p2, n1 + n2))
+              val _ = s2
+            }
+          }
+          (it.map(Some(_)) ++ Iterator(None)).flatMap {
+            case None => flush()
+            case Some(r) =>
+              val pre = if (cur != null && r.g != cur) flush()
+                        else Iterator.empty
+              cur = r.g
+              val outPre = pre.toVector
+              push(r)
+              outPre.iterator
+          }
+        }
+        .toDF()
+      fitted.select(col("g").as("l_returnflag"), col("bin"), col("n"),
+          col("pos"),
+          round(col("pos").cast("double") / col("n").cast("double"), 6)
+            .as("rate"),
+          round(col("fit_num").cast("double") /
+            col("fit_den").cast("double"), 6).as("fit"))
+        .orderBy(col("l_returnflag"), col("bin"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND(l_quantity) AS BIGINT) // 5 AS bin,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS pos
+        FROM lineitem GROUP BY 1, 2),
+      pf AS (
+        SELECT g, bin, n, pos,
+               CAST(SUM(pos) OVER w AS BIGINT) AS cp,
+               CAST(SUM(n) OVER w AS BIGINT) AS cn
+        FROM b
+        WINDOW w AS (PARTITION BY g ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      pairs AS (
+        SELECT a.g, c.bin AS j, a.bin AS k,
+               a.cp - c.cp + c.pos AS num, a.cn - c.cn + c.n AS den
+        FROM pf a JOIN pf c ON c.g = a.g AND c.bin <= a.bin),
+      inner_min AS (
+        SELECT i.g, p.j, i.bin AS bin,
+               MIN(CAST(p.num AS DOUBLE) / CAST(p.den AS DOUBLE)) AS mn
+        FROM b i JOIN pairs p
+          ON p.g = i.g AND p.j <= i.bin AND p.k >= i.bin
+        GROUP BY i.g, p.j, i.bin),
+      fit AS (
+        SELECT g, bin, MAX(mn) AS fit FROM inner_min GROUP BY g, bin)
+      SELECT b.g AS l_returnflag, b.bin AS bin, b.n, b.pos,
+             ROUND(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
+               AS rate,
+             ROUND(f.fit, 6) AS fit
+      FROM b JOIN fit f ON f.g = b.g AND f.bin = b.bin
+      ORDER BY l_returnflag, b.bin"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -5543,5 +5679,5 @@ object RelationalQueries {
     qScalarBitwise, qStatsDispersion, qScd2Audit, qScalarInterval,
     qAsofNearest, qStatsAnova, qWindowRollingMedian, qStatsTheilsen,
     qSkylineSuppliers, qWindowIntervalUnion, qStatsSprt, qAggRle,
-    qStatsQnorm)
+    qStatsQnorm, qStatsIsotonic)
 }
