@@ -5655,6 +5655,156 @@ object RelationalQueries {
       FROM b JOIN fit f ON f.g = b.g AND f.bin = b.bin
       ORDER BY l_returnflag, b.bin"""))
 
+  /** Exact distributed median WITHOUT a global sort — the two-pass
+    * radix-histogram plan: pass 1 counts 65536-wide cent buckets per
+    * group and locates the bucket where the cumulative count crosses
+    * the median rank ⌈n/2⌉; pass 2 re-scans ONLY that bucket's rows
+    * and walks exact cent counts to the remaining rank. This is how a
+    * 1000-executor cluster takes an exact per-group median of 100 TB:
+    * two narrow scans plus two BOUNDED-frame cumulative walks (≤ 840
+    * bucket rows, then ≤ 65536 cent rows), never a per-group sort of
+    * the data and never percentile_approx's error. The oracle is the
+    * rank definition itself (value at ROW_NUMBER ⌈n/2⌉), so the gate
+    * certifies the radix plan against the naive sort.
+    *
+    * Lower-median convention (value AT rank ⌈n/2⌉) keeps every cell
+    * BIGINT — no even-count averaging seam. */
+  val qAggRadixMedian = Q(
+    "q_agg_radix_median",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"),
+          round(col("o_totalprice") * 100).cast("long").as("c"))
+      val wB = Window.partitionBy(col("g")).orderBy(col("b1"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // pass 1: bucket histogram + crossing bucket per group
+      val h1 = o.groupBy(col("g"), (col("c") / 65536).cast("long")
+          .as("b1"))
+        .agg(count(lit(1)).as("bn"))
+      val tgt = h1
+        .withColumn("cum", sum(col("bn")).over(wB))
+        .withColumn("n", sum(col("bn")).over(Window.partitionBy(col("g"))))
+        .withColumn("k", expr("(n + 1) DIV 2"))
+        .filter(col("cum") >= col("k") &&
+          col("cum") - col("bn") < col("k"))
+        .select(col("g").as("tg"), col("b1").as("tb"), col("n"),
+          (col("k") - (col("cum") - col("bn"))).as("k2"))
+      // pass 2: exact cent walk inside the one crossing bucket
+      val wC = Window.partitionBy(col("g")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.join(broadcast(tgt), col("g") === col("tg") &&
+          (col("c") / 65536).cast("long") === col("tb"))
+        .select(col("g"), col("c"), col("n"), col("k2"))
+        .groupBy(col("g"), col("c"))
+        .agg(count(lit(1)).as("cn"), max(col("n")).as("n"),
+          max(col("k2")).as("k2"))
+        .withColumn("cum2", sum(col("cn")).over(wC))
+        .filter(col("cum2") >= col("k2") &&
+          col("cum2") - col("cn") < col("k2"))
+        .select(col("g").as("o_orderpriority"), col("n"),
+          col("c").as("median_c"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderpriority AS g,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders),
+      n AS (SELECT g, COUNT(*) AS n FROM o GROUP BY g),
+      r AS (
+        SELECT g, c, CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY c)
+                 AS BIGINT) AS rn
+        FROM o)
+      SELECT r.g AS o_orderpriority, n.n, r.c AS median_c
+      FROM r JOIN n ON n.g = r.g
+      WHERE r.rn = (n.n + 1) // 2
+      ORDER BY o_orderpriority"""))
+
+  /** Input/output rows for the interval pack's typed scan. */
+  private[analytics] case class PackIn(
+      o_custkey: Long, o_orderkey: Long, st: Long, en: Long)
+  private[analytics] case class PackKept(
+      o_custkey: Long, pack_rank: Long, o_orderkey: Long,
+      st: Long, en: Long)
+
+  /** Greedy non-overlapping interval selection (activity selection /
+    * interval packing) — per customer, the MAXIMUM set of mutually
+    * disjoint fulfillment windows, built by the earliest-end greedy
+    * rule (provably optimal for cardinality): keep the interval with
+    * the smallest end, then the next whose start ≥ the kept end, and
+    * so on. Where [[qWindowIntervalUnion]] MERGES overlaps to measure
+    * coverage, this SELECTS a disjoint subset — slot scheduling,
+    * non-overlapping-contract billing, audit sampling without
+    * double-covered periods. The kept chain is a recurrence on the
+    * operator's own output (kept(i+1) depends on kept(i)'s END, which
+    * itself depended on the selection so far) — the
+    * [[EventQueries.qEventsThrottle]] class, NOT a window: the engine
+    * runs the secondary-sort pattern (custkey exchange → sort by
+    * (cust, en, st, orderkey) → ONE streaming pass with O(1) state),
+    * and the oracle is a recursive CTE with per-step LATERAL argmin,
+    * so the gate certifies greedy scan ≡ declarative recurrence.
+    * Interval convention [st, en): touching intervals (st = kept en)
+    * are compatible. */
+  val qWindowIntervalPack = Q(
+    "q_window_interval_pack",
+    (s, dir) => {
+      import s.implicits._
+      val kept = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long").as("st"),
+          (datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long") +
+            substring(col("o_orderpriority"), 1, 1).cast("long") * 7)
+            .as("en"))
+        .repartition(col("o_custkey"))
+        .sortWithinPartitions(col("o_custkey"), col("en"), col("st"),
+          col("o_orderkey"))
+        .as[PackIn]
+        .mapPartitions { it =>
+          var cur = Long.MinValue
+          var lastEnd = Long.MinValue
+          var rank = 0L
+          var has = false
+          it.flatMap { r =>
+            if (!has || r.o_custkey != cur) {
+              has = true; cur = r.o_custkey; lastEnd = r.en; rank = 1L
+              Iterator.single(PackKept(r.o_custkey, 1L, r.o_orderkey,
+                r.st, r.en))
+            } else if (r.st >= lastEnd) {
+              lastEnd = r.en; rank += 1L
+              Iterator.single(PackKept(r.o_custkey, rank, r.o_orderkey,
+                r.st, r.en))
+            } else Iterator.empty
+          }
+        }
+        .toDF()
+      kept.orderBy(col("o_custkey"), col("pack_rank"))
+    },
+    Some("""
+      WITH RECURSIVE iv AS (
+        SELECT o_custkey, o_orderkey,
+               DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate) AS st,
+               DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+                 + CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) * 7 AS en,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY en, st, o_orderkey) AS rn
+        FROM orders),
+      kept AS (
+        SELECT o_custkey, 1 AS pack_rank, o_orderkey, st, en
+        FROM iv WHERE rn = 1
+        UNION ALL
+        SELECT n.o_custkey, k.pack_rank + 1, n.o_orderkey, n.st, n.en
+        FROM kept k, LATERAL (
+          SELECT i.o_custkey, i.o_orderkey, i.st, i.en
+          FROM iv i
+          WHERE i.o_custkey = k.o_custkey AND i.st >= k.en
+          ORDER BY i.en, i.st, i.o_orderkey LIMIT 1) n)
+      SELECT o_custkey, CAST(pack_rank AS BIGINT) AS pack_rank,
+             o_orderkey, st, en
+      FROM kept
+      ORDER BY o_custkey, pack_rank"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -5679,5 +5829,5 @@ object RelationalQueries {
     qScalarBitwise, qStatsDispersion, qScd2Audit, qScalarInterval,
     qAsofNearest, qStatsAnova, qWindowRollingMedian, qStatsTheilsen,
     qSkylineSuppliers, qWindowIntervalUnion, qStatsSprt, qAggRle,
-    qStatsQnorm, qStatsIsotonic)
+    qStatsQnorm, qStatsIsotonic, qAggRadixMedian, qWindowIntervalPack)
 }
