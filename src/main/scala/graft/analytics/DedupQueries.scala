@@ -1457,10 +1457,114 @@ object DedupQueries {
       FROM cells c CROSS JOIN tot t
       ORDER BY c.split_a, c.split_b"""))
 
+  /** MinHash-LSH parameter planner — BEFORE running [[qDedupMinhash]]
+    * at scale, choose (bands b, rows-per-band r) for a fixed
+    * 64-minhash signature budget: for each factorization b·r = 64,
+    * trace the S-curve P(candidate | Jaccard s) = 1 − (1 − s^r)^b
+    * over the s ∈ {0.05 … 0.95} grid and score it against the target
+    * threshold t = 0.7 — false-positive area (collision mass below
+    * t) plus false-negative area (miss mass at/above t), the standard
+    * LSH design integral (Leskovec et al., MMDS ch. 3). The planner
+    * emits the whole design table plus the argmin row — the one query
+    * a pipeline owner reads to justify the banding constants the
+    * other dedup queries hard-code.
+    *
+    * Exactness: s^r and (1−p)^b are LEFT FOLDS of double
+    * multiplications (Spark `aggregate(sequence(…))`, oracle a
+    * recursive-CTE fold — identical op order, identical IEEE bits);
+    * each grid cell is then rounded to micro-units and every
+    * downstream sum/compare is BIGINT.
+    *
+    * Scale shape: the whole computation is a 7×19 literal grid —
+    * bounded-frame work by construction (one-row argmin scalar on a
+    * broadcast cross join); it reads NO table at any SF. */
+  val qDedupLshPlanner = Q(
+    "q_dedup_lsh_planner",
+    (s, dir) => {
+      val grid = s.range(0, 1)
+        .select(explode(expr(
+          "array(1, 2, 4, 8, 16, 32, 64)")).as("r"))
+        .select(col("r"), expr("64 DIV r").as("b"))
+        .select(col("r"), col("b"),
+          explode(expr("sequence(5, 95, 5)")).as("s_pct"))
+        .withColumn("s", col("s_pct").cast("double") / 100.0d)
+        .withColumn("p1", expr(
+          "aggregate(sequence(1, r), CAST(1.0 AS DOUBLE), " +
+            "(acc, x) -> acc * s)"))
+        .withColumn("pc", lit(1.0d) - expr(
+          "aggregate(sequence(1, b), CAST(1.0 AS DOUBLE), " +
+            "(acc, x) -> acc * (1.0d - p1))"))
+        .withColumn("cell_micro",
+          when(col("s_pct") < 70,
+            round(col("pc") * 1000000).cast("long"))
+            .otherwise(round((lit(1.0d) - col("pc")) * 1000000)
+              .cast("long")))
+        .withColumn("is_fp", col("s_pct") < 70)
+      val table = grid.groupBy(col("b"), col("r"))
+        .agg(sum(when(col("is_fp"), col("cell_micro")).otherwise(0L))
+            .as("fp_micro"),
+          sum(when(!col("is_fp"), col("cell_micro")).otherwise(0L))
+            .as("fn_micro"))
+        .withColumn("cost_micro", col("fp_micro") + col("fn_micro"))
+      val best = table.agg(min(col("cost_micro")).as("best_cost"))
+      table.crossJoin(broadcast(best))
+        .select(col("b").cast("long").as("b"),
+          col("r").cast("long").as("r"),
+          col("fp_micro"), col("fn_micro"),
+          col("cost_micro"),
+          (col("cost_micro") === col("best_cost")).as("chosen"))
+        .orderBy(col("r"))
+    },
+    Some("""
+      WITH RECURSIVE cfg AS (
+        SELECT r, 64 // r AS b
+        FROM (SELECT UNNEST([1, 2, 4, 8, 16, 32, 64]) AS r)),
+      grid AS (
+        SELECT c.r, c.b, g.s_pct,
+               CAST(g.s_pct AS DOUBLE) / 100.0 AS s
+        FROM cfg c, (SELECT UNNEST(generate_series(5, 95, 5))
+                       AS s_pct) g),
+      powr AS (
+        SELECT r, b, s_pct, s, CAST(1.0 AS DOUBLE) AS v, 0 AS i
+        FROM grid
+        UNION ALL
+        SELECT r, b, s_pct, s, v * s, i + 1 FROM powr WHERE i < r),
+      p1t AS (
+        SELECT r, b, s_pct, s, v AS p1 FROM powr WHERE i = r),
+      powb AS (
+        SELECT r, b, s_pct, p1, CAST(1.0 AS DOUBLE) AS v, 0 AS i
+        FROM p1t
+        UNION ALL
+        SELECT r, b, s_pct, p1, v * (1.0 - p1), i + 1
+        FROM powb WHERE i < b),
+      pct AS (
+        SELECT r, b, s_pct, 1.0 - v AS pc FROM powb WHERE i = b),
+      cells AS (
+        SELECT b, r, s_pct < 70 AS is_fp,
+               CASE WHEN s_pct < 70
+                    THEN CAST(ROUND(pc * 1000000) AS BIGINT)
+                    ELSE CAST(ROUND((1.0 - pc) * 1000000) AS BIGINT)
+               END AS cell_micro
+        FROM pct),
+      tab AS (
+        SELECT b, r,
+               CAST(SUM(CASE WHEN is_fp THEN cell_micro ELSE 0 END)
+                 AS BIGINT) AS fp_micro,
+               CAST(SUM(CASE WHEN NOT is_fp THEN cell_micro ELSE 0 END)
+                 AS BIGINT) AS fn_micro,
+               CAST(SUM(cell_micro) AS BIGINT) AS cost_micro
+        FROM cells GROUP BY b, r),
+      best AS (SELECT MIN(cost_micro) AS best_cost FROM tab)
+      SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+             fp_micro, fn_micro, cost_micro,
+             cost_micro = best_cost AS chosen
+      FROM tab CROSS JOIN best
+      ORDER BY r"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupCluster,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic,
     qDedupPassage, qDedupPassageSpan, qDedupIncremental, qDedupIncrementalStored,
     qDedupEntity, qDedupContainment, qDedupKeepBest, qDedupSourceMatrix,
-    qDedupSplitLeakage)
+    qDedupSplitLeakage, qDedupLshPlanner)
 }

@@ -1886,6 +1886,117 @@ object EventQueries {
       FROM bal WHERE rn = ne
       ORDER BY user_id"""))
 
+  /** Time-decay multi-touch attribution — the fourth model of the
+    * attribution family ([[qEventsAttribution]] endpoints,
+    * [[qEventsAttributionPosition]] U-shaped, this one recency-
+    * weighted): each touch's share of a conversion's 10000 basis
+    * points is proportional to 2^(−age/half-life) with a 7-day
+    * half-life — the model that matches "recent touches matter more"
+    * budgeting. Exactness: the decay weight is the INTEGER
+    * 1000000 >> (age_days DIV 7) (exact halving per full half-life,
+    * zero beyond 62 halvings), per-conversion shares are integer
+    * floor division of 10000·w by the conversion's weight total, and
+    * the flooring remainder goes to the LAST touch — a total,
+    * deterministic rule (the position model's discipline), so every
+    * credit cell is BIGINT-exact. A conversion whose touches all
+    * decayed to zero weight credits its last touch fully.
+    *
+    * Scale shape: identical envelope to the position model — one
+    * user-keyed pairing join (per-user fan-out bounded), ONE
+    * conv-partitioned window carrying position, count, weight total
+    * AND the pre-last share sum, bounded channel rollup, one-row
+    * grand-total broadcast. */
+  val qEventsAttributionDecay = Q(
+    "q_events_attribution_decay",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val e = ev(s, dir)
+      val convs = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          col("ts").as("conv_ts"))
+      val touches = e.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("ts").as("tts"), col("event_id").as("tid"))
+      val w = Window.partitionBy(col("conv_id"))
+      val wOrd = w.orderBy(col("tts"), col("tid"))
+      val credited = convs.join(touches, Seq("user_id"))
+        .filter(col("tts") < col("conv_ts"))
+        .withColumn("age_hl", expr(
+          "CAST(least((unix_micros(conv_ts) - unix_micros(tts)) " +
+            "DIV 86400000000 DIV 7, 62) AS INT)"))
+        .withColumn("wt", expr("shiftright(1000000L, age_hl)"))
+        .withColumn("p", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("wsum", sum(col("wt")).over(w))
+        .withColumn("floor_bp",
+          when(col("wsum") === 0L, lit(0L))
+            .otherwise(expr("(10000 * wt) DIV wsum")))
+        .withColumn("credit_bp",
+          when(col("p") === col("n"),
+            lit(10000L) - (sum(col("floor_bp")).over(w) -
+              col("floor_bp")))
+            .otherwise(col("floor_bp")))
+        .persist(MEMORY_AND_DISK)
+      val tot = credited.agg(sum(col("credit_bp")).as("total_bp"))
+      QueryScopedCache.releaseAfter(
+        credited.groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_credited"),
+            countDistinct(col("conv_id")).as("n_convs"),
+            sum(col("credit_bp")).as("credit_bp"))
+          .crossJoin(broadcast(tot))
+          .select(col("channel"), col("n_credited"), col("n_convs"),
+            col("credit_bp"),
+            round(col("credit_bp").cast("double") /
+              col("total_bp").cast("double"), 6).as("credit_share"))
+          .orderBy(col("channel")),
+        Seq(credited))
+    },
+    Some("""
+      WITH convs AS (
+        SELECT user_id, event_id AS conv_id, ts AS conv_ts
+        FROM events WHERE event_type = 'purchase'),
+      touches AS (
+        SELECT user_id, event_type AS channel, ts AS tts,
+               event_id AS tid
+        FROM events WHERE event_type IN ('click', 'view')),
+      paired AS (
+        SELECT c.conv_id, t.channel, t.tts, t.tid,
+               CAST(1000000 >> CAST(LEAST(
+                 (epoch_us(c.conv_ts) - epoch_us(t.tts))
+                   // 86400000000 // 7, 62) AS INTEGER) AS BIGINT)
+                 AS wt,
+               ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                 ORDER BY t.tts, t.tid) AS p,
+               COUNT(*) OVER (PARTITION BY c.conv_id) AS n
+        FROM convs c JOIN touches t USING (user_id)
+        WHERE t.tts < c.conv_ts),
+      floored AS (
+        SELECT conv_id, channel, p, n, wt,
+               CASE WHEN SUM(wt) OVER (PARTITION BY conv_id) = 0 THEN 0
+                    ELSE (10000 * wt) //
+                         SUM(wt) OVER (PARTITION BY conv_id) END
+                 AS floor_bp
+        FROM paired),
+      credited AS (
+        SELECT conv_id, channel,
+               CAST(CASE WHEN p = n THEN 10000 -
+                      (SUM(floor_bp) OVER (PARTITION BY conv_id)
+                        - floor_bp)
+                    ELSE floor_bp END AS BIGINT) AS credit_bp
+        FROM floored),
+      rolled AS (
+        SELECT channel, COUNT(*) AS n_credited,
+               COUNT(DISTINCT conv_id) AS n_convs,
+               CAST(SUM(credit_bp) AS BIGINT) AS credit_bp
+        FROM credited GROUP BY channel),
+      tot AS (SELECT CAST(SUM(credit_bp) AS BIGINT) AS total_bp
+              FROM credited)
+      SELECT channel, n_credited, n_convs, credit_bp,
+             ROUND(CAST(credit_bp AS DOUBLE) /
+                   CAST(total_bp AS DOUBLE), 6) AS credit_share
+      FROM rolled CROSS JOIN tot
+      ORDER BY channel"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
     qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
     qEventsFunnelTime, qEventsDauWau, qEventsWauSketch,
@@ -1893,5 +2004,5 @@ object EventQueries {
     qEventsUplift, qEventsPower, qEventsMarkov, qEventsLifecycle,
     qEventsPattern, qEventsMau, qEventsAttributionPosition,
     qEventsPatternVar, qEventsSloBurn, qEventsStreak, qEventsThrottle,
-    qEventsLedger)
+    qEventsLedger, qEventsAttributionDecay)
 }

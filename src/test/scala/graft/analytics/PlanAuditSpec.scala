@@ -346,7 +346,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q_sim_matryoshka",
       // q_stats_qnorm: the one-row reference-count scalar rides a
       // cross join into the ranked stream (one-row-scalar pattern)
-      "q_stats_qnorm")
+      "q_stats_qnorm",
+      // q_events_attribution_decay: the one-row grand-total-credit
+      // scalar (the q_events_attribution_position pattern)
+      "q_events_attribution_decay",
+      // q_dedup_lsh_planner: the one-row argmin-cost scalar rides a
+      // cross join into the 7-row literal design grid (one-row-scalar
+      // pattern; the query reads no table at all)
+      "q_dedup_lsh_planner")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
