@@ -1639,42 +1639,48 @@ object PrepQueries {
     * leftover scalars ride broadcast cross joins, and remainder
     * ranking is a TakeOrdered + in-row posexplode, never a global
     * window. At 100 TB: one corpus scan, one bounded reduce. */
+  /** The Hamilton largest-remainder apportionment core shared by
+    * [[qPrepQuota]] (the planner query) and [[qPrepQuotaSample]] (the
+    * sampler consuming a plan): per-source (w, floor_quota,
+    * remainder, rk, quota) with Σquota = budget exactly. Bounded-
+    * frame work after one rollup — see [[qPrepQuota]]'s scaladoc. */
+  private[analytics] def apportion(s: SparkSession, dir: String,
+      budget: Long): DataFrame = {
+    val src = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("w"))
+    val tot = src.agg(sum(col("w")).as("wtot"))
+    val guard = coalesce(expr(
+      "assert_true(w >= 0 and w < 8796093022208, " +
+        "'q_prep_quota: source weight exceeds BIGINT-safe bound " +
+        "(need 0 <= w < 2^43)')").cast("long"), lit(0L))
+    val j = src.crossJoin(broadcast(tot))
+      .select(col("source"), col("w"),
+        (expr(s"CAST(($budget * w) DIV wtot AS BIGINT)") + guard)
+          .as("floor_quota"),
+        expr(s"($budget * w) % wtot").as("remainder"))
+    val lt = j.agg((lit(budget) - sum(col("floor_quota")))
+      .as("leftover"))
+    j.orderBy(col("remainder").desc, col("source")).limit(4096)
+      .agg(sort_array(collect_list(struct(
+        (-col("remainder")).as("negrem"), col("source"),
+        col("w"), col("floor_quota")))).as("ts"))
+      .select(posexplode(col("ts")))
+      .select((col("pos") + 1).cast("long").as("rk"),
+        col("col.source").as("source"), col("col.w").as("w"),
+        col("col.floor_quota").as("floor_quota"),
+        (-col("col.negrem")).as("remainder"))
+      .crossJoin(broadcast(lt))
+      .select(col("source"), col("w"), col("floor_quota"),
+        col("remainder"), col("rk"),
+        (col("floor_quota") +
+          when(col("rk") <= col("leftover"), lit(1L))
+            .otherwise(lit(0L))).as("quota"))
+  }
+
   val qPrepQuota = Q(
     "q_prep_quota",
-    (s, dir) => {
-      val budget = 1000000L
-      val src = docs(s, dir)
-        .groupBy(col("source"))
-        .agg(sum(col("n_chars")).as("w"))
-      val tot = src.agg(sum(col("w")).as("wtot"))
-      val guard = coalesce(expr(
-        "assert_true(w >= 0 and w < 8796093022208, " +
-          "'q_prep_quota: source weight exceeds BIGINT-safe bound " +
-          "(need 0 <= w < 2^43)')").cast("long"), lit(0L))
-      val j = src.crossJoin(broadcast(tot))
-        .select(col("source"), col("w"),
-          (expr(s"CAST(($budget * w) DIV wtot AS BIGINT)") + guard)
-            .as("floor_quota"),
-          expr(s"($budget * w) % wtot").as("remainder"))
-      val lt = j.agg((lit(budget) - sum(col("floor_quota")))
-        .as("leftover"))
-      j.orderBy(col("remainder").desc, col("source")).limit(4096)
-        .agg(sort_array(collect_list(struct(
-          (-col("remainder")).as("negrem"), col("source"),
-          col("w"), col("floor_quota")))).as("ts"))
-        .select(posexplode(col("ts")))
-        .select((col("pos") + 1).cast("long").as("rk"),
-          col("col.source").as("source"), col("col.w").as("w"),
-          col("col.floor_quota").as("floor_quota"),
-          (-col("col.negrem")).as("remainder"))
-        .crossJoin(broadcast(lt))
-        .select(col("source"), col("w"), col("floor_quota"),
-          col("remainder"), col("rk"),
-          (col("floor_quota") +
-            when(col("rk") <= col("leftover"), lit(1L))
-              .otherwise(lit(0L))).as("quota"))
-        .orderBy(col("source"))
-    },
+    (s, dir) => apportion(s, dir, 1000000L).orderBy(col("source")),
     Some("""
       WITH w AS (
         SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
@@ -1698,6 +1704,74 @@ object PrepQueries {
       FROM r CROSS JOIN lt
       ORDER BY source"""))
 
+  /** Quota-driven stratified sampler — the CONSUMER of
+    * [[qPrepQuota]]'s plan, closing the loop: apportion a 200-slot
+    * budget across sources by the same largest-remainder rule, then
+    * draw EXACTLY quotaₛ documents from each source s — the top-quota
+    * by a deterministic md5 priority (salt '#qs', independent of the
+    * split/sample/mixture hashes), ranked within the source. The gate
+    * composes planner + sampler end-to-end: the output is correct
+    * only if the apportionment, the per-source ranking, and the
+    * rank ≤ quota cut ALL agree cell-exactly cross-engine.
+    *
+    * Scale shape: the plan is bounded-frame work (see
+    * [[qPrepQuota]]); the draw is one source-partitioned ranking
+    * window over the corpus (one exchange) cut by a broadcast join
+    * against the ≤ |sources|-row quota table — exactly how a sharded
+    * sampler hands each stratum its integer allocation at 100 TB. */
+  val qPrepQuotaSample = Q(
+    "q_prep_quota_sample",
+    (s, dir) => {
+      val quotas = apportion(s, dir, 200L)
+        .select(col("source"), col("quota"))
+      val wRk = Window.partitionBy(col("source"))
+        .orderBy(col("pri"), col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("pri",
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("#qs"))), 1, 12), 16, 10).cast("long"))
+        .withColumn("rk", row_number().over(wRk).cast("long"))
+        .join(broadcast(quotas), Seq("source"))
+        .filter(col("rk") <= col("quota"))
+        .select(col("source"), col("rk"), col("quota"), col("doc_id"),
+          col("n_chars"))
+        .orderBy(col("source"), col("rk"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM w),
+      j AS (
+        SELECT source, w,
+               CAST((200 * w) // wtot AS BIGINT) AS floor_quota,
+               CAST((200 * w) % wtot AS BIGINT) AS remainder
+        FROM w CROSS JOIN tot),
+      lt AS (
+        SELECT 200 - CAST(SUM(floor_quota) AS BIGINT) AS leftover
+        FROM j),
+      r AS (
+        SELECT *, CAST(ROW_NUMBER()
+                 OVER (ORDER BY remainder DESC, source) AS BIGINT) AS rk
+        FROM j),
+      quotas AS (
+        SELECT source,
+               floor_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                 AS quota
+        FROM r CROSS JOIN lt),
+      ranked AS (
+        SELECT doc_id, source, n_chars,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)
+                   || '#qs'), 1, 12)) AS BIGINT), doc_id)
+                 AS BIGINT) AS rk
+        FROM documents)
+      SELECT d.source, d.rk, q.quota, d.doc_id, d.n_chars
+      FROM ranked d JOIN quotas q USING (source)
+      WHERE d.rk <= q.quota
+      ORDER BY d.source, d.rk"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
@@ -1705,5 +1779,5 @@ object PrepQueries {
     qPrepPerplexity, qPrepBinning, qPrepEvalSample, qPrepPipeline,
     qPrepTemperature, qPrepCalibration, qPrepPadding, qPrepDpCount,
     qPrepKfold, qPrepKanon, qPrepRendezvous, qPrepWeightedSample,
-    qPrepQuota)
+    qPrepQuota, qPrepQuotaSample)
 }

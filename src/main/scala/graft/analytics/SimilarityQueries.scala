@@ -2034,9 +2034,111 @@ object SimilarityQueries {
                    / CAST(COUNT(*) * 5 AS DOUBLE), 6) AS recall5
       FROM hits GROUP BY dim ORDER BY dim"""))
 
+  /** Ranking-quality evaluation (nDCG@10) — score the exact-cosine
+    * retriever by POSITION-AWARE relevance, not just set overlap
+    * ([[qSimRecallEval]]): for each query (vec_id < 20), rank the
+    * corpus, mark each top-10 hit relevant iff its class label
+    * matches the query's, and weight hits by the DCG discount
+    * 1/log₂(rank+1) — held as TEN MICRO-SCALED INTEGER LITERALS
+    * (1000000, 630930, …, 289065), the same table in both engines,
+    * so no transcendental function ever runs and DCG/IDCG are exact
+    * BIGINT sums. IDCG takes min(10, class size − 1) ideal hits
+    * (the query cannot retrieve itself). The one double is the final
+    * rounded nDCG ratio. This is the eval a retrieval pipeline runs
+    * when "how many right docs" ([[qSimRecallEval]]) is too coarse —
+    * a hit at rank 1 is worth 3.5× a hit at rank 10.
+    *
+    * Scale shape: the [[qSimTopkBrute]] bounded-block envelope (20
+    * broadcast queries × one narrow corpus scan, per-query top-10
+    * window), plus a bounded label-count join for IDCG. */
+  val qSimNdcg = Q(
+    "q_sim_ndcg",
+    (s, dir) => {
+      val wtab = "array(1000000L, 630930L, 500000L, 430677L, " +
+        "386853L, 356207L, 333333L, 315465L, 301030L, 289065L)"
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qnrm"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      val hits = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id").as("neighbor_id"),
+          col("label"),
+          round(dot(col("qv"), col("v")) /
+            (sqrt(col("qnrm")) * sqrt(col("nrm"))), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .groupBy(col("qid"), col("qlabel"))
+        .agg(sum(when(col("label") === col("qlabel"), lit(1L))
+            .otherwise(lit(0L))).as("n_rel"),
+          sum(when(col("label") === col("qlabel"),
+            expr(s"element_at($wtab, rank)")).otherwise(lit(0L)))
+            .as("dcg_micro"))
+      val cls = e.groupBy(col("label").as("qlabel"))
+        .agg(count(lit(1)).as("cs"))
+      hits.join(broadcast(cls), Seq("qlabel"))
+        .select(col("qid"), col("qlabel").as("label"), col("n_rel"),
+          col("dcg_micro"),
+          expr("aggregate(slice(" + wtab +
+            ", 1, CAST(least(10L, cs - 1) AS INT)), 0L, " +
+            "(acc, x) -> acc + x)").as("idcg_micro"))
+        .withColumn("ndcg",
+          round(col("dcg_micro").cast("double") /
+            col("idcg_micro").cast("double"), 6))
+        .orderBy(col("qid"))
+    },
+    Some("""
+      WITH wt AS (
+        SELECT [1000000, 630930, 500000, 430677, 386853, 356207,
+                333333, 315465, 301030, 289065] AS ws),
+      e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x)) AS nrm
+        FROM embeddings),
+      q AS (
+        SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qnrm
+        FROM e WHERE vec_id < 20),
+      scored AS (
+        SELECT q.qid, q.qlabel, e.vec_id AS neighbor_id, e.label,
+               ROUND(list_sum(list_transform(list_zip(q.qv, e.v),
+                       p -> p[1] * p[2]))
+                 / (SQRT(q.qnrm) * SQRT(e.nrm)), 6) AS cos_sim
+        FROM e JOIN q ON e.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, qlabel, label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored),
+      hits AS (
+        SELECT qid, qlabel,
+               CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_rel,
+               CAST(SUM(CASE WHEN label = qlabel
+                 THEN ws[CAST(rank AS INTEGER)] ELSE 0 END)
+                 AS BIGINT) AS dcg_micro
+        FROM ranked CROSS JOIN wt
+        WHERE rank <= 10
+        GROUP BY qid, qlabel),
+      cls AS (SELECT label AS qlabel, COUNT(*) AS cs
+              FROM e GROUP BY label),
+      idcg AS (
+        SELECT h.qid, h.qlabel, h.n_rel, h.dcg_micro,
+               CAST(list_sum(ws[1:CAST(LEAST(10, c.cs - 1) AS INTEGER)])
+                 AS BIGINT) AS idcg_micro
+        FROM hits h
+        JOIN cls c USING (qlabel)
+        CROSS JOIN wt)
+      SELECT qid, qlabel AS label, n_rel, dcg_micro, idcg_micro,
+             ROUND(CAST(dcg_micro AS DOUBLE)
+                   / CAST(idcg_micro AS DOUBLE), 6) AS ndcg
+      FROM idcg
+      ORDER BY qid"""))
+
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
     qSimIvfPqTopk, qSimIvfPqStored, qSimIvfPqAdmitted, qSimIvfPqRerank,
     qSimSqTopk, qSimKmeans, qSimIvfTrained, qSimHybridRrf, qSimHardNegatives,
     qSimFisher, qSimRecallEval, qSimKnnGraph, qSimMmr, qSimPca,
-    qSimPurity, qSimOod, qSimSilhouette, qSimMatryoshka)
+    qSimPurity, qSimOod, qSimSilhouette, qSimMatryoshka, qSimNdcg)
 }

@@ -353,7 +353,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_dedup_lsh_planner: the one-row argmin-cost scalar rides a
       // cross join into the 7-row literal design grid (one-row-scalar
       // pattern; the query reads no table at all)
-      "q_dedup_lsh_planner")
+      "q_dedup_lsh_planner",
+      // q_prep_quota_sample: the apportion() core's two one-row
+      // scalar cross joins (the q_prep_quota pattern)
+      "q_prep_quota_sample",
+      // q_sim_ndcg: the 20-query frame broadcasts into the corpus
+      // inequality scan (the q_sim_topk_brute bounded-block pattern)
+      "q_sim_ndcg")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
