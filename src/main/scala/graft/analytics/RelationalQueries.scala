@@ -5805,6 +5805,188 @@ object RelationalQueries {
       FROM kept
       ORDER BY o_custkey, pack_rank"""))
 
+  /** Split-conformal calibration — the distribution-free coverage
+    * machinery behind conformal prediction: split each language's
+    * documents 50/50 by a deterministic md5 bucket (salt '#cf'),
+    * take the ⌈(n_cal+1)·(1−α)⌉-th smallest calibration score
+    * (α = 0.1; score = document length as the nonconformity proxy)
+    * as the group's threshold, and measure what fraction of the
+    * TEST half falls at or under it. Exchangeability guarantees
+    * expected coverage ≥ 90% with NO distributional assumption —
+    * the honest way to turn any scorer into a calibrated accept set.
+    * Everything is exact: the rank is integer arithmetic
+    * (⌈(n+1)·9/10⌉ = ((n+1)·9+9) DIV 10, capped at n_cal for tiny
+    * groups), the threshold is an order statistic picked by a
+    * group-partitioned ranking window, and coverage divides two
+    * BIGINTs once.
+    *
+    * Scale shape: one lang-keyed exchange carries the calibration
+    * ranking window; the test half joins the ≤|langs|-row threshold
+    * table by broadcast — at 100 TB the calibration half would be a
+    * sampled sketch, the test pass stays one narrow scan. */
+  val qStatsConformal = Q(
+    "q_stats_conformal",
+    (s, dir) => {
+      val scored = Tables.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars").as("score"),
+          (conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("#cf"))), 1, 2), 16, 10).cast("long") < 128)
+            .as("is_cal"))
+      val wRk = Window.partitionBy(col("lang"))
+        .orderBy(col("score"), col("doc_id"))
+      val cal = scored.filter(col("is_cal"))
+        .withColumn("rk", row_number().over(wRk).cast("long"))
+        .withColumn("n_cal",
+          count(lit(1)).over(Window.partitionBy(col("lang"))))
+      val thr = cal
+        .filter(col("rk") ===
+          least(expr("((n_cal + 1) * 9 + 9) DIV 10"), col("n_cal")))
+        .select(col("lang"), col("n_cal"), col("rk").as("cal_rank"),
+          col("score").as("threshold"))
+      scored.filter(!col("is_cal"))
+        .join(broadcast(thr), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(max(col("n_cal")).as("n_cal"),
+          max(col("cal_rank")).as("cal_rank"),
+          max(col("threshold")).as("threshold"),
+          count(lit(1)).as("n_test"),
+          sum(when(col("score") <= col("threshold"), lit(1L))
+            .otherwise(lit(0L))).as("n_covered"))
+        .select(col("lang"), col("n_cal"), col("cal_rank"),
+          col("threshold"), col("n_test"), col("n_covered"),
+          round(col("n_covered").cast("double") /
+            col("n_test").cast("double"), 6).as("coverage"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang, n_chars AS score,
+               CAST((instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || '#cf'),
+                         1, 1)) - 1) * 16
+                  + instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || '#cf'),
+                         2, 1)) - 1 AS BIGINT) < 128 AS is_cal
+        FROM documents),
+      cal AS (
+        SELECT lang, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY score, doc_id) AS BIGINT) AS rk,
+               COUNT(*) OVER (PARTITION BY lang) AS n_cal
+        FROM scored WHERE is_cal),
+      thr AS (
+        SELECT lang, n_cal, rk AS cal_rank, score AS threshold
+        FROM cal
+        WHERE rk = LEAST(((n_cal + 1) * 9 + 9) // 10, n_cal))
+      SELECT s.lang, t.n_cal, t.cal_rank, t.threshold,
+             COUNT(*) AS n_test,
+             CAST(SUM(CASE WHEN s.score <= t.threshold THEN 1 ELSE 0
+               END) AS BIGINT) AS n_covered,
+             ROUND(CAST(SUM(CASE WHEN s.score <= t.threshold THEN 1
+                 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS coverage
+      FROM scored s JOIN thr t USING (lang)
+      WHERE NOT s.is_cal
+      GROUP BY s.lang, t.n_cal, t.cal_rank, t.threshold
+      ORDER BY s.lang"""))
+
+  /** Join-order advisor — the System-R cardinality-estimation step a
+    * cost-based optimizer runs before picking a join order, exposed
+    * as a query: from per-table exact statistics (row counts +
+    * distinct key counts, one aggregate per table), estimate every
+    * intermediate size of the three ways to join lineitem ⋈ orders ⋈
+    * customer (|R ⋈ S| = |R|·|S| DIV max(ndv_R(k), ndv_S(k)); a
+    * keyless pairing costs |R|·|S|) and rank the orders by total
+    * intermediate rows. On foreign-key data the formula is EXACT for
+    * the key joins — the probe checks estimates against actual join
+    * sizes — so the advisor provably ranks the FK-chain order first
+    * and the cartesian start last. All BIGINT; the stats pass is
+    * three map-side-combined aggregates, the planning itself is a
+    * 3-row literal frame.
+    *
+    * Scale shape: this is the ADVISOR a 100 TB pipeline runs on
+    * metadata-scale statistics instead of trusting defaults — three
+    * narrow scans (count + exact ndv each), then bounded-frame
+    * arithmetic; the one-row stats scalars ride broadcast cross
+    * joins. */
+  val qJoinOrderAdvisor = Q(
+    "q_join_order_advisor",
+    (s, dir) => {
+      val lStats = t(s, dir, "lineitem").agg(
+        count(lit(1)).as("nl"),
+        countDistinct(col("l_orderkey")).as("ndv_l_ok"))
+      val oStats = t(s, dir, "orders").agg(
+        count(lit(1)).as("no"),
+        countDistinct(col("o_orderkey")).as("ndv_o_ok"),
+        countDistinct(col("o_custkey")).as("ndv_o_ck"))
+      val cStats = t(s, dir, "customer").agg(
+        count(lit(1)).as("nc"),
+        countDistinct(col("c_custkey")).as("ndv_c_ck"))
+      val stats = lStats.crossJoin(broadcast(oStats))
+        .crossJoin(broadcast(cStats))
+      stats
+        .select(explode(array(
+          struct(lit("lineitem_orders_first").as("join_order"),
+            expr("nl * no DIV greatest(ndv_l_ok, ndv_o_ok)")
+              .as("est_first"),
+            expr("nl * no DIV greatest(ndv_l_ok, ndv_o_ok) + " +
+              "(nl * no DIV greatest(ndv_l_ok, ndv_o_ok)) * nc " +
+              "DIV greatest(ndv_o_ck, ndv_c_ck)").as("est_total")),
+          struct(lit("orders_customer_first").as("join_order"),
+            expr("no * nc DIV greatest(ndv_o_ck, ndv_c_ck)")
+              .as("est_first"),
+            expr("no * nc DIV greatest(ndv_o_ck, ndv_c_ck) + " +
+              "(no * nc DIV greatest(ndv_o_ck, ndv_c_ck)) * nl " +
+              "DIV greatest(ndv_o_ok, ndv_l_ok)").as("est_total")),
+          struct(lit("lineitem_customer_first").as("join_order"),
+            expr("nl * nc").as("est_first"),
+            expr("nl * nc + nl * nc * no " +
+              "DIV greatest(ndv_o_ok, ndv_l_ok) " +
+              "DIV greatest(ndv_o_ck, ndv_c_ck)").as("est_total"))))
+          .as("o"))
+        .select(col("o.join_order"), col("o.est_first"),
+          col("o.est_total"))
+        .orderBy(col("est_total"), col("join_order"))
+    },
+    Some("""
+      WITH ls AS (
+        SELECT COUNT(*) AS nl,
+               COUNT(DISTINCT l_orderkey) AS ndv_l_ok
+        FROM lineitem),
+      os AS (
+        SELECT COUNT(*) AS no,
+               COUNT(DISTINCT o_orderkey) AS ndv_o_ok,
+               COUNT(DISTINCT o_custkey) AS ndv_o_ck
+        FROM orders),
+      cs AS (
+        SELECT COUNT(*) AS nc,
+               COUNT(DISTINCT c_custkey) AS ndv_c_ck
+        FROM customer),
+      stats AS (SELECT * FROM ls CROSS JOIN os CROSS JOIN cs),
+      plans AS (
+        SELECT 'lineitem_orders_first' AS join_order,
+               nl * no // GREATEST(ndv_l_ok, ndv_o_ok) AS est_first,
+               nl * no // GREATEST(ndv_l_ok, ndv_o_ok)
+                 + (nl * no // GREATEST(ndv_l_ok, ndv_o_ok)) * nc
+                   // GREATEST(ndv_o_ck, ndv_c_ck) AS est_total
+        FROM stats
+        UNION ALL
+        SELECT 'orders_customer_first',
+               no * nc // GREATEST(ndv_o_ck, ndv_c_ck),
+               no * nc // GREATEST(ndv_o_ck, ndv_c_ck)
+                 + (no * nc // GREATEST(ndv_o_ck, ndv_c_ck)) * nl
+                   // GREATEST(ndv_o_ok, ndv_l_ok)
+        FROM stats
+        UNION ALL
+        SELECT 'lineitem_customer_first', nl * nc,
+               nl * nc + nl * nc * no
+                 // GREATEST(ndv_o_ok, ndv_l_ok)
+                 // GREATEST(ndv_o_ck, ndv_c_ck)
+        FROM stats)
+      SELECT join_order, est_first, est_total
+      FROM plans
+      ORDER BY est_total, join_order"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -5829,5 +6011,6 @@ object RelationalQueries {
     qScalarBitwise, qStatsDispersion, qScd2Audit, qScalarInterval,
     qAsofNearest, qStatsAnova, qWindowRollingMedian, qStatsTheilsen,
     qSkylineSuppliers, qWindowIntervalUnion, qStatsSprt, qAggRle,
-    qStatsQnorm, qStatsIsotonic, qAggRadixMedian, qWindowIntervalPack)
+    qStatsQnorm, qStatsIsotonic, qAggRadixMedian, qWindowIntervalPack,
+    qStatsConformal, qJoinOrderAdvisor)
 }

@@ -359,7 +359,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q_prep_quota_sample",
       // q_sim_ndcg: the 20-query frame broadcasts into the corpus
       // inequality scan (the q_sim_topk_brute bounded-block pattern)
-      "q_sim_ndcg")
+      "q_sim_ndcg",
+      // q_join_order_advisor: the three one-row per-table stats
+      // scalars cross-join into the 3-row literal plan frame
+      // (one-row-scalar pattern; planning reads only metadata-scale
+      // aggregates)
+      "q_join_order_advisor")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
