@@ -596,8 +596,95 @@ object MultimodalQueries {
                AS is_full
       FROM assigned ORDER BY doc_id"""))
 
+  /** Consecutive-frame near-duplicate removal — the video-curation
+    * primitive: sample each payload's 4 frames ([[qMultimodalFrames]]'
+    * stride), perceptual-hash EACH FRAME (the [[qMultimodalPhash]]
+    * 63-byte mean-threshold signature, applied to the frame's own 64
+    * bytes rather than a whole-payload subsample), and drop a frame
+    * when it sits within Hamming distance 16 of its PREDECESSOR
+    * (random 63-bit signatures sit near 31.5 apart; 16 is the
+    * near-dup band on this corpus — the fixture's smallest gap is 8) — the
+    * lag-based variant (each frame vs the previous frame, one window)
+    * that curation pipelines run before spending decode/model time on
+    * near-identical frames; the recurrence variant (vs last KEPT) is
+    * the [[EventQueries.qEventsThrottle]] class and deliberately not
+    * duplicated here. Short payloads (< 67 bytes) are excluded so
+    * every frame is a full 64 bytes — same rule both engines. All
+    * integer: byte extraction, mean threshold, 63-bit signature,
+    * popcount.
+    *
+    * Scale shape: frame sampling and per-frame phash are in-row
+    * expression work over the payload scan (no explosion beyond the
+    * fixed 4 frames/doc); ONE doc-keyed exchange carries the lag
+    * window; output rides the same sort. */
+  val qMultimodalFrameDedup = Q(
+    "q_multimodal_frame_dedup",
+    (s, dir) => {
+      val frames = Multimodal.sampleFrames(
+          Multimodal.binarize(Tables.spread(Tables(s, dir, "documents")))
+            .filter(col("n_bytes") >= 67))
+        .select(col("doc_id"), col("frame_idx"),
+          hex(col("frame")).as("fhx"))
+      val ph = frames
+        .select(col("doc_id"), col("frame_idx"), expr(
+          """transform(sequence(0, 62), i ->
+               cast(conv(substr(fhx, cast(2 * i + 1 as int), 2),
+                 16, 10) as bigint))""").as("px"))
+        .select(col("doc_id"), col("frame_idx"), col("px"),
+          expr("aggregate(px, 0L, (acc, x) -> acc + x) div 63").as("mn"))
+        .select(col("doc_id"), col("frame_idx"), expr(
+          """aggregate(zip_with(px, sequence(0, 62), (x, i) ->
+               if(x > mn, shiftleft(1L, i), 0L)),
+             0L, (acc, v) -> acc + v)""").as("phash"))
+      ph.withColumn("hamming_prev",
+          expr("cast(bit_count(phash ^ lag(phash, 1) over " +
+            "(partition by doc_id order by frame_idx)) as bigint)"))
+        .withColumn("kept",
+          col("hamming_prev").isNull || col("hamming_prev") >= 16)
+        .select(col("doc_id"), col("frame_idx"), col("phash"),
+          col("hamming_prev"), col("kept"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+        WHERE octet_length(encode(text)) >= 67),
+      f AS (
+        SELECT doc_id, k AS frame_idx,
+               substr(hx, 2 * ((1 + (k * greatest(n - 64, 0)) // 3)
+                 - 1) + 1, 128) AS fhx
+        FROM b CROSS JOIN generate_series(0, 3) t(k)),
+      pxt AS (
+        SELECT doc_id, frame_idx,
+          [ (instr('0123456789ABCDEF', substr(fhx, 2*i+1, 1))-1)*16
+            + instr('0123456789ABCDEF', substr(fhx, 2*i+2, 1))-1
+            for i in generate_series(0, 62) ] AS px
+        FROM f),
+      sig AS (SELECT doc_id, frame_idx, px,
+                     CAST(list_sum(px) AS BIGINT) // 63 AS mn FROM pxt),
+      ph AS (
+        SELECT doc_id, frame_idx,
+          CAST(list_sum([CASE WHEN px[i+1] > mn
+                              THEN CAST(1 AS BIGINT) << i
+                              ELSE CAST(0 AS BIGINT) END
+                         for i in generate_series(0, 62)]) AS BIGINT)
+            AS phash
+        FROM sig),
+      lagged AS (
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, phash,
+               CAST(bit_count(xor(phash, LAG(phash) OVER
+                 (PARTITION BY doc_id ORDER BY frame_idx)))
+                 AS BIGINT) AS hamming_prev
+        FROM ph)
+      SELECT doc_id, frame_idx, phash, hamming_prev,
+             hamming_prev IS NULL OR hamming_prev >= 16 AS kept
+      FROM lagged
+      ORDER BY doc_id, frame_idx"""))
+
   val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFeatures,
     qMultimodalFrames, qMultimodalCdc, qMultimodalResize,
     qMultimodalPhash, qMultimodalEntropy, qMultimodalShards,
-    qMultimodalDedup, qMultimodalAspectBatch)
+    qMultimodalDedup, qMultimodalAspectBatch, qMultimodalFrameDedup)
 }

@@ -2136,9 +2136,102 @@ object SimilarityQueries {
       FROM idcg
       ORDER BY qid"""))
 
+  /** Greedy farthest-point coreset (k-center selection) — pick the 10
+    * embeddings that best SPREAD over the corpus: seed with the
+    * lowest vec_id, then repeatedly add the vector whose maximum
+    * cosine to the already-selected set is SMALLEST (the classic
+    * 2-approximation to k-center) — the diversity-sampling step a
+    * curation pipeline runs to build a small representative probe
+    * set (eval seeds, annotation batches, cluster initializations
+    * stronger than random). Similarities are rounded to micro-unit
+    * BIGINTs before every argmin comparison (ties → lowest vec_id),
+    * so both engines walk the identical selection sequence; the
+    * oracle UNROLLS the 10 greedy steps as generated SQL — each step
+    * a corpus × selected-set min/argmax over exactly the same
+    * integers.
+    *
+    * Scale shape: k bounded scans — each step broadcasts the ≤ k-row
+    * selected set into one narrow corpus pass (per-row max over ≤ k
+    * dots, codegen), then a 1-row TakeOrdered argmin; nothing ever
+    * shuffles the corpus. The per-step driver round-trip is one row —
+    * the same bounded-iteration pattern as [[qSimKmeans]]. */
+  val qSimCoreset = Q(
+    "q_sim_coreset",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // one persisted corpus pass per greedy step: the selected set
+      // lives on the DRIVER (≤ 10 ids — the bounded one-row-per-step
+      // round-trip of the qSimKmeans iteration pattern), so step k is
+      // ONE scan, never a re-derivation of steps 1..k-1
+      val e = emb(s, dir).select(col("vec_id"), col("v"), col("nrm"))
+        .persist(MEMORY_AND_DISK)
+      val first = e.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id")).collect()(0).getLong(0)
+      var selIds = Vector(first)
+      var out = Vector((1L, first, -1000000L))
+      for (step <- 2 to 10) {
+        val selSmall = e.filter(col("vec_id").isInCollection(selIds))
+          .select(col("vec_id").as("sid"), col("v").as("sv"),
+            col("nrm").as("snrm"))
+        val next = e.filter(!col("vec_id").isInCollection(selIds))
+          .join(broadcast(selSmall))
+          .select(col("vec_id"),
+            round(dot(col("v"), col("sv")) /
+              (sqrt(col("nrm")) * sqrt(col("snrm"))) * 1000000)
+              .cast("long").as("sim_micro"))
+          .groupBy(col("vec_id"))
+          .agg(max(col("sim_micro")).as("max_sim_micro"))
+          .orderBy(col("max_sim_micro"), col("vec_id")).limit(1)
+          .collect()(0)
+        selIds :+= next.getLong(0)
+        out :+= ((step.toLong, next.getLong(0), next.getLong(1)))
+      }
+      e.unpersist()
+      out.toDF("step", "vec_id", "max_sim_micro").orderBy(col("step"))
+    },
+    Some(coresetOracle))
+
+  /** The unrolled 10-step greedy k-center oracle (see
+    * [[qSimCoreset]]): step CTEs s1..s10, each an argmin over the
+    * corpus of the max micro-rounded cosine to the union of previous
+    * steps. */
+  private def coresetOracle: String = {
+    val base = """
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x)) AS nrm
+        FROM embeddings),
+      s1 AS (
+        SELECT vec_id, v, nrm, CAST(1 AS BIGINT) AS step,
+               CAST(-1000000 AS BIGINT) AS max_sim_micro
+        FROM e ORDER BY vec_id LIMIT 1)"""
+    val steps = (2 to 10).map { k =>
+      val prev = (1 until k).map(i => s"SELECT * FROM s$i").mkString(
+        "(", " UNION ALL ", ")")
+      s""",
+      s$k AS (
+        SELECT c.vec_id, c.v, c.nrm, CAST($k AS BIGINT) AS step,
+               MAX(CAST(ROUND(list_sum(list_transform(
+                     list_zip(c.v, p.v), z -> z[1] * z[2]))
+                   / (SQRT(c.nrm) * SQRT(p.nrm)) * 1000000)
+                 AS BIGINT)) AS max_sim_micro
+        FROM e c JOIN $prev p ON c.vec_id <> p.vec_id
+        GROUP BY c.vec_id, c.v, c.nrm
+        HAVING COUNT(*) = ${k - 1}
+        ORDER BY max_sim_micro, c.vec_id LIMIT 1)"""
+    }.mkString
+    val all10 = (1 to 10).map(i =>
+      s"SELECT step, vec_id, max_sim_micro FROM s$i").mkString(
+      " UNION ALL ")
+    s"$base$steps\n      $all10 ORDER BY step"
+  }
+
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
     qSimIvfPqTopk, qSimIvfPqStored, qSimIvfPqAdmitted, qSimIvfPqRerank,
     qSimSqTopk, qSimKmeans, qSimIvfTrained, qSimHybridRrf, qSimHardNegatives,
     qSimFisher, qSimRecallEval, qSimKnnGraph, qSimMmr, qSimPca,
-    qSimPurity, qSimOod, qSimSilhouette, qSimMatryoshka, qSimNdcg)
+    qSimPurity, qSimOod, qSimSilhouette, qSimMatryoshka, qSimNdcg,
+    qSimCoreset)
 }

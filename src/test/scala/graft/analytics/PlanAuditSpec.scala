@@ -364,7 +364,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // scalars cross-join into the 3-row literal plan frame
       // (one-row-scalar pattern; planning reads only metadata-scale
       // aggregates)
-      "q_join_order_advisor")
+      "q_join_order_advisor",
+      // q_sim_coreset: each greedy step broadcasts the <=10-row
+      // selected set into the corpus inequality scan (bounded-block
+      // pattern, 9 bounded steps)
+      "q_sim_coreset")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
