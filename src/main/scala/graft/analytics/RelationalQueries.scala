@@ -5987,6 +5987,199 @@ object RelationalQueries {
       FROM plans
       ORDER BY est_total, join_order"""))
 
+  /** Input row for the V-optimal DP's typed scan. */
+  private[analytics] case class VoptIn(g: String, b: Long, n: Long)
+  private[analytics] case class VoptOut(
+      g: String, n_bins: Long, n_rows: Long, best_cost: Long)
+
+  /** V-optimal histogram construction — the selectivity-estimation
+    * histogram a cost-based optimizer keeps per column: partition the
+    * per-group frequency vector (12 value buckets of order cents)
+    * into K = 5 contiguous segments minimizing total within-segment
+    * frequency variance (Jagadish et al., VLDB'98). The engine runs
+    * the O(K·B²) dynamic program per group over the bounded bin
+    * frame; the oracle ENUMERATES all C(B−1, K−1) cut tuples and
+    * takes the minimum — DP ≡ exhaustive search, certified
+    * cell-exactly. Costs are EXACT integers: segment SSE
+    * Σ(nᵢ−mean)² = (len·S2 − S1²)/len is scaled by 27720/len
+    * (27720 = lcm(1..12), so every denominator divides out) — no
+    * float appears anywhere, the optimum is unique by value.
+    *
+    * Scale shape: one (group, bucket) rollup is the only data-sized
+    * work; the DP runs on ≤ 12 rows per group in one bounded
+    * mapPartitions (the [[qStatsIsotonic]] pattern). The oracle's
+    * 330-combination enumeration never runs on the engine. */
+  val qStatsVoptHist = Q(
+    "q_stats_vopt_hist",
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("g"),
+          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 4194304")
+            .as("b"))
+        .agg(count(lit(1)).as("n"))
+      bins.repartition(col("g"))
+        .sortWithinPartitions(col("g"), col("b"))
+        .as[VoptIn]
+        .mapPartitions { it =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[VoptIn]
+          var cur: String = null
+          val K = 5
+          def solve(): Iterator[VoptOut] = {
+            if (buf.isEmpty) return Iterator.empty
+            val ns = buf.map(_.n).toArray
+            val B = ns.length
+            val s1 = new Array[Long](B + 1)
+            val s2 = new Array[Long](B + 1)
+            for (i <- 0 until B) {
+              s1(i + 1) = s1(i) + ns(i)
+              s2(i + 1) = s2(i) + ns(i) * ns(i)
+            }
+            // exact integer segment cost, scaled by lcm(1..12)=27720
+            def cost(i: Int, j: Int): Long = { // bins i..j-1 (0-based)
+              val len = (j - i).toLong
+              val a = s1(j) - s1(i); val q = s2(j) - s2(i)
+              (len * q - a * a) * (27720L / len)
+            }
+            val kk = math.min(K, B)
+            // dp(k)(j) = best cost of first j bins in k segments
+            val INF = Long.MaxValue / 4
+            var prev = Array.tabulate(B + 1)(j =>
+              if (j == 0) 0L else INF)
+            for (k <- 1 to kk) {
+              val next = Array.fill(B + 1)(INF)
+              for (j <- k to B; i <- (k - 1) until j)
+                if (prev(i) < INF) {
+                  val c = prev(i) + cost(i, j)
+                  if (c < next(j)) next(j) = c
+                }
+              prev = next
+            }
+            val out = VoptOut(buf.head.g, B.toLong, s1(B), prev(B))
+            buf.clear()
+            Iterator.single(out)
+          }
+          (it.map(Some(_)) ++ Iterator(None)).flatMap {
+            case None => solve()
+            case Some(r) =>
+              val pre = if (cur != null && r.g != cur) solve().toVector
+                        else Vector.empty
+              cur = r.g
+              buf += r
+              pre.iterator
+          }
+        }
+        .toDF()
+        .orderBy(col("g"))
+    },
+    Some("""
+      WITH bins AS (
+        SELECT o_orderpriority AS g,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) // 4194304
+                 AS b,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1, 2),
+      idx AS (
+        SELECT g, n,
+               CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY b)
+                 AS BIGINT) AS i,
+               COUNT(*) OVER (PARTITION BY g) AS nb
+        FROM bins),
+      pf AS (
+        SELECT g, i, nb,
+               CAST(SUM(n) OVER w AS BIGINT) AS s1,
+               CAST(SUM(n * n) OVER w AS BIGINT) AS s2
+        FROM idx
+        WINDOW w AS (PARTITION BY g ORDER BY i
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      pf0 AS (
+        SELECT g, i, s1, s2, nb FROM pf
+        UNION ALL
+        SELECT DISTINCT g, 0, 0, 0, nb FROM pf),
+      seg AS (
+        SELECT a.g, lo.i AS i, a.i AS j,
+               ((a.i - lo.i) * (a.s2 - lo.s2)
+                 - (a.s1 - lo.s1) * (a.s1 - lo.s1))
+                 * (27720 // (a.i - lo.i)) AS c
+        FROM pf0 a JOIN pf0 lo
+          ON lo.g = a.g AND lo.i < a.i),
+      cuts AS (
+        SELECT s1.g,
+               s1.c + s2.c + s3.c + s4.c + s5.c AS total
+        FROM seg s1
+        JOIN seg s2 ON s2.g = s1.g AND s2.i = s1.j AND s1.i = 0
+        JOIN seg s3 ON s3.g = s2.g AND s3.i = s2.j
+        JOIN seg s4 ON s4.g = s3.g AND s4.i = s3.j
+        JOIN seg s5 ON s5.g = s4.g AND s5.i = s4.j
+        JOIN (SELECT g, MAX(i) AS nb FROM pf GROUP BY g) mx
+          ON mx.g = s5.g AND s5.j = mx.nb),
+      best AS (SELECT g, MIN(total) AS best_cost FROM cuts GROUP BY g),
+      meta AS (
+        SELECT g, MAX(nb) AS n_bins, MAX(s1) AS n_rows
+        FROM pf GROUP BY g)
+      SELECT m.g, m.n_bins, m.n_rows, b.best_cost
+      FROM meta m JOIN best b USING (g)
+      ORDER BY m.g"""))
+
+  /** Maximum drawdown — the peak-to-trough risk statistic over each
+    * priority class's DAILY revenue series: track the running peak of
+    * daily cents in date order and report the deepest drop below it,
+    * with the day it bottomed and the peak it fell from. The
+    * monitoring primitive behind "how far below its best has this
+    * feed fallen" alerts — a different question from [[qTsCusum]]
+    * (persistent mean shift) or [[qTsAnomalySeasonal]] (point
+    * outliers): drawdown is cumulative damage relative to the best
+    * seen. All BIGINT cents; earliest-day tiebreak makes the argmin
+    * row unique.
+    *
+    * Scale shape: one (priority, day) rollup, then ONE
+    * priority-keyed exchange carries the running-max window, the
+    * drawdown ranking, and the final pick — bounded per-group state. */
+  val qTsDrawdown = Q(
+    "q_ts_drawdown",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("g"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("rev_c"))
+      val wSeq = Window.partitionBy(col("g")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPick = Window.partitionBy(col("g"))
+        .orderBy(col("dd_c").desc, col("day"))
+      daily
+        .withColumn("peak_c", max(col("rev_c")).over(wSeq))
+        .withColumn("dd_c", col("peak_c") - col("rev_c"))
+        .withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("g").as("o_orderpriority"), col("day").as("trough_day"),
+          col("rev_c").as("trough_c"), col("peak_c"), col("dd_c")
+            .as("max_drawdown_c"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT o_orderpriority AS g, date_trunc('day', o_orderdate)
+                 AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1, 2),
+      walked AS (
+        SELECT g, day, rev_c,
+               MAX(rev_c) OVER (PARTITION BY g ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS peak_c
+        FROM daily),
+      ranked AS (
+        SELECT g, day, rev_c, peak_c, peak_c - rev_c AS dd_c,
+               ROW_NUMBER() OVER (PARTITION BY g
+                 ORDER BY peak_c - rev_c DESC, day) AS rk
+        FROM walked)
+      SELECT g AS o_orderpriority, day AS trough_day,
+             rev_c AS trough_c, peak_c, dd_c AS max_drawdown_c
+      FROM ranked WHERE rk = 1
+      ORDER BY o_orderpriority"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -6012,5 +6205,5 @@ object RelationalQueries {
     qAsofNearest, qStatsAnova, qWindowRollingMedian, qStatsTheilsen,
     qSkylineSuppliers, qWindowIntervalUnion, qStatsSprt, qAggRle,
     qStatsQnorm, qStatsIsotonic, qAggRadixMedian, qWindowIntervalPack,
-    qStatsConformal, qJoinOrderAdvisor)
+    qStatsConformal, qJoinOrderAdvisor, qStatsVoptHist, qTsDrawdown)
 }
