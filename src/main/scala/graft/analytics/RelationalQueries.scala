@@ -6180,6 +6180,258 @@ object RelationalQueries {
       FROM ranked WHERE rk = 1
       ORDER BY o_orderpriority"""))
 
+  /** Deterministic-HLL set algebra — the sketch operation
+    * [[qHllDistinct]] (engine-internal registers, bound-gated) cannot
+    * expose: build OWN HyperLogLog registers from md5 (register =
+    * first hex byte, m = 256; ρ = leading-zero count of the next 48
+    * bits + 1, derived by exact hex-string arithmetic), so BOTH
+    * engines compute bit-identical registers, the UNION sketch is a
+    * per-register MAX — the algebra that makes HLL mergeable across
+    * shards/sets — and the intersection estimate is
+    * inclusion-exclusion over three sketches. Sets: urgent orders vs
+    * high-value orders (partial overlap). The harmonic sum is EXACT
+    * (Σ 2^(50−M) in BIGINT, M ≤ 49); the final α·m²·2⁵⁰/S division
+    * is one identical double chain, rounded. Raw HLL estimator only
+    * (all sets here sit above the 2.5m small-range region — the
+    * ln-based correction would need a transcendental).
+    *
+    * Scale shape: one scan per set builds ≤ m register rows
+    * (map-side max-combine); everything downstream is 256-row frame
+    * work. This is the cardinality algebra a 100 TB catalog uses to
+    * answer overlap questions WITHOUT re-scanning either side. */
+  val qHllSetops = Q(
+    "q_hll_setops",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      def keys(pred: Column) = o.filter(pred).select(col("o_orderkey"))
+      // rho from exact hex-string arithmetic — no log anywhere (a
+      // log2-based leading-zero count can differ by 1 ulp between
+      // engines near powers of two and flip a register)
+      def rho(df: DataFrame, name: String): DataFrame =
+        df.select(
+            conv(substring(md5(col("o_orderkey").cast("string")), 1, 2),
+              16, 10).cast("long").as("reg"),
+            expr("""regexp_replace(
+              substr(md5(CAST(o_orderkey AS STRING)), 3, 12),
+              '^0+', '')""").as("stripped"))
+          .withColumn("rho", when(col("stripped") === "", lit(49L))
+            .otherwise((lit(12L) - length(col("stripped"))) * 4 +
+              expr("""CASE
+                WHEN instr('89abcdef', substr(stripped, 1, 1)) > 0
+                  THEN 0L
+                WHEN instr('4567', substr(stripped, 1, 1)) > 0 THEN 1L
+                WHEN instr('23', substr(stripped, 1, 1)) > 0 THEN 2L
+                ELSE 3L END""") + 1L))
+          .groupBy(col("reg")).agg(max(col("rho")).as("m"))
+          .withColumn("set_name", lit(name))
+      val aPred = col("o_orderpriority") === "1-URGENT"
+      val bPred = col("o_totalprice") > 150000.0
+      val ra = rho(keys(aPred), "a_urgent")
+      val rb = rho(keys(bPred), "b_highvalue")
+      val ru = ra.select(col("reg"), col("m"))
+        .unionByName(rb.select(col("reg"), col("m")))
+        .groupBy(col("reg")).agg(max(col("m")).as("m"))
+        .withColumn("set_name", lit("union"))
+      val est = ra.unionByName(rb).unionByName(ru)
+        .groupBy(col("set_name"))
+        .agg(sum(expr("shiftleft(1L, CAST(50 - m AS INT))")).as("spart"),
+          count(lit(1)).as("nregs"))
+        .select(col("set_name"),
+          (col("spart") +
+            (lit(256L) - col("nregs")) * expr("shiftleft(1L, 50)"))
+            .as("harm"))
+        .select(col("set_name"),
+          round(lit(718273.0) * 256.0 * 256.0 *
+            expr("cast(shiftleft(1L, 50) as double)") /
+            col("harm").cast("double") / 1000000.0).cast("long")
+            .as("hll_est"))
+      val exact = keys(aPred).agg(countDistinct(col("o_orderkey")))
+        .collect()(0).getLong(0)
+      val exactB = keys(bPred).agg(countDistinct(col("o_orderkey")))
+        .collect()(0).getLong(0)
+      val exactU = keys(aPred).unionByName(keys(bPred)).distinct()
+        .count()
+      val exacts = Map("a_urgent" -> exact, "b_highvalue" -> exactB,
+        "union" -> exactU)
+      import s.implicits._
+      val ex = exacts.toSeq.toDF("set_name", "exact_n")
+      est.join(broadcast(ex), Seq("set_name"))
+        .select(col("set_name"), col("exact_n"), col("hll_est"),
+          (abs(col("hll_est") - col("exact_n")).cast("double") <=
+            lit(0.2) * col("exact_n").cast("double")).as("within_20pct"))
+        .orderBy(col("set_name"))
+    },
+    Some("""
+      WITH a AS (SELECT o_orderkey FROM orders
+                 WHERE o_orderpriority = '1-URGENT'),
+      b AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000),
+      ra AS (
+        SELECT 'a_urgent' AS set_name,
+               CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                 1, 2)) AS BIGINT) AS reg,
+               MAX(CASE WHEN regexp_replace(
+                     substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 12),
+                     '^0+', '') = '' THEN 49
+                   ELSE (12 - length(regexp_replace(
+                       substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 12),
+                       '^0+', ''))) * 4
+                     + CASE WHEN instr('89abcdef', substr(
+                           regexp_replace(substr(md5(CAST(o_orderkey
+                             AS VARCHAR)), 3, 12), '^0+', ''), 1, 1))
+                           > 0 THEN 0
+                         WHEN instr('4567', substr(regexp_replace(
+                           substr(md5(CAST(o_orderkey AS VARCHAR)),
+                             3, 12), '^0+', ''), 1, 1)) > 0 THEN 1
+                         WHEN instr('23', substr(regexp_replace(
+                           substr(md5(CAST(o_orderkey AS VARCHAR)),
+                             3, 12), '^0+', ''), 1, 1)) > 0 THEN 2
+                         ELSE 3 END + 1 END) AS m
+        FROM a GROUP BY 1, 2),
+      rb AS (
+        SELECT 'b_highvalue' AS set_name,
+               CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                 1, 2)) AS BIGINT) AS reg,
+               MAX(CASE WHEN regexp_replace(
+                     substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 12),
+                     '^0+', '') = '' THEN 49
+                   ELSE (12 - length(regexp_replace(
+                       substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 12),
+                       '^0+', ''))) * 4
+                     + CASE WHEN instr('89abcdef', substr(
+                           regexp_replace(substr(md5(CAST(o_orderkey
+                             AS VARCHAR)), 3, 12), '^0+', ''), 1, 1))
+                           > 0 THEN 0
+                         WHEN instr('4567', substr(regexp_replace(
+                           substr(md5(CAST(o_orderkey AS VARCHAR)),
+                             3, 12), '^0+', ''), 1, 1)) > 0 THEN 1
+                         WHEN instr('23', substr(regexp_replace(
+                           substr(md5(CAST(o_orderkey AS VARCHAR)),
+                             3, 12), '^0+', ''), 1, 1)) > 0 THEN 2
+                         ELSE 3 END + 1 END) AS m
+        FROM b GROUP BY 1, 2),
+      ru AS (
+        SELECT 'union' AS set_name, reg, MAX(m) AS m
+        FROM (SELECT reg, m FROM ra UNION ALL SELECT reg, m FROM rb)
+        GROUP BY 1, 2),
+      regs AS (
+        SELECT * FROM ra UNION ALL SELECT * FROM rb
+        UNION ALL SELECT * FROM ru),
+      harm AS (
+        SELECT set_name,
+               CAST(SUM(CAST(1 AS BIGINT) << CAST(50 - m AS INTEGER))
+                 AS BIGINT)
+                 + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 50) AS h
+        FROM regs GROUP BY set_name),
+      est AS (
+        SELECT set_name,
+               CAST(ROUND(718273.0 * 256.0 * 256.0 *
+                 CAST(CAST(1 AS BIGINT) << 50 AS DOUBLE)
+                 / CAST(h AS DOUBLE) / 1000000.0) AS BIGINT) AS hll_est
+        FROM harm),
+      exacts AS (
+        SELECT 'a_urgent' AS set_name, COUNT(DISTINCT o_orderkey)
+          AS exact_n FROM a
+        UNION ALL
+        SELECT 'b_highvalue', COUNT(DISTINCT o_orderkey) FROM b
+        UNION ALL
+        SELECT 'union', COUNT(DISTINCT o_orderkey)
+        FROM (SELECT o_orderkey FROM a UNION ALL
+              SELECT o_orderkey FROM b))
+      SELECT e.set_name, x.exact_n, e.hll_est,
+             CAST(ABS(e.hll_est - x.exact_n) AS DOUBLE)
+               <= 0.2 * CAST(x.exact_n AS DOUBLE) AS within_20pct
+      FROM est e JOIN exacts x USING (set_name)
+      ORDER BY set_name"""))
+
+  /** Mantel–Haenszel stratified odds ratio — the Simpson's-paradox
+    * guard an experimentation platform applies before trusting a
+    * crude A/B readout: pool the per-stratum 2×2 tables (strata =
+    * event types, arm = user-id parity, outcome = the
+    * [[qStatsSprt]] Bernoulli) with the MH weights a·d/n and b·c/n,
+    * and report the pooled odds ratio next to the crude one — when
+    * they disagree, stratum mix was confounding the comparison.
+    * Each MH term is floored to micro-units ((a·d·10⁶) DIV n — the
+    * documented convention, exact in BIGINT), so the pooled ratio is
+    * a single rounded double over two exact integer sums; per-stratum
+    * ORs divide exact cell products once.
+    *
+    * Scale shape: ONE (stratum, arm, outcome) rollup (20 rows),
+    * bounded-frame algebra after; the pooled one-row scalar rides a
+    * broadcast cross join. */
+  val qStatsMh = Q(
+    "q_stats_mh",
+    (s, dir) => {
+      val cells = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("user_id") % 2 === 0 &&
+            round(col("value") * 100).cast("long") % 5 === 0, 1L)
+            .otherwise(0L)).as("a"),
+          sum(when(col("user_id") % 2 === 0 &&
+            round(col("value") * 100).cast("long") % 5 =!= 0, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("user_id") % 2 =!= 0 &&
+            round(col("value") * 100).cast("long") % 5 === 0, 1L)
+            .otherwise(0L)).as("c"),
+          sum(when(col("user_id") % 2 =!= 0 &&
+            round(col("value") * 100).cast("long") % 5 =!= 0, 1L)
+            .otherwise(0L)).as("d"))
+        .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+        .withColumn("mh_num_micro", expr("(a * d * 1000000) DIV n"))
+        .withColumn("mh_den_micro", expr("(b * c * 1000000) DIV n"))
+      val pooled = cells.agg(
+        sum(col("mh_num_micro")).as("sn"), sum(col("mh_den_micro"))
+          .as("sd"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+        sum(col("c")).as("sc"), sum(col("d")).as("sdd"))
+        .select(
+          round(col("sn").cast("double") / col("sd").cast("double"), 6)
+            .as("or_mh"),
+          round((col("sa") * col("sdd")).cast("double") /
+            (col("sb") * col("sc")).cast("double"), 6).as("or_crude"))
+      cells.crossJoin(broadcast(pooled))
+        .select(col("event_type"), col("a"), col("b"), col("c"),
+          col("d"),
+          round((col("a") * col("d")).cast("double") /
+            (col("b") * col("c")).cast("double"), 6).as("or_stratum"),
+          col("or_mh"), col("or_crude"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 AND
+                 CAST(ROUND(value * 100) AS BIGINT) % 5 = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 AND
+                 CAST(ROUND(value * 100) AS BIGINT) % 5 <> 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN user_id % 2 <> 0 AND
+                 CAST(ROUND(value * 100) AS BIGINT) % 5 = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN user_id % 2 <> 0 AND
+                 CAST(ROUND(value * 100) AS BIGINT) % 5 <> 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM events GROUP BY event_type),
+      terms AS (
+        SELECT *, a + b + c + d AS n,
+               (a * d * 1000000) // (a + b + c + d) AS mh_num_micro,
+               (b * c * 1000000) // (a + b + c + d) AS mh_den_micro
+        FROM cells),
+      pooled AS (
+        SELECT
+          ROUND(CAST(SUM(mh_num_micro) AS DOUBLE)
+                / CAST(SUM(mh_den_micro) AS DOUBLE), 6) AS or_mh,
+          ROUND(CAST(SUM(a) * SUM(d) AS DOUBLE)
+                / CAST(SUM(b) * SUM(c) AS DOUBLE), 6) AS or_crude
+        FROM terms)
+      SELECT t.event_type, t.a, t.b, t.c, t.d,
+             ROUND(CAST(t.a * t.d AS DOUBLE)
+                   / CAST(t.b * t.c AS DOUBLE), 6) AS or_stratum,
+             p.or_mh, p.or_crude
+      FROM terms t CROSS JOIN pooled p
+      ORDER BY t.event_type"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -6205,5 +6457,6 @@ object RelationalQueries {
     qAsofNearest, qStatsAnova, qWindowRollingMedian, qStatsTheilsen,
     qSkylineSuppliers, qWindowIntervalUnion, qStatsSprt, qAggRle,
     qStatsQnorm, qStatsIsotonic, qAggRadixMedian, qWindowIntervalPack,
-    qStatsConformal, qJoinOrderAdvisor, qStatsVoptHist, qTsDrawdown)
+    qStatsConformal, qJoinOrderAdvisor, qStatsVoptHist, qTsDrawdown,
+    qHllSetops, qStatsMh)
 }

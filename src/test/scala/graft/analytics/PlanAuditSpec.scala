@@ -368,7 +368,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_sim_coreset: each greedy step broadcasts the <=10-row
       // selected set into the corpus inequality scan (bounded-block
       // pattern, 9 bounded steps)
-      "q_sim_coreset")
+      "q_sim_coreset",
+      // q_stats_mh: the one-row pooled-odds scalar rides a cross
+      // join into the 5-row strata frame (one-row-scalar pattern)
+      "q_stats_mh")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
