@@ -6432,6 +6432,293 @@ object RelationalQueries {
       FROM terms t CROSS JOIN pooled p
       ORDER BY t.event_type"""))
 
+  /** Segmented regression (one-breakpoint piecewise OLS) — "WHEN did
+    * the trend change": for each priority's monthly revenue series,
+    * fit two least-squares lines split at every candidate month and
+    * report the breakpoint minimizing total SSE, its two slopes, and
+    * the variance explained vs the single unbroken fit — the
+    * change-POINT analysis that complements [[qTsCusum]] (which
+    * detects THAT a shift happened) with parameters (where, and what
+    * the trend was on each side). No self-join: per-candidate left
+    * stats are prefix sums (one group-partitioned window), right
+    * stats are totals minus prefixes, so candidate evaluation is one
+    * row per month. Moment sums are exact BIGINTs (integer month
+    * index × integer monthly dollars); the SSE algebra runs in
+    * doubles with an IDENTICAL op tree in both engines (the
+    * [[qStatsRegression]] parity discipline — identical inputs +
+    * identical IEEE ops = identical bits), candidates need ≥ 3
+    * months per side, ties break on the earlier month.
+    *
+    * Scale shape: one (group, month) rollup, ONE group exchange
+    * carrying prefix windows, per-group totals, and the argmin
+    * ranking — bounded-frame work after the rollup. */
+  val qStatsSegreg = Q(
+    "q_stats_segreg",
+    (s, dir) => {
+      // bound guard (the qStatsGini discipline): y*y sums stay exact
+      // BIGINT only while monthly KILOdollars < 2^24 — beyond, fail
+      // loudly instead of wrapping silently (ADVICE r8 class)
+      val yGuard = coalesce(expr(
+        "assert_true(y >= 0 and y < 16777216, " +
+          "'q_stats_segreg: monthly kilodollars exceed BIGINT-safe " +
+          "moment bound (need y < 2^24)')").cast("long"), lit(0L))
+      val monthly = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("g"),
+          ((year(col("o_orderdate")) - 1992) * 12 +
+            month(col("o_orderdate")) - 1).cast("long").as("x"))
+        .agg(sum(round(col("o_totalprice") / 1000).cast("long")).as("y"))
+        .select(col("g"), col("x"), (col("y") + yGuard).as("y"))
+      val wPre = Window.partitionBy(col("g")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("g"))
+      val cand = monthly
+        .withColumn("pn", count(lit(1)).over(wPre))
+        .withColumn("px", sum(col("x")).over(wPre))
+        .withColumn("py", sum(col("y")).over(wPre))
+        .withColumn("pxx", sum(col("x") * col("x")).over(wPre))
+        .withColumn("pxy", sum(col("x") * col("y")).over(wPre))
+        .withColumn("pyy", sum(col("y") * col("y")).over(wPre))
+        .withColumn("tn", count(lit(1)).over(wAll))
+        .withColumn("tx", sum(col("x")).over(wAll))
+        .withColumn("ty", sum(col("y")).over(wAll))
+        .withColumn("txx", sum(col("x") * col("x")).over(wAll))
+        .withColumn("txy", sum(col("x") * col("y")).over(wAll))
+        .withColumn("tyy", sum(col("y") * col("y")).over(wAll))
+        .filter(col("pn") >= 3 && col("tn") - col("pn") >= 3)
+      // identical double op tree both engines: sse(side) =
+      // (syy - sy*sy/n) - (sxy - sx*sy/n)^2 / (sxx - sx*sx/n)
+      def sse(n: String, sx: String, sy: String, sxx: String,
+          sxy: String, syy: String) =
+        s"""((CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE) *
+             CAST($sy AS DOUBLE) / CAST($n AS DOUBLE)) -
+            (CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) *
+             CAST($sy AS DOUBLE) / CAST($n AS DOUBLE)) *
+            (CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) *
+             CAST($sy AS DOUBLE) / CAST($n AS DOUBLE)) /
+            (CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE) *
+             CAST($sx AS DOUBLE) / CAST($n AS DOUBLE)))"""
+      def slope(n: String, sx: String, sy: String, sxx: String,
+          sxy: String) =
+        s"""((CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) *
+             CAST($sy AS DOUBLE) / CAST($n AS DOUBLE)) /
+            (CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE) *
+             CAST($sx AS DOUBLE) / CAST($n AS DOUBLE)))"""
+      val rn = "(tn - pn)"
+      val rx = "(tx - px)"; val ry = "(ty - py)"
+      val rxx = "(txx - pxx)"; val rxy = "(txy - pxy)"
+      val ryy = "(tyy - pyy)"
+      val scored = cand
+        .withColumn("sse_total", expr(
+          sse("pn", "px", "py", "pxx", "pxy", "pyy") + " + " +
+            sse(rn, rx, ry, rxx, rxy, ryy)))
+        .withColumn("sse_single", expr(
+          sse("tn", "tx", "ty", "txx", "txy", "tyy")))
+        .withColumn("slope_l", expr(
+          slope("pn", "px", "py", "pxx", "pxy")))
+        .withColumn("slope_r", expr(slope(rn, rx, ry, rxx, rxy)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("g"))
+            .orderBy(col("sse_total"), col("x"))))
+      scored.filter(col("rk") === 1)
+        .select(col("g").as("o_orderpriority"),
+          col("x").as("break_month"),
+          round(col("slope_l"), 4).as("slope_left"),
+          round(col("slope_r"), 4).as("slope_right"),
+          round(col("sse_total") / col("sse_single"), 6)
+            .as("sse_ratio"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT o_orderpriority AS g,
+               CAST((year(o_orderdate) - 1992) * 12
+                 + month(o_orderdate) - 1 AS BIGINT) AS x,
+               CAST(SUM(CAST(ROUND(o_totalprice / 1000) AS BIGINT))
+                 AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2),
+      pre AS (
+        SELECT g, x,
+               CAST(COUNT(*) OVER wp AS BIGINT) AS pn,
+               CAST(SUM(x) OVER wp AS BIGINT) AS px,
+               CAST(SUM(y) OVER wp AS BIGINT) AS py,
+               CAST(SUM(x * x) OVER wp AS BIGINT) AS pxx,
+               CAST(SUM(x * y) OVER wp AS BIGINT) AS pxy,
+               CAST(SUM(y * y) OVER wp AS BIGINT) AS pyy,
+               CAST(COUNT(*) OVER wa AS BIGINT) AS tn,
+               CAST(SUM(x) OVER wa AS BIGINT) AS tx,
+               CAST(SUM(y) OVER wa AS BIGINT) AS ty,
+               CAST(SUM(x * x) OVER wa AS BIGINT) AS txx,
+               CAST(SUM(x * y) OVER wa AS BIGINT) AS txy,
+               CAST(SUM(y * y) OVER wa AS BIGINT) AS tyy
+        FROM monthly
+        WINDOW wp AS (PARTITION BY g ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wa AS (PARTITION BY g)),
+      scored AS (
+        SELECT g, x,
+          ((CAST(pyy AS DOUBLE) - CAST(py AS DOUBLE) *
+              CAST(py AS DOUBLE) / CAST(pn AS DOUBLE)) -
+           (CAST(pxy AS DOUBLE) - CAST(px AS DOUBLE) *
+              CAST(py AS DOUBLE) / CAST(pn AS DOUBLE)) *
+           (CAST(pxy AS DOUBLE) - CAST(px AS DOUBLE) *
+              CAST(py AS DOUBLE) / CAST(pn AS DOUBLE)) /
+           (CAST(pxx AS DOUBLE) - CAST(px AS DOUBLE) *
+              CAST(px AS DOUBLE) / CAST(pn AS DOUBLE)))
+          +
+          ((CAST(tyy - pyy AS DOUBLE) - CAST(ty - py AS DOUBLE) *
+              CAST(ty - py AS DOUBLE) / CAST(tn - pn AS DOUBLE)) -
+           (CAST(txy - pxy AS DOUBLE) - CAST(tx - px AS DOUBLE) *
+              CAST(ty - py AS DOUBLE) / CAST(tn - pn AS DOUBLE)) *
+           (CAST(txy - pxy AS DOUBLE) - CAST(tx - px AS DOUBLE) *
+              CAST(ty - py AS DOUBLE) / CAST(tn - pn AS DOUBLE)) /
+           (CAST(txx - pxx AS DOUBLE) - CAST(tx - px AS DOUBLE) *
+              CAST(tx - px AS DOUBLE) / CAST(tn - pn AS DOUBLE)))
+            AS sse_total,
+          ((CAST(tyy AS DOUBLE) - CAST(ty AS DOUBLE) *
+              CAST(ty AS DOUBLE) / CAST(tn AS DOUBLE)) -
+           (CAST(txy AS DOUBLE) - CAST(tx AS DOUBLE) *
+              CAST(ty AS DOUBLE) / CAST(tn AS DOUBLE)) *
+           (CAST(txy AS DOUBLE) - CAST(tx AS DOUBLE) *
+              CAST(ty AS DOUBLE) / CAST(tn AS DOUBLE)) /
+           (CAST(txx AS DOUBLE) - CAST(tx AS DOUBLE) *
+              CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE)))
+            AS sse_single,
+          ((CAST(pxy AS DOUBLE) - CAST(px AS DOUBLE) *
+              CAST(py AS DOUBLE) / CAST(pn AS DOUBLE)) /
+           (CAST(pxx AS DOUBLE) - CAST(px AS DOUBLE) *
+              CAST(px AS DOUBLE) / CAST(pn AS DOUBLE))) AS slope_l,
+          ((CAST(txy - pxy AS DOUBLE) - CAST(tx - px AS DOUBLE) *
+              CAST(ty - py AS DOUBLE) / CAST(tn - pn AS DOUBLE)) /
+           (CAST(txx - pxx AS DOUBLE) - CAST(tx - px AS DOUBLE) *
+              CAST(tx - px AS DOUBLE) / CAST(tn - pn AS DOUBLE)))
+            AS slope_r
+        FROM pre WHERE pn >= 3 AND tn - pn >= 3),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+                 ORDER BY sse_total, x) AS rk
+        FROM scored)
+      SELECT g AS o_orderpriority, x AS break_month,
+             ROUND(slope_l, 4) AS slope_left,
+             ROUND(slope_r, 4) AS slope_right,
+             ROUND(sse_total / sse_single, 6) AS sse_ratio
+      FROM ranked WHERE rk = 1
+      ORDER BY o_orderpriority"""))
+
+  /** Wald–Wolfowitz runs test — is each priority's monthly revenue
+    * series RANDOM around its median, or does it trend/oscillate?
+    * Too few sign runs ⇒ persistence (trend, level shifts); too many
+    * ⇒ anti-correlation (alternating). The nonparametric randomness
+    * check that complements [[qTsAcf]] (parametric autocorrelation)
+    * and [[qStatsSegreg]]/[[qTsCusum]] (which assume a change exists).
+    * Everything is exact: the median is the lower order statistic
+    * (rank ⌈n/2⌉ via a ranked window), ties with the median are
+    * excluded (the standard rule), runs are a lag-window flag sum,
+    * and the 5% significance decision is the normal test CROSS-
+    * MULTIPLIED to integers — 10⁴(n−1)(n(R−1)−2n₁n₂)² >
+    * 38416·2n₁n₂(2n₁n₂−n) — so the boolean is BIGINT-exact with no
+    * sqrt; the readable z-score uses one IEEE sqrt (correctly
+    * rounded, identical cross-engine, unlike log).
+    *
+    * Scale shape: one (group, month) rollup, ONE group exchange
+    * carrying the median pick, the sign lag, and the run count —
+    * bounded per-group frames throughout. */
+  val qStatsRuns = Q(
+    "q_stats_runs",
+    (s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("g"),
+          ((year(col("o_orderdate")) - 1992) * 12 +
+            month(col("o_orderdate")) - 1).cast("long").as("x"))
+        .agg(sum(round(col("o_totalprice") / 1000).cast("long"))
+          .as("y"))
+      val wRk = Window.partitionBy(col("g"))
+        .orderBy(col("y"), col("x"))
+      val wAll = Window.partitionBy(col("g"))
+      val med = monthly
+        .withColumn("rk", row_number().over(wRk).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rk") === expr("(n + 1) DIV 2"))
+        .select(col("g"), col("y").as("med"))
+      val wSeq = Window.partitionBy(col("g")).orderBy(col("x"))
+      val signs = monthly.join(broadcast(med), Seq("g"))
+        .filter(col("y") =!= col("med"))
+        .withColumn("sgn", when(col("y") > col("med"), lit(1L))
+          .otherwise(lit(-1L)))
+        .withColumn("brk",
+          when(lag(col("sgn"), 1).over(wSeq).isNull ||
+            lag(col("sgn"), 1).over(wSeq) =!= col("sgn"), 1L)
+            .otherwise(0L))
+      signs.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n2"),
+          sum(col("brk")).as("runs"))
+        .select(col("g").as("o_orderpriority"), col("n"), col("n1"),
+          col("n2"), col("runs"),
+          round(lit(1.0) + (lit(2.0) * col("n1") * col("n2")).cast("double") /
+            col("n").cast("double"), 4).as("expected_runs"),
+          round((col("runs").cast("double") - (lit(1.0) +
+            (lit(2.0) * col("n1") * col("n2")).cast("double") /
+              col("n").cast("double"))) /
+            sqrt((lit(2.0) * col("n1") * col("n2") *
+              (lit(2L) * col("n1") * col("n2") - col("n"))).cast("double") /
+              (col("n") * col("n") * (col("n") - 1)).cast("double")), 4)
+            .as("z"),
+          (expr("10000 * (n - 1) * (n * (runs - 1) - 2 * n1 * n2) * " +
+            "(n * (runs - 1) - 2 * n1 * n2)") >
+            expr("38416 * 2 * n1 * n2 * (2 * n1 * n2 - n)"))
+            .as("significant"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT o_orderpriority AS g,
+               CAST((year(o_orderdate) - 1992) * 12
+                 + month(o_orderdate) - 1 AS BIGINT) AS x,
+               CAST(SUM(CAST(ROUND(o_totalprice / 1000) AS BIGINT))
+                 AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2),
+      med AS (
+        SELECT g, y AS med FROM (
+          SELECT g, y,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY g
+                   ORDER BY y, x) AS BIGINT) AS rk,
+                 COUNT(*) OVER (PARTITION BY g) AS n
+          FROM monthly)
+        WHERE rk = (n + 1) // 2),
+      signs AS (
+        SELECT m.g, m.x,
+               CASE WHEN m.y > d.med THEN 1 ELSE -1 END AS sgn
+        FROM monthly m JOIN med d USING (g)
+        WHERE m.y <> d.med),
+      flagged AS (
+        SELECT g, sgn,
+               CASE WHEN LAG(sgn) OVER w IS NULL
+                      OR LAG(sgn) OVER w <> sgn THEN 1 ELSE 0 END
+                 AS brk
+        FROM signs WINDOW w AS (PARTITION BY g ORDER BY x)),
+      agg AS (
+        SELECT g, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n2,
+               CAST(SUM(brk) AS BIGINT) AS runs
+        FROM flagged GROUP BY g)
+      SELECT g AS o_orderpriority, n, n1, n2, runs,
+             ROUND(1.0 + CAST(2.0 * n1 * n2 AS DOUBLE)
+               / CAST(n AS DOUBLE), 4) AS expected_runs,
+             ROUND((CAST(runs AS DOUBLE) - (1.0 +
+                 CAST(2.0 * n1 * n2 AS DOUBLE) / CAST(n AS DOUBLE)))
+               / SQRT(CAST(2.0 * n1 * n2 * (2 * n1 * n2 - n)
+                   AS DOUBLE)
+                 / CAST(n * n * (n - 1) AS DOUBLE)), 4) AS z,
+             10000 * (n - 1) * (n * (runs - 1) - 2 * n1 * n2)
+               * (n * (runs - 1) - 2 * n1 * n2)
+               > 38416 * 2 * n1 * n2 * (2 * n1 * n2 - n)
+               AS significant
+      FROM agg ORDER BY o_orderpriority"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -6458,5 +6745,5 @@ object RelationalQueries {
     qSkylineSuppliers, qWindowIntervalUnion, qStatsSprt, qAggRle,
     qStatsQnorm, qStatsIsotonic, qAggRadixMedian, qWindowIntervalPack,
     qStatsConformal, qJoinOrderAdvisor, qStatsVoptHist, qTsDrawdown,
-    qHllSetops, qStatsMh)
+    qHllSetops, qStatsMh, qStatsSegreg, qStatsRuns)
 }
