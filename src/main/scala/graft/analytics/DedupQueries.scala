@@ -1561,10 +1561,85 @@ object DedupQueries {
       FROM tab CROSS JOIN best
       ORDER BY r"""))
 
+  /** Duplicate-aware loss weighting (soft dedup) — instead of
+    * DROPPING near-duplicates, DOWN-WEIGHT them: every document in a
+    * MinHash near-dup cluster of size c trains with weight 1/c (the
+    * cluster contributes ~one document of gradient), unclustered
+    * documents keep weight 1 — the softer alternative to
+    * [[qDedupKeepBest]] when duplicates carry signal (canonical
+    * pages, popular quotes) but must not overtrain. Reported per
+    * source: raw count, clustered count, and the EFFECTIVE SAMPLE
+    * SIZE (Σ weights, micro-exact: 10⁶ DIV c per member) — the
+    * number a mixture planner ([[PrepQueries.qPrepQuota]]) should
+    * apportion by instead of raw counts when sources differ in
+    * internal duplication. Weights are BIGINT micro-units; the one
+    * double is the rounded ESS fraction.
+    *
+    * Scale shape: the pair graph + min-label fixpoint are
+    * [[qDedupCluster]]'s machinery verbatim (banded candidates only,
+    * corpus never enters the loop); the weighting itself is one
+    * broadcast-ready LEFT join of the cluster table (paired docs ≪
+    * corpus) onto the corpus scan plus a bounded source rollup. */
+  val qDedupLossWeight = Q(
+    "q_dedup_loss_weight",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val (pairs0, handles) = minhashPairs(s, dir)
+      val pairs = pairs0.persist(MEMORY_AND_DISK)
+      val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+      val cl = resolveClusters(edges)
+        .select(col("doc_id"), col("n_members"))
+      val weighted = docs(s, dir)
+        .select(col("doc_id"), col("source"))
+        .join(cl, Seq("doc_id"), "left")
+        .select(col("source"),
+          col("n_members").isNotNull.as("clustered"),
+          expr("coalesce(1000000 DIV n_members, 1000000)")
+            .as("w_micro"))
+      val result = weighted.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("clustered"), 1L).otherwise(0L))
+            .as("n_clustered"),
+          sum(col("w_micro")).as("ess_micro"))
+        .select(col("source"), col("n_docs"), col("n_clustered"),
+          col("ess_micro"),
+          round(col("ess_micro").cast("double") / 1000000.0 /
+            col("n_docs").cast("double"), 6).as("ess_frac"))
+        .orderBy(col("source"))
+      QueryScopedCache.releaseAfter(result, handles :+ pairs)
+    },
+    Some(s"""
+      WITH RECURSIVE ${minhashPairsSql()},
+      edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                UNION ALL SELECT ib, ia FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      rep AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+              FROM reach GROUP BY src),
+      csize AS (SELECT cluster_rep, COUNT(*) AS n_members
+                FROM rep GROUP BY 1),
+      cl AS (SELECT r.doc_id, c.n_members
+             FROM rep r JOIN csize c USING (cluster_rep)),
+      weighted AS (
+        SELECT d.source, cl.doc_id IS NOT NULL AS clustered,
+               COALESCE(1000000 // cl.n_members, 1000000) AS w_micro
+        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN clustered THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clustered,
+             CAST(SUM(w_micro) AS BIGINT) AS ess_micro,
+             ROUND(CAST(SUM(w_micro) AS DOUBLE) / 1000000.0
+               / CAST(COUNT(*) AS DOUBLE), 6) AS ess_frac
+      FROM weighted GROUP BY source
+      ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupCluster,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic,
     qDedupPassage, qDedupPassageSpan, qDedupIncremental, qDedupIncrementalStored,
     qDedupEntity, qDedupContainment, qDedupKeepBest, qDedupSourceMatrix,
-    qDedupSplitLeakage, qDedupLshPlanner)
+    qDedupSplitLeakage, qDedupLshPlanner, qDedupLossWeight)
 }

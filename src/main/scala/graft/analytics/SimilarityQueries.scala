@@ -2228,10 +2228,84 @@ object SimilarityQueries {
     s"$base$steps\n      $all10 ORDER BY step"
   }
 
+  /** Nearest-class-mean (centroid) classifier evaluation — the
+    * cheapest embedding-quality readout there is: average each
+    * label's vectors into a prototype, classify every vector by
+    * nearest prototype (squared Euclidean), and report the confusion
+    * matrix — if embeddings carry label structure, the diagonal
+    * dominates; the linear-probe-without-training eval. EVERYTHING is
+    * exact integer: vector components and centroids live in micro
+    * units (centroid dim = ⌊10⁶·Σx / n⌋ via an IEEE floor both
+    * engines compute identically — the divisor is ≤ corpus size, so
+    * the quotient is never within 10⁻⁶ of the floor boundary), and
+    * squared distances are BIGINT sums, so the argmin (label ties →
+    * smaller label) is deterministic with no cosine rounding seam at
+    * all — stronger than the round-6 discipline the cosine queries
+    * need.
+    *
+    * Scale shape: centroids are one (label, dim) rollup (bounded:
+    * labels × 64 rows, broadcast); scoring joins the exploded corpus
+    * against that bounded table on dim (10 candidates per term), one
+    * vec-keyed aggregate + ranking window; the confusion rollup is
+    * bounded. No corpus self-join anywhere. */
+  val qSimCentroidEval = Q(
+    "q_sim_centroid_eval",
+    (s, dir) => {
+      val ex = Tables.spread(Tables(s, dir, "embeddings"))
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "xv")))
+        .select(col("vec_id"), col("label"), col("dim"),
+          round(col("xv").cast("double") * 1000000).cast("long")
+            .as("xm"))
+      val cent = ex.groupBy(col("label").as("clabel"), col("dim"))
+        .agg(sum(col("xm")).as("sx"), count(lit(1)).as("cn"))
+        .select(col("clabel"), col("dim"),
+          floor(col("sx").cast("double") / col("cn").cast("double"))
+            .cast("long").as("cm"))
+      val d2 = ex.join(broadcast(cent), Seq("dim"))
+        .groupBy(col("vec_id"), col("label"), col("clabel"))
+        .agg(sum((col("xm") - col("cm")) * (col("xm") - col("cm")))
+          .as("d2"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2"), col("clabel"))
+      d2.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("label"), col("clabel").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("predicted"))
+    },
+    Some("""
+      WITH ex AS (
+        SELECT vec_id, label, u.d AS dim,
+               CAST(ROUND(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT)
+                 AS xm
+        FROM embeddings,
+             LATERAL unnest([{'d': i - 1, 'x': embedding[i]}
+               for i in generate_series(1, len(embedding))]) AS t(u)),
+      cent AS (
+        SELECT label AS clabel, dim,
+               CAST(FLOOR(CAST(SUM(xm) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cm
+        FROM ex GROUP BY 1, 2),
+      d2 AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               CAST(SUM((e.xm - c.cm) * (e.xm - c.cm)) AS BIGINT)
+                 AS d2
+        FROM ex e JOIN cent c USING (dim)
+        GROUP BY 1, 2, 3),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY d2, clabel) AS rk
+        FROM d2)
+      SELECT label, clabel AS predicted, COUNT(*) AS n
+      FROM ranked WHERE rk = 1
+      GROUP BY label, clabel
+      ORDER BY label, predicted"""))
+
   val all: Seq[Q] = Seq(qSimTopkBrute, qSimLshTopk, qSimIvfTopk, qSimPqTopk,
     qSimIvfPqTopk, qSimIvfPqStored, qSimIvfPqAdmitted, qSimIvfPqRerank,
     qSimSqTopk, qSimKmeans, qSimIvfTrained, qSimHybridRrf, qSimHardNegatives,
     qSimFisher, qSimRecallEval, qSimKnnGraph, qSimMmr, qSimPca,
     qSimPurity, qSimOod, qSimSilhouette, qSimMatryoshka, qSimNdcg,
-    qSimCoreset)
+    qSimCoreset, qSimCentroidEval)
 }
