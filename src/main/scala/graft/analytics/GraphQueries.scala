@@ -1363,8 +1363,108 @@ object GraphQueries {
           FROM s3 w JOIN edges e ON e.src = w.n3) x WHERE rk = 1)
       SELECT seed, n1, n2, n3, n4 FROM s4 ORDER BY seed"""))
 
+  /** Weighted single-source shortest paths (bounded Bellman–Ford) —
+    * [[qGraphBfs]] counts HOPS; this weights each customer↔supplier
+    * edge by how weak the relationship is (cost = 10⁶ DIV
+    * co-order-count — frequent pairs are cheap to traverse, the
+    * standard co-occurrence→distance transform) and relaxes 4 rounds
+    * of min-plus from customer node 2·1: the "how related, and
+    * through whom" primitive behind supplier-substitution and
+    * entity-neighborhood queries where hop count is too coarse. A
+    * fixed horizon keeps the oracle an exactly-unrolled chain of
+    * min-plus CTEs (the [[qGraphPagerank]] gate discipline); the
+    * probe asserts the fixture CONVERGES inside it (round 4 changes
+    * nothing). All BIGINT: weights, path costs, min-plus.
+    *
+    * Scale shape: one distinct co-order rollup builds the weighted
+    * edge list (persisted, both directions); each relaxation is one
+    * node-keyed join+aggregate over the distance frame — the BFS
+    * cost envelope with a cost column along for the ride. Output:
+    * the 25 cheapest reachable nodes (deterministic tiebreak). */
+  val qGraphSssp = Q(
+    "q_graph_sssp",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val co = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .agg(count(lit(1)).as("n_co"))
+      val ed = co.select(col("c").as("src"), col("s").as("dst"),
+          expr("1000000 DIV n_co").as("w"))
+        .unionByName(co.select(col("s").as("src"), col("c").as("dst"),
+          expr("1000000 DIV n_co").as("w")))
+        .persist(MEMORY_AND_DISK)
+      var dist = ed.sparkSession.range(1)
+        .select(lit(2L).as("node"), lit(0L).as("cost"))
+      for (_ <- 1 to 4) {
+        dist = dist
+          .join(ed, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("cost") + col("w"))
+            .as("cost"))
+          .unionByName(dist.select(col("node"), col("cost")))
+          .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+          .localCheckpoint()
+      }
+      val res = dist.orderBy(col("cost"), col("node")).limit(25)
+        .agg(sort_array(collect_list(struct(col("cost"), col("node"))))
+          .as("ts"))
+        .select(posexplode(col("ts")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.node").as("node"), col("col.cost").as("cost"))
+        .orderBy(col("rank"))
+      graft.analytics.QueryScopedCache.releaseAfter(res, Seq(ed))
+    },
+    Some("""
+      WITH co AS (
+        SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+               COUNT(*) AS n_co
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      ed AS (
+        SELECT c AS src, s AS dst,
+               CAST(1000000 // n_co AS BIGINT) AS w FROM co
+        UNION ALL
+        SELECT s, c, CAST(1000000 // n_co AS BIGINT) FROM co),
+      d0 AS (SELECT CAST(2 AS BIGINT) AS node, CAST(0 AS BIGINT)
+               AS cost),
+      d1 AS (
+        SELECT node, MIN(cost) AS cost FROM (
+          SELECT e.dst AS node, d.cost + e.w AS cost
+          FROM d0 d JOIN ed e ON e.src = d.node
+          UNION ALL SELECT node, cost FROM d0) u
+        GROUP BY node),
+      d2 AS (
+        SELECT node, MIN(cost) AS cost FROM (
+          SELECT e.dst AS node, d.cost + e.w AS cost
+          FROM d1 d JOIN ed e ON e.src = d.node
+          UNION ALL SELECT node, cost FROM d1) u
+        GROUP BY node),
+      d3 AS (
+        SELECT node, MIN(cost) AS cost FROM (
+          SELECT e.dst AS node, d.cost + e.w AS cost
+          FROM d2 d JOIN ed e ON e.src = d.node
+          UNION ALL SELECT node, cost FROM d2) u
+        GROUP BY node),
+      d4 AS (
+        SELECT node, MIN(cost) AS cost FROM (
+          SELECT e.dst AS node, d.cost + e.w AS cost
+          FROM d3 d JOIN ed e ON e.src = d.node
+          UNION ALL SELECT node, cost FROM d3) u
+        GROUP BY node),
+      top AS (
+        SELECT node, cost,
+               ROW_NUMBER() OVER (ORDER BY cost, node) AS rank
+        FROM d4)
+      SELECT CAST(rank AS BIGINT) AS rank, node, cost
+      FROM top WHERE rank <= 25
+      ORDER BY rank"""))
+
   val all: Seq[Q] =
     Seq(qGraphPagerank, qGraphPpr, qGraphHits, qGraphTriangles, qGraphBfs,
       qGraphJaccard, qGraphAssortativity, qGraphKcore, qGraphLabelProp,
-      qGraphCloseness, qGraphModularity, qGraphWalks)
+      qGraphCloseness, qGraphModularity, qGraphWalks, qGraphSssp)
 }

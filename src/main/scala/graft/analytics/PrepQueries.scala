@@ -1772,6 +1772,60 @@ object PrepQueries {
       WHERE d.rk <= q.quota
       ORDER BY d.source, d.rk"""))
 
+  /** Context-length planning curve — the table a pretraining run
+    * reads before fixing max_seq_len: for each candidate context
+    * length, how many documents get truncated, what fraction of the
+    * corpus' tokens survives (Σ min(tokens, L) — truncation loss),
+    * and how many packed contexts the corpus fills under contiguous
+    * concatenation (⌈kept/L⌉). The grid {16, 32, 64, 128} matches the
+    * fixture's whitespace-token scale (median ≈ 50 — a production
+    * run passes 512…8192); tokens follow [[TextQueries.qTextTokens]]'
+    * whitespace convention. All exact integers + one rounded
+    * fraction: the decision between "longer contexts waste compute
+    * on padding/attention" and "shorter contexts truncate documents"
+    * becomes four auditable rows.
+    *
+    * Scale shape: one narrow corpus scan exploded ×4 (the candidate
+    * grid rides in-row), one bounded 4-group rollup — nothing else. */
+  val qPrepCtxCurve = Q(
+    "q_prep_ctx_curve",
+    (s, dir) =>
+      docs(s, dir)
+        .select(size(split(col("text"), " ")).cast("long").as("tok"))
+        .select(col("tok"), explode(expr(
+          "array(16L, 32L, 64L, 128L)")).as("ctx_len"))
+        .groupBy(col("ctx_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("tok") > col("ctx_len"), 1L).otherwise(0L))
+            .as("n_truncated"),
+          sum(col("tok")).as("tokens_total"),
+          sum(least(col("tok"), col("ctx_len"))).as("tokens_kept"))
+        .select(col("ctx_len"), col("n_docs"), col("n_truncated"),
+          col("tokens_total"), col("tokens_kept"),
+          round(col("tokens_kept").cast("double") /
+            col("tokens_total").cast("double"), 6).as("keep_frac"),
+          expr("(tokens_kept + ctx_len - 1) DIV ctx_len")
+            .as("contexts_needed"))
+        .orderBy(col("ctx_len")),
+    Some("""
+      WITH toks AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        FROM documents),
+      g AS (
+        SELECT tok, CAST(ctx_len AS BIGINT) AS ctx_len
+        FROM toks, (SELECT UNNEST([16, 32, 64, 128]) AS ctx_len))
+      SELECT ctx_len, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN tok > ctx_len THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_truncated,
+             CAST(SUM(tok) AS BIGINT) AS tokens_total,
+             CAST(SUM(LEAST(tok, ctx_len)) AS BIGINT) AS tokens_kept,
+             ROUND(CAST(SUM(LEAST(tok, ctx_len)) AS DOUBLE)
+               / CAST(SUM(tok) AS DOUBLE), 6) AS keep_frac,
+             (CAST(SUM(LEAST(tok, ctx_len)) AS BIGINT) + ctx_len - 1)
+               // ctx_len AS contexts_needed
+      FROM g GROUP BY ctx_len
+      ORDER BY ctx_len"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
@@ -1779,5 +1833,5 @@ object PrepQueries {
     qPrepPerplexity, qPrepBinning, qPrepEvalSample, qPrepPipeline,
     qPrepTemperature, qPrepCalibration, qPrepPadding, qPrepDpCount,
     qPrepKfold, qPrepKanon, qPrepRendezvous, qPrepWeightedSample,
-    qPrepQuota, qPrepQuotaSample)
+    qPrepQuota, qPrepQuotaSample, qPrepCtxCurve)
 }
