@@ -1997,6 +1997,71 @@ object EventQueries {
       FROM rolled CROSS JOIN tot
       ORDER BY channel"""))
 
+  /** Bot / automation screen by inter-arrival regularity — humans are
+    * bursty, schedulers are metronomes: per user, the coefficient of
+    * variation of inter-event gaps (in whole minutes), flagging users
+    * whose gaps are suspiciously regular (CV < 0.9 with ≥ 20 gaps —
+    * the fixture's gap CVs run 0.66…1.3 with median 0.97, so 0.9
+    * separates a real most-regular cohort; a scheduler sits near 0) —
+    * the traffic-quality filter a training-data pipeline runs before
+    * trusting engagement events. The flag is EXACT: CV² < 0.81 is
+    * cross-multiplied to 100·n·Σg² < 181·(Σg)² — pure BIGINT, no sqrt,
+    * no variance rounding (the [[RelationalQueries.qStatsRuns]]
+    * decision discipline); the readable mean/CV columns round once.
+    *
+    * Scale shape: ONE user-keyed exchange carries the lag window and
+    * the per-user rollup — bounded per-user state; minute units keep
+    * every moment far inside BIGINT (documented bound: gaps < 2³⁰
+    * minutes, n < 2¹⁰ per user). */
+  val qEventsBots = Q(
+    "q_events_bots",
+    (s, dir) => {
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          unix_micros(col("ts")).as("tsu"))
+        .withColumn("gap_min",
+          expr("(tsu - lag(tsu, 1) over (partition by user_id " +
+            "order by ts, event_id)) DIV 60000000"))
+        .filter(col("gap_min").isNotNull)
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap_min")).as("sg"),
+          sum(col("gap_min") * col("gap_min")).as("sg2"))
+        .filter(col("n_gaps") >= 20 && col("sg") > 0)
+        .select(col("user_id"), col("n_gaps"),
+          round(col("sg").cast("double") / col("n_gaps").cast("double"),
+            4).as("mean_gap_min"),
+          round(sqrt((col("n_gaps") * col("sg2") - col("sg") * col("sg"))
+            .cast("double")) / col("sg").cast("double"), 4).as("cv"),
+          (lit(100L) * col("n_gaps") * col("sg2") <
+            lit(181L) * col("sg") * col("sg")).as("is_regular"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH gaps AS (
+        SELECT user_id,
+               (epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id))
+                 // 60000000 AS gap_min
+        FROM events),
+      agg AS (
+        SELECT user_id, COUNT(*) AS n_gaps,
+               CAST(SUM(gap_min) AS BIGINT) AS sg,
+               CAST(SUM(gap_min * gap_min) AS BIGINT) AS sg2
+        FROM gaps WHERE gap_min IS NOT NULL
+        GROUP BY user_id)
+      SELECT user_id, n_gaps,
+             ROUND(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE), 4)
+               AS mean_gap_min,
+             ROUND(SQRT(CAST(n_gaps * sg2 - sg * sg AS DOUBLE))
+               / CAST(sg AS DOUBLE), 4) AS cv,
+             100 * n_gaps * sg2 < 181 * sg * sg AS is_regular
+      FROM agg
+      WHERE n_gaps >= 20 AND sg > 0
+      ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
     qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
     qEventsFunnelTime, qEventsDauWau, qEventsWauSketch,
@@ -2004,5 +2069,5 @@ object EventQueries {
     qEventsUplift, qEventsPower, qEventsMarkov, qEventsLifecycle,
     qEventsPattern, qEventsMau, qEventsAttributionPosition,
     qEventsPatternVar, qEventsSloBurn, qEventsStreak, qEventsThrottle,
-    qEventsLedger, qEventsAttributionDecay)
+    qEventsLedger, qEventsAttributionDecay, qEventsBots)
 }

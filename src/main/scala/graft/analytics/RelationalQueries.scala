@@ -6719,6 +6719,94 @@ object RelationalQueries {
                AS significant
       FROM agg ORDER BY o_orderpriority"""))
 
+  /** Partition-key advisor — the third layout planner next to
+    * [[qAggRle]] (sort keys) and [[qJoinOrderAdvisor]] (join order):
+    * for each candidate partition column of lineitem, report its
+    * cardinality (= partition count), the EXPECTED SCAN FRACTION of
+    * an equality-predicate query under value-weighted load
+    * (Σ nᵥ² / N² — the probability mass a random row's key shares),
+    * and the largest partition's share (skew). The advisor rule —
+    * the lowest expected scan fraction among candidates with a
+    * manageable partition count (ndv ≤ 4096) — is applied in-query
+    * and emitted as a flag. Everything is exact BIGINT except the
+    * two micro-rounded fractions.
+    *
+    * Scale shape: one (column, value) rollup per candidate (four
+    * narrow scans, map-side combined), then bounded per-candidate
+    * algebra; the one-row choice scalar rides a broadcast cross
+    * join. At 100 TB this runs on value-histogram metadata — the
+    * same decision, no full scans. */
+  val qAggPartitionAdvisor = Q(
+    "q_agg_partition_advisor",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def cand(name: String, c: Column) =
+        li.groupBy(c.as("v")).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("ndv"), sum(col("n")).as("nn"),
+            sum(col("n") * col("n")).as("sn2"), max(col("n")).as("mx"))
+          .select(lit(name).as("column_name"), col("ndv"), col("nn"),
+            col("sn2"), col("mx"))
+      val stats = cand("l_returnflag", col("l_returnflag"))
+        .unionByName(cand("l_linestatus", col("l_linestatus")))
+        .unionByName(cand("l_ship_month",
+          date_trunc("month", col("l_shipdate"))))
+        .unionByName(cand("l_suppkey_bucket", col("l_suppkey") % 64))
+        .select(col("column_name"), col("ndv"),
+          expr("(sn2 * 1000000) DIV (nn * nn)").as("scan_frac_micro"),
+          expr("(mx * 1000000) DIV nn").as("max_share_micro"))
+      val best = stats.filter(col("ndv") <= 4096)
+        .agg(min(col("scan_frac_micro")).as("best_frac"))
+      stats.crossJoin(broadcast(best))
+        .select(col("column_name"), col("ndv"),
+          col("scan_frac_micro"), col("max_share_micro"),
+          (col("ndv") <= 4096 &&
+            col("scan_frac_micro") === col("best_frac"))
+            .as("recommended"))
+        .orderBy(col("column_name"))
+    },
+    Some("""
+      WITH c1 AS (
+        SELECT 'l_returnflag' AS column_name, COUNT(*) AS ndv,
+               CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(n * n) AS BIGINT) AS sn2,
+               CAST(MAX(n) AS BIGINT) AS mx
+        FROM (SELECT l_returnflag AS v, COUNT(*) AS n
+              FROM lineitem GROUP BY 1)),
+      c2 AS (
+        SELECT 'l_linestatus', COUNT(*),
+               CAST(SUM(n) AS BIGINT), CAST(SUM(n * n) AS BIGINT),
+               CAST(MAX(n) AS BIGINT)
+        FROM (SELECT l_linestatus AS v, COUNT(*) AS n
+              FROM lineitem GROUP BY 1)),
+      c3 AS (
+        SELECT 'l_ship_month', COUNT(*),
+               CAST(SUM(n) AS BIGINT), CAST(SUM(n * n) AS BIGINT),
+               CAST(MAX(n) AS BIGINT)
+        FROM (SELECT date_trunc('month', l_shipdate) AS v, COUNT(*)
+                AS n
+              FROM lineitem GROUP BY 1)),
+      c4 AS (
+        SELECT 'l_suppkey_bucket', COUNT(*),
+               CAST(SUM(n) AS BIGINT), CAST(SUM(n * n) AS BIGINT),
+               CAST(MAX(n) AS BIGINT)
+        FROM (SELECT l_suppkey % 64 AS v, COUNT(*) AS n
+              FROM lineitem GROUP BY 1)),
+      stats AS (
+        SELECT column_name, ndv,
+               (sn2 * 1000000) // (nn * nn) AS scan_frac_micro,
+               (mx * 1000000) // nn AS max_share_micro
+        FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+              UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)),
+      best AS (
+        SELECT MIN(scan_frac_micro) AS best_frac
+        FROM stats WHERE ndv <= 4096)
+      SELECT s.column_name, s.ndv, s.scan_frac_micro,
+             s.max_share_micro,
+             s.ndv <= 4096 AND s.scan_frac_micro = b.best_frac
+               AS recommended
+      FROM stats s CROSS JOIN best b
+      ORDER BY s.column_name"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -6745,5 +6833,6 @@ object RelationalQueries {
     qSkylineSuppliers, qWindowIntervalUnion, qStatsSprt, qAggRle,
     qStatsQnorm, qStatsIsotonic, qAggRadixMedian, qWindowIntervalPack,
     qStatsConformal, qJoinOrderAdvisor, qStatsVoptHist, qTsDrawdown,
-    qHllSetops, qStatsMh, qStatsSegreg, qStatsRuns)
+    qHllSetops, qStatsMh, qStatsSegreg, qStatsRuns,
+    qAggPartitionAdvisor)
 }

@@ -371,7 +371,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q_sim_coreset",
       // q_stats_mh: the one-row pooled-odds scalar rides a cross
       // join into the 5-row strata frame (one-row-scalar pattern)
-      "q_stats_mh")
+      "q_stats_mh",
+      // q_agg_partition_advisor: the one-row argmin-fraction scalar
+      // rides a cross join into the 4-row candidate frame
+      // (one-row-scalar pattern over metadata-scale stats)
+      "q_agg_partition_advisor")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
