@@ -1826,6 +1826,51 @@ object PrepQueries {
       FROM g GROUP BY ctx_len
       ORDER BY ctx_len"""))
 
+  /** Epoch-seeded shuffle plan — multi-epoch training must visit the
+    * corpus in a DIFFERENT order each epoch while staying bit-
+    * reproducible on rerun: shard assignment is the first md5 byte of
+    * (doc_id ∥ '#e' ∥ epoch) mod 8, so each epoch is an independent
+    * deterministic permutation (epoch is IN the hash — rerunning
+    * epoch 2 always yields epoch 2's layout, and no epoch leaks the
+    * previous epoch's order, the failure mode of seed+offset
+    * schemes). Gated per (epoch, shard) by count AND the doc-id sum —
+    * the sum pins the exact assignment, not just the balance; the
+    * probe additionally measures cross-epoch shard stickiness
+    * (≈ 1/8 — epochs are actually independent).
+    *
+    * Scale shape: pure in-row hashing over one corpus scan exploded
+    * ×3 epochs, one bounded (epoch, shard) rollup — re-sharding
+    * never moves data until the trainer reads its shard. */
+  val qPrepEpochShuffle = Q(
+    "q_prep_epoch_shuffle",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(expr("array(1L, 2L, 3L)")).as("epoch"))
+        .select(col("epoch"), col("doc_id"),
+          (conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("#e"), col("epoch").cast("string"))), 1, 2), 16, 10)
+            .cast("long") % 8).as("shard"))
+        .groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_doc_id"))
+        .orderBy(col("epoch"), col("shard")),
+    Some("""
+      WITH a AS (
+        SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+               CAST((instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || '#e' ||
+                         CAST(epoch AS VARCHAR)), 1, 1)) - 1) * 16
+                  + instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || '#e' ||
+                         CAST(epoch AS VARCHAR)), 2, 1)) - 1
+                 AS BIGINT) % 8 AS shard
+        FROM documents, (SELECT UNNEST([1, 2, 3]) AS epoch))
+      SELECT epoch, shard, COUNT(*) AS n_docs,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+      FROM a GROUP BY epoch, shard
+      ORDER BY epoch, shard"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
@@ -1833,5 +1878,5 @@ object PrepQueries {
     qPrepPerplexity, qPrepBinning, qPrepEvalSample, qPrepPipeline,
     qPrepTemperature, qPrepCalibration, qPrepPadding, qPrepDpCount,
     qPrepKfold, qPrepKanon, qPrepRendezvous, qPrepWeightedSample,
-    qPrepQuota, qPrepQuotaSample, qPrepCtxCurve)
+    qPrepQuota, qPrepQuotaSample, qPrepCtxCurve, qPrepEpochShuffle)
 }

@@ -6807,6 +6807,50 @@ object RelationalQueries {
       FROM stats s CROSS JOIN best b
       ORDER BY s.column_name"""))
 
+  /** Runtime-bloom semi-join reduction, oracle-gated — puts
+    * [[graft.operators.BloomPrune]] (previously spec-only) under the
+    * differential gate: lineitem is PRUNED by a bloom filter built
+    * over the urgent orders' keys BEFORE the join, then joined and
+    * aggregated into monthly revenue. The oracle is the PLAIN join —
+    * the hash-match proves the prune LOSSLESS (a bloom has false
+    * positives, never false negatives, and the inner equi-join on
+    * the same keys absorbs the false positives), which is the entire
+    * correctness contract of runtime filter pushdown. The filter
+    * blob is engine-internal, so only the post-join result is gated;
+    * the pruning RATE is measured by the probe.
+    *
+    * Scale shape: one distributed pass builds the fixed-size filter
+    * (64 KB here, independent of build cardinality), the probe-side
+    * scan evaluates might_contain inside codegen, and the join that
+    * follows shuffles only surviving rows — the manual lever for
+    * build sides above Catalyst's auto-injection threshold. */
+  val qJoinBloomPrune = Q(
+    "q_join_bloom_prune",
+    (s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val pruned = graft.operators.BloomPrune.pruneByBloom(
+        li, urgent, expectedItems = 70000L, numBits = 524288L,
+        buildKeys = Seq(col("o_orderkey")),
+        probeKeys = Seq(col("l_orderkey")))
+      pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("month"))
+    },
+    Some("""
+      SELECT date_trunc('month', o_orderdate) AS month,
+             COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4)))
+               AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1 ORDER BY month"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -6834,5 +6878,5 @@ object RelationalQueries {
     qStatsQnorm, qStatsIsotonic, qAggRadixMedian, qWindowIntervalPack,
     qStatsConformal, qJoinOrderAdvisor, qStatsVoptHist, qTsDrawdown,
     qHllSetops, qStatsMh, qStatsSegreg, qStatsRuns,
-    qAggPartitionAdvisor)
+    qAggPartitionAdvisor, qJoinBloomPrune)
 }
