@@ -1871,6 +1871,78 @@ object PrepQueries {
       FROM a GROUP BY epoch, shard
       ORDER BY epoch, shard"""))
 
+  /** Deterministic source interleaving (stride scheduling) — the
+    * data-loader ORDER for mixture training: each source emits its
+    * k-th document at virtual time k/wₛ (wₛ = the source's share of
+    * corpus characters), so merging all sources by virtual time
+    * yields ONE stream in which every prefix carries each source in
+    * proportion to its weight — no RNG, no epoch drift, the lottery/
+    * stride scheduler from OS theory applied to data mixing. Virtual
+    * time is exact integer micro-ticks (k·10⁶·W DIV wₛ; ties break by
+    * source then rank), documents within a source are ordered by the
+    * '#il' md5 (independent of every other hash family). The gate
+    * pins the first 100 stream positions exactly; the probe checks
+    * prefix proportionality.
+    *
+    * Scale shape: one source-partitioned ranking window + an in-row
+    * tick expression + a global top-100 TakeOrdered (per-partition
+    * heaps — the stream ORDER is materialized lazily by consumers,
+    * never as a global sort). The weight table is the bounded
+    * [[qPrepQuota]] rollup, broadcast. */
+  val qPrepInterleave = Q(
+    "q_prep_interleave",
+    (s, dir) => {
+      val w = docs(s, dir).groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("w"))
+      val tot = w.agg(sum(col("w")).as("wtot"))
+      val wRk = Window.partitionBy(col("source"))
+        .orderBy(col("pri"), col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("pri",
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("#il"))), 1, 12), 16, 10).cast("long"))
+        .withColumn("rk", row_number().over(wRk).cast("long"))
+        .join(broadcast(w), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("rk"), col("doc_id"),
+          expr("(rk * 1000000 * wtot) DIV w").as("tick"))
+        .orderBy(col("tick"), col("source"), col("rk"))
+        .limit(100)
+        // positions via the bounded collect+posexplode pattern — a
+        // partition-less ranking window is banned by the plan audit
+        .agg(sort_array(collect_list(struct(col("tick"), col("source"),
+          col("rk"), col("doc_id")))).as("ts"))
+        .select(posexplode(col("ts")))
+        .select((col("pos") + 1).cast("long").as("pos"),
+          col("col.tick").as("tick"), col("col.source").as("source"),
+          col("col.rk").as("rk"), col("col.doc_id").as("doc_id"))
+        .orderBy(col("pos"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM w),
+      ranked AS (
+        SELECT d.doc_id, d.source,
+               CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+                 ORDER BY CAST(('0x' || SUBSTR(md5(CAST(d.doc_id
+                   AS VARCHAR) || '#il'), 1, 12)) AS BIGINT),
+                 d.doc_id) AS BIGINT) AS rk
+        FROM documents d),
+      ticked AS (
+        SELECT r.source, r.rk, r.doc_id,
+               (r.rk * 1000000 * t.wtot) // w.w AS tick
+        FROM ranked r JOIN w USING (source) CROSS JOIN tot t),
+      top AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY tick, source, rk)
+                 AS BIGINT) AS pos
+        FROM ticked)
+      SELECT pos, tick, source, rk, doc_id
+      FROM top WHERE pos <= 100
+      ORDER BY pos"""))
+
   val all: Seq[Q] = Seq(qPrepSplit, qPrepRedact, qPrepDecontam,
     qPrepDecontamBloom, qPrepChunk,
     qPrepShard, qPrepSample, qPrepMixture, qPrepTokenize, qPrepPack,
@@ -1878,5 +1950,6 @@ object PrepQueries {
     qPrepPerplexity, qPrepBinning, qPrepEvalSample, qPrepPipeline,
     qPrepTemperature, qPrepCalibration, qPrepPadding, qPrepDpCount,
     qPrepKfold, qPrepKanon, qPrepRendezvous, qPrepWeightedSample,
-    qPrepQuota, qPrepQuotaSample, qPrepCtxCurve, qPrepEpochShuffle)
+    qPrepQuota, qPrepQuotaSample, qPrepCtxCurve, qPrepEpochShuffle,
+    qPrepInterleave)
 }

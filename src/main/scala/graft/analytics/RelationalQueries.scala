@@ -6851,6 +6851,85 @@ object RelationalQueries {
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY 1 ORDER BY month"""))
 
+  /** Inverse-propensity-weighted adjusted difference — the
+    * continuous-outcome sibling of [[qStatsMh]] (which pools binary
+    * odds): when arm assignment is imbalanced ACROSS strata, the
+    * crude treatment−control mean difference confounds stratum mix
+    * with the effect; IPW reweights each stratum's arms to the
+    * stratum's size (the stratified estimator: Σₖ nₖ·(ȳₜₖ − ȳ꜀ₖ)/N)
+    * and reports it next to the crude difference. Per-stratum means
+    * are micro-floored exact integers ((Σy·10⁶) DIV n — the
+    * documented convention), the stratum weighting is BIGINT, and
+    * the two output differences each divide once. Strata = event
+    * types, arm = user parity, outcome = cents.
+    *
+    * Scale shape: ONE (stratum, arm) rollup (10 rows), bounded-frame
+    * algebra, the one-row total scalar on a broadcast cross join. */
+  val qStatsIpw = Q(
+    "q_stats_ipw",
+    (s, dir) => {
+      val cells = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          (col("user_id") % 2 === 0).as("treated"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sy"))
+        .withColumn("mean_micro", expr("(sy * 1000000) DIV n"))
+      val strata = cells.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_stratum"),
+          max(when(col("treated"), col("mean_micro"))).as("mt"),
+          max(when(!col("treated"), col("mean_micro"))).as("mc"),
+          max(when(col("treated"), col("n"))).as("nt"),
+          max(when(!col("treated"), col("n"))).as("nc"))
+      val tot = strata.agg(sum(col("n_stratum")).as("nn"),
+        sum(col("n_stratum") * (col("mt") - col("mc"))).as("wdiff"),
+        sum(col("nt") * col("mt")).as("syt"), sum(col("nt")).as("snt"),
+        sum(col("nc") * col("mc")).as("syc"), sum(col("nc")).as("snc"))
+      strata.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_stratum"), col("nt"),
+          col("nc"), col("mt"), col("mc"),
+          round(col("wdiff").cast("double") / col("nn").cast("double")
+            / 1000000.0, 6).as("ate_ipw"),
+          round((col("syt").cast("double") / col("snt").cast("double")
+            - col("syc").cast("double") / col("snc").cast("double"))
+            / 1000000.0, 6).as("diff_crude"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT event_type, user_id % 2 = 0 AS treated,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                 AS BIGINT) AS sy
+        FROM events GROUP BY 1, 2),
+      m AS (
+        SELECT event_type, treated, n,
+               (sy * 1000000) // n AS mean_micro
+        FROM cells),
+      strata AS (
+        SELECT event_type,
+               CAST(SUM(n) AS BIGINT) AS n_stratum,
+               MAX(CASE WHEN treated THEN mean_micro END) AS mt,
+               MAX(CASE WHEN NOT treated THEN mean_micro END) AS mc,
+               MAX(CASE WHEN treated THEN n END) AS nt,
+               MAX(CASE WHEN NOT treated THEN n END) AS nc
+        FROM m GROUP BY event_type),
+      tot AS (
+        SELECT CAST(SUM(n_stratum) AS BIGINT) AS nn,
+               CAST(SUM(n_stratum * (mt - mc)) AS BIGINT) AS wdiff,
+               CAST(SUM(nt * mt) AS BIGINT) AS syt,
+               CAST(SUM(nt) AS BIGINT) AS snt,
+               CAST(SUM(nc * mc) AS BIGINT) AS syc,
+               CAST(SUM(nc) AS BIGINT) AS snc
+        FROM strata)
+      SELECT s.event_type, s.n_stratum, s.nt, s.nc, s.mt, s.mc,
+             ROUND(CAST(t.wdiff AS DOUBLE) / CAST(t.nn AS DOUBLE)
+               / 1000000.0, 6) AS ate_ipw,
+             ROUND((CAST(t.syt AS DOUBLE) / CAST(t.snt AS DOUBLE)
+               - CAST(t.syc AS DOUBLE) / CAST(t.snc AS DOUBLE))
+               / 1000000.0, 6) AS diff_crude
+      FROM strata s CROSS JOIN tot t
+      ORDER BY s.event_type"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -6878,5 +6957,5 @@ object RelationalQueries {
     qStatsQnorm, qStatsIsotonic, qAggRadixMedian, qWindowIntervalPack,
     qStatsConformal, qJoinOrderAdvisor, qStatsVoptHist, qTsDrawdown,
     qHllSetops, qStatsMh, qStatsSegreg, qStatsRuns,
-    qAggPartitionAdvisor, qJoinBloomPrune)
+    qAggPartitionAdvisor, qJoinBloomPrune, qStatsIpw)
 }

@@ -375,7 +375,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_agg_partition_advisor: the one-row argmin-fraction scalar
       // rides a cross join into the 4-row candidate frame
       // (one-row-scalar pattern over metadata-scale stats)
-      "q_agg_partition_advisor")
+      "q_agg_partition_advisor",
+      // q_prep_interleave: the one-row corpus-weight total rides a
+      // cross join into the ranked stream (one-row-scalar pattern)
+      "q_prep_interleave",
+      // q_stats_ipw: the one-row pooled-estimator scalar rides a
+      // cross join into the 5-row strata frame (one-row-scalar
+      // pattern, the q_stats_mh shape)
+      "q_stats_ipw")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
