@@ -6930,6 +6930,168 @@ object RelationalQueries {
       FROM strata s CROSS JOIN tot t
       ORDER BY s.event_type"""))
 
+  /** Input rows for the Holt smoother's typed scan. */
+  private[analytics] case class HoltIn(g: String, x: Long, y: Long)
+  private[analytics] case class HoltOut(
+      g: String, n_months: Long, level_c: Long, trend_c: Long,
+      f1_c: Long, f2_c: Long, f3_c: Long)
+
+  /** Holt double exponential smoothing — [[qTsEwma]] tracks LEVEL
+    * only and lags any trending series by construction; Holt carries
+    * a second TREND state (α = β = ¼): lₜ = ⌊(yₜ + 3(lₜ₋₁+bₜ₋₁))/4⌋,
+    * bₜ = ⌊((lₜ−lₜ₋₁) + 3bₜ₋₁)/4⌋, forecast h steps out = l + h·b —
+    * the capacity-forecast workhorse between naive EWMA and the
+    * seasonal backtest ([[qTsForecast]]). The recurrence feeds its
+    * own output (two coupled states), so the engine runs the
+    * secondary-sort pattern with TWO longs of state per series and
+    * the oracle steps the identical recurrence in a recursive CTE —
+    * with TRUNCATING division on both sides (Java `/` in the scan ≡
+    * DuckDB's `//`, both toward zero — measured, not assumed: DuckDB
+    * -7 // 4 = -1; a floorDiv on one side would diverge the moment a
+    * trend goes negative). All BIGINT kilodollars.
+    *
+    * Scale shape: one (series, month) rollup, one series-keyed
+    * exchange, one ordered O(1)-state pass; oracle recursion depth =
+    * months per series (bounded at the gate SFs; the ENGINE never
+    * depends on it). */
+  val qTsHolt = Q(
+    "q_ts_holt",
+    (s, dir) => {
+      import s.implicits._
+      val monthly = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("g"),
+          ((year(col("o_orderdate")) - 1992) * 12 +
+            month(col("o_orderdate")) - 1).cast("long").as("x"))
+        .agg(sum(round(col("o_totalprice") / 1000).cast("long"))
+          .as("y"))
+      monthly.repartition(col("g"))
+        .sortWithinPartitions(col("g"), col("x"))
+        .as[HoltIn]
+        .mapPartitions { it =>
+          var cur: String = null
+          var l = 0L; var b = 0L; var n = 0L; var started = false
+          def out = HoltOut(cur, n, l, b, l + b, l + 2 * b, l + 3 * b)
+          (it.map(Some(_)) ++ Iterator(None)).flatMap {
+            case None =>
+              if (started) Iterator.single(out) else Iterator.empty
+            case Some(r) =>
+              val flush =
+                if (started && r.g != cur) Iterator.single(out)
+                else Iterator.empty
+              if (!started || r.g != cur) {
+                cur = r.g; l = r.y; b = 0L; n = 1L; started = true
+              } else {
+                val lp = l
+                l = (r.y + 3L * (l + b)) / 4L
+                b = ((l - lp) + 3L * b) / 4L
+                n += 1L
+              }
+              flush
+          }
+        }
+        .toDF()
+        .orderBy(col("g"))
+    },
+    Some("""
+      WITH RECURSIVE monthly AS (
+        SELECT o_orderpriority AS g,
+               CAST((year(o_orderdate) - 1992) * 12
+                 + month(o_orderdate) - 1 AS BIGINT) AS x,
+               CAST(SUM(CAST(ROUND(o_totalprice / 1000) AS BIGINT))
+                 AS BIGINT) AS y,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                 ORDER BY CAST((year(o_orderdate) - 1992) * 12
+                   + month(o_orderdate) - 1 AS BIGINT)) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS nm
+        FROM orders GROUP BY 1, 2),
+      walk AS (
+        SELECT g, rn, nm, y AS l, CAST(0 AS BIGINT) AS b
+        FROM monthly WHERE rn = 1
+        UNION ALL
+        SELECT m.g, m.rn, m.nm,
+               (m.y + 3 * (w.l + w.b)) // 4,
+               (((m.y + 3 * (w.l + w.b)) // 4) - w.l + 3 * w.b) // 4
+        FROM walk w JOIN monthly m
+          ON m.g = w.g AND m.rn = w.rn + 1)
+      SELECT g, CAST(nm AS BIGINT) AS n_months, l AS level_c,
+             b AS trend_c, l + b AS f1_c, l + 2 * b AS f2_c,
+             l + 3 * b AS f3_c
+      FROM walk WHERE rn = nm
+      ORDER BY g"""))
+
+  /** Peak concurrency of validity intervals — where
+    * [[qWindowIntervalUnion]] measures TOTAL covered time, this
+    * measures PEAK LOAD: sweep each priority's fulfillment windows as
+    * +1/−1 events in time order and take the running sum's maximum —
+    * "how many orders were in flight at the worst moment", the
+    * capacity-planning primitive (max concurrent sessions, license
+    * peaks, staffing). Classic sweep-line as ONE window: a +1 at
+    * each start, a −1 at each end (day resolution, [st, en) so an
+    * end and a start on the same day DON'T overlap — ends sort
+    * first), running sum, max + earliest argmax day. All integers.
+    *
+    * Scale shape: one explode (2 rows per interval), ONE
+    * priority-keyed exchange carrying the running sum and the argmax
+    * ranking. */
+  val qWindowConcurrencyPeak = Q(
+    "q_window_concurrency_peak",
+    (s, dir) => {
+      val iv = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long").as("st"),
+          (datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long") +
+            substring(col("o_orderpriority"), 1, 1).cast("long") * 7)
+            .as("en"))
+      val ev = iv.select(col("g"), col("st").as("day"), lit(1L)
+          .as("delta"))
+        .unionByName(iv.select(col("g"), col("en").as("day"),
+          lit(-1L).as("delta")))
+        .groupBy(col("g"), col("day"))
+        .agg(sum(col("delta")).as("d"))
+      val wSeq = Window.partitionBy(col("g")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPick = Window.partitionBy(col("g"))
+        .orderBy(col("conc").desc, col("day"))
+      ev.withColumn("conc", sum(col("d")).over(wSeq))
+        .withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("g").as("o_orderpriority"),
+          col("day").as("peak_day"), col("conc").as("peak_concurrent"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      WITH iv AS (
+        SELECT o_orderpriority AS g,
+               DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+                 AS st,
+               DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+                 + CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) * 7
+                 AS en
+        FROM orders),
+      ev AS (
+        SELECT g, day, CAST(SUM(delta) AS BIGINT) AS d FROM (
+          SELECT g, st AS day, 1 AS delta FROM iv
+          UNION ALL
+          SELECT g, en AS day, -1 AS delta FROM iv) u
+        GROUP BY g, day),
+      walked AS (
+        SELECT g, day,
+               CAST(SUM(d) OVER (PARTITION BY g ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS conc
+        FROM ev),
+      ranked AS (
+        SELECT g, day, conc,
+               ROW_NUMBER() OVER (PARTITION BY g
+                 ORDER BY conc DESC, day) AS rk
+        FROM walked)
+      SELECT g AS o_orderpriority, day AS peak_day,
+             conc AS peak_concurrent
+      FROM ranked WHERE rk = 1
+      ORDER BY o_orderpriority"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -6957,5 +7119,6 @@ object RelationalQueries {
     qStatsQnorm, qStatsIsotonic, qAggRadixMedian, qWindowIntervalPack,
     qStatsConformal, qJoinOrderAdvisor, qStatsVoptHist, qTsDrawdown,
     qHllSetops, qStatsMh, qStatsSegreg, qStatsRuns,
-    qAggPartitionAdvisor, qJoinBloomPrune, qStatsIpw)
+    qAggPartitionAdvisor, qJoinBloomPrune, qStatsIpw, qTsHolt,
+    qWindowConcurrencyPeak)
 }
