@@ -7092,6 +7092,136 @@ object RelationalQueries {
       FROM ranked WHERE rk = 1
       ORDER BY o_orderpriority"""))
 
+  /** Statistical MODE per group — the one classical aggregate the
+    * family still lacked (exact percentile, median, MAD, and moments
+    * all exist): the most frequent quantity per return flag, ties
+    * broken toward the smallest value so the answer is total. Two
+    * hash aggregates + one group-partitioned ranking window — the
+    * exact-mode plan that scales (the naive approach collects value
+    * lists). Also reports the runner-up and the mode's share, which
+    * is what makes mode useful as a data-quality signal (a dominant
+    * mode ⇒ a default-valued column). */
+  val qAggMode = Q(
+    "q_agg_mode",
+    (s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          round(col("l_quantity")).cast("long").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("v"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      counts
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .filter(col("rk") <= 2)
+        .groupBy(col("l_returnflag"))
+        .agg(max(when(col("rk") === 1, col("v"))).as("mode_v"),
+          max(when(col("rk") === 1, col("cnt"))).as("mode_n"),
+          max(when(col("rk") === 2, col("v"))).as("runner_up_v"),
+          max(col("n")).as("n_rows"))
+        .select(col("l_returnflag"), col("mode_v"), col("mode_n"),
+          col("runner_up_v"), col("n_rows"),
+          round(col("mode_n").cast("double") /
+            col("n_rows").cast("double"), 6).as("mode_share"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS v,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2),
+      ranked AS (
+        SELECT l_returnflag, v, cnt,
+               CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                 ORDER BY cnt DESC, v) AS BIGINT) AS rk,
+               CAST(SUM(cnt) OVER (PARTITION BY l_returnflag)
+                 AS BIGINT) AS n
+        FROM counts)
+      SELECT l_returnflag,
+             MAX(CASE WHEN rk = 1 THEN v END) AS mode_v,
+             MAX(CASE WHEN rk = 1 THEN cnt END) AS mode_n,
+             MAX(CASE WHEN rk = 2 THEN v END) AS runner_up_v,
+             MAX(n) AS n_rows,
+             ROUND(CAST(MAX(CASE WHEN rk = 1 THEN cnt END) AS DOUBLE)
+               / CAST(MAX(n) AS DOUBLE), 6) AS mode_share
+      FROM ranked WHERE rk <= 2
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  /** Order→ship lead time — the logistics latency readout: days from
+    * order placement to each line's ship date, per priority class:
+    * count, exact mean (micro), exact LOWER-MEDIAN order statistic,
+    * and the p95 rank statistic — the SLA table that tells whether
+    * priority classes actually ship faster. One fact-to-dimension
+    * join (orders broadcast-ready), day arithmetic in exact integers,
+    * order statistics via priority-partitioned ranked windows.
+    *
+    * Scale shape: one join keyed on orderkey (Catalyst picks SMJ or
+    * broadcast by size), ONE priority-keyed exchange carrying both
+    * rank picks; at 100 TB the exact medians swap for the
+    * [[qAggRadixMedian]] two-pass plan — same answers, no ranking
+    * window. */
+  val qJoinLeadTime = Q(
+    "q_join_lead_time",
+    (s, dir) => {
+      val lead = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("g"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("days"), col("l_orderkey"), col("l_shipdate"))
+      val wRk = Window.partitionBy(col("g"))
+        .orderBy(col("days"), col("l_orderkey"), col("l_shipdate"))
+      val wAll = Window.partitionBy(col("g"))
+      lead
+        .withColumn("rk", row_number().over(wRk).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("sd", sum(col("days")).over(wAll))
+        .filter(col("rk") === expr("(n + 1) DIV 2") ||
+          col("rk") === expr("(n * 19 + 19) DIV 20"))
+        .groupBy(col("g"))
+        .agg(max(col("n")).as("n_lines"),
+          max(col("sd")).as("sd"),
+          max(when(col("rk") === expr("(n + 1) DIV 2"), col("days")))
+            .as("median_days"),
+          max(when(col("rk") === expr("(n * 19 + 19) DIV 20"),
+            col("days"))).as("p95_days"))
+        .select(col("g").as("o_orderpriority"), col("n_lines"),
+          round(col("sd").cast("double") / col("n_lines").cast("double"),
+            6).as("mean_days"),
+          col("median_days"), col("p95_days"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      WITH lead AS (
+        SELECT o_orderpriority AS g,
+               DATE_DIFF('day', o_orderdate, l_shipdate) AS days,
+               l_orderkey, l_shipdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ranked AS (
+        SELECT g, days,
+               CAST(ROW_NUMBER() OVER (PARTITION BY g
+                 ORDER BY days, l_orderkey, l_shipdate) AS BIGINT)
+                 AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+               CAST(SUM(days) OVER (PARTITION BY g) AS BIGINT) AS sd
+        FROM lead)
+      SELECT g AS o_orderpriority, MAX(n) AS n_lines,
+             ROUND(CAST(MAX(sd) AS DOUBLE) / CAST(MAX(n) AS DOUBLE),
+               6) AS mean_days,
+             MAX(CASE WHEN rk = (n + 1) // 2 THEN days END)
+               AS median_days,
+             MAX(CASE WHEN rk = (n * 19 + 19) // 20 THEN days END)
+               AS p95_days
+      FROM ranked
+      WHERE rk = (n + 1) // 2 OR rk = (n * 19 + 19) // 20
+      GROUP BY g
+      ORDER BY o_orderpriority"""))
+
   /** Registry consumed by SparkEntry. */
   val all: Seq[Q] = Seq(
     qAggPricing, qDistinctAgg, qAggStats, qSubqueries, qSubqueryCorrelated, qRollup,
@@ -7120,5 +7250,5 @@ object RelationalQueries {
     qStatsConformal, qJoinOrderAdvisor, qStatsVoptHist, qTsDrawdown,
     qHllSetops, qStatsMh, qStatsSegreg, qStatsRuns,
     qAggPartitionAdvisor, qJoinBloomPrune, qStatsIpw, qTsHolt,
-    qWindowConcurrencyPeak)
+    qWindowConcurrencyPeak, qAggMode, qJoinLeadTime)
 }
