@@ -1900,20 +1900,37 @@ object RelationalQueries {
     * Pearson discipline verbatim: exact BIGINT/DECIMAL sums, ONE
     * double combination with an identical op tree, round 6.
     *
-    * Scale shape: two partitioned rank windows (one sort each per
-    * group) feed one map-side-combined aggregate — same cost class as
-    * the MAD query's ranked passes. */
+    * Scale shape: no `l_returnflag`-partitioned rank window over raw
+    * lineitem rows (the round-9 plan-audit finding: a 3-reducer
+    * funnel at 100× scale). Quantity's domain is bounded by the
+    * generator (~50 distinct values), so its min-ranks fall out of
+    * the tiny (g, x)-count frame via a bounded broadcast theta join —
+    * no sort anywhere. Price min-ranks ride
+    * [[graft.operators.OrderStatistics.groupRowRanks]] — the
+    * range-partitioned distributed rank (TeraSort shape, spreads
+    * over ALL partitions) — CARRYING x as the payload, so pairing
+    * (rx, ry) per row needs only a broadcast of the tiny x-rank
+    * table, never a corpus-scale join-back. One map-side-combined
+    * aggregate finishes. */
   val qStatsSpearman = Q(
     "q_stats_spearman",
     (s, dir) => {
       val m = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
         expr("cast(round(l_quantity * 100) as bigint)").as("x"),
         expr("cast(round(l_extendedprice * 100) as bigint)").as("y"))
-      val rx = rank().over(
-        Window.partitionBy(col("g")).orderBy(col("x"))).cast("long")
-      val ry = rank().over(
-        Window.partitionBy(col("g")).orderBy(col("y"))).cast("long")
-      val ranked = m.select(col("g"), rx.as("rx"), ry.as("ry"))
+      val gx = m.groupBy(col("g"), col("x")).agg(count(lit(1)).as("c"))
+      val rxT = gx.as("a")
+        .join(broadcast(gx.as("b")),
+          col("a.g") === col("b.g") && col("b.x") < col("a.x"), "left")
+        .groupBy(col("a.g"), col("a.x"))
+        .agg((coalesce(sum(col("b.c")), lit(0L)) + lit(1L)).as("rx"))
+        .select(col("a.g").as("g"), col("a.x").as("x"), col("rx"))
+      val ranked = graft.operators.OrderStatistics
+        .groupRowRanks(m.select(col("g"), col("y").as("v"),
+          col("x").as("p")), minRank = true)
+        .select(col("g"), col("p").as("x"), col("rk").as("ry"))
+        .join(broadcast(rxT), Seq("g", "x"))
+        .select(col("g"), col("rx"), col("ry"))
       val sums = ranked.groupBy(col("g")).agg(
         count(lit(1)).as("n"),
         sum(expr("cast(rx as decimal(25,0))")).as("sx"),
@@ -2323,39 +2340,36 @@ object RelationalQueries {
     * median — exact, no interpolation, no float), so every cell is
     * hash-stable by construction.
     *
-    * Scale shape: two ranked window passes over the group (median,
-    * then deviation median) + one broadcast of the 3-row median
-    * table; ranking is the unavoidable cost of EXACT medians — the
-    * approximate path for when 1e-2 relative error is acceptable is
-    * [[qQuantileSketch]]'s GK sketch. */
+    * Scale shape: both EXACT medians ride
+    * [[graft.operators.OrderStatistics.radixLowerMedian]] — the
+    * two-pass radix-histogram core (bucket counts per group, then an
+    * exact walk inside the one crossing bucket), so no ranked window
+    * ever sees a raw fact row: a `l_returnflag`-partitioned rank
+    * would funnel the whole table into 3 reducers at 100× scale
+    * (the round-9 plan-audit finding; the pre-fix window plan is the
+    * small-data convenience, not a necessity). The 3-row median/MAD
+    * tables broadcast back; the approximate path for when 1e-2
+    * relative error is acceptable is [[qQuantileSketch]]'s GK
+    * sketch. */
   val qStatsMad = Q(
     "q_stats_mad",
     (s, dir) => {
       val x = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
         expr("cast(round(l_extendedprice * 100) as bigint)").as("x"))
-      def lowerMedian(df: DataFrame, vcol: String): DataFrame = {
-        val w = Window.partitionBy(col("g")).orderBy(col(vcol))
-        val wg = Window.partitionBy(col("g"))
-        df.withColumn("rn", row_number().over(w).cast("long"))
-          .withColumn("cnt", count(lit(1)).over(wg))
-          // integer division — Column./ on longs is DOUBLE division
-          .filter(expr("rn = (cnt + 1) div 2"))
-          .select(col("g"), col(vcol).as("med"))
-      }
-      val med = lowerMedian(x, "x")
-      // dev is consumed twice (the MAD ranking pass AND the outlier
-      // aggregate) but deliberately NOT persisted: both consumers sit
-      // above the same window-sort exchanges, which Spark's exchange
-      // reuse already shares — an explicit MEMORY_AND_DISK persist
-      // was A/B'd at sf0.1 and LOST (2.13 s unpersisted vs 2.72 s
-      // persisted, same load band): it pays row materialization for
-      // work the reused exchange never repeats.
-      val dev = x.join(med, "g")
+      val med = graft.operators.OrderStatistics
+        .radixLowerMedian(x.select(col("g"), col("x").as("c")))
+        .select(col("g"), col("med"))
+      // dev is consumed twice (the MAD radix passes AND the outlier
+      // aggregate) but deliberately NOT persisted: it is one
+      // narrow projection over the scan + a 3-row broadcast join —
+      // recomputing it is cheaper than materializing N rows.
+      val dev = x.join(broadcast(med), "g")
         .select(col("g"), col("x"), col("med"),
           abs(col("x") - col("med")).as("adev"))
-      val mad = lowerMedian(dev.select(col("g"), col("adev")), "adev")
-        .withColumnRenamed("med", "mad")
-      dev.join(mad, "g")
+      val mad = graft.operators.OrderStatistics
+        .radixLowerMedian(dev.select(col("g"), col("adev").as("c")))
+        .select(col("g"), col("med").as("mad"))
+      dev.join(broadcast(mad), "g")
         .groupBy(col("g"))
         .agg(count(lit(1)).as("n"),
           max(col("med")).as("median_cents"),
@@ -5447,24 +5461,32 @@ object RelationalQueries {
     * normalized cents, proving the whole mapped distribution (not
     * just a summary moment) agrees.
     *
-    * Scale shape: ranks are stream-partitioned windows (one
-    * exchange); the mapping join is an equi-join on the reference
-    * rank index (reference side 1/5 of events here; at 100 TB the
-    * reference would be a GK-sketch quantile table — [[
-    * qQuantileSketch]] — making this side tiny/broadcast); the
-    * decile rollup reuses stream keys. */
+    * Scale shape: within-stream row_number (ordered by cents with
+    * the event_id tiebreak) rides
+    * [[graft.operators.OrderStatistics.groupRowRanks]] — the
+    * range-partitioned distributed rank (TeraSort shape: ONE
+    * exchange spread over ALL partitions; a 5-value
+    * `event_type`-partitioned row_number over raw events was the
+    * round-9 plan-audit finding: a ≤5-reducer funnel at 100×
+    * scale). Per-stream totals are a 5-row broadcast. The mapping
+    * join is an equi-join on the reference rank index (reference
+    * side 1/5 of events here; at 100 TB the reference would be a
+    * GK-sketch quantile table — [[qQuantileSketch]] — making this
+    * side tiny/broadcast); the decile rollup reuses stream keys. */
   val qStatsQnorm = Q(
     "q_stats_qnorm",
     (s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("event_type"), col("event_id"),
           round(col("value") * 100).cast("long").as("cents"))
-      val wRk = Window.partitionBy(col("event_type"))
-        .orderBy(col("cents"), col("event_id"))
-      val wN = Window.partitionBy(col("event_type"))
-      val ranked = ev
-        .withColumn("r", row_number().over(wRk).cast("long"))
-        .withColumn("n", count(lit(1)).over(wN))
+      val sn = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val ranked = graft.operators.OrderStatistics
+        .groupRowRanks(ev.select(col("event_type").as("g"),
+          col("cents").as("v"), col("event_id").as("p")),
+          minRank = false)
+        .select(col("g").as("event_type"), col("v").as("cents"),
+          col("rk").as("r"))
+        .join(broadcast(sn), Seq("event_type"))
       val ref = ranked.filter(col("event_type") === "view")
         .select(col("r").as("ref_r"), col("cents").as("ref_cents"),
           col("n").as("ref_n"))
@@ -5656,10 +5678,13 @@ object RelationalQueries {
       ORDER BY l_returnflag, b.bin"""))
 
   /** Exact distributed median WITHOUT a global sort — the two-pass
-    * radix-histogram plan: pass 1 counts 65536-wide cent buckets per
-    * group and locates the bucket where the cumulative count crosses
-    * the median rank ⌈n/2⌉; pass 2 re-scans ONLY that bucket's rows
-    * and walks exact cent counts to the remaining rank. This is how a
+    * radix-histogram plan, now the shared
+    * [[graft.operators.OrderStatistics.radixLowerMedian]] core
+    * (factored out in round 10 so [[qStatsMad]] and friends ride the
+    * same plan): pass 1 counts 65536-wide cent buckets per group and
+    * locates the bucket where the cumulative count crosses the median
+    * rank ⌈n/2⌉; pass 2 re-scans ONLY that bucket's rows and walks
+    * exact cent counts to the remaining rank. This is how a
     * 1000-executor cluster takes an exact per-group median of 100 TB:
     * two narrow scans plus two BOUNDED-frame cumulative walks (≤ 840
     * bucket rows, then ≤ 65536 cent rows), never a per-group sort of
@@ -5675,34 +5700,9 @@ object RelationalQueries {
       val o = t(s, dir, "orders")
         .select(col("o_orderpriority").as("g"),
           round(col("o_totalprice") * 100).cast("long").as("c"))
-      val wB = Window.partitionBy(col("g")).orderBy(col("b1"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // pass 1: bucket histogram + crossing bucket per group
-      val h1 = o.groupBy(col("g"), (col("c") / 65536).cast("long")
-          .as("b1"))
-        .agg(count(lit(1)).as("bn"))
-      val tgt = h1
-        .withColumn("cum", sum(col("bn")).over(wB))
-        .withColumn("n", sum(col("bn")).over(Window.partitionBy(col("g"))))
-        .withColumn("k", expr("(n + 1) DIV 2"))
-        .filter(col("cum") >= col("k") &&
-          col("cum") - col("bn") < col("k"))
-        .select(col("g").as("tg"), col("b1").as("tb"), col("n"),
-          (col("k") - (col("cum") - col("bn"))).as("k2"))
-      // pass 2: exact cent walk inside the one crossing bucket
-      val wC = Window.partitionBy(col("g")).orderBy(col("c"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      o.join(broadcast(tgt), col("g") === col("tg") &&
-          (col("c") / 65536).cast("long") === col("tb"))
-        .select(col("g"), col("c"), col("n"), col("k2"))
-        .groupBy(col("g"), col("c"))
-        .agg(count(lit(1)).as("cn"), max(col("n")).as("n"),
-          max(col("k2")).as("k2"))
-        .withColumn("cum2", sum(col("cn")).over(wC))
-        .filter(col("cum2") >= col("k2") &&
-          col("cum2") - col("cn") < col("k2"))
+      graft.operators.OrderStatistics.radixLowerMedian(o)
         .select(col("g").as("o_orderpriority"), col("n"),
-          col("c").as("median_c"))
+          col("med").as("median_c"))
         .orderBy(col("o_orderpriority"))
     },
     Some("""
@@ -7154,14 +7154,21 @@ object RelationalQueries {
     * count, exact mean (micro), exact LOWER-MEDIAN order statistic,
     * and the p95 rank statistic — the SLA table that tells whether
     * priority classes actually ship faster. One fact-to-dimension
-    * join (orders broadcast-ready), day arithmetic in exact integers,
-    * order statistics via priority-partitioned ranked windows.
+    * join (orders broadcast-ready), day arithmetic in exact integers.
     *
     * Scale shape: one join keyed on orderkey (Catalyst picks SMJ or
-    * broadcast by size), ONE priority-keyed exchange carrying both
-    * rank picks; at 100 TB the exact medians swap for the
-    * [[qAggRadixMedian]] two-pass plan — same answers, no ranking
-    * window. */
+    * broadcast by size), then ONE (priority, days) rollup — lead
+    * times are a SMALL-DOMAIN integer (TPC-H ships within ~4 months),
+    * so the exact median and p95 both fall out of a cumulative walk
+    * over the ≤ 5×~125-row histogram: map-side-combined counts, a
+    * bounded-frame window, never a rank over raw join output (the
+    * pre-round-10 plan ranked the full fact join in one 5-value
+    * priority window — a ≤5-reducer funnel at 100× scale, the
+    * round-9 plan-audit finding). The oracle keeps the naive
+    * ROW_NUMBER definition, so the gate certifies histogram ≡ rank.
+    * For wide/unbounded value domains the same swap is
+    * [[graft.operators.OrderStatistics.radixLowerMedian]]'s two-pass
+    * radix walk. */
   val qJoinLeadTime = Q(
     "q_join_lead_time",
     (s, dir) => {
@@ -7173,23 +7180,28 @@ object RelationalQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderpriority").as("g"),
           datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
-            .as("days"), col("l_orderkey"), col("l_shipdate"))
-      val wRk = Window.partitionBy(col("g"))
-        .orderBy(col("days"), col("l_orderkey"), col("l_shipdate"))
+            .as("days"))
+      val hist = lead.groupBy(col("g"), col("days"))
+        .agg(count(lit(1)).as("cnt"))
+      val wC = Window.partitionBy(col("g")).orderBy(col("days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy(col("g"))
-      lead
-        .withColumn("rk", row_number().over(wRk).cast("long"))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .withColumn("sd", sum(col("days")).over(wAll))
-        .filter(col("rk") === expr("(n + 1) DIV 2") ||
-          col("rk") === expr("(n * 19 + 19) DIV 20"))
+      hist
+        .withColumn("cum", sum(col("cnt")).over(wC))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .withColumn("sd", sum(col("days") * col("cnt")).over(wAll))
+        .withColumn("kmed", expr("(n + 1) DIV 2"))
+        .withColumn("kp95", expr("(n * 19 + 19) DIV 20"))
+        .withColumn("is_med", col("cum") >= col("kmed") &&
+          col("cum") - col("cnt") < col("kmed"))
+        .withColumn("is_p95", col("cum") >= col("kp95") &&
+          col("cum") - col("cnt") < col("kp95"))
+        .filter(col("is_med") || col("is_p95"))
         .groupBy(col("g"))
         .agg(max(col("n")).as("n_lines"),
           max(col("sd")).as("sd"),
-          max(when(col("rk") === expr("(n + 1) DIV 2"), col("days")))
-            .as("median_days"),
-          max(when(col("rk") === expr("(n * 19 + 19) DIV 20"),
-            col("days"))).as("p95_days"))
+          max(when(col("is_med"), col("days"))).as("median_days"),
+          max(when(col("is_p95"), col("days"))).as("p95_days"))
         .select(col("g").as("o_orderpriority"), col("n_lines"),
           round(col("sd").cast("double") / col("n_lines").cast("double"),
             6).as("mean_days"),

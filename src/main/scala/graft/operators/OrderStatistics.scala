@@ -85,12 +85,168 @@ object OrderStatistics {
           else Iterator.single((uid, idx, b, acc))
         }
       }.toDF("uid", "idx", "qbucket", "local")
+    // global prefix per bucket id: a nBuckets×nBuckets bounded theta
+    // join over the bucket-total table (NOT totals joined straight
+    // into the N-row local frame — that shape fans every query row
+    // out to ~nBuckets/2 matches and re-aggregates them, an N×nB
+    // nested-loop the round-10 bench caught at 2–3× the whole query's
+    // cost). The per-bucket prefix table covers every id in [0, nB)
+    // (a query bucket may hold no points), broadcasts, and joins the
+    // local frame by EQUALITY — one codegen'd hash probe per row.
     val totals = pts.groupBy(col("bucket")).agg(sum(col("wt")).as("c"))
-    local.join(broadcast(totals), col("bucket") < col("qbucket"), "left")
-      .groupBy(col("uid"), col("idx"), col("local"))
+    val cumBefore = sp.range(0, nB.toLong).toDF("qb")
+      .join(broadcast(totals), col("bucket") < col("qb"), "left")
+      .groupBy(col("qb"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("base"))
+    local.join(broadcast(cumBefore), col("qbucket") === col("qb"))
       .select(col("uid").as("user_id"), col("idx").as("session_idx"),
         (col("base") + col("local")).as("wsum"))
+  }
+
+  /** Exact per-group LOWER MEDIAN without a per-group sort — the
+    * two-pass radix-histogram core (factored out of
+    * `q_agg_radix_median` in round 10 so the MAD / lead-time / any
+    * per-group order-statistic query rides it instead of a ranked
+    * window over raw rows): pass 1 counts `bucketWidth`-wide value
+    * buckets per group and locates the bucket where the cumulative
+    * count crosses rank ⌈n/2⌉; pass 2 re-scans ONLY that bucket's
+    * rows and walks exact value counts to the remaining rank. Both
+    * cumulative walks are windows over BOUNDED frames (≤ groups ×
+    * buckets rows, then ≤ bucketWidth distinct values), never a
+    * partition-wide sort of the data — the plan a 1000-executor
+    * cluster wants when the group key has 3–5 values and a ranked
+    * window would funnel 100 TB into ≤5 reducers.
+    *
+    * Input: columns `g` (any group type) and `c` (BIGINT value).
+    * Output: (g, n, med) — `med` is the value AT rank ⌈n/2⌉ (lower
+    * median: exact, integer, no even-count interpolation seam).
+    * Bucket ids use double division + truncation, monotone
+    * non-decreasing in `c` for any sign — the only property the
+    * two-level walk needs. */
+  def radixLowerMedian(rows: DataFrame,
+      bucketWidth: Long = 65536L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wB = Window.partitionBy(col("g")).orderBy(col("b1"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pass 1: bucket histogram + crossing bucket per group (the
+    // windows below run over the AGGREGATED histogram — bounded)
+    val h1 = rows
+      .groupBy(col("g"), (col("c") / bucketWidth).cast("long").as("b1"))
+      .agg(count(lit(1)).as("bn"))
+    val tgt = h1
+      .withColumn("cum", sum(col("bn")).over(wB))
+      .withColumn("n",
+        sum(col("bn")).over(Window.partitionBy(col("g"))))
+      .withColumn("k", expr("(n + 1) DIV 2"))
+      .filter(col("cum") >= col("k") &&
+        col("cum") - col("bn") < col("k"))
+      .select(col("g").as("tg"), col("b1").as("tb"), col("n"),
+        (col("k") - (col("cum") - col("bn"))).as("k2"))
+    // pass 2: exact value walk inside the one crossing bucket per
+    // group (tgt is one row per group — broadcast)
+    val wC = Window.partitionBy(col("g")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.join(broadcast(tgt), col("g") === col("tg") &&
+        (col("c") / bucketWidth).cast("long") === col("tb"))
+      .select(col("g"), col("c"), col("n"), col("k2"))
+      .groupBy(col("g"), col("c"))
+      .agg(count(lit(1)).as("cn"), max(col("n")).as("n"),
+        max(col("k2")).as("k2"))
+      .withColumn("cum2", sum(col("cn")).over(wC))
+      .filter(col("cum2") >= col("k2") &&
+        col("cum2") - col("cn") < col("k2"))
+      .select(col("g"), col("n"), col("c").as("med"))
+  }
+
+  /** Per-ROW distributed rank within string groups — `rank()`
+    * (`minRank = true`: ties share the min-rank) or `row_number()`
+    * (`minRank = false`: ties break by the payload column `p`,
+    * which must make (g, v, p) unique) — with NO per-group sort and
+    * no low-cardinality-keyed window: a `Window.partitionBy(g)` rank
+    * funnels the whole input into |g| reducers, while this is the
+    * textbook DISTRIBUTED rank (the TeraSort shape): ONE
+    * range-partitioned exchange — the sort spreads over ALL
+    * partitions regardless of |g| — a per-partition streaming scan
+    * with O(1) state (per-row predecessor count, plus each
+    * partition's per-group run total flushed at the end), a
+    * ≤(partitions·|g|)² bounded broadcast theta join turning run
+    * totals into cross-partition offsets, and one broadcast
+    * equi-join adding them back. In `minRank` mode the range keys
+    * are (g, v) — RangePartitioner sends equal keys to ONE
+    * partition, so a tie run never splits and its shared base is
+    * exact; in row_number mode the keys are (g, v, p).
+    *
+    * Input: columns `g` (STRING group), `v` (BIGINT value), `p`
+    * (BIGINT payload: the tiebreaker in row_number mode, an opaque
+    * carried column — e.g. the OTHER dimension's value a rank
+    * correlation pairs with — in minRank mode; carrying it through
+    * the sort is what makes the rank per-ROW and kills the
+    * corpus-scale join-back a distinct-value rank table would
+    * need). Output: (g, v, p, rk), one row per input row. The marks
+    * frame is persisted for its two consumers and released by
+    * [[graft.analytics.QueryScopedCache]] after the caller's first
+    * action. */
+  def groupRowRanks(rows: DataFrame, minRank: Boolean): DataFrame = {
+    val sp = rows.sparkSession
+    import sp.implicits._
+    val nPart = sp.sessionState.conf.numShufflePartitions
+    val keyCols =
+      if (minRank) Seq(col("g"), col("v"))
+      else Seq(col("g"), col("v"), col("p"))
+    val sorted = rows
+      .repartitionByRange(nPart, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .select(spark_partition_id().as("pid"),
+        col("g").cast("string").as("g"), col("v"), col("p"))
+      .as[(Int, String, Long, Long)]
+    // kind 0: one row per input row, `rk0` = its local predecessor
+    // count (minRank: of the value run's first row); kind 1: the
+    // g-run's total row count (one per (partition, g), flushed after
+    // the main scan — Iterator.++'s right side evaluates only on
+    // exhaustion)
+    val marks = sorted.mapPartitions { it =>
+      var pid = 0
+      var curG: String = null
+      var curV = 0L
+      var cnt = 0L
+      var vbase = 0L
+      var open = false
+      val runTotals =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+      val main = it.map { case (pt, g, v, pay) =>
+        pid = pt
+        if (!open || g != curG) {
+          if (open) runTotals += ((pid, curG, cnt))
+          curG = g; curV = v; cnt = 0L; vbase = 0L; open = true
+        } else if (v != curV) { curV = v; vbase = cnt }
+        val rk0 = if (minRank) vbase else cnt
+        cnt += 1L
+        (pt, g, v, pay, rk0, 0)
+      }
+      main ++ {
+        if (open) {
+          runTotals += ((pid, curG, cnt))
+          runTotals.iterator.map { case (pt, g, c) =>
+            (pt, g, 0L, 0L, c, 1)
+          }
+        } else Iterator.empty
+      }
+    }.toDF("pid", "g", "v", "p", "rk0", "kind")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = marks.filter(col("kind") === 1)
+      .select(col("pid"), col("g"), col("rk0").as("c"))
+    val offsets = totals.as("ta")
+      .join(broadcast(totals.as("tb")),
+        col("ta.g") === col("tb.g") && col("tb.pid") < col("ta.pid"),
+        "left")
+      .groupBy(col("ta.pid"), col("ta.g"))
+      .agg(coalesce(sum(col("tb.c")), lit(0L)).as("off"))
+      .select(col("ta.pid").as("pid"), col("ta.g").as("g"), col("off"))
+    val out = marks.filter(col("kind") === 0)
+      .join(broadcast(offsets), Seq("pid", "g"))
+      .select(col("g"), col("v"), col("p"),
+        (col("off") + col("rk0") + lit(1L)).as("rk"))
+    graft.analytics.QueryScopedCache.releaseAfter(out, Seq(marks))
   }
 
   /** Interval-overlap degree, pair-free: for each interval
