@@ -2005,14 +2005,18 @@ object EventQueries {
     * separates a real most-regular cohort; a scheduler sits near 0) —
     * the traffic-quality filter a training-data pipeline runs before
     * trusting engagement events. The flag is EXACT: CV² < 0.81 is
-    * cross-multiplied to 100·n·Σg² < 181·(Σg)² — pure BIGINT, no sqrt,
-    * no variance rounding (the [[RelationalQueries.qStatsRuns]]
-    * decision discipline); the readable mean/CV columns round once.
+    * cross-multiplied to 100·n·Σg² < 181·(Σg)² — no sqrt, no variance
+    * rounding (the [[RelationalQueries.qStatsRuns]] decision
+    * discipline); the readable mean/CV columns round once. The
+    * cross-multiplied decision and the CV numerator run in
+    * DECIMAL(25,0): with Σg up to n·2³⁰ the BIGINT products 181·(Σg)²
+    * and 100·n·Σg² pass 2⁶³ long before the per-gap sums do (Spark
+    * would wrap silently where DuckDB errors — the round-9 advice
+    * finding), while the 38-digit decimal headroom holds to ~10¹⁸
+    * total gap-minutes — beyond any calendar-plausible envelope.
     *
     * Scale shape: ONE user-keyed exchange carries the lag window and
-    * the per-user rollup — bounded per-user state; minute units keep
-    * every moment far inside BIGINT (documented bound: gaps < 2³⁰
-    * minutes, n < 2¹⁰ per user). */
+    * the per-user rollup — bounded per-user state. */
   val qEventsBots = Q(
     "q_events_bots",
     (s, dir) => {
@@ -2033,10 +2037,11 @@ object EventQueries {
         .select(col("user_id"), col("n_gaps"),
           round(col("sg").cast("double") / col("n_gaps").cast("double"),
             4).as("mean_gap_min"),
-          round(sqrt((col("n_gaps") * col("sg2") - col("sg") * col("sg"))
-            .cast("double")) / col("sg").cast("double"), 4).as("cv"),
-          (lit(100L) * col("n_gaps") * col("sg2") <
-            lit(181L) * col("sg") * col("sg")).as("is_regular"))
+          round(sqrt(expr("cast(cast(n_gaps as decimal(25,0)) * sg2 " +
+              "- cast(sg as decimal(25,0)) * sg as double)")) /
+            col("sg").cast("double"), 4).as("cv"),
+          expr("cast(100 as decimal(25,0)) * n_gaps * sg2 " +
+            "< cast(181 as decimal(25,0)) * sg * sg").as("is_regular"))
         .orderBy(col("user_id"))
     },
     Some("""
@@ -2055,9 +2060,11 @@ object EventQueries {
       SELECT user_id, n_gaps,
              ROUND(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE), 4)
                AS mean_gap_min,
-             ROUND(SQRT(CAST(n_gaps * sg2 - sg * sg AS DOUBLE))
+             ROUND(SQRT(CAST(CAST(n_gaps AS DECIMAL(25,0)) * sg2
+                 - CAST(sg AS DECIMAL(25,0)) * sg AS DOUBLE))
                / CAST(sg AS DOUBLE), 4) AS cv,
-             100 * n_gaps * sg2 < 181 * sg * sg AS is_regular
+             CAST(100 AS DECIMAL(25,0)) * n_gaps * sg2
+               < CAST(181 AS DECIMAL(25,0)) * sg * sg AS is_regular
       FROM agg
       WHERE n_gaps >= 20 AND sg > 0
       ORDER BY user_id"""))

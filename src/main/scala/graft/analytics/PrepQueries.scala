@@ -1568,27 +1568,33 @@ object PrepQueries {
       CROSS JOIN scal s
       ORDER BY g.shard_before"""))
 
-  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
-    * A-Res) — draw a 100-document sample where each document's
-    * inclusion odds are proportional to its length: every document
-    * gets the priority key u^(1/w) (equivalently ln(u)/w, the form
-    * both engines compute) with w = n_chars and u a deterministic
-    * uniform from md5(doc_id∥'#ws') (first 12 hex digits → integer
-    * v, u = (v+0.5)/2^48 — the '+0.5' keeps u strictly inside
-    * (0,1)), and the k largest keys ARE a without-replacement
-    * weighted sample — the one-pass/distributed-friendly identity
-    * that makes length-proportional corpus sampling (sampling by
-    * token budget rather than by document count) a top-k instead of
-    * k sequential draws. Unlike [[qPrepSample]] (Bernoulli,
-    * per-document independent) and [[qPrepTemperature]] (per-stratum
-    * rates), the sample size here is EXACT and competition between
-    * documents is global. Keys are rounded to 6 decimals before the
-    * top-k with doc_id as the tiebreak, so selection is identical
-    * cross-engine (the repo's round(…,6) parity discipline); the
-    * md5 path reuses the [[qPrepSample]] salt convention.
+  /** Weighted sampling WITHOUT replacement (Ohlsson SEQUENTIAL
+    * POISSON sampling) — draw a 100-document sample where each
+    * document's inclusion odds are proportional to its length: every
+    * document gets the priority key u/w (u a deterministic 32-bit
+    * uniform from md5(doc_id∥'#ws'), w = n_chars), and the k
+    * SMALLEST keys are a without-replacement probability-
+    * proportional-to-size sample — the one-pass/distributed-friendly
+    * identity that makes length-proportional corpus sampling
+    * (sampling by token budget rather than by document count) a
+    * top-k instead of k sequential draws. Unlike [[qPrepSample]]
+    * (Bernoulli, per-document independent) and [[qPrepTemperature]]
+    * (per-stratum rates), the sample size here is EXACT and
+    * competition between documents is global. The key is the
+    * INTEGER (u · 2²⁰) DIV w with doc_id as the tiebreak — u/w
+    * quantized to 2⁻²⁰, a negligible perturbation of the uniform and
+    * the reason NO transcendental touches the selection: the
+    * round-9-advice predecessor ranked by ln(u)/w rounded to 6
+    * decimals, where a 1-ulp JVM-vs-libm ln divergence at a rounding
+    * boundary could flip which document makes the cut (the
+    * [[RelationalQueries.qHllSetops]]/[[RelationalQueries.qStatsRuns]]
+    * no-log-in-decisions discipline; Efraimidis–Spirakis A-Res needs
+    * the log, sequential Poisson does not and shares its PPS
+    * guarantees). u < 2³², so u·2²⁰ < 2⁵² — BIGINT-exact; the md5
+    * path reuses the [[qPrepSample]] salt convention.
     *
     * Scale shape: the key is an in-row codegen expression over the
-    * scan (no shuffle), and the global top-500 is TakeOrdered —
+    * scan (no shuffle), and the global top-k is TakeOrdered —
     * per-partition heaps, one bounded driver merge, never a full
     * sort. At 100 TB this is the canonical "sample 1M docs
     * proportional to length" plan: one scan, one bounded reduce. */
@@ -1598,21 +1604,18 @@ object PrepQueries {
       Tables.spread(Tables(s, dir, "documents"))
         .select(col("doc_id"), col("source"), col("n_chars"))
         .withColumn("priority",
-          round(
-            log((conv(substring(md5(concat(col("doc_id").cast("string"),
-                lit("#ws"))), 1, 12), 16, 10).cast("double") + 0.5d) /
-              281474976710656.0d) /
-              col("n_chars").cast("double"), 6))
-        .orderBy(col("priority").desc, col("doc_id"))
+          expr("(cast(conv(substring(md5(concat(cast(doc_id as string)," +
+            " '#ws')), 1, 8), 16, 10) as bigint) * 1048576) DIV n_chars")
+            .cast("long"))
+        .orderBy(col("priority"), col("doc_id"))
         .limit(100),
     Some("""
       SELECT doc_id, source, n_chars,
-             ROUND(LN((CAST(('0x' ||
-                 SUBSTR(md5(CAST(doc_id AS VARCHAR) || '#ws'), 1, 12))
-                 AS BIGINT) + 0.5) / 281474976710656.0)
-               / CAST(n_chars AS DOUBLE), 6) AS priority
+             CAST(CAST(('0x' ||
+                 SUBSTR(md5(CAST(doc_id AS VARCHAR) || '#ws'), 1, 8))
+                 AS BIGINT) * 1048576 // n_chars AS BIGINT) AS priority
       FROM documents
-      ORDER BY priority DESC, doc_id LIMIT 100"""))
+      ORDER BY priority, doc_id LIMIT 100"""))
 
   /** Integer quota apportionment (Hamilton / largest-remainder) — turn
     * a mixture's REAL-valued proportions into EXACT integer sample
@@ -1724,16 +1727,24 @@ object PrepQueries {
     (s, dir) => {
       val quotas = apportion(s, dir, 200L)
         .select(col("source"), col("quota"))
-      val wRk = Window.partitionBy(col("source"))
-        .orderBy(col("pri"), col("doc_id"))
-      docs(s, dir)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("pri",
-          conv(substring(md5(concat(col("doc_id").cast("string"),
-            lit("#qs"))), 1, 12), 16, 10).cast("long"))
-        .withColumn("rk", row_number().over(wRk).cast("long"))
-        .join(broadcast(quotas), Seq("source"))
+      // within-source ranks ride the distributed rank (a source-
+      // partitioned row_number over raw documents is the round-9
+      // audit's low-card funnel; the quota cut is a COLUMN, so
+      // Catalyst's rank-limit pushdown cannot cap it — the rank
+      // itself must be scale-safe); n_chars rejoins on the sampled
+      // ≤budget rows only
+      val rks = graft.operators.OrderStatistics.groupRowRanks(
+          docs(s, dir).select(col("source").as("g"),
+            conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit("#qs"))), 1, 12), 16, 10).cast("long").as("v"),
+            col("doc_id").as("p")),
+          minRank = false)
+        .select(col("g").as("source"),
+          col("p").cast("long").as("doc_id"), col("rk"))
+      rks.join(broadcast(quotas), Seq("source"))
         .filter(col("rk") <= col("quota"))
+        .join(docs(s, dir).select(col("doc_id"), col("n_chars")),
+          Seq("doc_id"))
         .select(col("source"), col("rk"), col("quota"), col("doc_id"),
           col("n_chars"))
         .orderBy(col("source"), col("rk"))
@@ -1878,35 +1889,52 @@ object PrepQueries {
     * yields ONE stream in which every prefix carries each source in
     * proportion to its weight — no RNG, no epoch drift, the lottery/
     * stride scheduler from OS theory applied to data mixing. Virtual
-    * time is exact integer micro-ticks (k·10⁶·W DIV wₛ; ties break by
-    * source then rank), documents within a source are ordered by the
-    * '#il' md5 (independent of every other hash family). The gate
-    * pins the first 100 stream positions exactly; the probe checks
-    * prefix proportionality.
+    * time is exact integer micro-ticks: each source gets the
+    * PRECOMPUTED stride 10⁶·W DIV wₛ (one bounded-frame division,
+    * guarded by the apportion() assert_true bound W < 2⁴³ — the
+    * round-9-advice predecessor computed k·10⁶·W per DOCUMENT, whose
+    * factors overflow BIGINT around 10⁹ corpus chars × 10⁵ docs:
+    * silent wrap on Spark vs error on DuckDB), and document k ticks
+    * at k·stride ≤ 10⁶·W — inside BIGINT whenever the guard passes.
+    * Ties break by source then rank; documents within a source are
+    * ordered by the '#il' md5 (independent of every other hash
+    * family). The gate pins the first 100 stream positions exactly;
+    * the probe checks prefix proportionality.
     *
-    * Scale shape: one source-partitioned ranking window + an in-row
-    * tick expression + a global top-100 TakeOrdered (per-partition
-    * heaps — the stream ORDER is materialized lazily by consumers,
-    * never as a global sort). The weight table is the bounded
-    * [[qPrepQuota]] rollup, broadcast. */
+    * Scale shape: within-source ranks ride
+    * [[graft.operators.OrderStatistics.groupRowRanks]] — the
+    * range-partitioned distributed rank (one exchange spread over
+    * ALL partitions; a source-partitioned row_number over raw
+    * documents would funnel the corpus into |sources| reducers at
+    * scale — the same weak class round 10 migrated the stats family
+    * off) — then an in-row tick expression and a global top-100
+    * TakeOrdered (per-partition heaps — the stream ORDER is
+    * materialized lazily by consumers, never as a global sort). The
+    * weight table is the bounded [[qPrepQuota]] rollup, broadcast. */
   val qPrepInterleave = Q(
     "q_prep_interleave",
     (s, dir) => {
       val w = docs(s, dir).groupBy(col("source"))
         .agg(sum(col("n_chars")).as("w"))
       val tot = w.agg(sum(col("w")).as("wtot"))
-      val wRk = Window.partitionBy(col("source"))
-        .orderBy(col("pri"), col("doc_id"))
-      docs(s, dir)
-        .select(col("doc_id"), col("source"))
-        .withColumn("pri",
-          conv(substring(md5(concat(col("doc_id").cast("string"),
-            lit("#il"))), 1, 12), 16, 10).cast("long"))
-        .withColumn("rk", row_number().over(wRk).cast("long"))
-        .join(broadcast(w), Seq("source"))
-        .crossJoin(broadcast(tot))
+      val guard = coalesce(expr(
+        "assert_true(wtot >= 0 and wtot < 8796093022208, " +
+          "'q_prep_interleave: corpus weight exceeds BIGINT-safe " +
+          "bound (need 0 <= wtot < 2^43)')").cast("long"), lit(0L))
+      val strides = w.crossJoin(broadcast(tot))
+        .select(col("source"),
+          (expr("(1000000 * wtot) DIV w") + guard).as("stride"))
+      graft.operators.OrderStatistics.groupRowRanks(
+          docs(s, dir).select(col("source").as("g"),
+            conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit("#il"))), 1, 12), 16, 10).cast("long").as("v"),
+            col("doc_id").as("p")),
+          minRank = false)
+        .select(col("g").as("source"),
+          col("p").cast("long").as("doc_id"), col("rk"))
+        .join(broadcast(strides), Seq("source"))
         .select(col("source"), col("rk"), col("doc_id"),
-          expr("(rk * 1000000 * wtot) DIV w").as("tick"))
+          expr("rk * stride").as("tick"))
         .orderBy(col("tick"), col("source"), col("rk"))
         .limit(100)
         // positions via the bounded collect+posexplode pattern — a
@@ -1931,10 +1959,12 @@ object PrepQueries {
                    AS VARCHAR) || '#il'), 1, 12)) AS BIGINT),
                  d.doc_id) AS BIGINT) AS rk
         FROM documents d),
+      strides AS (
+        SELECT w.source, (1000000 * t.wtot) // w.w AS stride
+        FROM w CROSS JOIN tot t),
       ticked AS (
-        SELECT r.source, r.rk, r.doc_id,
-               (r.rk * 1000000 * t.wtot) // w.w AS tick
-        FROM ranked r JOIN w USING (source) CROSS JOIN tot t),
+        SELECT r.source, r.rk, r.doc_id, r.rk * s.stride AS tick
+        FROM ranked r JOIN strides s USING (source)),
       top AS (
         SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY tick, source, rk)
                  AS BIGINT) AS pos

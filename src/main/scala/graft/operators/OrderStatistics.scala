@@ -177,12 +177,14 @@ object OrderStatistics {
     * exact; in row_number mode the keys are (g, v, p).
     *
     * Input: columns `g` (STRING group), `v` (BIGINT value), `p`
-    * (BIGINT payload: the tiebreaker in row_number mode, an opaque
-    * carried column — e.g. the OTHER dimension's value a rank
-    * correlation pairs with — in minRank mode; carrying it through
-    * the sort is what makes the rank per-ROW and kills the
-    * corpus-scale join-back a distinct-value rank table would
-    * need). Output: (g, v, p, rk), one row per input row. The marks
+    * (any orderable type: the tiebreaker in row_number mode — ties
+    * break in p's NATIVE order, since the exchange and sort run
+    * before the transport cast; an opaque carried column — e.g. the
+    * OTHER dimension's value a rank correlation pairs with — in
+    * minRank mode; carrying it through the sort is what makes the
+    * rank per-ROW and kills the corpus-scale join-back a
+    * distinct-value rank table would need). Output: (g, v, p, rk),
+    * one row per input row, `p` transported as STRING. The marks
     * frame is persisted for its two consumers and released by
     * [[graft.analytics.QueryScopedCache]] after the caller's first
     * action. */
@@ -197,8 +199,9 @@ object OrderStatistics {
       .repartitionByRange(nPart, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
       .select(spark_partition_id().as("pid"),
-        col("g").cast("string").as("g"), col("v"), col("p"))
-      .as[(Int, String, Long, Long)]
+        col("g").cast("string").as("g"), col("v"),
+        col("p").cast("string").as("p"))
+      .as[(Int, String, Long, String)]
     // kind 0: one row per input row, `rk0` = its local predecessor
     // count (minRank: of the value run's first row); kind 1: the
     // g-run's total row count (one per (partition, g), flushed after
@@ -227,7 +230,7 @@ object OrderStatistics {
         if (open) {
           runTotals += ((pid, curG, cnt))
           runTotals.iterator.map { case (pt, g, c) =>
-            (pt, g, 0L, 0L, c, 1)
+            (pt, g, 0L, "", c, 1)
           }
         } else Iterator.empty
       }

@@ -1815,9 +1815,9 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("swtie").toString
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val native = RelationalQueries.qSessionizeNative.run(spark, dir)
+    val native = WindowQueries.qSessionizeNative.run(spark, dir)
       .collect().map(r => (r.getLong(1), r.getLong(2)))
-    val batch = RelationalQueries.qSessionizeBatch.run(spark, dir)
+    val batch = WindowQueries.qSessionizeBatch.run(spark, dir)
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     // two sessions: {10:00, 10:30 (tie merges)} and {11:00:01}
     assert(native.toSeq === Seq((1L, 2L), (2L, 1L)), s"native: ${native.toSeq}")
@@ -2001,7 +2001,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("scd2: runs collapse, versions chain, exactly one current row") {
-    val out = RelationalQueries.qScd2Orders.run(spark, sf).collect()
+    val out = Scd2Queries.qScd2Orders.run(spark, sf).collect()
     val byCust = out.groupBy(_.getLong(0))
     assert(byCust.nonEmpty)
     byCust.foreach { case (ck, rs) =>
@@ -2053,8 +2053,8 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-    val full = RelationalQueries.qScd2Orders.run(spark, dir).collect().toSeq
-    val incr = RelationalQueries.qScd2Incremental.run(spark, dir)
+    val full = Scd2Queries.qScd2Orders.run(spark, dir).collect().toSeq
+    val incr = Scd2Queries.qScd2Incremental.run(spark, dir)
       .collect().toSeq
     assert(incr === full)
     // and the absorb case really absorbed: customer 1 version 1 spans
@@ -2067,7 +2067,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("profile: one row per column, exact invariants vs the table") {
-    val out = RelationalQueries.qStatsProfile.run(spark, sf).collect()
+    val out = StatsQueries.qStatsProfile.run(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
     val o = Tables(spark, sf, "orders")
     val nRows = o.count()
@@ -2100,7 +2100,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     (base ++ spike)
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val got = RelationalQueries.qTsEwma.run(spark, dir).collect()
+    val got = TsQueries.qTsEwma.run(spark, dir).collect()
       .map(r => r.getTimestamp(1).toString.substring(11, 13).toInt ->
         r.getDouble(3)).toMap
     // pre-spike steady state: ewma == the constant rate exactly
@@ -2176,7 +2176,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("reg").toString
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val r = RelationalQueries.qStatsRegression.run(spark, dir).collect().head
+    val r = StatsQueries.qStatsRegression.run(spark, dir).collect().head
     assert(r.getLong(1) === 12L)
     assert(r.getDouble(2) === 0.25, s"slope ${r.getDouble(2)}")
     assert(r.getDouble(3) === 3.5, s"intercept ${r.getDouble(3)}")

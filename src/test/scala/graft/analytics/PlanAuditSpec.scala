@@ -429,6 +429,89 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(offenders.isEmpty, s"partition-less windows in: $offenders")
   }
 
+  // The fixture columns a PLAN can't know are bounded but the DATA
+  // pins: 3-value flags, 5-value priorities/statuses/event types,
+  // the handful of document languages/sources. A rank-like window
+  // partitioned ONLY on these over unaggregated rows funnels the
+  // corpus into ≤5 reducers at scale — the round-9 audit's one weak
+  // class, now linted engine-wide via PlanGuard.
+  private val lowCardCols = Set(
+    "l_returnflag", "l_linestatus", "o_orderstatus", "o_orderpriority",
+    "event_type", "lang", "source", "r_name", "n_name")
+
+  test("no rank-like window rides an unaggregated scan keyed only on bounded-cardinality columns") {
+    // q_stats_sprt is the round-9-verdict-sanctioned exemption: a
+    // sequential probability ratio test IS a per-series ordered
+    // recurrence — the trial index and running success count exist
+    // only in arrival order, so a per-stream ordered scan is the
+    // correct shape (the same exemption covers Holt and throttle,
+    // whose windows ride bounded hourly grids instead). Rank-limit-
+    // pushdown windows (q_prep_eval_sample) are exempted by the lint
+    // itself: WindowGroupLimit caps map-side forwarding at k rows.
+    val exempt = Set("q_stats_sprt")
+    val offenders = qes.flatMap { case (n, qe) =>
+      val bad = graft.plans.PlanGuard
+        .violations(qe.optimizedPlan, lowCardCols)
+        .filter(_.kind == "low-card-ranked-window")
+      if (bad.nonEmpty && !exempt(n)) Some(n -> bad.mkString("; "))
+      else None
+    }
+    assert(offenders.isEmpty, s"low-card ranked windows in: $offenders")
+  }
+
+  test("the low-card lint catches the pre-round-10 ranked-window shape (regression probe)") {
+    // a deliberately regressed q_stats_mad-style plan: row_number over
+    // raw lineitem rows partitioned on the 3-value return flag behind
+    // an alias — the lint must resolve the alias to l_returnflag and
+    // flag it, and must ALSO flag the q_join_lead_time shape (rank
+    // over an unaggregated join output keyed on the 5-value priority)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("x"))
+    val probe1 = li.withColumn("rn", row_number().over(
+      Window.partitionBy(col("g")).orderBy(col("x"))))
+    val v1 = graft.plans.PlanGuard
+      .violations(probe1.queryExecution.optimizedPlan, lowCardCols)
+    assert(v1.exists(_.kind == "low-card-ranked-window"),
+      s"alias-hidden low-card rank not flagged: $v1")
+    val joined = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+    val probe2 = joined.withColumn("rk", rank().over(
+      Window.partitionBy(col("o_orderpriority"))
+        .orderBy(datediff(col("l_shipdate"), col("o_orderdate")))))
+    val v2 = graft.plans.PlanGuard
+      .violations(probe2.queryExecution.optimizedPlan, lowCardCols)
+    assert(v2.exists(_.kind == "low-card-ranked-window"),
+      s"low-card rank over join output not flagged: $v2")
+    // ...while the FIXED shape — the same rank over the AGGREGATED
+    // (priority, days) histogram — must pass: that frame is bounded
+    val hist = joined
+      .groupBy(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("days"))
+      .agg(count(lit(1)).as("cnt"))
+    val probe3 = hist.withColumn("rn", row_number().over(
+      Window.partitionBy(col("o_orderpriority")).orderBy(col("days"))))
+    val v3 = graft.plans.PlanGuard
+      .violations(probe3.queryExecution.optimizedPlan, lowCardCols)
+    assert(!v3.exists(_.kind == "low-card-ranked-window"),
+      s"histogram-input rank must be exempt: $v3")
+    // ...and a rank partitioned on a HIGH-cardinality key (suppkey)
+    // over the same raw rows must pass: only all-bounded keys funnel
+    val probe4 = Tables(spark, sf, "lineitem")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity"))))
+    val v4 = graft.plans.PlanGuard
+      .violations(probe4.queryExecution.optimizedPlan, lowCardCols)
+    assert(!v4.exists(_.kind == "low-card-ranked-window"),
+      s"high-cardinality-keyed rank must be exempt: $v4")
+  }
+
   test("no query plans an unbounded single-row collect aggregate") {
     // A grouping-less Aggregate holding collect_list/collect_set puts
     // its ENTIRE input into one task's aggregation buffer — an OOM at

@@ -23,7 +23,7 @@ class StreamingOhlcSpec extends AnyFunSuite with SparkTestBase {
       high: Double, low: Double, close: Double, n_events: Long)
 
   private lazy val batchBars: Set[Bar] =
-    RelationalQueries.qTsOhlc.run(spark, sf)
+    TsQueries.qTsOhlc.run(spark, sf)
       .selectExpr("event_type", "unix_micros(h)", "open", "high", "low",
         "close", "n_events")
       .collect().map(r => Bar(r.getString(0), r.getLong(1), r.getDouble(2),

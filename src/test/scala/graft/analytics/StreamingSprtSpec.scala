@@ -18,7 +18,7 @@ class StreamingSprtSpec extends AnyFunSuite with SparkTestBase {
   private val sf = "/root/testdata/sf0.001"
 
   private lazy val batchRows: Set[SprtStatus] =
-    RelationalQueries.qStatsSprt.run(spark, sf)
+    StatsQueries.qStatsSprt.run(spark, sf)
       .collect().map(r => SprtStatus(r.getString(0), r.getLong(1),
         r.getBoolean(2), r.getLong(3), r.getLong(4), r.getString(5)))
       .toSet

@@ -145,6 +145,46 @@ class PlanGuardSpec extends AnyFunSuite
     }
   }
 
+  test("strict rejects a rank window keyed only on declared low-cardinality columns") {
+    // the deployment declares `id`'s derived keys bounded; a
+    // row_number over raw rows partitioned on an alias chain rooted
+    // ONLY in it must be rejected, while (a) the same rank over an
+    // AGGREGATED histogram and (b) a rank also keyed on an undeclared
+    // column both stay legal — and with no declaration the check is
+    // inert on the identical plan
+    s.conf.set(PlanGuard.LowCardColsKey, "id")
+    try {
+      expectViolation("low-card-ranked-window") {
+        s.range(200000)
+          .select(col("id").as("g"), (col("id") * 7 % 1000).as("x"))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("g").orderBy("x")))
+          .agg(sum(col("rn"))).collect()
+      }
+      strict {
+        s.range(200000)
+          .select(col("id").as("g"), (col("id") * 7 % 1000).as("x"))
+          .groupBy(col("g"), col("x")).count()
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("g").orderBy("x")))
+          .agg(sum(col("rn"))).collect()
+        s.range(200000)
+          .select(col("id").as("g"), (col("id") * 7 % 1000).as("x"),
+            monotonically_increasing_id().as("u"))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("g", "u").orderBy("x")))
+          .agg(sum(col("rn"))).collect()
+      }
+    } finally s.conf.unset(PlanGuard.LowCardColsKey)
+    strict {
+      s.range(200000)
+        .select(col("id").as("g"), (col("id") * 7 % 1000).as("x"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("g").orderBy("x")))
+        .agg(sum(col("rn"))).collect()
+    }
+  }
+
   test("warn and off modes never throw on a violating plan") {
     s.conf.set(PlanGuard.ConfKey, "warn")
     try {
