@@ -23,7 +23,49 @@ object Bench {
     // with real regressions. Three timed runs per query; the per-query
     // number reported is the MEDIAN, with [min,max] spread alongside so
     // a round-over-round delta can be judged against run variance.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // STRATIFIED rep policy (round-10 bench cost control): at 280+
+    // queries a uniform 3-rep sweep costs ~24 min of driver wall; a
+    // query whose LAST RECORDED spread (target/bench.json, written by
+    // every full run) was under 0.1 s is timing-stable — one rep
+    // suffices for round-over-round comparison — while unstable or
+    // never-recorded queries keep 3 reps (and so keep recording
+    // spreads). Setting SPARK_GRAFT_BENCH_REPS forces that uniform
+    // count for every query, exactly as before.
+    val repsEnv = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)
+    val reps = repsEnv.getOrElse(3)
+    val recordedSpread: Map[String, Double] = repsEnv match {
+      case Some(_) => Map.empty // explicit override: no stratification
+      case None =>
+        try {
+          val f = new java.io.File("target/bench.json")
+          if (!f.isFile) Map.empty
+          else {
+            val om = new com.fasterxml.jackson.databind.ObjectMapper()
+            val spread = om.readTree(f).get("spread")
+            if (spread == null) Map.empty
+            else {
+              val it = spread.fields()
+              val b = Map.newBuilder[String, Double]
+              while (it.hasNext) {
+                val e = it.next()
+                val arr = e.getValue
+                if (arr.isArray && arr.size() == 2 &&
+                  arr.get(0).asDouble() >= 0)
+                  b += e.getKey -> (arr.get(1).asDouble() -
+                    arr.get(0).asDouble())
+              }
+              b.result()
+            }
+          }
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"WARN: could not read recorded spreads: ${e.getMessage}")
+          Map.empty
+        }
+    }
+    def repsFor(name: String): Int =
+      repsEnv.getOrElse(
+        if (recordedSpread.get(name).exists(_ < 0.1)) 1 else 3)
     // Optional args select a query subset (dev iteration); no args =
     // the full registered set (driver protocol). A typo'd name must be
     // loud: a silent empty run prints total≈0 and reads like a pass.
@@ -73,7 +115,7 @@ object Bench {
     // A rep that throws records -1 (NOT its time-to-throw): a broken
     // query must read as broken in the JSON, never as implausibly fast.
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to repsFor(name)).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
@@ -127,7 +169,7 @@ object Bench {
     val phaseResults = phased
       .filter { case (q, _) => selected.contains(q) }
       .map { case (q, phases) =>
-        val perRep = (1 to reps).map { _ =>
+        val perRep = (1 to repsFor(q)).map { _ =>
           var broken = false
           val ts = phases.map { case (pn, fn) =>
             if (broken) pn -> -1.0
@@ -184,8 +226,9 @@ object Bench {
         "\"" + pn + "\":" + fmt(median(ts))
       }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
+    val oneRep = selected.keysIterator.count(n => repsFor(n) == 1)
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"families":$families,"queries":$qs,"spread":$spread,"phases":$phasesJson,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"families":$families,"queries":$qs,"spread":$spread,"phases":$phasesJson,"reps":$reps,"one_rep_queries":$oneRep,"sf":"$sfDir"}"""
     // The driver parses a bounded TAIL of stdout; at 60+ queries the
     // full line (medians + spreads) outgrew it two rounds running and
     // medians arrived as `parsed: null`. So: full JSON first (humans,
