@@ -238,22 +238,21 @@ object StatsQueries {
   val qStatsWmedian = Q(
     "q_stats_wmedian",
     (s, dir) => {
+      // weighted median via the two-pass radix core — a returnflag-
+      // partitioned running-weight window over raw rows is the
+      // round-10 lint's low-card funnel (2·cumw ≥ W ⟺ cumw reaches
+      // ⌈(W+1)/2⌉, the core's crossing rule; sub-value ordering
+      // cannot change which VALUE first crosses)
       val m = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
-        expr("cast(round(l_extendedprice * 100) as bigint)").as("v"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("c"),
         expr("cast(round(l_quantity * 100) as bigint)").as("w"))
-      val win = Window.partitionBy(col("g"))
-        .orderBy(col("v"), col("w"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = m.groupBy(col("g")).agg(sum(col("w")).as("totw"),
-        count(lit(1)).as("n"))
-      m.withColumn("cumw", sum(col("w")).over(win))
-        .join(tot, "g")
-        .filter(col("cumw") * 2 >= col("totw"))
-        .groupBy(col("g"))
-        .agg(min(col("v")).as("wmedian_cents"),
-          max(col("totw")).as("total_weight"), max(col("n")).as("n"))
+      val med = graft.operators.OrderStatistics
+        .radixWeightedLowerMedian(m)
+      val n = m.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      med.join(broadcast(n), Seq("g"))
         .select(col("g").as("l_returnflag"), col("n"),
-          col("total_weight"), col("wmedian_cents"))
+          col("totw").as("total_weight"),
+          col("med").as("wmedian_cents"))
         .orderBy(col("l_returnflag"))
     },
     Some("""

@@ -124,23 +124,41 @@ object OrderStatistics {
     * non-decreasing in `c` for any sign — the only property the
     * two-level walk needs. */
   def radixLowerMedian(rows: DataFrame,
+      bucketWidth: Long = 65536L): DataFrame =
+    radixWeightedLowerMedian(rows.select(col("g"), col("c"),
+      lit(1L).as("w")), bucketWidth)
+      .withColumnRenamed("totw", "n")
+
+  /** Weighted generalization of [[radixLowerMedian]] — the exact
+    * WEIGHTED lower median (smallest value whose cumulative weight
+    * reaches ⌈(W+1)/2⌉, equivalently 2·cumw ≥ W) with the same
+    * two-pass radix plan: bucket WEIGHT sums per group locate the
+    * crossing bucket, an exact value walk inside that one bucket
+    * finds the crossing value. With w ≡ 1 this IS the plain lower
+    * median (which delegates here); with real weights it answers
+    * "the value of the median UNIT" — quantity-weighted pricing,
+    * importance-weighted corpus statistics — with no per-group sort
+    * of raw rows anywhere. Input: columns `g` (any group type), `c`
+    * (BIGINT value), `w` (BIGINT weight > 0). Output:
+    * (g, totw, med). */
+  def radixWeightedLowerMedian(rows: DataFrame,
       bucketWidth: Long = 65536L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wB = Window.partitionBy(col("g")).orderBy(col("b1"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // pass 1: bucket histogram + crossing bucket per group (the
-    // windows below run over the AGGREGATED histogram — bounded)
+    // pass 1: bucket weight histogram + crossing bucket per group
+    // (the windows below run over the AGGREGATED histogram — bounded)
     val h1 = rows
       .groupBy(col("g"), (col("c") / bucketWidth).cast("long").as("b1"))
-      .agg(count(lit(1)).as("bn"))
+      .agg(sum(col("w")).as("bn"))
     val tgt = h1
       .withColumn("cum", sum(col("bn")).over(wB))
-      .withColumn("n",
+      .withColumn("totw",
         sum(col("bn")).over(Window.partitionBy(col("g"))))
-      .withColumn("k", expr("(n + 1) DIV 2"))
+      .withColumn("k", expr("(totw + 1) DIV 2"))
       .filter(col("cum") >= col("k") &&
         col("cum") - col("bn") < col("k"))
-      .select(col("g").as("tg"), col("b1").as("tb"), col("n"),
+      .select(col("g").as("tg"), col("b1").as("tb"), col("totw"),
         (col("k") - (col("cum") - col("bn"))).as("k2"))
     // pass 2: exact value walk inside the one crossing bucket per
     // group (tgt is one row per group — broadcast)
@@ -148,14 +166,14 @@ object OrderStatistics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rows.join(broadcast(tgt), col("g") === col("tg") &&
         (col("c") / bucketWidth).cast("long") === col("tb"))
-      .select(col("g"), col("c"), col("n"), col("k2"))
+      .select(col("g"), col("c"), col("w"), col("totw"), col("k2"))
       .groupBy(col("g"), col("c"))
-      .agg(count(lit(1)).as("cn"), max(col("n")).as("n"),
+      .agg(sum(col("w")).as("cn"), max(col("totw")).as("totw"),
         max(col("k2")).as("k2"))
       .withColumn("cum2", sum(col("cn")).over(wC))
       .filter(col("cum2") >= col("k2") &&
         col("cum2") - col("cn") < col("k2"))
-      .select(col("g"), col("n"), col("c").as("med"))
+      .select(col("g"), col("totw"), col("c").as("med"))
   }
 
   /** Per-ROW distributed rank within string groups — `rank()`

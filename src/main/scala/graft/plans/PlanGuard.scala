@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, ExprId, Expression, NTile, RankLike, RowNumberLike}
+import org.apache.spark.sql.catalyst.expressions.{Alias, ExprId, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalRelation, LogicalPlan, OneRowRelation, Project, Window => LWindow}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -19,8 +19,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    in one aggregation buffer;
   *  - condition-less Join with both sides unbounded: a cartesian
   *    product;
-  *  - rank-like Window over an UNAGGREGATED input whose partition
-  *    keys all derive from known bounded-cardinality columns: the
+  *  - ORDERED Window (any function with an ORDER BY — ranks,
+  *    running sums, lags alike: each implies a per-partition sort)
+  *    over an UNAGGREGATED input whose partition keys all derive
+  *    from known bounded-cardinality columns: the
   *    whole input funnels into ≤|distinct keys| reducers — correct
   *    and sub-second on a laptop, a handful of straggler tasks
   *    sorting everything at 100 TB (the round-9 audit's one weak
@@ -107,14 +109,14 @@ object PlanGuard {
       case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) =>
         Violation("partition-less-window", w.simpleString(80))
       case w: LWindow if lowCardCols.nonEmpty &&
-        w.partitionSpec.nonEmpty && hasRankLike(w) &&
+        w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty &&
         !aggregatedBelow(w.child) && !groupLimited(w.child) &&
         !bounded(w.child, useStats = false) &&
         w.partitionSpec.forall { pe =>
           val rs = rootNames(pe, w.child)
           rs.nonEmpty && rs.forall(n => lowCardCols(n.toLowerCase))
         } =>
-        Violation("low-card-ranked-window", w.simpleString(80))
+        Violation("low-card-ordered-window", w.simpleString(80))
       case a: Aggregate if a.groupingExpressions.isEmpty &&
         a.aggregateExpressions.exists(_.exists {
           case _: CollectList | _: CollectSet => true
@@ -125,12 +127,6 @@ object PlanGuard {
         !bounded(j.left) && !bounded(j.right) =>
         Violation("unbounded-cross-join", j.simpleString(80))
     }
-
-  private def hasRankLike(w: LWindow): Boolean =
-    w.windowExpressions.exists(_.exists {
-      case _: RankLike | _: RowNumberLike | _: NTile => true
-      case _ => false
-    })
 
   /** A grouped Aggregate anywhere below means the window's input is
     * a rollup (a histogram / counts frame), not raw rows — the

@@ -452,7 +452,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val offenders = qes.flatMap { case (n, qe) =>
       val bad = graft.plans.PlanGuard
         .violations(qe.optimizedPlan, lowCardCols)
-        .filter(_.kind == "low-card-ranked-window")
+        .filter(_.kind == "low-card-ordered-window")
       if (bad.nonEmpty && !exempt(n)) Some(n -> bad.mkString("; "))
       else None
     }
@@ -474,7 +474,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       Window.partitionBy(col("g")).orderBy(col("x"))))
     val v1 = graft.plans.PlanGuard
       .violations(probe1.queryExecution.optimizedPlan, lowCardCols)
-    assert(v1.exists(_.kind == "low-card-ranked-window"),
+    assert(v1.exists(_.kind == "low-card-ordered-window"),
       s"alias-hidden low-card rank not flagged: $v1")
     val joined = Tables(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_shipdate"))
@@ -487,7 +487,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
         .orderBy(datediff(col("l_shipdate"), col("o_orderdate")))))
     val v2 = graft.plans.PlanGuard
       .violations(probe2.queryExecution.optimizedPlan, lowCardCols)
-    assert(v2.exists(_.kind == "low-card-ranked-window"),
+    assert(v2.exists(_.kind == "low-card-ordered-window"),
       s"low-card rank over join output not flagged: $v2")
     // ...while the FIXED shape — the same rank over the AGGREGATED
     // (priority, days) histogram — must pass: that frame is bounded
@@ -499,7 +499,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       Window.partitionBy(col("o_orderpriority")).orderBy(col("days"))))
     val v3 = graft.plans.PlanGuard
       .violations(probe3.queryExecution.optimizedPlan, lowCardCols)
-    assert(!v3.exists(_.kind == "low-card-ranked-window"),
+    assert(!v3.exists(_.kind == "low-card-ordered-window"),
       s"histogram-input rank must be exempt: $v3")
     // ...and a rank partitioned on a HIGH-cardinality key (suppkey)
     // over the same raw rows must pass: only all-bounded keys funnel
@@ -508,7 +508,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
         Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity"))))
     val v4 = graft.plans.PlanGuard
       .violations(probe4.queryExecution.optimizedPlan, lowCardCols)
-    assert(!v4.exists(_.kind == "low-card-ranked-window"),
+    assert(!v4.exists(_.kind == "low-card-ordered-window"),
       s"high-cardinality-keyed rank must be exempt: $v4")
   }
 

@@ -154,7 +154,7 @@ class PlanGuardSpec extends AnyFunSuite
     // inert on the identical plan
     s.conf.set(PlanGuard.LowCardColsKey, "id")
     try {
-      expectViolation("low-card-ranked-window") {
+      expectViolation("low-card-ordered-window") {
         s.range(200000)
           .select(col("id").as("g"), (col("id") * 7 % 1000).as("x"))
           .withColumn("rn",
