@@ -2069,6 +2069,55 @@ object EventQueries {
       WHERE n_gaps >= 20 AND sg > 0
       ORDER BY user_id"""))
 
+  /** Inter-arrival latency quantiles per event type — the p50/p90/p99
+    * SLA table for "how often does this signal arrive": per-user,
+    * per-type consecutive gaps in whole minutes (the
+    * [[qEventsBots]] gap derivation keyed one level finer), profiled
+    * with EXACT order statistics. The tail percentiles are the ones
+    * monitoring actually alerts on, and the ones sketches blur first
+    * — here every cell is the true value at rank ⌈n·p/100⌉, BIGINT.
+    *
+    * Scale shape: the lag window partitions on (user_id, event_type)
+    * — a near-unique composite, never a low-card funnel — and the
+    * quantile profile is ONE
+    * [[graft.operators.OrderStatistics.radixRanks]] pass (bucket
+    * histogram + union-of-crossing-buckets walk, bounded cumulative
+    * frames): two narrow scans for the whole three-point profile. */
+  val qEventsGapQuantiles = Q(
+    "q_events_gap_quantiles",
+    (s, dir) => {
+      val gaps = ev(s, dir)
+        .select(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"), unix_micros(col("ts")).as("tsu"))
+        .withColumn("gap_min",
+          expr("(tsu - lag(tsu, 1) over (partition by user_id, " +
+            "event_type order by ts, event_id)) DIV 60000000"))
+        .filter(col("gap_min").isNotNull)
+        .select(col("event_type").as("g"), col("gap_min").as("c"))
+      graft.operators.OrderStatistics.radixRanks(gaps, Seq(50, 90, 99))
+        .select(col("g").as("event_type"), col("pct"),
+          col("n").as("n_gaps"), col("value").as("gap_min"))
+        .orderBy(col("event_type"), col("pct"))
+    },
+    Some("""
+      WITH gaps AS (
+        SELECT event_type,
+               (epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                 (PARTITION BY user_id, event_type
+                  ORDER BY ts, event_id)) // 60000000 AS c
+        FROM events),
+      g2 AS (SELECT event_type AS g, c FROM gaps WHERE c IS NOT NULL),
+      r AS (
+        SELECT g, c,
+               CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY c)
+                 AS BIGINT) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM g2),
+      p AS (SELECT CAST(UNNEST([50, 90, 99]) AS BIGINT) AS pct)
+      SELECT r.g AS event_type, p.pct, r.n AS n_gaps, r.c AS gap_min
+      FROM r JOIN p ON r.rn = (r.n * p.pct + 99) // 100
+      ORDER BY event_type, pct"""))
+
   val all: Seq[Q] = Seq(qEventsFunnel, qEventsRetention,
     qEventsTransitions, qEventsAnomaly, qEventsPaths, qEventsAttribution,
     qEventsFunnelTime, qEventsDauWau, qEventsWauSketch,
@@ -2076,5 +2125,6 @@ object EventQueries {
     qEventsUplift, qEventsPower, qEventsMarkov, qEventsLifecycle,
     qEventsPattern, qEventsMau, qEventsAttributionPosition,
     qEventsPatternVar, qEventsSloBurn, qEventsStreak, qEventsThrottle,
-    qEventsLedger, qEventsAttributionDecay, qEventsBots)
+    qEventsLedger, qEventsAttributionDecay, qEventsBots,
+    qEventsGapQuantiles)
 }

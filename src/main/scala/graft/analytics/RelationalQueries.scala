@@ -2151,6 +2151,51 @@ object RelationalQueries {
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY 1 ORDER BY month"""))
 
+  /** Exact multi-quantile profile per group — the five-point
+    * (p25/p50/p75/p90/p99) price distribution table per return flag,
+    * every cell an EXACT order statistic (value at rank
+    * ⌈n·p/100⌉, all BIGINT — no interpolation, no sketch error):
+    * the distribution card a data audit publishes next to
+    * [[qQuantileSketch]]'s approximate path (GK, for when 1e-3
+    * relative rank error is acceptable) and [[qAggRadixMedian]]'s
+    * single median. The oracle is the rank definition itself
+    * (ROW_NUMBER joined to the percentile grid), so the gate
+    * certifies the radix plan against the naive sort.
+    *
+    * Scale shape: ONE [[graft.operators.OrderStatistics.radixRanks]]
+    * pass — one bucket histogram per group locates ALL five crossing
+    * buckets, one re-scan of their union walks the exact values; the
+    * per-(group, pct) cumulative windows ride aggregated bounded
+    * frames. A full five-point profile of 100 TB costs the same two
+    * narrow scans as one median — never five sorts, never a ranked
+    * window over raw rows. */
+  val qAggExactQuantiles = Q(
+    "q_agg_exact_quantiles",
+    (s, dir) => {
+      val x = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("c"))
+      graft.operators.OrderStatistics
+        .radixRanks(x, Seq(25, 50, 75, 90, 99))
+        .select(col("g").as("l_returnflag"), col("pct"), col("n"),
+          col("value").as("value_c"))
+        .orderBy(col("l_returnflag"), col("pct"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem),
+      r AS (
+        SELECT g, c,
+               CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY c)
+                 AS BIGINT) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM x),
+      p AS (SELECT CAST(UNNEST([25, 50, 75, 90, 99]) AS BIGINT) AS pct)
+      SELECT r.g AS l_returnflag, p.pct, r.n, r.c AS value_c
+      FROM r JOIN p ON r.rn = (r.n * p.pct + 99) // 100
+      ORDER BY l_returnflag, pct"""))
+
   /** Statistical MODE per group — the one classical aggregate the
     * family still lacked (exact percentile, median, MAD, and moments
     * all exist): the most frequent quantity per return flag, ties
@@ -2346,7 +2391,8 @@ object RelationalQueries {
     qAggPartitionAdvisor,
     qJoinBloomPrune,
     qAggMode,
-    qJoinLeadTime) ++
+    qJoinLeadTime,
+    qAggExactQuantiles) ++
     StatsQueries.all ++ TsQueries.all ++ WindowQueries.all ++
     Scd2Queries.all ++ ScalarQueries.all
 }

@@ -176,6 +176,57 @@ object OrderStatistics {
       .select(col("g"), col("totw"), col("c").as("med"))
   }
 
+  /** Exact per-group MULTI-QUANTILE without a per-group sort — the
+    * [[radixLowerMedian]] two-pass radix plan generalized to a SET of
+    * percentile targets walked simultaneously: pass 1 builds ONE
+    * bucket histogram per group and locates, for every percentile p,
+    * the bucket where the cumulative count crosses rank
+    * ⌈n·p/100⌉ = (n·p + 99) DIV 100; pass 2 re-scans only the UNION
+    * of crossing buckets (≤ |groups|·|pcts| buckets — broadcast
+    * target table) and walks exact value counts per (group, pct) to
+    * the remaining rank. The per-(group, pct) cumulative windows run
+    * over AGGREGATED frames — bounded — so a full five-point latency/
+    * price profile of 100 TB costs two narrow scans, same as one
+    * median. Input: columns `g` (any group type), `c` (BIGINT value);
+    * `pcts` in (0, 100]. Output: (g, pct, n, value) — `value` is the
+    * exact order statistic AT the ceil rank (p = 50 ⇒ the lower
+    * median, matching [[radixLowerMedian]]). */
+  def radixRanks(rows: DataFrame, pcts: Seq[Int],
+      bucketWidth: Long = 65536L): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
+      s"pcts must be in (0, 100], got $pcts")
+    import org.apache.spark.sql.expressions.Window
+    val wB = Window.partitionBy(col("g")).orderBy(col("b1"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h1 = rows
+      .groupBy(col("g"), (col("c") / bucketWidth).cast("long").as("b1"))
+      .agg(count(lit(1)).as("bn"))
+    val pctArr = array(pcts.map(p => lit(p.toLong)): _*)
+    val tgt = h1
+      .withColumn("cum", sum(col("bn")).over(wB))
+      .withColumn("n",
+        sum(col("bn")).over(Window.partitionBy(col("g"))))
+      .select(col("g"), col("b1"), col("bn"), col("cum"), col("n"),
+        explode(pctArr).as("pct"))
+      .withColumn("k", expr("(n * pct + 99) DIV 100"))
+      .filter(col("cum") >= col("k") &&
+        col("cum") - col("bn") < col("k"))
+      .select(col("g").as("tg"), col("b1").as("tb"), col("pct"),
+        col("n"), (col("k") - (col("cum") - col("bn"))).as("k2"))
+    val wC = Window.partitionBy(col("g"), col("pct")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.join(broadcast(tgt), col("g") === col("tg") &&
+        (col("c") / bucketWidth).cast("long") === col("tb"))
+      .select(col("g"), col("pct"), col("c"), col("n"), col("k2"))
+      .groupBy(col("g"), col("pct"), col("c"))
+      .agg(count(lit(1)).as("cn"), max(col("n")).as("n"),
+        max(col("k2")).as("k2"))
+      .withColumn("cum2", sum(col("cn")).over(wC))
+      .filter(col("cum2") >= col("k2") &&
+        col("cum2") - col("cn") < col("k2"))
+      .select(col("g"), col("pct"), col("n"), col("c").as("value"))
+  }
+
   /** Per-ROW distributed rank within string groups — `rank()`
     * (`minRank = true`: ties share the min-rank) or `row_number()`
     * (`minRank = false`: ties break by the payload column `p`,
