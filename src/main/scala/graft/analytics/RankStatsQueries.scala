@@ -979,6 +979,118 @@ object RankStatsQueries {
       ORDER BY s.lang"""))
 
 
+  /** Wilcoxon signed-rank test per event type — the PAIRED
+    * nonparametric test completing the classic trio
+    * ([[qStatsMannWhitney]] two-sample, [[qStatsKruskal]] k-sample):
+    * does each user's activity value shift between the observation
+    * window's first and second half? Pairs are per (type, user)
+    * cent-sums before/after the global midpoint (exact integers —
+    * cents rounded per ROW, so no double-summation seam); zero
+    * diffs drop (the standard convention), |d| takes MIDRANKS with
+    * the tie-corrected normal approximation. Everything is BIGINT
+    * until the one rounded z: doubled midranks (2·mid = 2·minrank +
+    * c − 1) keep W⁺ integer as 2W⁺, and Var(2W⁺) =
+    * (2n(n+1)(2n+1) − Σ(t³−t))/12 divides once in double.
+    *
+    * Scale shape: one (type, user)-keyed rollup (near-unique key —
+    * never a low-card funnel), then min-ranks from
+    * [[graft.operators.OrderStatistics.groupRowRanks]] (the
+    * range-partitioned distributed rank carrying the SIGNED diff as
+    * payload, so the positive-rank sum needs no join-back), a
+    * (g, v)-keyed multiplicity frame for midranks/ties, and one
+    * bounded per-type reduction. The one-row midpoint scalar rides a
+    * broadcast cross join. */
+  val qStatsWilcoxon = Q(
+    "q_stats_wilcoxon",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        col("user_id"), unix_micros(col("ts")).as("tsu"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      val mid = ev.agg(min(col("tsu")).as("mn"), max(col("tsu")).as("mx"))
+        .select((col("mn") + expr("(mx - mn) DIV 2")).as("m"))
+      val pairs = ev.crossJoin(broadcast(mid))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(
+          sum(when(col("tsu") < col("m"), col("cents")).otherwise(0L))
+            .as("a"),
+          sum(when(col("tsu") >= col("m"), col("cents")).otherwise(0L))
+            .as("b"),
+          sum(when(col("tsu") < col("m"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("tsu") >= col("m"), 1L).otherwise(0L)).as("nb"))
+      val d = pairs
+        .filter(col("na") > 0 && col("nb") > 0 && col("a") =!= col("b"))
+        .select(col("event_type").as("g"),
+          abs(col("b") - col("a")).as("v"),
+          (col("b") - col("a")).as("p"))
+      val rr = graft.operators.OrderStatistics
+        .groupRowRanks(d, minRank = true)
+      val cnts = rr.groupBy(col("g"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val agg1 = rr.join(cnts, Seq("g", "v"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("p").cast("long") > 0,
+            lit(2L) * col("rk") + col("c") - lit(1L)).otherwise(0L))
+            .as("w2plus"))
+      val ties = cnts.groupBy(col("g"))
+        .agg(sum(col("c") * col("c") * col("c") - col("c")).as("tie"))
+      agg1.join(ties, Seq("g"))
+        .select(col("g").as("event_type"), col("n_pairs"), col("w2plus"),
+          round(
+            (col("w2plus") - expr("(n_pairs * (n_pairs + 1)) DIV 2"))
+              .cast("double") /
+            sqrt(expr("cast(2 * n_pairs * (n_pairs + 1) * " +
+              "(2 * n_pairs + 1) - tie as double)") / lit(12.0)), 6)
+            .as("z"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH mid AS (
+        SELECT epoch_us(CAST(MIN(ts) AS TIMESTAMP))
+             + (epoch_us(CAST(MAX(ts) AS TIMESTAMP))
+                - epoch_us(CAST(MIN(ts) AS TIMESTAMP))) // 2 AS m
+        FROM events),
+      ev AS (
+        SELECT event_type, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events),
+      pairs AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CASE WHEN tsu < m.m THEN cents ELSE 0 END)
+                 AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN tsu >= m.m THEN cents ELSE 0 END)
+                 AS BIGINT) AS b,
+               SUM(CASE WHEN tsu < m.m THEN 1 ELSE 0 END) AS na,
+               SUM(CASE WHEN tsu >= m.m THEN 1 ELSE 0 END) AS nb
+        FROM ev CROSS JOIN mid m GROUP BY 1, 2),
+      d AS (
+        SELECT event_type AS g, ABS(b - a) AS v, b - a AS p
+        FROM pairs WHERE na > 0 AND nb > 0 AND a <> b),
+      rk AS (
+        SELECT g, v, p,
+               CAST(RANK() OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+                 AS mr,
+               CAST(COUNT(*) OVER (PARTITION BY g, v) AS BIGINT) AS c
+        FROM d),
+      agg AS (
+        SELECT g, COUNT(*) AS n_pairs,
+               CAST(SUM(CASE WHEN p > 0 THEN 2 * mr + c - 1 ELSE 0 END)
+                 AS BIGINT) AS w2plus
+        FROM rk GROUP BY g),
+      ties AS (
+        SELECT g, CAST(SUM(c * c * c - c) AS BIGINT) AS tie
+        FROM (SELECT g, v, COUNT(*) AS c FROM d GROUP BY 1, 2)
+        GROUP BY g)
+      SELECT a.g AS event_type, a.n_pairs, a.w2plus,
+             ROUND(CAST(a.w2plus - (a.n_pairs * (a.n_pairs + 1)) // 2
+                 AS DOUBLE) /
+               SQRT(CAST(2 * a.n_pairs * (a.n_pairs + 1)
+                   * (2 * a.n_pairs + 1) - t.tie AS DOUBLE) / 12.0), 6)
+               AS z
+      FROM agg a JOIN ties t USING (g)
+      ORDER BY event_type"""))
+
   /** Registry consumed by StatsQueries.all. */
-  val all: Seq[Q] = Seq(qStatsSpearman, qStatsWmedian, qStatsMad, qStatsGini, qStatsKs, qStatsMannWhitney, qStatsKruskal, qStatsKendall, qStatsTheilsen, qStatsQnorm, qStatsConformal)
+  val all: Seq[Q] = Seq(qStatsSpearman, qStatsWmedian, qStatsMad, qStatsGini, qStatsKs, qStatsMannWhitney, qStatsKruskal, qStatsKendall, qStatsTheilsen, qStatsQnorm, qStatsConformal, qStatsWilcoxon)
 }

@@ -1048,6 +1048,134 @@ object TsQueries {
 
 
   /** Registry consumed by RelationalQueries.all. */
+  /** Per-(type, segment) CUSUM peak over a tagged hourly frame — the
+    * [[qTsCusum]] machinery with a segment key: per (event_type,
+    * seg), the hour where the cumulative deviation from the
+    * SEGMENT's own rational mean peaks in magnitude (n_seg·x − S_seg
+    * keeps everything BIGINT-exact), earliest hour on ties. Windows
+    * ride the bounded zero-filled hourly frame (aggregated below —
+    * lint-safe); the cum frame persists for its two consumers and is
+    * released after the caller's first action. */
+  private def segCusumPeaks(tagged: DataFrame): DataFrame = {
+    val tots = tagged.groupBy(col("event_type"), col("seg"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("total_events"),
+        min(col("h")).as("seg_start"), max(col("h")).as("seg_end"))
+    val wRun = Window.partitionBy(col("event_type"), col("seg"))
+      .orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"), col("seg"))
+    val cum = tagged.join(broadcast(tots), Seq("event_type", "seg"))
+      .withColumn("cum",
+        sum(col("n_hours") * col("x") - col("total_events")).over(wRun))
+      .withColumn("mx", max(abs(col("cum"))).over(wAll))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val peaks = cum.filter(abs(col("cum")) === col("mx"))
+      .groupBy(col("event_type"), col("seg"))
+      .agg(min(col("h")).as("peak_h"))
+    val out = cum.join(peaks.withColumnRenamed("peak_h", "ph"),
+        Seq("event_type", "seg"))
+      .filter(col("h") === col("ph"))
+      .select(col("event_type"), col("seg"), col("seg_start"),
+        col("seg_end"), col("n_hours"), col("h").as("peak_h"),
+        col("cum").as("cusum_peak"))
+    QueryScopedCache.releaseAfter(out, Seq(cum))
+  }
+
+  /** Binary-segmentation changepoint screen — TWO levels of CUSUM:
+    * the [[qTsCusum]] full-series peak splits each type's hourly
+    * series, then each HALF gets its own segment-local CUSUM peak
+    * against the segment's own mean — the classic top-down
+    * changepoint recursion (two steps of it), finding the secondary
+    * level shifts the global statistic absorbs. Emits one row per
+    * (type, segment ∈ {full, left, right}) with the segment span,
+    * peak hour, and exact BIGINT peak statistic; a right segment is
+    * absent when the full peak is the last hour (both engines
+    * alike).
+    *
+    * Scale shape: the corpus-scale work is the ONE hourly count
+    * exchange behind the shared zero-filled series; both recursion
+    * levels are bounded-frame window walks over the per-type hourly
+    * grid, the split point rides a broadcast ≤|types|-row join —
+    * recursion depth adds bounded passes, never corpus scans. */
+  val qTsChangepoint2 = Q(
+    "q_ts_changepoint2",
+    (s, dir) => {
+      val series = hourlySeriesByType(s, dir)
+      val full = segCusumPeaks(series.withColumn("seg", lit("full")))
+      val split = series.join(
+          broadcast(full.select(col("event_type"),
+            col("peak_h").as("split_h"))),
+          Seq("event_type"))
+        .withColumn("seg", when(col("h") <= col("split_h"), lit("left"))
+          .otherwise(lit("right")))
+        .select(col("event_type"), col("seg"), col("h"), col("x"))
+      val halves = segCusumPeaks(split)
+      full.unionByName(halves)
+        .orderBy(col("event_type"), col("seg"))
+    },
+    Some(s"""
+      WITH ${hourlySeriesByTypeSql},
+      ftots AS (
+        SELECT event_type, COUNT(*) AS n_hours,
+               CAST(SUM(x) AS BIGINT) AS total_events,
+               MIN(h) AS seg_start, MAX(h) AS seg_end
+        FROM series GROUP BY event_type),
+      fcum AS (
+        SELECT s.event_type, s.h, t.n_hours, t.total_events,
+               t.seg_start, t.seg_end,
+               CAST(SUM(t.n_hours * s.x - t.total_events) OVER (
+                 PARTITION BY s.event_type ORDER BY s.h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM series s JOIN ftots t USING (event_type)),
+      fmx AS (
+        SELECT event_type, MAX(ABS(cum)) AS m FROM fcum GROUP BY 1),
+      fpeak AS (
+        SELECT c.event_type, MIN(c.h) AS peak_h
+        FROM fcum c JOIN fmx USING (event_type)
+        WHERE ABS(c.cum) = fmx.m GROUP BY c.event_type),
+      frow AS (
+        SELECT c.event_type, 'full' AS seg, c.seg_start, c.seg_end,
+               c.n_hours, c.h AS peak_h, c.cum AS cusum_peak
+        FROM fcum c JOIN fpeak p
+          ON c.event_type = p.event_type AND c.h = p.peak_h),
+      tagged AS (
+        SELECT s.event_type,
+               CASE WHEN s.h <= p.peak_h THEN 'left' ELSE 'right' END
+                 AS seg,
+               s.h, s.x
+        FROM series s JOIN fpeak p USING (event_type)),
+      stots AS (
+        SELECT event_type, seg, COUNT(*) AS n_hours,
+               CAST(SUM(x) AS BIGINT) AS total_events,
+               MIN(h) AS seg_start, MAX(h) AS seg_end
+        FROM tagged GROUP BY 1, 2),
+      scum AS (
+        SELECT g.event_type, g.seg, g.h, t.n_hours, t.total_events,
+               t.seg_start, t.seg_end,
+               CAST(SUM(t.n_hours * g.x - t.total_events) OVER (
+                 PARTITION BY g.event_type, g.seg ORDER BY g.h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM tagged g JOIN stots t USING (event_type, seg)),
+      smx AS (
+        SELECT event_type, seg, MAX(ABS(cum)) AS m
+        FROM scum GROUP BY 1, 2),
+      speak AS (
+        SELECT c.event_type, c.seg, MIN(c.h) AS peak_h
+        FROM scum c JOIN smx USING (event_type, seg)
+        WHERE ABS(c.cum) = smx.m GROUP BY c.event_type, c.seg),
+      srow AS (
+        SELECT c.event_type, c.seg, c.seg_start, c.seg_end,
+               c.n_hours, c.h AS peak_h, c.cum AS cusum_peak
+        FROM scum c JOIN speak p
+          ON c.event_type = p.event_type AND c.seg = p.seg
+             AND c.h = p.peak_h)
+      SELECT event_type, seg, seg_start, seg_end, n_hours, peak_h,
+             cusum_peak
+      FROM (SELECT * FROM frow UNION ALL SELECT * FROM srow)
+      ORDER BY event_type, seg"""))
+
   val all: Seq[Q] = Seq(qTsGapfill,
     qTsEwma,
     qTsOhlc,
@@ -1060,5 +1188,6 @@ object TsQueries {
     qTsForecast,
     qTsCompleteness,
     qTsDrawdown,
-    qTsHolt)
+    qTsHolt,
+    qTsChangepoint2)
 }

@@ -382,7 +382,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_stats_ipw: the one-row pooled-estimator scalar rides a
       // cross join into the 5-row strata frame (one-row-scalar
       // pattern, the q_stats_mh shape)
-      "q_stats_ipw")
+      "q_stats_ipw",
+      // q_stats_wilcoxon: the one-row window-midpoint scalar rides a
+      // cross join into the pairing rollup (one-row-scalar pattern)
+      "q_stats_wilcoxon")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
