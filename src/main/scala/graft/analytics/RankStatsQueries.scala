@@ -1091,6 +1091,93 @@ object RankStatsQueries {
       FROM agg a JOIN ties t USING (g)
       ORDER BY event_type"""))
 
+  /** Friedman rank test — the k-RELATED-samples member closing the
+    * nonparametric family ([[qStatsMannWhitney]] two independent,
+    * [[qStatsKruskal]] k independent, [[qStatsWilcoxon]] two paired):
+    * blocks are users, treatments are the five event types, the cell
+    * is the user's cent-sum per type, and within each COMPLETE block
+    * (all five types present) the cells take midranks 1..5. Do the
+    * treatments differ once every user serves as their own control?
+    * Doubled midranks keep everything BIGINT: with r2 = 2·midrank,
+    * the tie-corrected statistic is EXACTLY
+    * Q = (k−1)·Σ_j(R2_j − n(k+1))² / (Σr2² − n·k·(k+1)²) — integer
+    * numerator and denominator, one rounded double division. Output:
+    * one row per treatment with its rank sum (doubled) plus the
+    * scalar Q broadcast onto each row (the [[StatsQueries]]
+    * ANOVA/Levene k-row-frame pattern).
+    *
+    * Scale shape: one (user, type) rollup, one users-keyed window
+    * over ≤k-row partitions (user_id is near-unique — never a
+    * low-card funnel; the rank frame per partition is the k
+    * treatment cells), bounded k-row algebra after; the one-row Q
+    * scalar rides a broadcast cross join. */
+  val qStatsFriedman = Q(
+    "q_stats_friedman",
+    (s, dir) => {
+      val cells = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("v"))
+      val complete = cells.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("kk")).filter(col("kk") === 5)
+        .select(col("user_id"))
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("v"))
+      val wTie = Window.partitionBy(col("user_id"), col("v"))
+      val ranked = cells
+        .join(complete, Seq("user_id"), "left_semi")
+        .withColumn("minrk", rank().over(wU).cast("long"))
+        .withColumn("c", count(lit(1)).over(wTie))
+        .select(col("user_id"), col("event_type"),
+          (lit(2L) * col("minrk") + col("c") - lit(1L)).as("r2"))
+      val byT = ranked.groupBy(col("event_type"))
+        .agg(sum(col("r2")).as("r2_sum"))
+      val scal = ranked.agg(sum(col("r2") * col("r2")).as("a2"),
+        count(lit(1)).as("ncells"))
+      val withN = byT.crossJoin(broadcast(scal))
+        .withColumn("n", expr("ncells DIV 5"))
+        .withColumn("dev", col("r2_sum") - col("n") * lit(6L))
+      val num = withN.agg(sum(col("dev") * col("dev")).as("n2"))
+      withN.crossJoin(broadcast(num))
+        .select(col("event_type"), col("n").as("n_blocks"),
+          col("r2_sum"),
+          round((lit(4L) * col("n2")).cast("double") /
+            (col("a2") - col("n") * lit(180L)).cast("double"), 6)
+            .as("friedman_q"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT user_id, event_type,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS v
+        FROM events GROUP BY 1, 2),
+      complete AS (
+        SELECT user_id FROM cells GROUP BY user_id
+        HAVING COUNT(*) = 5),
+      ranked AS (
+        SELECT c.user_id, c.event_type,
+               2 * CAST(RANK() OVER (PARTITION BY c.user_id ORDER BY c.v)
+                 AS BIGINT)
+               + CAST(COUNT(*) OVER (PARTITION BY c.user_id, c.v)
+                 AS BIGINT) - 1 AS r2
+        FROM cells c JOIN complete USING (user_id)),
+      by_t AS (
+        SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2_sum,
+               COUNT(*) AS n_blocks
+        FROM ranked GROUP BY 1),
+      scal AS (
+        SELECT CAST(SUM(r2 * r2) AS BIGINT) AS a2,
+               COUNT(*) // 5 AS n
+        FROM ranked),
+      num AS (
+        SELECT CAST(SUM((b.r2_sum - s.n * 6) * (b.r2_sum - s.n * 6))
+                 AS BIGINT) AS n2
+        FROM by_t b CROSS JOIN scal s)
+      SELECT b.event_type, s.n AS n_blocks, b.r2_sum,
+             ROUND(CAST(4 * num.n2 AS DOUBLE)
+               / CAST(s.a2 - s.n * 180 AS DOUBLE), 6) AS friedman_q
+      FROM by_t b CROSS JOIN scal s CROSS JOIN num
+      ORDER BY event_type"""))
+
   /** Registry consumed by StatsQueries.all. */
-  val all: Seq[Q] = Seq(qStatsSpearman, qStatsWmedian, qStatsMad, qStatsGini, qStatsKs, qStatsMannWhitney, qStatsKruskal, qStatsKendall, qStatsTheilsen, qStatsQnorm, qStatsConformal, qStatsWilcoxon)
+  val all: Seq[Q] = Seq(qStatsSpearman, qStatsWmedian, qStatsMad, qStatsGini, qStatsKs, qStatsMannWhitney, qStatsKruskal, qStatsKendall, qStatsTheilsen, qStatsQnorm, qStatsConformal, qStatsWilcoxon, qStatsFriedman)
 }

@@ -385,7 +385,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q_stats_ipw",
       // q_stats_wilcoxon: the one-row window-midpoint scalar rides a
       // cross join into the pairing rollup (one-row-scalar pattern)
-      "q_stats_wilcoxon")
+      "q_stats_wilcoxon",
+      // q_stats_friedman: the one-row (A2, n) moment scalar and the
+      // one-row numerator scalar ride cross joins into the 5-row
+      // treatment frame (one-row-scalar pattern, the ANOVA shape)
+      "q_stats_friedman")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
