@@ -1723,6 +1723,67 @@ object TextQueries {
       FROM per_doc pd JOIN documents d USING (doc_id)
       GROUP BY d.source ORDER BY d.source"""))
 
+  /** Duplicated-context mass per source — the MEMORIZATION-RISK
+    * readout next to [[qTextNovelty]]'s attribution view: of each
+    * source's distinct (doc, 8-gram) instances, what fraction
+    * belongs to an 8-gram appearing in MORE THAN ONE document?
+    * Repeated contexts are what a model memorizes verbatim; a source
+    * whose dup mass spikes is feeding the training mix boilerplate.
+    * Novelty answers "who held it first", this answers "how much of
+    * the source is held by anyone else at all" — the number a
+    * dedup-policy review reads before tightening thresholds.
+    *
+    * Scale shape: the [[qTextNovelty]] machinery verbatim — shingle
+    * instances as 32-byte md5 keys (text never crosses the wire),
+    * one map-side-combined per-shingle document count, a key-only
+    * join back, a bounded per-source rollup; the instance table
+    * persists for its two consumers via [[QueryScopedCache]]. */
+  val qTextDupMass = Q(
+    "q_text_dup_mass",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val ps = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("source"),
+          explode(graft.functions.TextFunctions.shingles(col("ws"), 8))
+            .as("sh"))
+        .select(col("doc_id"), col("source"), md5(col("sh")).as("h"))
+        .distinct()
+        .persist(MEMORY_AND_DISK)
+      val nd = ps.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      val result = ps.join(nd, Seq("h"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_pairs"))
+        .select(col("source"), col("n_docs"), col("n_pairs"),
+          col("dup_pairs"),
+          round(col("dup_pairs").cast("double") /
+            col("n_pairs").cast("double"), 6).as("dup_mass_frac"))
+        .orderBy(col("source"))
+      QueryScopedCache.releaseAfter(result, Seq(ps))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                 FROM documents),
+      ps AS (
+        SELECT DISTINCT doc_id, source, md5(sh) AS h FROM (
+          SELECT doc_id, source,
+                 unnest([array_to_string(ws[i:i+7], ' ')
+                         for i in generate_series(1, len(ws) - 7)]) AS sh
+          FROM w)),
+      nd AS (SELECT h, COUNT(*) AS nd FROM ps GROUP BY h)
+      SELECT p.source, COUNT(DISTINCT p.doc_id) AS n_docs,
+             COUNT(*) AS n_pairs,
+             CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_pairs,
+             ROUND(CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS dup_mass_frac
+      FROM ps p JOIN nd d USING (h)
+      GROUP BY p.source ORDER BY p.source"""))
+
   /** Population Stability Index of each source's document-length
     * distribution against the corpus — THE production drift score
     * ("has this feed's shape moved?"; PSI < 0.1 stable, > 0.25
@@ -2090,5 +2151,5 @@ object TextQueries {
     qTextCollocations, qTextChisquare, qStatsSourceOverlap, qTextDistinctN, qStatsDatacard,
     qTextKeywords, qTextEntropy, qTextOov, qTextLangidEval,
     qTextReadability, qTextNovelty, qStatsPsi, qTextCodeScreen,
-    qTextZipf, qTextWinnow)
+    qTextZipf, qTextWinnow, qTextDupMass)
 }
