@@ -1178,6 +1178,93 @@ object RankStatsQueries {
       FROM by_t b CROSS JOIN scal s CROSS JOIN num
       ORDER BY event_type"""))
 
+  /** Cochran's Q — the k-related-samples test for BINARY outcomes
+    * (the dichotomous sibling of [[qStatsFriedman]]): per complete
+    * user block, did each event type's activity value GROW across
+    * the window midpoint (second-half cent-sum > first-half)? Do
+    * growth rates differ across types once each user is their own
+    * control? Column totals C_j, row totals R_i, N = ΣC_j, and
+    * Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²) — every term BIGINT,
+    * one rounded division (fixture read first: denominators 722 /
+    * 7416 at sf0.01 / sf0.1 — non-degenerate; the naive "any event
+    * after midpoint" indicator saturates to all-ones and was
+    * rejected). Emits one row per type with its success count plus
+    * the scalar Q broadcast on (the Friedman k-row-frame pattern).
+    *
+    * Scale shape: one (user, type) rollup (near-unique key), a
+    * complete-block semi-join, bounded k-row and one-row scalar
+    * algebra after; the one-row midpoint scalar rides a broadcast
+    * cross join. */
+  val qStatsCochranq = Q(
+    "q_stats_cochranq",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        col("user_id"), unix_micros(col("ts")).as("tsu"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      val mid = ev.agg(min(col("tsu")).as("mn"), max(col("tsu")).as("mx"))
+        .select((col("mn") + expr("(mx - mn) DIV 2")).as("m"))
+      val cells = ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg((sum(when(col("tsu") >= col("m"), col("cents"))
+            .otherwise(0L)) >
+          sum(when(col("tsu") < col("m"), col("cents")).otherwise(0L)))
+          .cast("long").as("x"))
+      val comp = cells.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("kk")).filter(col("kk") === 5)
+        .select(col("user_id"))
+      val xs = cells.join(comp, Seq("user_id"), "left_semi")
+      val cj = xs.groupBy(col("event_type")).agg(sum(col("x")).as("c"))
+      val ri = xs.groupBy(col("user_id")).agg(sum(col("x")).as("r"))
+      val scal = cj.agg(sum(col("c") * col("c")).as("sc2"),
+          sum(col("c")).as("nn"))
+        .crossJoin(broadcast(
+          ri.agg(sum(col("r") * col("r")).as("sr2"),
+            count(lit(1)).as("n_blocks"))))
+      cj.crossJoin(broadcast(scal))
+        .select(col("event_type"), col("n_blocks"),
+          col("c").as("n_grew"),
+          round((lit(4L) * (lit(5L) * col("sc2") - col("nn") * col("nn")))
+            .cast("double") /
+            (lit(5L) * col("nn") - col("sr2")).cast("double"), 6)
+            .as("cochran_q"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH mid AS (
+        SELECT epoch_us(CAST(MIN(ts) AS TIMESTAMP))
+             + (epoch_us(CAST(MAX(ts) AS TIMESTAMP))
+                - epoch_us(CAST(MIN(ts) AS TIMESTAMP))) // 2 AS m
+        FROM events),
+      ev AS (
+        SELECT event_type, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events),
+      cells AS (
+        SELECT user_id, event_type,
+               CASE WHEN SUM(CASE WHEN tsu >= m.m THEN cents ELSE 0 END)
+                      > SUM(CASE WHEN tsu < m.m THEN cents ELSE 0 END)
+                    THEN 1 ELSE 0 END AS x
+        FROM ev CROSS JOIN mid m GROUP BY 1, 2),
+      comp AS (
+        SELECT user_id FROM cells GROUP BY user_id
+        HAVING COUNT(*) = 5),
+      xs AS (SELECT c.* FROM cells c JOIN comp USING (user_id)),
+      cj AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS c
+             FROM xs GROUP BY 1),
+      ri AS (SELECT user_id, CAST(SUM(x) AS BIGINT) AS r
+             FROM xs GROUP BY 1),
+      scal AS (
+        SELECT (SELECT CAST(SUM(c * c) AS BIGINT) FROM cj) AS sc2,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM cj) AS nn,
+               (SELECT CAST(SUM(r * r) AS BIGINT) FROM ri) AS sr2,
+               (SELECT COUNT(*) FROM ri) AS n_blocks)
+      SELECT cj.event_type, s.n_blocks, cj.c AS n_grew,
+             ROUND(CAST(4 * (5 * s.sc2 - s.nn * s.nn) AS DOUBLE)
+               / CAST(5 * s.nn - s.sr2 AS DOUBLE), 6) AS cochran_q
+      FROM cj CROSS JOIN scal s
+      ORDER BY event_type"""))
+
   /** Registry consumed by StatsQueries.all. */
-  val all: Seq[Q] = Seq(qStatsSpearman, qStatsWmedian, qStatsMad, qStatsGini, qStatsKs, qStatsMannWhitney, qStatsKruskal, qStatsKendall, qStatsTheilsen, qStatsQnorm, qStatsConformal, qStatsWilcoxon, qStatsFriedman)
+  val all: Seq[Q] = Seq(qStatsSpearman, qStatsWmedian, qStatsMad, qStatsGini, qStatsKs, qStatsMannWhitney, qStatsKruskal, qStatsKendall, qStatsTheilsen, qStatsQnorm, qStatsConformal, qStatsWilcoxon, qStatsFriedman, qStatsCochranq)
 }

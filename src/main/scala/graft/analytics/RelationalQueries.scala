@@ -2196,6 +2196,54 @@ object RelationalQueries {
       FROM r JOIN p ON r.rn = (r.n * p.pct + 99) // 100
       ORDER BY l_returnflag, pct"""))
 
+  /** Weighted multi-quantile profile per group — "the price of the
+    * p25/p50/p75/p90/p99 UNIT shipped" per return flag: each line
+    * counts with its quantity weight, so the tails describe the
+    * shipped VOLUME, not the line count ([[qStatsWmedian]]'s
+    * estimator extended to the full five-point card). Every cell is
+    * the exact value whose cumulative weight first reaches
+    * ⌈W·p/100⌉ — all BIGINT, no interpolation. The oracle is the
+    * definition itself (running-weight window + crossing rule).
+    *
+    * Scale shape: ONE
+    * [[graft.operators.OrderStatistics.radixWeightedRanks]] pass —
+    * one bucket WEIGHT histogram per group locates all five crossing
+    * buckets, one re-scan of their union walks exact values; bounded
+    * cumulative frames throughout, never a ranked window over raw
+    * rows. */
+  val qAggWeightedQuantiles = Q(
+    "q_agg_weighted_quantiles",
+    (s, dir) => {
+      val m = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("c"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("w"))
+      graft.operators.OrderStatistics
+        .radixWeightedRanks(m, Seq(25, 50, 75, 90, 99))
+        .select(col("g").as("l_returnflag"), col("pct"),
+          col("totw").as("total_weight"), col("value").as("value_c"))
+        .orderBy(col("l_returnflag"), col("pct"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+               CAST(ROUND(l_quantity * 100) AS BIGINT) AS w
+        FROM lineitem),
+      tot AS (SELECT g, CAST(SUM(w) AS BIGINT) AS tw FROM m GROUP BY g),
+      r AS (
+        SELECT g, v,
+               CAST(SUM(w) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cumw
+        FROM m),
+      p AS (SELECT CAST(UNNEST([25, 50, 75, 90, 99]) AS BIGINT) AS pct)
+      SELECT r.g AS l_returnflag, p.pct, t.tw AS total_weight,
+             MIN(r.v) AS value_c
+      FROM r JOIN tot t USING (g) CROSS JOIN p
+      WHERE r.cumw >= (t.tw * p.pct + 99) // 100
+      GROUP BY r.g, p.pct, t.tw
+      ORDER BY l_returnflag, pct"""))
+
   /** Statistical MODE per group — the one classical aggregate the
     * family still lacked (exact percentile, median, MAD, and moments
     * all exist): the most frequent quantity per return flag, ties
@@ -2392,7 +2440,8 @@ object RelationalQueries {
     qJoinBloomPrune,
     qAggMode,
     qJoinLeadTime,
-    qAggExactQuantiles) ++
+    qAggExactQuantiles,
+    qAggWeightedQuantiles) ++
     StatsQueries.all ++ TsQueries.all ++ WindowQueries.all ++
     Scd2Queries.all ++ ScalarQueries.all
 }

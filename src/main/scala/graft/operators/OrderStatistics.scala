@@ -192,6 +192,21 @@ object OrderStatistics {
     * exact order statistic AT the ceil rank (p = 50 ⇒ the lower
     * median, matching [[radixLowerMedian]]). */
   def radixRanks(rows: DataFrame, pcts: Seq[Int],
+      bucketWidth: Long = 65536L): DataFrame =
+    radixWeightedRanks(rows.select(col("g"), col("c"),
+      lit(1L).as("w")), pcts, bucketWidth)
+      .withColumnRenamed("totw", "n")
+
+  /** Weighted generalization of [[radixRanks]] — the value whose
+    * CUMULATIVE WEIGHT first reaches ⌈W·p/100⌉ for every percentile
+    * p, in the same one-histogram-pass + union-of-crossing-buckets
+    * plan (with w ≡ 1 this IS [[radixRanks]], which delegates; with
+    * real weights it answers "the value of the p-th percentile
+    * UNIT" — quantity-weighted price tails, token-weighted length
+    * tails). p = 50 reproduces [[radixWeightedLowerMedian]] exactly
+    * (⌈W/2⌉ = (W+1) DIV 2). Input: columns `g`, `c` (BIGINT value),
+    * `w` (BIGINT weight > 0). Output: (g, pct, totw, value). */
+  def radixWeightedRanks(rows: DataFrame, pcts: Seq[Int],
       bucketWidth: Long = 65536L): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
       s"pcts must be in (0, 100], got $pcts")
@@ -200,31 +215,32 @@ object OrderStatistics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val h1 = rows
       .groupBy(col("g"), (col("c") / bucketWidth).cast("long").as("b1"))
-      .agg(count(lit(1)).as("bn"))
+      .agg(sum(col("w")).as("bn"))
     val pctArr = array(pcts.map(p => lit(p.toLong)): _*)
     val tgt = h1
       .withColumn("cum", sum(col("bn")).over(wB))
-      .withColumn("n",
+      .withColumn("totw",
         sum(col("bn")).over(Window.partitionBy(col("g"))))
-      .select(col("g"), col("b1"), col("bn"), col("cum"), col("n"),
+      .select(col("g"), col("b1"), col("bn"), col("cum"), col("totw"),
         explode(pctArr).as("pct"))
-      .withColumn("k", expr("(n * pct + 99) DIV 100"))
+      .withColumn("k", expr("(totw * pct + 99) DIV 100"))
       .filter(col("cum") >= col("k") &&
         col("cum") - col("bn") < col("k"))
       .select(col("g").as("tg"), col("b1").as("tb"), col("pct"),
-        col("n"), (col("k") - (col("cum") - col("bn"))).as("k2"))
+        col("totw"), (col("k") - (col("cum") - col("bn"))).as("k2"))
     val wC = Window.partitionBy(col("g"), col("pct")).orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rows.join(broadcast(tgt), col("g") === col("tg") &&
         (col("c") / bucketWidth).cast("long") === col("tb"))
-      .select(col("g"), col("pct"), col("c"), col("n"), col("k2"))
+      .select(col("g"), col("pct"), col("c"), col("w"), col("totw"),
+        col("k2"))
       .groupBy(col("g"), col("pct"), col("c"))
-      .agg(count(lit(1)).as("cn"), max(col("n")).as("n"),
+      .agg(sum(col("w")).as("cn"), max(col("totw")).as("totw"),
         max(col("k2")).as("k2"))
       .withColumn("cum2", sum(col("cn")).over(wC))
       .filter(col("cum2") >= col("k2") &&
         col("cum2") - col("cn") < col("k2"))
-      .select(col("g"), col("pct"), col("n"), col("c").as("value"))
+      .select(col("g"), col("pct"), col("totw"), col("c").as("value"))
   }
 
   /** Per-ROW distributed rank within string groups — `rank()`

@@ -389,7 +389,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_stats_friedman: the one-row (A2, n) moment scalar and the
       // one-row numerator scalar ride cross joins into the 5-row
       // treatment frame (one-row-scalar pattern, the ANOVA shape)
-      "q_stats_friedman")
+      "q_stats_friedman",
+      // q_stats_cochranq: the one-row midpoint and one-row
+      // (ΣC², N, ΣR², n) moment scalars ride cross joins into the
+      // 5-row treatment frame (one-row-scalar pattern)
+      "q_stats_cochranq")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
