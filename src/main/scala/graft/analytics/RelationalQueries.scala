@@ -2244,6 +2244,71 @@ object RelationalQueries {
       GROUP BY r.g, p.pct, t.tw
       ORDER BY l_returnflag, pct"""))
 
+  /** Sketch-vs-exact quantile evaluation — the accuracy-closure query
+    * for the approximate path ([[qSimRecallEval]]'s "measure, don't
+    * guess" pattern pointed at quantiles): the GK sketch's
+    * p50/p90/p99 estimates are rank-checked against the SAME targets
+    * [[qAggExactQuantiles]] computes exactly, in one gated table —
+    * per (group, percentile): the exact order statistic
+    * (hash-matched cell) and whether the sketch estimate's measured
+    * rank sits inside its n/accuracy contract (|rank(est) −
+    * ⌈n·p/100⌉| ≤ max(1, n/1000) + 1 — the [[qQuantileSketch]]
+    * proven bound, emitted as a verdict the oracle mirrors with
+    * literal trues). This is the table that justifies swapping
+    * [[graft.operators.OrderStatistics.radixRanks]]'s two exact scans
+    * for one sketch pass when 1e-3 rank error is acceptable — with
+    * the error MEASURED on this corpus, not assumed.
+    *
+    * Scale shape: the exact side is one radixRanks pass (two narrow
+    * scans); the sketch side is one aggregate plus one broadcast
+    * rank-check scan; everything after is a ≤|groups|·3-row frame. */
+  val qAggQuantileEval = Q(
+    "q_agg_quantile_eval",
+    (s, dir) => {
+      val x = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("c"))
+      val exact = graft.operators.OrderStatistics
+        .radixRanks(x, Seq(50, 90, 99))
+        .select(col("g"), col("pct"), col("n"),
+          col("value").as("exact_c"))
+      val ap = x.groupBy(col("g")).agg(expr(
+        "approx_percentile(c, array(0.5D, 0.9D, 0.99D), 1000)").as("ap"))
+      val ranks = x.join(broadcast(ap), Seq("g"))
+        .groupBy(col("g"))
+        .agg(
+          sum(when(col("c") <= element_at(col("ap"), 1), 1L)
+            .otherwise(0L)).as("r50"),
+          sum(when(col("c") <= element_at(col("ap"), 2), 1L)
+            .otherwise(0L)).as("r90"),
+          sum(when(col("c") <= element_at(col("ap"), 3), 1L)
+            .otherwise(0L)).as("r99"))
+        .select(col("g"), expr(
+          "stack(3, 50L, r50, 90L, r90, 99L, r99) as (pct, apr)"))
+      exact.join(ranks, Seq("g", "pct"))
+        .select(col("g").as("l_returnflag"), col("pct"), col("n"),
+          col("exact_c"),
+          (abs(col("apr") - expr("(n * pct + 99) DIV 100")) <=
+            greatest(lit(1L), expr("n DIV 1000")) + lit(1L))
+            .as("approx_rank_ok"))
+        .orderBy(col("l_returnflag"), col("pct"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem),
+      r AS (
+        SELECT g, c,
+               CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY c)
+                 AS BIGINT) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM x),
+      p AS (SELECT CAST(UNNEST([50, 90, 99]) AS BIGINT) AS pct)
+      SELECT r.g AS l_returnflag, p.pct, r.n, r.c AS exact_c,
+             TRUE AS approx_rank_ok
+      FROM r JOIN p ON r.rn = (r.n * p.pct + 99) // 100
+      ORDER BY l_returnflag, pct"""))
+
   /** Statistical MODE per group — the one classical aggregate the
     * family still lacked (exact percentile, median, MAD, and moments
     * all exist): the most frequent quantity per return flag, ties
@@ -2441,7 +2506,8 @@ object RelationalQueries {
     qAggMode,
     qJoinLeadTime,
     qAggExactQuantiles,
-    qAggWeightedQuantiles) ++
+    qAggWeightedQuantiles,
+    qAggQuantileEval) ++
     StatsQueries.all ++ TsQueries.all ++ WindowQueries.all ++
     Scd2Queries.all ++ ScalarQueries.all
 }
