@@ -25,47 +25,66 @@ object Bench {
     // a round-over-round delta can be judged against run variance.
     // STRATIFIED rep policy (round-10 bench cost control): at 280+
     // queries a uniform 3-rep sweep costs ~24 min of driver wall; a
-    // query whose LAST RECORDED spread (target/bench.json, written by
-    // every full run) was under 0.1 s is timing-stable — one rep
-    // suffices for round-over-round comparison — while unstable or
-    // never-recorded queries keep 3 reps (and so keep recording
-    // spreads). Setting SPARK_GRAFT_BENCH_REPS forces that uniform
-    // count for every query, exactly as before.
+    // query whose LAST RECORDED >=2-rep spread (target/bench.json,
+    // same sf as this run) was under 0.1 s is timing-stable — one rep
+    // suffices for round-over-round comparison — while unstable,
+    // never-recorded, or other-sf queries keep 3 reps (and so keep
+    // recording spreads). Setting SPARK_GRAFT_BENCH_REPS forces that
+    // uniform count for every query, exactly as before.
     val repsEnv = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)
     val reps = repsEnv.getOrElse(3)
-    val recordedSpread: Map[String, Double] = repsEnv match {
-      case Some(_) => Map.empty // explicit override: no stratification
-      case None =>
-        try {
-          val f = new java.io.File("target/bench.json")
-          if (!f.isFile) Map.empty
-          else {
-            val om = new com.fasterxml.jackson.databind.ObjectMapper()
-            val spread = om.readTree(f).get("spread")
-            if (spread == null) Map.empty
+    // Raw recorded [min,max] pairs + the sf they were recorded at.
+    // Two latch/validity rules (round-11 advice fix):
+    //  - a pair is CONSUMED for stratification only when its recorded
+    //    sf matches this run's sfDir (an sf0.1-stable query is not
+    //    evidence of sf1 stability, where variance is larger) and its
+    //    delta is strictly in (0, 0.1) — a zero delta is either a
+    //    pre-fix 1-rep [t,t] artifact or 4-decimal rounding collapse;
+    //    either way the query re-runs 3 reps and re-records a real
+    //    spread, so a 1-rep query can always re-qualify for 3 reps;
+    //  - on WRITE, a 1-rep query carries its prior pair forward
+    //    (never persists [t,t]=0), so the recorded spread always
+    //    derives from a >=2-rep measurement.
+    val (recordedSf, recordedPairs): (Option[String], Map[String, (Double, Double)]) =
+      try {
+        val f = new java.io.File("target/bench.json")
+        if (!f.isFile) (None, Map.empty)
+        else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = om.readTree(f)
+          val sfNode = root.get("sf")
+          val spread = root.get("spread")
+          val pairs =
+            if (spread == null) Map.empty[String, (Double, Double)]
             else {
               val it = spread.fields()
-              val b = Map.newBuilder[String, Double]
+              val b = Map.newBuilder[String, (Double, Double)]
               while (it.hasNext) {
                 val e = it.next()
                 val arr = e.getValue
                 if (arr.isArray && arr.size() == 2 &&
                   arr.get(0).asDouble() >= 0)
-                  b += e.getKey -> (arr.get(1).asDouble() -
-                    arr.get(0).asDouble())
+                  b += e.getKey -> (arr.get(0).asDouble(),
+                    arr.get(1).asDouble())
               }
               b.result()
             }
-          }
-        } catch { case e: Throwable =>
-          System.err.println(
-            s"WARN: could not read recorded spreads: ${e.getMessage}")
-          Map.empty
+          (Option(sfNode).map(_.asText()), pairs)
         }
-    }
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"WARN: could not read recorded spreads: ${e.getMessage}")
+        (None, Map.empty)
+      }
+    val sfMatches = recordedSf.contains(sfDir)
+    val recordedSpread: Map[String, Double] =
+      if (repsEnv.isDefined || !sfMatches) Map.empty
+      else recordedPairs.view
+        .mapValues { case (lo, hi) => hi - lo }.toMap
     def repsFor(name: String): Int =
       repsEnv.getOrElse(
-        if (recordedSpread.get(name).exists(_ < 0.1)) 1 else 3)
+        if (recordedSpread.get(name).exists(d => d > 0 && d < 0.1)) 1
+        else 3)
     // Optional args select a query subset (dev iteration); no args =
     // the full registered set (driver protocol). A typo'd name must be
     // loud: a silent empty run prints total≈0 and reads like a pass.
@@ -203,8 +222,17 @@ object Bench {
     val qs = results.map { case (k, ts) =>
       "\"" + k + "\":" + fmt(median(ts))
     }.mkString("{", ",", "}")
-    val spread = results.map { case (k, ts) =>
-      "\"" + k + "\":[" + fmt(ts.head) + "," + fmt(ts.last) + "]"
+    // Persisted spreads must derive from >=2-rep measurements: a
+    // 1-rep query re-emits its PRIOR pair (same-sf by construction of
+    // repsFor; under a forced-1-rep override the prior pair is carried
+    // only when the recorded sf matches, else the entry is omitted) —
+    // never the degenerate [t,t]=0 that would latch it at 1 rep.
+    val spread = results.toSeq.flatMap { case (k, ts) =>
+      if (ts.length >= 2) Some(k -> (ts.head, ts.last))
+      else if (sfMatches) recordedPairs.get(k).map(k -> _)
+      else None
+    }.map { case (k, (lo, hi)) =>
+      "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]"
     }.mkString("{", ",", "}")
     val failed = results.collect {
       case (k, ts) if ts.head < 0 => "\"" + k + "\""

@@ -3,9 +3,11 @@ package graft.analytics
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Driver-facing queries for the multimodal column layer. The metadata
-  * projection is oracle-checked; the feature extraction (stub kernel,
-  * engine-specific binary batching) is rows-only + spec-tested. */
+/** Driver-facing queries for the multimodal column layer. Every
+  * registered query here is hash-match oracle-gated (the stub feature
+  * kernel is deterministic arithmetic over the binary payload, so the
+  * DuckDB oracle replays it exactly); the Spark-side binary batching
+  * plumbing is additionally spec-tested in AnalyticsSpec. */
 object MultimodalQueries {
   import RelationalQueries.Q
 

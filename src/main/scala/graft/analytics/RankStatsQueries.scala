@@ -59,9 +59,13 @@ object RankStatsQueries {
         count(lit(1)).as("n"),
         sum(expr("cast(rx as decimal(25,0))")).as("sx"),
         sum(expr("cast(ry as decimal(25,0))")).as("sy"),
-        sum(expr("cast(rx * rx as decimal(25,0))")).as("sxx"),
-        sum(expr("cast(ry * ry as decimal(25,0))")).as("syy"),
-        sum(expr("cast(rx * ry as decimal(25,0))")).as("sxy"))
+        // cast ONE FACTOR before multiplying: `rx * rx` evaluates in
+        // BIGINT first and wraps silently past 2^63 (rank products
+        // cross that at ~3e9 rows/group — the same seam qEventsBots
+        // hit in round 9); DECIMAL(25,0)×BIGINT promotes the product
+        sum(expr("cast(rx as decimal(25,0)) * rx")).as("sxx"),
+        sum(expr("cast(ry as decimal(25,0)) * ry")).as("syy"),
+        sum(expr("cast(rx as decimal(25,0)) * ry")).as("sxy"))
       sums.select(col("g").as("l_returnflag"), col("n"),
           round((col("n").cast("double") * col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double")) /
@@ -89,11 +93,11 @@ object RankStatsQueries {
         SELECT g, COUNT(*) AS n,
                CAST(SUM(CAST(rx AS DECIMAL(25,0))) AS DECIMAL(25,0)) AS sx,
                CAST(SUM(CAST(ry AS DECIMAL(25,0))) AS DECIMAL(25,0)) AS sy,
-               CAST(SUM(CAST(rx * rx AS DECIMAL(25,0))) AS DECIMAL(25,0))
+               CAST(SUM(CAST(rx AS DECIMAL(25,0)) * rx) AS DECIMAL(25,0))
                  AS sxx,
-               CAST(SUM(CAST(ry * ry AS DECIMAL(25,0))) AS DECIMAL(25,0))
+               CAST(SUM(CAST(ry AS DECIMAL(25,0)) * ry) AS DECIMAL(25,0))
                  AS syy,
-               CAST(SUM(CAST(rx * ry AS DECIMAL(25,0))) AS DECIMAL(25,0))
+               CAST(SUM(CAST(rx AS DECIMAL(25,0)) * ry) AS DECIMAL(25,0))
                  AS sxy
         FROM ranked GROUP BY g)
       SELECT g AS l_returnflag, n,
@@ -116,8 +120,15 @@ object RankStatsQueries {
     * corpus statistics both need; reduces to the plain median when
     * every weight is 1.
     *
-    * Scale shape: one partitioned window sort + a group total
-    * broadcast back — the [[qStatsMad]] cost class. */
+    * Scale shape: the weighted order statistic rides
+    * [[graft.operators.OrderStatistics.radixWeightedLowerMedian]] —
+    * the two-pass radix-histogram core (per-group bucket WEIGHT
+    * totals, then an exact walk inside the one crossing bucket), the
+    * same [[qStatsMad]] cost class and the reason no ranked window
+    * ever sees a raw fact row (a `l_returnflag`-partitioned running
+    * sum would funnel the table into 3 reducers — the round-10
+    * `low-card-ordered-window` lint). The oracle keeps the window
+    * form, so the gate certifies histogram ≡ running-weight. */
   val qStatsWmedian = Q(
     "q_stats_wmedian",
     (s, dir) => {

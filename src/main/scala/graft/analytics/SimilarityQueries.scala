@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *    corpus, per-partition local scoring, then a tiny top-k shuffle).
   *  - [[qSimLshTopk]] — the scale path: 16-bit sign-random-projection
   *    LSH buckets from deterministic hash-derived hyperplanes; only
-  *    same-bucket candidates are scored. Engine-specific layout → no
-  *    SQL oracle; recall vs brute force is asserted in SimilaritySpec.
+  *    same-band candidates are scored. Hash-match oracle-gated since
+  *    round 6 (the DuckDB oracle rebuilds the md5-derived planes via
+  *    [[lshSigsSql]]); recall vs brute force is ADDITIONALLY
+  *    measured and asserted in SimilaritySpec.
   *
   * Cosines accumulate sequentially in double on both engines and are
   * rounded to 6 digits before any compare/rank, so oracle results are

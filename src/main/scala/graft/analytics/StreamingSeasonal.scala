@@ -75,7 +75,14 @@ object StreamingSeasonal {
                   }
                   t += HourUs
                 }
-                lastUs = hc.bucket_us
+                // monotonic cursor: a bucket at or before the cursor
+                // (out-of-order ACROSS micro-batches — in-batch order
+                // is handled by the sort above) is DROPPED, never
+                // rewinds the cursor — a rewind would re-zero-fill and
+                // re-flag hours already processed (duplicate output).
+                // Matches [[StreamingCusum]], whose cursor only ever
+                // advances inside the fill loop.
+                lastUs = math.max(lastUs, hc.bucket_us)
               }
               state.update(lastUs)
               out.iterator

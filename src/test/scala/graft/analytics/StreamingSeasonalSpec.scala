@@ -107,4 +107,36 @@ class StreamingSeasonalSpec extends AnyFunSuite with SparkTestBase {
     // resid −10000 → 10000²·100 > 9·1000 → flagged
     assert(got === Seq(SeasonalFlag("t", day, 0L, -10000L)))
   }
+
+  test("a stale bucket across micro-batches is dropped, never re-emits") {
+    // Contract-violating input: batch 2 delivers an hour AT and an
+    // hour BEFORE the cursor. A cursor rewind would re-zero-fill and
+    // re-flag the +24h gap hour (duplicate output); the monotonic
+    // cursor must drop both stale buckets — same behavior as
+    // StreamingCusum, whose cursor only advances inside the fill loop.
+    val p = Map("t" -> SeasonalProfile(
+      Map(0L -> 10000L), n = 100L, ssr = 1000L))
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[HourCount]
+    val out = mutable.ArrayBuffer[SeasonalFlag]()
+    val q = StreamingSeasonal.monitor(in.toDS(), p)
+      .writeStream.outputMode("append").foreachBatch {
+        (df: org.apache.spark.sql.Dataset[SeasonalFlag], _: Long) =>
+          out.synchronized { out ++= df.collect() }
+          ()
+      }.start()
+    val day = 24L * 3600000000L
+    in.addData(Seq(HourCount("t", 0L, 10L), HourCount("t", 2 * day, 10L)))
+    q.processAllAvailable()
+    in.addData(Seq(HourCount("t", 2 * day, 10L), HourCount("t", day, 5L)))
+    q.processAllAvailable()
+    in.addData(Seq(HourCount("t", 4 * day, 10L)))
+    q.processAllAvailable(); q.stop()
+    val got = out.synchronized(out.toSeq).sortBy(_.bucket_us)
+    // exactly TWO flags: the +24h gap zero (batch 1) and the +72h gap
+    // zero the batch-3 fill materializes — no duplicate of the +24h
+    // flag, no flag from the stale x=5 rewrite
+    assert(got === Seq(SeasonalFlag("t", day, 0L, -10000L),
+      SeasonalFlag("t", 3 * day, 0L, -10000L)))
+  }
 }
