@@ -670,16 +670,45 @@ object DedupQueries {
                   / (SQRT(a.nrm) * SQRT(b.nrm)), 6) >= 0.4
       ORDER BY ia, ib"""))
 
+  /** Scale-adaptive sign-LSH band geometry, derived from the corpus
+    * size the way the MinHash planner ([[qDedupLshPlanner]]) derives
+    * its S-curve constants — the band-bucket space must GROW with the
+    * corpus or in-bucket candidate pairs grow quadratically (bucket
+    * occupancy ∝ n at fixed geometry ⇒ candidates ≈ b·n²/2^r, a
+    * constant fraction of the pair space — the round-10 sf1 rehearsal
+    * measured exactly that as a 1.08 exponent on the old fixed 4×8-bit
+    * layout). Rule: bits-per-band r = the smallest r ∈ [8, 30] with
+    * 2^r ≥ ⌈n/8⌉ (so expected random-sign occupancy stays ≤ ~8 per
+    * bucket and candidates stay O(b·8·n) = linear), then bands
+    * b = max(2, 60 ÷ r) — spend the rest of the single-long signature
+    * budget on bands, which is pure recall (P(candidate | per-bit
+    * agreement p) = 1 − (1 − p^r)^b; near-dups with cos → 1 have
+    * p → 1 and collide in EVERY band at any r). Integer-exact on both
+    * engines: the search over r is a bounded scan, no float log2 at a
+    * power-of-two boundary. Single-long cap: r ≤ 30 ⇒ bucket space
+    * caps at 2^30 ≈ 1.1e9 per band (occupancy 8 ⇒ ~8.6e9 vectors);
+    * past that the signature moves to multiple longs — documented
+    * limit, not a silent one. */
+  private[analytics] def lshGeometry(n: Long): (Int, Int) = {
+    val m = (n + 7L) / 8L
+    val r = (8 to 30).find(k => (1L << k) >= m).getOrElse(30)
+    val b = math.max(2, 60 / r)
+    (b, r)
+  }
+
   /** Scale path for embedding near-dup: FULL corpus, no block cap.
     * Sign-LSH band signatures explode to (band_idx, band_val) keys; a
     * band-keyed equi-join yields candidates (shuffle keyed on band
     * values — the O(n²) never materializes), and only candidates get
-    * the exact cosine. Hash-matched: the oracle rebuilds the
-    * md5-derived hyperplanes and expresses the band match as the
-    * equivalent OR-of-4-bands predicate (the equi-join + distinct on
-    * the Spark side yields exactly one row per matching pair, same as
-    * the OR form). The spec additionally asserts in-block agreement
-    * with the exact query and planted-dup recovery. */
+    * the exact cosine. Geometry is [[lshGeometry]] — bands × bits
+    * DERIVED from the corpus rowcount (a parquet footer count, free
+    * at any scale), so bucket space scales with n and the candidate
+    * set stays linear instead of a constant fraction of n².
+    * Hash-matched: the oracle computes the SAME geometry in-SQL from
+    * COUNT(*), rebuilds the md5-derived hyperplanes at the derived
+    * width, and runs the same band equi-join + DISTINCT. The spec
+    * additionally asserts in-block agreement with the exact query,
+    * planted-dup recovery, and the geometry table itself. */
   val qDedupEmbeddingLsh = Q(
     "q_dedup_embedding_lsh",
     (s, dir) => {
@@ -688,14 +717,15 @@ object DedupQueries {
           transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("nrm",
           graft.functions.VectorFunctions.dot(col("v"), col("v")))
-        .withColumn("sig", SimilarityQueries.lshBucket(col("v"), 32))
-      // 4 bands × 8 bits: a random pair collides per band with p≈1/256,
-      // so candidates ≈ 4·n²/512 — the quadratic pair space never
-      // materializes. (4-bit bands would only prune ~4×.)
-      val banded = e.select(col("vec_id"),
-        explode(array((0 until 4).map(i =>
+      val (b, r) = lshGeometry(e.count())
+      val bits = b * r
+      val mask = (1L << r) - 1L
+      val sigd = e.withColumn("sig",
+        SimilarityQueries.lshBucket(col("v"), bits))
+      val banded = sigd.select(col("vec_id"),
+        explode(array((0 until b).map(i =>
           struct(lit(i).as("band_idx"),
-            expr(s"shiftright(sig, ${i * 8}) & 255").as("band_val"))): _*))
+            expr(s"shiftright(sig, ${i * r}) & $mask").as("band_val"))): _*))
           .as("b"))
         .select(col("vec_id"), col("b.band_idx"), col("b.band_val"))
       val cand = banded.as("p")
@@ -722,19 +752,33 @@ object DedupQueries {
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                  x -> x * x)) AS nrm
-        FROM embeddings),${SimilarityQueries.lshSigsSql(32)},
-      eb AS (
-        SELECT e.vec_id, e.v, e.nrm,
-               (s.sig >> 0) & 255 AS b0, (s.sig >> 8) & 255 AS b1,
-               (s.sig >> 16) & 255 AS b2, (s.sig >> 24) & 255 AS b3
-        FROM e JOIN sigs s USING (vec_id)),
+        FROM embeddings),
+      geo AS (
+        SELECT r, GREATEST(2, 60 // r) AS b, GREATEST(2, 60 // r) * r AS bits
+        FROM (
+          SELECT COALESCE((SELECT MIN(k) FROM range(8, 31) t(k)
+                   WHERE (CAST(1 AS BIGINT) << k) >=
+                         (SELECT (COUNT(*) + 7) // 8 FROM e)), 30) AS r)),
+      ${SimilarityQueries.lshSigsSqlUpTo(60)},
+      bands AS (
+        SELECT s.vec_id, t.i AS band_idx,
+               (s.sig >> (t.i * (SELECT r FROM geo))) &
+               ((CAST(1 AS BIGINT) << (SELECT r FROM geo)) - 1) AS band_val
+        FROM sigs s CROSS JOIN range(0, 7) t(i)
+        WHERE t.i < (SELECT b FROM geo)),
+      cand AS (
+        SELECT DISTINCT p.vec_id AS ia, q.vec_id AS ib
+        FROM bands p JOIN bands q
+          ON p.band_idx = q.band_idx AND p.band_val = q.band_val
+         AND p.vec_id < q.vec_id),
       pairs AS (
-        SELECT a.vec_id AS ia, b.vec_id AS ib,
+        SELECT c.ia, c.ib,
                ROUND(list_sum(list_transform(generate_series(1, len(a.v)),
                        i -> a.v[i] * b.v[i]))
                      / (SQRT(a.nrm) * SQRT(b.nrm)), 6) AS cos_sim
-        FROM eb a JOIN eb b ON a.vec_id < b.vec_id
-         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+        FROM cand c
+        JOIN e a ON a.vec_id = c.ia
+        JOIN e b ON b.vec_id = c.ib)
       SELECT ia, ib, cos_sim FROM pairs
       WHERE cos_sim >= 0.4 ORDER BY ia, ib"""))
 

@@ -122,6 +122,40 @@ object SimilarityQueries {
         GROUP BY e.vec_id)"""
   }
 
+  /** Variable-width variant of [[lshSigsSql]] for oracles whose
+    * signature length is DERIVED IN-SQL from the corpus (the
+    * scale-adaptive geometry of
+    * [[DedupQueries.qDedupEmbeddingLsh]]): planes are generated up to
+    * `maxBits` and the `sigs` CTE reads the actual bit count from a
+    * prior `geo(bits)` CTE, placing bit j at position `bits - 1 - j`
+    * exactly like [[graft.functions.LshSignature]] (sig = sig<<1|bit
+    * over ascending j). Same md5-derived weights, same `len(e.v) =
+    * dim` guard semantics as [[lshSigsSql]]. */
+  private[analytics] def lshSigsSqlUpTo(maxBits: Int, dim: Int = 64): String = {
+    val hx = "instr('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || '|' || CAST(d AS VARCHAR)), %d, 1)) - 1"
+    val digits = (1 to 6).map(p => s"(${hx.format(p)}) * ${1 << (4 * (6 - p))}")
+      .mkString("(", " + ", ")")
+    s"""
+      planes AS (
+        SELECT j, LIST(w ORDER BY d) AS wv FROM (
+          SELECT j, d,
+                 ($digits % 2000001 - 1000000) / 1000000.0 AS w
+          FROM generate_series(0, ${maxBits - 1}) tj(j)
+          CROSS JOIN generate_series(0, ${dim - 1}) td(d))
+        GROUP BY j),
+      sigs AS (
+        SELECT e.vec_id,
+               CAST(SUM(CASE WHEN list_sum(list_transform(
+                        generate_series(1, len(e.v)),
+                        i -> e.v[i] * p.wv[i])) > 0
+                    THEN (CAST(1 AS BIGINT)
+                          << ((SELECT bits FROM geo) - 1 - p.j))
+                    ELSE 0 END) AS BIGINT) AS sig
+        FROM e CROSS JOIN planes p
+        WHERE p.j < (SELECT bits FROM geo) AND len(e.v) = $dim
+        GROUP BY e.vec_id)"""
+  }
+
   /** ANN top-5 via sign-LSH banding: the 16-bit signature splits into
     * 4 bands of 4 bits; a corpus vector is a candidate when ANY band
     * matches the query's (classic OR-of-ANDs LSH amplification — on

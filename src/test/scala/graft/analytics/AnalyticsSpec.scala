@@ -809,6 +809,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Seq(("aa", 4L), ("ab", 3L), ("ba", 1L)), s"got $out")
   }
 
+  test("lsh geometry scales bucket space with the corpus") {
+    import DedupQueries.lshGeometry
+    // fixture corpora: sf0.01 (500), sf0.1 (2000), sf1 (20000), and a
+    // 10× beyond — bits-per-band widen so 2^r tracks ⌈n/8⌉, bands
+    // spend the rest of the 60-bit budget
+    assert(lshGeometry(500L) === ((7, 8)))
+    assert(lshGeometry(2000L) === ((7, 8)))
+    assert(lshGeometry(20000L) === ((5, 12)))
+    assert(lshGeometry(200000L) === ((4, 15)))
+    assert(lshGeometry(8L * (1L << 30)) === ((2, 30))) // single-long cap
+    var prevR = 0
+    Seq(100L, 1000L, 10000L, 100000L, 1000000L, 100000000L).foreach { n =>
+      val (b, r) = lshGeometry(n)
+      assert((1L << r) >= (n + 7) / 8 || r == 30,
+        s"bucket space 2^$r lags corpus $n")
+      assert(r >= prevR, s"r must be monotone in n (got $r after $prevR)")
+      prevR = r
+      assert(b >= 2 && b * r <= 63, s"($b, $r) breaks the long budget")
+    }
+  }
+
   test("lsh embedding dedup: agrees with exact in-block; finds planted dups") {
     // corpus: any emitted in-block pair must agree with the exact query
     val exact = DedupQueries.qDedupEmbedding.run(spark, sf)
