@@ -261,6 +261,18 @@ object OrderStatistics {
     * partition, so a tie run never splits and its shared base is
     * exact; in row_number mode the keys are (g, v, p).
     *
+    * Tie-run skew bound (minRank mode): because a (g, v) tie run
+    * never splits, the partition owning the run holds AT LEAST the
+    * run's fraction of the input — a column where one value carries
+    * 90% of rows lands 90% of the data on one task (correctness
+    * holds; the run's scan is O(run) time and O(1) state, so the
+    * bound is wall-clock skew, not memory). Current consumers feed
+    * near-uniform keys (prices/quantities); a consumer with a
+    * heavy-tie column should either use row_number mode (unique
+    * (g, v, p) keys split the run) or pre-aggregate to (g, v, count)
+    * histograms and rank those, as the radix cores do. Pinned by
+    * OperatorsSpec's planted-90%-tie spec.
+    *
     * Input: columns `g` (STRING group), `v` (BIGINT value), `p`
     * (any orderable type: the tiebreaker in row_number mode — ties
     * break in p's NATIVE order, since the exchange and sort run

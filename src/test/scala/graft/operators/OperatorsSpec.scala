@@ -241,6 +241,59 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("groupRowRanks minRank: correct under a planted 90% tie run; skew bound documented") {
+    // Pathological tie distribution for the minRank-mode range keys:
+    // one (g, v) run holds 90% of the group's rows. The (g, v) keying
+    // is BY DESIGN — RangePartitioner sends equal keys to ONE
+    // partition, so a tie run never splits and its shared min-rank
+    // base is exact. The price is the documented skew bound: the
+    // partition owning the run holds ≥ the run's fraction of the
+    // input. This spec pins BOTH halves of that contract.
+    val hot = (0 until 1800).map(i => ("A", 100L, s"h$i"))
+    val cold = (0 until 100).map(i => ("A", 200L + i, s"c$i")) ++
+      (0 until 100).map(i => ("B", 300L + i, s"b$i"))
+    val rows = new scala.util.Random(11).shuffle(hot ++ cold)
+    val df = rows.toDF("g", "v", "p")
+    // 1) correctness holds regardless of skew: every row's rk is the
+    //    brute-force min-rank (predecessor count + 1) of its (g, v)
+    val got = OrderStatistics.groupRowRanks(df, minRank = true)
+      .collect().map(r => (r.getString(0), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(got.size === rows.size)
+    rows.foreach { case (g, v, p) =>
+      val brute = rows.count { case (g2, v2, _) => g2 == g && v2 < v } + 1L
+      assert(got((g, p)) === brute, s"($g,$v,$p)")
+    }
+    // 2) the skew bound is real, not hypothetical: the (g, v) range
+    //    exchange lands the whole tie run in ONE partition, which then
+    //    holds ≥ 90% of the rows (the run's fraction). A consumer with
+    //    a heavy-tie column gets EXACT ranks but pays one straggler
+    //    partition — mitigations are row_number mode (unique (g,v,p)
+    //    keys split the run, asserted below) or pre-aggregating to
+    //    (g, v, count) histograms as the radix cores do.
+    val pids = df.repartitionByRange(4, col("g"), col("v"))
+      .select(spark_partition_id().as("pid"), col("v"))
+    val hotPids = pids.filter(col("v") === 100L)
+      .select(col("pid")).distinct().collect().map(_.getInt(0))
+    assert(hotPids.length === 1, s"tie run split across $hotPids")
+    val maxFrac = pids.groupBy(col("pid")).count().collect()
+      .map(_.getLong(1)).max.toDouble / rows.size
+    assert(maxFrac >= 0.9, s"expected the documented skew, got $maxFrac")
+    // 3) row_number mode on the same fixture: (g, v, p) is unique, the
+    //    run splits across partitions, and ranks are a permutation of
+    //    1..n within each group
+    val rn = OrderStatistics.groupRowRanks(df, minRank = false)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    val byG = rn.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    assert(byG("A") === (1L to 1900L), "row_number must be a permutation")
+    assert(byG("B") === (1L to 100L))
+    val rnPids = df.repartitionByRange(4, col("g"), col("v"), col("p"))
+      .select(spark_partition_id().as("pid"), col("v"))
+      .filter(col("v") === 100L)
+      .select(col("pid")).distinct().count()
+    assert(rnPids > 1, "unique keys must split the tie run")
+  }
+
   test("prefixSumByRank: weighted brute-force parity, ties, any bucket width") {
     import spark.implicits._
     // value ties (three points at 50), zero and negative weights,
