@@ -767,14 +767,18 @@ object GraphQueries {
     * the one-number mixing summary that decides whether hub-targeted
     * sampling or skew salting will pay off on this graph. All five
     * sufficient statistics (Σdc, Σds, Σdc·ds, Σdc², Σds²) accumulate
-    * as exact BIGINTs over the edge list — an in-plan assert_true on
-    * the one-row aggregate fails LOUDLY before the n·Σ products could
-    * wrap — and the final correlation is the only floating step:
-    * IEEE sqrt is correctly rounded by spec, so the double op tree is
-    * bit-deterministic cross-engine and rounds once at 6. Scale
-    * shape: one distinct-edge exchange, two degree aggregations on
-    * the edge keys (partitioning reused), one broadcast-sized degree
-    * join per side, one scalar reduce. */
+    * as exact DECIMAL(38,0) over the edge list (one factor cast
+    * before each product — the qStatsSpearman seam), and the final
+    * correlation runs in MEAN form (sxy/m − (sx/m)(sy/m) …): no
+    * m·Σ or Σ·Σ integer product ever forms, so there is no bound to
+    * guard — the round-11 sf1 gate tripped the previous BIGINT
+    * guard's m·moment headroom at 10× rows, and headroom guards
+    * only move the cliff. Every double op (÷, ×, −, √) is correctly
+    * rounded by IEEE spec, so the IDENTICAL op tree on identical
+    * exact integer inputs is bit-deterministic cross-engine; rounds
+    * once at 6. Scale shape: one distinct-edge exchange, two degree
+    * aggregations on the edge keys (partitioning reused), one
+    * broadcast-sized degree join per side, one scalar reduce. */
   val qGraphAssortativity = Q(
     "q_graph_assortativity",
     (s, dir) => {
@@ -789,28 +793,19 @@ object GraphQueries {
       val degs = eo.groupBy(col("s")).agg(count(lit(1)).as("ds"))
       val agg = eo.join(degc, Seq("c")).join(degs, Seq("s"))
         .agg(count(lit(1)).as("m"),
-          sum(col("dc")).as("sx"), sum(col("ds")).as("sy"),
-          sum(col("dc") * col("ds")).as("sxy"),
-          sum(col("dc") * col("dc")).as("sxx"),
-          sum(col("ds") * col("ds")).as("syy"))
-      // all three m·moment products and both S·S products must fit:
-      // sxx/syy (the denominators) wrap FIRST on hub-heavy graphs
-      // (Σd³ terms) — a guard that only bounds sxy would let the
-      // denominator wrap silently while passing
-      val guard = coalesce(expr(
-        "assert_true(sxy <= 4611686018427387904 div m and " +
-          "sxx <= 4611686018427387904 div m and " +
-          "syy <= 4611686018427387904 div m and " +
-          "sx <= 3037000499 and sy <= 3037000499, " +
-          "'q_graph_assortativity: BIGINT moment bounds exceeded')")
-        .cast("long"), lit(0L))
-      agg.select((col("m") + guard).as("n_edges"),
-        round(
-          (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
-              .cast("double")) *
-             sqrt((col("m") * col("syy") - col("sy") * col("sy"))
-              .cast("double"))), 6).as("assortativity"))
+          sum(expr("cast(dc as decimal(38,0))")).as("sx"),
+          sum(expr("cast(ds as decimal(38,0))")).as("sy"),
+          sum(expr("cast(dc as decimal(25,0)) * ds")).as("sxy"),
+          sum(expr("cast(dc as decimal(25,0)) * dc")).as("sxx"),
+          sum(expr("cast(ds as decimal(25,0)) * ds")).as("syy"))
+      val md = col("m").cast("double")
+      val mx = col("sx").cast("double") / md
+      val my = col("sy").cast("double") / md
+      agg.select(col("m").as("n_edges"),
+        round((col("sxy").cast("double") / md - mx * my) /
+          (sqrt(col("sxx").cast("double") / md - mx * mx) *
+            sqrt(col("syy").cast("double") / md - my * my)), 6)
+          .as("assortativity"))
     },
     Some("""
       WITH eo AS (
@@ -820,17 +815,26 @@ object GraphQueries {
       degs AS (SELECT s, COUNT(*) AS ds FROM eo GROUP BY s),
       agg AS (
         SELECT COUNT(*) AS m,
-               CAST(SUM(dc) AS BIGINT) AS sx,
-               CAST(SUM(ds) AS BIGINT) AS sy,
-               CAST(SUM(dc * ds) AS BIGINT) AS sxy,
-               CAST(SUM(dc * dc) AS BIGINT) AS sxx,
-               CAST(SUM(ds * ds) AS BIGINT) AS syy
+               CAST(SUM(CAST(dc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(CAST(ds AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(dc AS DECIMAL(25,0)) * ds) AS DECIMAL(38,0))
+                 AS sxy,
+               CAST(SUM(CAST(dc AS DECIMAL(25,0)) * dc) AS DECIMAL(38,0))
+                 AS sxx,
+               CAST(SUM(CAST(ds AS DECIMAL(25,0)) * ds) AS DECIMAL(38,0))
+                 AS syy
         FROM eo JOIN degc USING (c) JOIN degs USING (s))
       SELECT m AS n_edges,
-             ROUND(CAST(m * sxy - sx * sy AS DOUBLE) /
-                   (SQRT(CAST(m * sxx - sx * sx AS DOUBLE)) *
-                    SQRT(CAST(m * syy - sy * sy AS DOUBLE))), 6)
-               AS assortativity
+             ROUND((CAST(sxy AS DOUBLE) / CAST(m AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+                      * (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)))
+                   / (SQRT(CAST(sxx AS DOUBLE) / CAST(m AS DOUBLE)
+                           - (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+                             * (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)))
+                      * SQRT(CAST(syy AS DOUBLE) / CAST(m AS DOUBLE)
+                             - (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))
+                               * (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)))),
+                   6) AS assortativity
       FROM agg"""))
 
   /** k-core peeling on the part co-occurrence graph — four rounds of
