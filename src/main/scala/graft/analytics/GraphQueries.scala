@@ -154,14 +154,15 @@ object GraphQueries {
         .orderBy(col("rank"))
     },
     Some(s"""
-      WITH eo AS (
+      WITH eo AS MATERIALIZED (
         SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT c AS src, s AS dst FROM eo
         UNION ALL
         SELECT s AS src, c AS dst FROM eo),
-      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      deg AS MATERIALIZED (
+        SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
       stats AS (
         SELECT CAST(1000000000 // COUNT(*) AS BIGINT) AS base FROM deg),
       r0 AS (SELECT src AS node, base AS r FROM deg CROSS JOIN stats),

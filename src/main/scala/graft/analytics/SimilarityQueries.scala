@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *    same-band candidates are scored. Hash-match oracle-gated since
   *    round 6 (the DuckDB oracle rebuilds the md5-derived planes via
   *    [[lshSigsSql]]); recall vs brute force is ADDITIONALLY
-  *    measured and asserted in SimilaritySpec.
+  *    measured and asserted in AnalyticsSpec.
   *
   * Cosines accumulate sequentially in double on both engines and are
   * rounded to 6 digits before any compare/rank, so oracle results are

@@ -6,14 +6,21 @@ round-9 bigram-LM rounding tie) only surface at bigger row counts, so
 each round also runs the gate at the rehearsal SF and records the
 result here (round-11 judge item #2 institutionalized).
 
-Usage: python3 tools/record_gate.py <sfDir> <verifyOutDir> <outJson> [label]
+Usage: python3 tools/record_gate.py <sfDir> <verifyOutDir> <outJson>
+           [label] [--merge]
   e.g. python3 tools/record_gate.py /tmp/testdata/sf1 /tmp/vsf1 \
          CORRECTNESS_SF1.json sf1-heavy-families
 
 Reuses compare_oracle's type-aware comparator verbatim, so a pass here
-means exactly what a driver-gate pass means.
+means exactly what a driver-gate pass means. Each query gets a FRESH
+DuckDB connection with a bounded memory budget and /tmp spill — a
+resource blowup in one heavy oracle (the sf1 pagerank recursive CTE
+filled the disk and poisoned the shared connection for every later
+query) must record ONE failure, never cascade. `--merge` re-checks only
+the queries not already matching in an existing artifact and merges.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -22,16 +29,36 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 import compare_oracle as co  # noqa: E402
 
 
-def main(sf_dir: str, out_dir: str, out_json: str, label: str) -> int:
+def check_one(sf_dir: str, out_dir: str, name: str, sql: str) -> str:
     con = duckdb.connect()
-    for t in co.TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    try:
+        con.sql("SET memory_limit='24GB'")
+        os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+        con.sql("SET temp_directory='/tmp/duckdb_spill'")
+        con.sql("SET max_temp_directory_size='40GB'")
+        for t in co.TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return co.compare_one(con, name, sql, f"{out_dir}/{name}/*.parquet")
+    finally:
+        con.close()
+
+
+def main(sf_dir: str, out_dir: str, out_json: str, label: str,
+         merge: bool) -> int:
     sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
+    prior = {}
+    if merge and os.path.isfile(out_json):
+        prior = json.load(open(out_json)).get("queries", {})
     res = {}
     for name, sql in sorted(sqls.items()):
-        err = co.compare_one(con, name, sql, f"{out_dir}/{name}/*.parquet")
+        if merge and prior.get(name, {}).get("match"):
+            res[name] = prior[name]
+            print(f"KEEP  {name}")
+            continue
+        err = check_one(sf_dir, out_dir, name, sql)
         res[name] = {"match": err == "", "err": err or None}
-        print(f"FAIL  {name}: {err}" if err else f"OK    {name}")
+        print(f"FAIL  {name}: {err}" if err else f"OK    {name}", flush=True)
     n_ok = sum(1 for v in res.values() if v["match"])
     artifact = {
         "label": label,
@@ -50,5 +77,7 @@ def main(sf_dir: str, out_dir: str, out_json: str, label: str) -> int:
 if __name__ == "__main__":
     if len(sys.argv) < 4:
         sys.exit(__doc__)
-    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3],
-                  sys.argv[4] if len(sys.argv) > 4 else "out-of-protocol"))
+    args = [a for a in sys.argv[1:] if a != "--merge"]
+    sys.exit(main(args[0], args[1], args[2],
+                  args[3] if len(args) > 3 else "out-of-protocol",
+                  "--merge" in sys.argv))
