@@ -207,28 +207,58 @@ object MultimodalQueries {
     * payload to 63 nearest-neighbor byte samples — the same offset
     * arithmetic as [[qMultimodalResize]] — threshold each at the
     * integer mean, pack to one BIGINT), then LSH banding for
-    * candidates and exact Hamming ranking. 7 bands of 9 bits make
-    * candidate recall COMPLETE for Hamming < 7 by pigeonhole; the
-    * top-20 nearest candidate pairs emit (threshold-free, so the
-    * query is non-degenerate at any corpus scale). Entirely integer
-    * arithmetic — signature, mean, bands, Hamming — so every cell is
-    * hash-stable cross-engine.
+    * candidates and exact Hamming ranking. Band geometry is
+    * CORPUS-SCALED ([[phashBands]]): b balanced bands partition the
+    * 63 bits, so candidate recall is COMPLETE for Hamming < b by
+    * pigeonhole (b = 7 on small corpora = the classic 7×9 layout;
+    * bands widen as the corpus grows, keeping candidates linear);
+    * the top-20 nearest candidate pairs emit (threshold-free, so the
+    * query is non-degenerate at any corpus scale). Free exactness
+    * certificate the reduced radius keeps checkable: whenever the
+    * returned 20th pair's Hamming < b, the emitted top-20 is the
+    * TRUE top-20 (every pair below that distance is provably a
+    * candidate). Entirely integer arithmetic — signature, mean,
+    * bands, Hamming — so every cell is hash-stable cross-engine.
     *
     * Scale shape: the signature is one narrow higher-order-function
     * projection inside codegen (no per-byte row explosion); the only
-    * shuffles are the 7-row-per-doc band exchange and the candidate
-    * aggregate — signatures, never payload bytes, cross the wire. At
-    * larger corpora widen the bands (b ≈ log₂ n bits) to keep the
-    * per-bucket collision count bounded, trading candidate recall
-    * radius exactly as the text MinHash/SimHash family does. */
+    * shuffles are the b-row-per-doc band exchange and the candidate
+    * aggregate — signatures, never payload bytes, cross the wire.
+    * The fixed 7×9 layout measured sf1 exponent 1.53 (band-bucket
+    * occupancy ∝ n ⇒ candidates a constant fraction of n² — the
+    * round-11 embedding-LSH finding, same cause); the scaled
+    * geometry keeps expected bucket occupancy ≤ ~8 at any n. */
+  /** Corpus-scaled band count for the 63-bit aHash signature
+    * ([[DedupQueries.lshGeometry]]'s discipline, adapted to a FIXED
+    * signature budget): bucket width r = smallest k ∈ [9, 30] with
+    * 2^r ≥ ⌈n/8⌉ (band-bucket space tracks the corpus, expected
+    * random occupancy ≤ ~8), then b = clamp(63 ÷ r, 2, 7) bands of
+    * balanced widths (boundaries i·63/b — b = 7 reproduces the
+    * classic 7×9 layout bit-for-bit). The b bands PARTITION the
+    * signature, so candidate recall stays pigeonhole-COMPLETE for
+    * Hamming < b: widening buckets trades completeness radius for
+    * linear candidates, exactly the documented MinHash/SimHash
+    * family trade. The sf1 sweep measured the fixed 7×9 layout at
+    * exponent 1.53 (0.70 s → 23.9 s) — the same
+    * constant-fraction-of-n² failure the embedding LSH had. */
+  private[analytics] def phashBands(n: Long): Int = {
+    val m = (n + 7L) / 8L
+    val r = (9 to 30).find(k => (1L << k) >= m).getOrElse(30)
+    math.max(2, math.min(7, 63 / r))
+  }
+
   /** aHash signatures + banded candidate pairs over the binary
     * payloads — the shared core of [[qMultimodalPhash]] (top-20
-    * nearest pairs) and [[qMultimodalPhashClusters]] (near-dup
-    * connected components): 63-sample/mean-threshold/BIGINT-pack
-    * signature, 7×9-bit banding (pigeonhole-complete for
-    * Hamming < 7), candidate pairs scored by integer Hamming. */
+    * nearest pairs, corpus-scaled `bands` via [[phashBands]]) and
+    * [[qMultimodalPhashClusters]] (near-dup connected components,
+    * which KEEPS bands = 7: its cluster set is exact only while the
+    * banding is complete at the Hamming < 7 threshold — the 7-band
+    * cost is the price of that exactness, measured sublinear at sf1):
+    * 63-sample/mean-threshold/BIGINT-pack signature, `bands`
+    * balanced-width bit bands (pigeonhole-complete for
+    * Hamming < bands), candidate pairs scored by integer Hamming. */
   private[analytics] def phashPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String, bands: Int = 7): org.apache.spark.sql.DataFrame = {
     val b = Multimodal.binarize(Tables.spread(Tables(s, dir, "documents")))
       .select(col("doc_id"), hex(col("content")).as("hx"),
         col("n_bytes").as("n"))
@@ -251,12 +281,17 @@ object MultimodalQueries {
     // the heavy expression PER CANDIDATE PAIR — measured 74 s vs 3.5 s
     // at sf0.1 on the clusters consumer. The checkpoint pins phash as a
     // materialized column; the narrow eager job is ~0.3 s.
-    val bands = ph.select(col("doc_id"), col("phash"),
-        explode(sequence(lit(0), lit(6))).as("k"))
-      .select(col("doc_id"), col("phash"), col("k"),
-        expr("shiftright(phash, 9 * k) & 511").as("bv"))
+    val banded = ph.select(col("doc_id"), col("phash"),
+        explode(array((0 until bands).map { k =>
+          val lo = k * 63 / bands
+          val w = (k + 1) * 63 / bands - lo
+          struct(lit(k).as("k"),
+            expr(s"shiftright(phash, $lo) & ${(1L << w) - 1}").as("bv"))
+        }: _*)).as("bd"))
+      .select(col("doc_id"), col("phash"),
+        col("bd.k").as("k"), col("bd.bv").as("bv"))
       .localCheckpoint()
-    bands.as("x").join(bands.as("y"),
+    banded.as("x").join(banded.as("y"),
         col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
@@ -264,8 +299,9 @@ object MultimodalQueries {
       .distinct()
   }
 
-  /** [[phashPairs]]'s oracle CTE chain (yields `cand`). */
-  private[analytics] val phashPairsSql: String =
+  /** The aHash signature CTE chain shared by both phash oracles
+    * (yields `ph(doc_id, phash)`). */
+  private[analytics] val phashSigSql: String =
     """b AS (
         SELECT doc_id, hex(encode(text)) AS hx,
                octet_length(encode(text)) AS n
@@ -287,7 +323,13 @@ object MultimodalQueries {
                               ELSE CAST(0 AS BIGINT) END
                          for i in generate_series(0,62)]) AS BIGINT)
             AS phash
-        FROM sig),
+        FROM sig)"""
+
+  /** [[phashPairs]]'s oracle CTE chain at the FIXED 7×9 layout
+    * (yields `cand`) — the clusters consumer, whose exact-at-
+    * Hamming-<-7 contract requires all 7 bands. */
+  private[analytics] val phashPairsSql: String =
+    s"""$phashSigSql,
       bands AS (
         SELECT doc_id, phash, k, (phash >> (9*k)) & 511 AS bv
         FROM ph CROSS JOIN generate_series(0,6) t(k)),
@@ -297,10 +339,38 @@ object MultimodalQueries {
         FROM bands x JOIN bands y
           ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id)"""
 
+  /** [[phashPairs]]'s oracle CTE chain at the CORPUS-SCALED geometry
+    * (yields `cand`): the `geo` CTE computes [[phashBands]]'s exact
+    * integer rule from COUNT(*) — same bounded scan over r, same
+    * clamp — and the bands CTE derives each band's balanced
+    * boundaries (i·63/b) in-SQL, mirroring the Spark literals. */
+  private[analytics] val phashPairsSqlScaled: String =
+    s"""$phashSigSql,
+      geo AS (
+        SELECT GREATEST(2, LEAST(7, 63 // r)) AS b
+        FROM (SELECT COALESCE((SELECT MIN(k) FROM range(9, 31) t(k)
+                 WHERE (CAST(1 AS BIGINT) << k) >=
+                       (SELECT (COUNT(*) + 7) // 8 FROM documents)), 30)
+                AS r)),
+      bands AS (
+        SELECT doc_id, phash, k,
+               (phash >> ((k * 63) // (SELECT b FROM geo))) &
+               ((CAST(1 AS BIGINT)
+                 << (((k + 1) * 63) // (SELECT b FROM geo)
+                     - (k * 63) // (SELECT b FROM geo))) - 1) AS bv
+        FROM ph CROSS JOIN generate_series(0,6) t(k)
+        WHERE k < (SELECT b FROM geo)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+               x.phash AS p1, y.phash AS p2
+        FROM bands x JOIN bands y
+          ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id)"""
+
   val qMultimodalPhash = Q(
     "q_multimodal_phash",
     (s, dir) => {
-      val scored = phashPairs(s, dir).select(col("d1"), col("d2"),
+      val b = phashBands(Tables(s, dir, "documents").count())
+      val scored = phashPairs(s, dir, b).select(col("d1"), col("d2"),
         expr("cast(bit_count(p1 ^ p2) as bigint)").as("hamming"))
       scored
         .orderBy(col("hamming"), col("d1"), col("d2")).limit(20)
@@ -313,7 +383,7 @@ object MultimodalQueries {
         .orderBy(col("rank"))
     },
     Some(s"""
-      WITH ${phashPairsSql},
+      WITH ${phashPairsSqlScaled},
       scored AS (
         SELECT d1, d2, CAST(bit_count(xor(p1, p2)) AS BIGINT) AS hamming
         FROM cand)
