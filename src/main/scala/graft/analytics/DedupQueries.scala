@@ -782,6 +782,124 @@ object DedupQueries {
       SELECT ia, ib, cos_sim FROM pairs
       WHERE cos_sim >= 0.4 ORDER BY ia, ib"""))
 
+  /** Candidate-recall audit of [[qDedupEmbeddingLsh]]'s corpus-scaled
+    * geometry — the measured answer to "what recall did the linear
+    * candidate set cost?", per cosine bucket: EXACT truth pairs on
+    * the bounded vec_id < 1000 block (the [[qDedupEmbedding]] cost
+    * class — truth needs O(block²), so the audit block is capped; the
+    * GEOMETRY is still derived from the FULL corpus count, i.e. the
+    * production banding), left-joined against the same block's band
+    * candidates, rolled up to 0.05-wide cosine buckets with exact
+    * integer recall (hits·10⁶ ÷ truth). The eval-query pattern of
+    * [[SimilarityQueries]]' recall_eval, applied to the dedup LSH:
+    * the number a pipeline owner reads BEFORE trusting the scaled
+    * band geometry at a new corpus size, and the regression gate that
+    * would catch a future geometry change silently collapsing recall.
+    * All-integer output — hash-stable by construction.
+    *
+    * How to read it: the audit block only contains MODERATE-cosine
+    * pairs (the fixture's block maxes out near 0.6), so this table
+    * measures the regime the scaled geometry deliberately trades
+    * away — at sf0.1 (7×8 bits) recall reads ~17% at cos 0.40–0.50
+    * rising to 100% by 0.55; at sf1 (5×12 bits) the moderate band
+    * drops to ~1% — candidates stay linear BECAUSE random-ish pairs
+    * stop colliding. The cos → 1 regime a dedup actually keys on is
+    * pinned separately: near-identical vectors agree on every sign
+    * bit, collide in EVERY band at ANY geometry (planted-dup spec),
+    * and the S-curve 1−(1−p^r)^b stays ≥ 0.8 at cos 0.95 even at
+    * the 5×12 layout.
+    *
+    * Scale shape: the truth join is block-bounded by construction;
+    * the candidate side is the production band equi-join restricted
+    * to the block; one bounded rollup. */
+  val qDedupLshRecall = Q(
+    "q_dedup_lsh_recall",
+    (s, dir) => {
+      val full = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val (b, r) = lshGeometry(full.count())
+      val bits = b * r
+      val mask = (1L << r) - 1L
+      val e = full.filter(col("vec_id") < 1000)
+        .withColumn("nrm",
+          graft.functions.VectorFunctions.dot(col("v"), col("v")))
+      val sigd = e.withColumn("sig",
+        SimilarityQueries.lshBucket(col("v"), bits))
+      val banded = sigd.select(col("vec_id"),
+        explode(array((0 until b).map(i =>
+          struct(lit(i).as("band_idx"),
+            expr(s"shiftright(sig, ${i * r}) & $mask").as("band_val"))): _*))
+          .as("bd"))
+        .select(col("vec_id"), col("bd.band_idx"), col("bd.band_val"))
+      val cand = banded.as("p")
+        .join(banded.as("q"),
+          col("p.band_idx") === col("q.band_idx") &&
+            col("p.band_val") === col("q.band_val") &&
+            col("p.vec_id") < col("q.vec_id"))
+        .select(col("p.vec_id").as("ia"), col("q.vec_id").as("ib"))
+        .distinct()
+        .withColumn("hit", lit(1L))
+      val dot = graft.functions.VectorFunctions.dot(col("a.v"), col("b.v"))
+      val exact = e.as("a")
+        .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+          round(round(dot / (sqrt(col("a.nrm")) * sqrt(col("b.nrm"))), 6)
+            * lit(1000000)).cast("long").as("cm"))
+        .filter(col("cm") >= 400000L)
+      exact.join(cand, Seq("ia", "ib"), "left")
+        .groupBy(expr("(cm DIV 50000) * 50000").as("bucket_lo"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("bucket_lo"), col("n_exact"), col("n_hit"),
+          expr("n_hit * 1000000 DIV n_exact").as("recall_micro"))
+        .orderBy(col("bucket_lo"))
+    },
+    Some(s"""
+      WITH e0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      geo AS (
+        SELECT r, GREATEST(2, 60 // r) AS b, GREATEST(2, 60 // r) * r AS bits
+        FROM (
+          SELECT COALESCE((SELECT MIN(k) FROM range(8, 31) t(k)
+                   WHERE (CAST(1 AS BIGINT) << k) >=
+                         (SELECT (COUNT(*) + 7) // 8 FROM e0)), 30) AS r)),
+      e AS (
+        SELECT vec_id, v,
+               list_sum(list_transform(v, x -> x * x)) AS nrm
+        FROM e0 WHERE vec_id < 1000),
+      ${SimilarityQueries.lshSigsSqlUpTo(60)},
+      bands AS (
+        SELECT s.vec_id, t.i AS band_idx,
+               (s.sig >> (t.i * (SELECT r FROM geo))) &
+               ((CAST(1 AS BIGINT) << (SELECT r FROM geo)) - 1) AS band_val
+        FROM sigs s CROSS JOIN range(0, 7) t(i)
+        WHERE t.i < (SELECT b FROM geo)),
+      cand AS (
+        SELECT DISTINCT p.vec_id AS ia, q.vec_id AS ib
+        FROM bands p JOIN bands q
+          ON p.band_idx = q.band_idx AND p.band_val = q.band_val
+         AND p.vec_id < q.vec_id),
+      exact AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               CAST(ROUND(ROUND(
+                 list_sum(list_transform(generate_series(1, len(a.v)),
+                   i -> a.v[i] * b.v[i]))
+                 / (SQRT(a.nrm) * SQRT(b.nrm)), 6) * 1000000) AS BIGINT)
+                 AS cm
+        FROM e a JOIN e b ON a.vec_id < b.vec_id),
+      flagged AS (
+        SELECT (x.cm // 50000) * 50000 AS bucket_lo,
+               CASE WHEN c.ia IS NOT NULL THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS hit
+        FROM exact x LEFT JOIN cand c ON c.ia = x.ia AND c.ib = x.ib
+        WHERE x.cm >= 400000)
+      SELECT bucket_lo, COUNT(*) AS n_exact,
+             CAST(SUM(hit) AS BIGINT) AS n_hit,
+             CAST(SUM(hit) AS BIGINT) * 1000000 // COUNT(*) AS recall_micro
+      FROM flagged GROUP BY bucket_lo ORDER BY bucket_lo"""))
+
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): coarse-
     * cluster the corpus embeddings, then prune any vector that has an
     * intra-cluster neighbor with cosine ≥ 0.4 and a SMALLER id — the
@@ -1682,7 +1800,8 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupCluster,
-    qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic,
+    qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupLshRecall,
+    qDedupSemantic,
     qDedupPassage, qDedupPassageSpan, qDedupIncremental, qDedupIncrementalStored,
     qDedupEntity, qDedupContainment, qDedupKeepBest, qDedupSourceMatrix,
     qDedupSplitLeakage, qDedupLshPlanner, qDedupLossWeight)

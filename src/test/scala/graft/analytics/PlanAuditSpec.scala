@@ -393,7 +393,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q_stats_cochranq: the one-row midpoint and one-row
       // (ΣC², N, ΣR², n) moment scalars ride cross joins into the
       // 5-row treatment frame (one-row-scalar pattern)
-      "q_stats_cochranq")
+      "q_stats_cochranq",
+      // q_dedup_lsh_recall: the EXACT-truth side is the vec_id<1000
+      // block inequality self-join (the q_dedup_embedding bounded-
+      // block pattern — truth is O(block²) by definition; the LSH
+      // candidate side stays a band equi-join)
+      "q_dedup_lsh_recall")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
         !allowed(n) => n
