@@ -7,6 +7,32 @@ import org.apache.spark.sql.SparkSession
   * shuffle partitions = cores (not 200 — local mode has no cluster to
   * spread 200 partitions over), AQE on for runtime re-planning. */
 object Bench {
+
+  /** Stratified-rep spread policy, pure and pinned by BenchPolicySpec
+    * (the round-11 advice fix): a query runs 1 rep ONLY on the
+    * evidence of a same-sf, ≥2-rep-sourced spread strictly inside
+    * (0, 0.1) — a zero delta is either a pre-fix [t,t] artifact or
+    * rounding collapse, and either way 3 reps re-record a real
+    * spread, so 1-rep status can always be revoked; and the pair
+    * persisted for a 1-rep query is the CARRIED prior (same sf
+    * only), never the degenerate [t,t]=0 that would latch it. */
+  private[graft] object SpreadPolicy {
+    def repsFor(recorded: Option[(Double, Double)], sfMatches: Boolean,
+        forced: Option[Int]): Int =
+      forced.getOrElse {
+        val delta =
+          if (sfMatches) recorded.map { case (lo, hi) => hi - lo }
+          else None
+        if (delta.exists(d => d > 0 && d < 0.1)) 1 else 3
+      }
+
+    def persistPair(ts: Seq[Double], prior: Option[(Double, Double)],
+        sfMatches: Boolean): Option[(Double, Double)] =
+      if (ts.length >= 2) Some((ts.head, ts.last))
+      else if (sfMatches) prior
+      else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -77,14 +103,8 @@ object Bench {
         (None, Map.empty)
       }
     val sfMatches = recordedSf.contains(sfDir)
-    val recordedSpread: Map[String, Double] =
-      if (repsEnv.isDefined || !sfMatches) Map.empty
-      else recordedPairs.view
-        .mapValues { case (lo, hi) => hi - lo }.toMap
     def repsFor(name: String): Int =
-      repsEnv.getOrElse(
-        if (recordedSpread.get(name).exists(d => d > 0 && d < 0.1)) 1
-        else 3)
+      SpreadPolicy.repsFor(recordedPairs.get(name), sfMatches, repsEnv)
     // Optional args select a query subset (dev iteration); no args =
     // the full registered set (driver protocol). A typo'd name must be
     // loud: a silent empty run prints total≈0 and reads like a pass.
@@ -228,9 +248,8 @@ object Bench {
     // only when the recorded sf matches, else the entry is omitted) —
     // never the degenerate [t,t]=0 that would latch it at 1 rep.
     val spread = results.toSeq.flatMap { case (k, ts) =>
-      if (ts.length >= 2) Some(k -> (ts.head, ts.last))
-      else if (sfMatches) recordedPairs.get(k).map(k -> _)
-      else None
+      SpreadPolicy.persistPair(ts, recordedPairs.get(k), sfMatches)
+        .map(k -> _)
     }.map { case (k, (lo, hi)) =>
       "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]"
     }.mkString("{", ",", "}")
