@@ -1088,6 +1088,82 @@ object RelationalQueries {
       HAVING COUNT(*) > 0
       ORDER BY l_returnflag, l_linestatus"""))
 
+  /** Incremental view maintenance for a JOIN view — the two-sided
+    * generalization of [[qAggIvm]]: a per-customer revenue view over
+    * orders ⋈ lineitem maintained under deltas on BOTH base tables
+    * via the bag-algebra delta rule
+    * (O+ΔO) ⋈ (L+ΔL) = O⋈L + ΔO⋈L + O⋈ΔL + ΔO⋈ΔL,
+    * every term signed (+1 insert, −1 delete, product of signs on
+    * the cross term — the DBToaster/IVM textbook identity). Deltas
+    * are deterministic key classes: orders ≡7 (mod 10) arrive with
+    * their lineitems (insert×insert exercises the cross term),
+    * orders ≡1 are cancelled while their lineitems REMAIN in the
+    * fact table (the ΔO⋈L term must erase their revenue — the case
+    * a one-sided IVM silently corrupts), and lineitems ≡3/line-1 are
+    * partial deletes. COUNT/SUM are self-maintainable; the merged
+    * group vanishes exactly when its signed count reaches 0 (branch
+    * pinned by a planted-fixture spec — the registry fixture never
+    * cancels a whole customer).
+    *
+    * The gate is the strong IVM contract, [[qAggIvm]]'s discipline:
+    * the oracle RECOMPUTES the view from the post-change base
+    * tables, so the hash-match proves signed-merge ≡ from-scratch on
+    * every cell. Scale shape: the base term is the one expensive
+    * orderkey-keyed join; each delta term's shuffle is sized by |Δ|
+    * (the base side probes delta keys — at 100 TB the bucketed base
+    * layout plus the runtime bloom prune make that probe
+    * |Δ|-proportional too); the signed merge re-aggregates partials
+    * on the view key. Daily cost |Δ|, never |history|. */
+  val qAggJoinIvm = Q(
+    "q_agg_join_ivm",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("o_orderkey % 10").as("m"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+          expr("l_orderkey % 10").as("m"))
+      val oB = o.filter(col("m") =!= 7)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val lB = l.filter(col("m") =!= 7)
+        .select(col("l_orderkey"), col("cents"))
+      val dO = o.filter(col("m") === 7).withColumn("so", lit(1L))
+        .unionByName(o.filter(col("m") === 1).withColumn("so", lit(-1L)))
+        .select(col("o_orderkey"), col("o_custkey"), col("so"))
+      val dL = l.filter(col("m") === 7).withColumn("sl", lit(1L))
+        .unionByName(l.filter(col("m") === 3 && col("l_linenumber") === 1)
+          .withColumn("sl", lit(-1L)))
+        .select(col("l_orderkey"), col("cents"), col("sl"))
+      def term(os: DataFrame, ls: DataFrame, sign: Column): DataFrame =
+        os.join(ls, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), sign.as("s"), col("cents"))
+      val merged = term(oB, lB, lit(1L))
+        .unionByName(term(dO, lB, col("so")))
+        .unionByName(term(oB, dL, col("sl")))
+        .unionByName(term(dO, dL, col("so") * col("sl")))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("s")).as("n"),
+          sum(col("s") * col("cents")).as("rev"))
+        .filter(col("n") =!= 0L)
+      merged.select(col("o_custkey"), col("n"),
+          col("rev").as("rev_cents"))
+        .orderBy(col("o_custkey"))
+    },
+    // the oracle recomputes the view DIRECTLY from the post-change
+    // base: orders minus the cancelled ≡1 class, lineitems minus the
+    // ≡3/line-1 partial deletes (the ≡1 orders' lineitems remain and
+    // must be dropped by the join itself)
+    Some("""
+      SELECT o_custkey, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS rev_cents
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey % 10 <> 1
+        AND NOT (l.l_orderkey % 10 = 3 AND l.l_linenumber = 1)
+      GROUP BY o_custkey
+      ORDER BY o_custkey"""))
+
   /** Equi-width histogram: 20 bins of the event value per event type,
     * with the bin index computed from the per-type min/max — the
     * distribution-shape profile a feature audit draws before choosing
@@ -2488,7 +2564,7 @@ object RelationalQueries {
     qPivot,
     qUnpivot,
     qAggReaggregate,
-    qAggIvm,
+    qAggIvm, qAggJoinIvm,
     qEventsHistogram,
     qJoinInterval,
     qJoinExistsMulti,

@@ -2087,6 +2087,30 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(incr.filter(_.getLong(0) === 3L).map(_.getLong(1)).min === 1L)
   }
 
+  test("join-view IVM: a fully-cancelled customer vanishes; cross term lands") {
+    // customer 100's ONLY order is in the ≡1 (mod 10) cancel class —
+    // every signed contribution cancels (n = 0) and the group must
+    // VANISH (the branch the registry fixture never fires); customer
+    // 200 is untouched base; customer 300's order is the ≡7 insert
+    // class arriving WITH its lines (insert×insert cross term); the
+    // ≡3/line-1 delete on absent order 33 must be a no-op (a delete
+    // whose order never joins).
+    val dir = java.nio.file.Files.createTempDirectory("jivm").toString
+    Seq((11L, 100L), (22L, 200L), (37L, 300L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((11L, 1L, 10.00), (11L, 2L, 20.00), (22L, 1L, 30.00),
+        (37L, 1L, 40.00), (37L, 3L, 5.00), (33L, 1L, 99.00))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = RelationalQueries.qAggJoinIvm.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!out.contains(100L), s"cancelled customer must vanish: $out")
+    assert(out(200L) === ((1L, 3000L)))
+    assert(out(300L) === ((2L, 4500L)))
+    assert(out.size === 2)
+  }
+
   test("profile: one row per column, exact invariants vs the table") {
     val out = StatsQueries.qStatsProfile.run(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
