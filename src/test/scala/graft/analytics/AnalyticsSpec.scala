@@ -860,6 +860,62 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       s"planted dup pairs missing from $found")
   }
 
+  test("scaled lsh geometry: recall at the dedup operating point, 20k corpus") {
+    // The corpus-scaled geometry trades moderate-cosine recall for
+    // linear candidates (q_dedup_lsh_recall measures that); this spec
+    // pins the OPERATING POINT a dedup actually keys on, at the
+    // 20k-corpus geometry (5 bands × 12 bits — asserted, so a
+    // geometry change re-justifies these numbers): planted pairs at
+    // cos ≈ 0.995 (true dups) must recover near-completely
+    // (S-curve: 1−(1−p^12)^5 ≈ 0.996 per pair), and pairs at
+    // cos = 0.9 must land inside the S-curve's ~0.57 band — the
+    // measured, deterministic record of what the geometry keeps.
+    import DedupQueries.lshGeometry
+    val rnd = new scala.util.Random(23)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // v2 = cosθ·u + sinθ·w with w ⊥ u (Gram–Schmidt) ⇒ cos(u,v2)=cosθ
+    def pairAt(cos: Double): (Array[Double], Array[Double]) = {
+      val u = unit()
+      val raw = unit()
+      val d = raw.indices.map(i => raw(i) * u(i)).sum
+      val w0 = raw.indices.map(i => raw(i) - d * u(i)).toArray
+      val wn = math.sqrt(w0.map(x => x * x).sum)
+      val w = w0.map(_ / wn)
+      val s = math.sqrt(1 - cos * cos)
+      (u, u.indices.map(i => cos * u(i) + s * w(i)).toArray)
+    }
+    val noise = (0L until 20000L).map(i =>
+      (i, unit().map(_.toFloat)))
+    val dups = (0 until 30).map { k =>
+      val (a, b) = pairAt(0.995)
+      Seq((100000L + 2 * k, a.map(_.toFloat)),
+        (100001L + 2 * k, b.map(_.toFloat)))
+    }.flatten
+    val sims = (0 until 40).map { k =>
+      val (a, b) = pairAt(0.9)
+      Seq((200000L + 2 * k, a.map(_.toFloat)),
+        (200001L + 2 * k, b.map(_.toFloat)))
+    }.flatten
+    assert(lshGeometry(20140L) === ((5, 12)), "geometry drifted — re-justify")
+    val dir = java.nio.file.Files.createTempDirectory("lshop").toString
+    (noise ++ dups ++ sims).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val found = DedupQueries.qDedupEmbeddingLsh.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dupHits = (0 until 30).count(k =>
+      found.contains((100000L + 2 * k, 100001L + 2 * k)))
+    val simHits = (0 until 40).count(k =>
+      found.contains((200000L + 2 * k, 200001L + 2 * k)))
+    assert(dupHits >= 28, s"cos 0.995 recall collapsed: $dupHits/30")
+    assert(simHits >= 12 && simHits <= 34,
+      s"cos 0.9 recall off the S-curve band: $simHits/40")
+  }
+
   test("heavy hitters: exact regime matches groupBy; eviction regime overestimates") {
     // Exact regime (capacity 64 > vocab 31, the registered query):
     // output must equal the exact top-20 frequency table.
