@@ -900,6 +900,112 @@ object DedupQueries {
              CAST(SUM(hit) AS BIGINT) * 1000000 // COUNT(*) AS recall_micro
       FROM flagged GROUP BY bucket_lo ORDER BY bucket_lo"""))
 
+  /** Sign-LSH geometry planner — [[qDedupLshPlanner]]'s discipline
+    * applied to THIS round's [[lshGeometry]] rule: for a literal grid
+    * of corpus sizes (10³ … 10⁹), emit the derived (r, b) geometry,
+    * the band-bucket space, the expected random-pair candidate
+    * fraction b/2^r (in parts-per-billion — the LINEARITY witness:
+    * it shrinks as n grows, so candidates ≈ n·occupancy stay linear),
+    * and the S-curve recall 1−(1−p^r)^b at cos ∈ {0.80, 0.90, 0.95,
+    * 0.99} — the design table a pipeline owner reads to see exactly
+    * what each corpus size's geometry keeps and trades
+    * ([[qDedupLshRecall]] is the same answer MEASURED on the
+    * fixture). The integer rule is computed in-engine on BOTH sides
+    * (the same bounded k-scan the oracle gates use), and the
+    * per-bit agreement probabilities p = 1 − arccos(c)/π enter as
+    * shared 17-digit literals so the p^r and (1−p^r)^b LEFT FOLDS
+    * are bit-identical IEEE sequences cross-engine (the MinHash
+    * planner's exactness discipline; no transcendental is evaluated
+    * in-engine). Scale shape: a 7-row literal grid, bounded by
+    * construction; reads no table at any SF. */
+  val qDedupLshGeometry = Q(
+    "q_dedup_lsh_geometry",
+    (s, dir) => {
+      val geo = s.range(0, 1)
+        .select(explode(expr(
+          "array(1000L, 10000L, 100000L, 1000000L, 10000000L, " +
+            "100000000L, 1000000000L)")).as("n"))
+        .withColumn("m", expr("(n + 7) DIV 8"))
+        .withColumn("r", expr(
+          "aggregate(sequence(8, 30), 31, (acc, k) -> " +
+            "IF(acc < 31, acc, IF(shiftleft(1L, k) >= m, k, acc)))"))
+        .withColumn("r", expr("IF(r = 31, 30, r)"))
+        .withColumn("b", expr("greatest(2L, 60 DIV r)"))
+      val withPr = Seq("80" -> "0.7951672353008665",
+        "90" -> "0.8564337068712937", "95" -> "0.8989173758957401",
+        "99" -> "0.9549465863555878").foldLeft(geo) { case (df, (c, p)) =>
+        df.withColumn(s"pr$c", expr(
+          s"aggregate(sequence(1, r), cast(1.0 as double), " +
+            s"(acc, x) -> acc * ${p}d)"))
+          .withColumn(s"recall${c}_micro", expr(
+            s"cast(round((1.0d - aggregate(sequence(1, b), " +
+              s"cast(1.0 as double), (acc, x) -> acc * (1.0d - pr$c))) " +
+              s"* 1000000) as bigint)"))
+      }
+      withPr.select(col("n"), col("r"), col("b"),
+          expr("b * r").as("bits"),
+          expr("shiftleft(1L, r)").as("band_buckets"),
+          expr("b * 1000000000L DIV shiftleft(1L, r)").as("cand_ppb"),
+          col("recall80_micro"), col("recall90_micro"),
+          col("recall95_micro"), col("recall99_micro"))
+        .orderBy(col("n"))
+    },
+    Some("""
+      WITH RECURSIVE grid AS (
+        SELECT CAST(UNNEST([1000, 10000, 100000, 1000000, 10000000,
+                            100000000, 1000000000]) AS BIGINT) AS n),
+      geo AS (
+        SELECT n,
+               COALESCE((SELECT MIN(k) FROM range(8, 31) t(k)
+                  WHERE (CAST(1 AS BIGINT) << k) >= (n + 7) // 8), 30)
+                 AS r
+        FROM grid),
+      geo2 AS (
+        SELECT n, r, GREATEST(2, 60 // r) AS b FROM geo),
+      powr AS (
+        SELECT n, r, b,
+               CAST(1.0 AS DOUBLE) AS v80, CAST(1.0 AS DOUBLE) AS v90,
+               CAST(1.0 AS DOUBLE) AS v95, CAST(1.0 AS DOUBLE) AS v99,
+               0 AS i
+        FROM geo2
+        UNION ALL
+        SELECT n, r, b,
+               v80 * 0.7951672353008665, v90 * 0.8564337068712937,
+               v95 * 0.8989173758957401, v99 * 0.9549465863555878,
+               i + 1
+        FROM powr WHERE i < r),
+      prt AS (
+        SELECT n, r, b, v80 AS pr80, v90 AS pr90, v95 AS pr95,
+               v99 AS pr99
+        FROM powr WHERE i = r),
+      powb AS (
+        SELECT n, r, b, pr80, pr90, pr95, pr99,
+               CAST(1.0 AS DOUBLE) AS w80, CAST(1.0 AS DOUBLE) AS w90,
+               CAST(1.0 AS DOUBLE) AS w95, CAST(1.0 AS DOUBLE) AS w99,
+               0 AS i
+        FROM prt
+        UNION ALL
+        SELECT n, r, b, pr80, pr90, pr95, pr99,
+               w80 * (1.0 - pr80), w90 * (1.0 - pr90),
+               w95 * (1.0 - pr95), w99 * (1.0 - pr99), i + 1
+        FROM powb WHERE i < b),
+      fin AS (
+        SELECT n, r, b, w80, w90, w95, w99 FROM powb WHERE i = b)
+      SELECT n, r, CAST(b AS BIGINT) AS b,
+             CAST(b * r AS BIGINT) AS bits,
+             (CAST(1 AS BIGINT) << r) AS band_buckets,
+             CAST(b AS BIGINT) * 1000000000
+               // (CAST(1 AS BIGINT) << r) AS cand_ppb,
+             CAST(ROUND((1.0 - w80) * 1000000) AS BIGINT)
+               AS recall80_micro,
+             CAST(ROUND((1.0 - w90) * 1000000) AS BIGINT)
+               AS recall90_micro,
+             CAST(ROUND((1.0 - w95) * 1000000) AS BIGINT)
+               AS recall95_micro,
+             CAST(ROUND((1.0 - w99) * 1000000) AS BIGINT)
+               AS recall99_micro
+      FROM fin ORDER BY n"""))
+
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): coarse-
     * cluster the corpus embeddings, then prune any vector that has an
     * intra-cluster neighbor with cosine ≥ 0.4 and a SMALLER id — the
@@ -1801,7 +1907,7 @@ object DedupQueries {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupCluster,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupLshRecall,
-    qDedupSemantic,
+    qDedupLshGeometry, qDedupSemantic,
     qDedupPassage, qDedupPassageSpan, qDedupIncremental, qDedupIncrementalStored,
     qDedupEntity, qDedupContainment, qDedupKeepBest, qDedupSourceMatrix,
     qDedupSplitLeakage, qDedupLshPlanner, qDedupLossWeight)

@@ -828,6 +828,14 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       prevR = r
       assert(b >= 2 && b * r <= 63, s"($b, $r) breaks the long budget")
     }
+    // the planner query's IN-ENGINE integer rule must equal the Scala
+    // rule row for row (the oracle mirrors the same arithmetic, so
+    // this pins all three implementations together)
+    DedupQueries.qDedupLshGeometry.run(spark, sf).collect().foreach { row =>
+      val (b, r) = lshGeometry(row.getLong(0))
+      assert(row.getInt(1) === r && row.getLong(2) === b.toLong,
+        s"planner row ${row.getLong(0)} disagrees with lshGeometry")
+    }
   }
 
   test("lsh embedding dedup: agrees with exact in-block; finds planted dups") {
