@@ -2093,13 +2093,13 @@ object RelationalQueries {
     * and the largest partition's share (skew). The advisor rule —
     * the lowest expected scan fraction among candidates with a
     * manageable partition count (ndv ≤ 4096) — is applied in-query
-    * and emitted as a flag. Everything is exact BIGINT except the
-    * two micro-rounded fractions; the sn2·10⁶ and nn² products ride
-    * an in-plan assert_true bound guard (sn2 < 2⁶³/10⁶, nn < √2⁶³ —
-    * for low-NDV candidates sn2 ≈ nn²/3, so BIGINT wraps silently on
-    * Spark around 5M rows while DuckDB errors: the round-9 advice
-    * finding; fail loudly, never silently — the [[qStatsSegreg]] /
-    * [[graft.analytics.PrepQueries]] apportion discipline).
+    * and emitted as a flag. Everything is exact integer arithmetic:
+    * the sn2·10⁶ and nn² products evaluate in DECIMAL(38,0) with the
+    * integral division on the decimals (safe to ~10¹³ rows — the
+    * round-11 sf1 gate tripped the previous BIGINT headroom guard at
+    * 6M rows, the same cliff [[graft.analytics.GraphQueries]]'
+    * assortativity hit; headroom guards only move the cliff, exact
+    * wide decimals remove it).
     *
     * Scale shape: one (column, value) rollup per candidate (four
     * narrow scans, map-side combined), then bounded per-candidate
@@ -2113,7 +2113,10 @@ object RelationalQueries {
       def cand(name: String, c: Column) =
         li.groupBy(c.as("v")).agg(count(lit(1)).as("n"))
           .agg(count(lit(1)).as("ndv"), sum(col("n")).as("nn"),
-            sum(col("n") * col("n")).as("sn2"), max(col("n")).as("mx"))
+            // one factor cast BEFORE multiplying: n*n in BIGINT wraps
+            // silently past 2^63 on a ~3e9-row partition
+            sum(expr("cast(n as decimal(25,0)) * n")).as("sn2"),
+            max(col("n")).as("mx"))
           .select(lit(name).as("column_name"), col("ndv"), col("nn"),
             col("sn2"), col("mx"))
       val stats = cand("l_returnflag", col("l_returnflag"))
@@ -2122,14 +2125,10 @@ object RelationalQueries {
           date_trunc("month", col("l_shipdate"))))
         .unionByName(cand("l_suppkey_bucket", col("l_suppkey") % 64))
         .select(col("column_name"), col("ndv"),
-          (expr("(sn2 * 1000000) DIV (nn * nn)") +
-            coalesce(expr(
-              "assert_true(sn2 >= 0 and sn2 < 9223372036854 " +
-                "and nn < 3037000499, " +
-                "'q_agg_partition_advisor: moments exceed BIGINT-safe " +
-                "bounds (need sn2 < 2^63/1e6 and nn < sqrt(2^63))')")
-              .cast("long"), lit(0L))).as("scan_frac_micro"),
-          expr("(mx * 1000000) DIV nn").as("max_share_micro"))
+          expr("(cast(sn2 as decimal(32,0)) * 1000000) DIV " +
+            "(cast(nn as decimal(19,0)) * nn)").as("scan_frac_micro"),
+          expr("(cast(mx as decimal(38,0)) * 1000000) DIV nn")
+            .as("max_share_micro"))
       val best = stats.filter(col("ndv") <= 4096)
         .agg(min(col("scan_frac_micro")).as("best_frac"))
       stats.crossJoin(broadcast(best))
@@ -2144,33 +2143,44 @@ object RelationalQueries {
       WITH c1 AS (
         SELECT 'l_returnflag' AS column_name, COUNT(*) AS ndv,
                CAST(SUM(n) AS BIGINT) AS nn,
-               CAST(SUM(n * n) AS BIGINT) AS sn2,
+               CAST(SUM(CAST(n AS DECIMAL(25,0)) * n) AS DECIMAL(38,0))
+                 AS sn2,
                CAST(MAX(n) AS BIGINT) AS mx
         FROM (SELECT l_returnflag AS v, COUNT(*) AS n
               FROM lineitem GROUP BY 1)),
       c2 AS (
         SELECT 'l_linestatus', COUNT(*),
-               CAST(SUM(n) AS BIGINT), CAST(SUM(n * n) AS BIGINT),
+               CAST(SUM(n) AS BIGINT),
+               CAST(SUM(CAST(n AS DECIMAL(25,0)) * n) AS DECIMAL(38,0)),
                CAST(MAX(n) AS BIGINT)
         FROM (SELECT l_linestatus AS v, COUNT(*) AS n
               FROM lineitem GROUP BY 1)),
       c3 AS (
         SELECT 'l_ship_month', COUNT(*),
-               CAST(SUM(n) AS BIGINT), CAST(SUM(n * n) AS BIGINT),
+               CAST(SUM(n) AS BIGINT),
+               CAST(SUM(CAST(n AS DECIMAL(25,0)) * n) AS DECIMAL(38,0)),
                CAST(MAX(n) AS BIGINT)
         FROM (SELECT date_trunc('month', l_shipdate) AS v, COUNT(*)
                 AS n
               FROM lineitem GROUP BY 1)),
       c4 AS (
         SELECT 'l_suppkey_bucket', COUNT(*),
-               CAST(SUM(n) AS BIGINT), CAST(SUM(n * n) AS BIGINT),
+               CAST(SUM(n) AS BIGINT),
+               CAST(SUM(CAST(n AS DECIMAL(25,0)) * n) AS DECIMAL(38,0)),
                CAST(MAX(n) AS BIGINT)
         FROM (SELECT l_suppkey % 64 AS v, COUNT(*) AS n
               FROM lineitem GROUP BY 1)),
       stats AS (
+        -- HUGEINT, not DECIMAL: DuckDB's // on DECIMAL operands goes
+        -- through decimal division and ROUNDS, while Spark's DIV on
+        -- decimals floors — HUGEINT // is true integer floor division
+        -- and mirrors the Spark decimal DIV exactly
         SELECT column_name, ndv,
-               (sn2 * 1000000) // (nn * nn) AS scan_frac_micro,
-               (mx * 1000000) // nn AS max_share_micro
+               CAST((CAST(sn2 AS HUGEINT) * 1000000)
+                 // (CAST(nn AS HUGEINT) * nn) AS BIGINT)
+                 AS scan_frac_micro,
+               CAST((CAST(mx AS HUGEINT) * 1000000) // nn
+                 AS BIGINT) AS max_share_micro
         FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
               UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)),
       best AS (
