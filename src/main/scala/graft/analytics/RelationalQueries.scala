@@ -960,7 +960,12 @@ object RelationalQueries {
           Array(col("l_quantity"), col("l_extendedprice"),
             col("l_discount")),
           "measure", "value")
-        .orderBy(col("l_orderkey"), col("measure")),
+        // `value` completes the total order: (l_orderkey,
+        // l_linenumber=1) is NOT unique in the fixture — duplicate
+        // keys carry DIFFERENT measures, and a tie in the ORDER BY
+        // leaves row order engine-dependent (latent at sf0.1, caught
+        // by the round-11 sf1 gate)
+        .orderBy(col("l_orderkey"), col("measure"), col("value")),
     Some("""
       SELECT l_orderkey, measure, value FROM (
         SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value
@@ -971,7 +976,7 @@ object RelationalQueries {
         UNION ALL
         SELECT l_orderkey, 'l_discount', l_discount
         FROM lineitem WHERE l_linenumber = 1) u
-      ORDER BY l_orderkey, measure"""))
+      ORDER BY l_orderkey, measure, value"""))
 
   // ---------------------------------------------------------------
   // Warehouse modeling family: SCD2 intervals, column profiling,

@@ -107,7 +107,12 @@ object ScalarQueries {
           ceil(col("l_extendedprice")).as("price_ceil"),
           floor(col("l_extendedprice")).as("price_floor"),
           (col("l_orderkey") % 7).as("key_mod"))
-        .orderBy(col("l_orderkey")),
+        // (l_orderkey, l_linenumber=1) is NOT unique in the fixture —
+        // the extra keys make the order total on emitted content
+        // (ties left row order engine-dependent; latent at sf0.1,
+        // caught by the round-11 sf1 gate)
+        .orderBy(col("l_orderkey"), col("price_floor"), col("sq"),
+          col("disc_gap")),
     Some("""
       SELECT l_orderkey,
              SQRT(l_quantity) AS sq,
@@ -115,7 +120,8 @@ object ScalarQueries {
              CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
              CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
              l_orderkey % 7 AS key_mod
-      FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey"""))
+      FROM lineitem WHERE l_linenumber = 1
+      ORDER BY l_orderkey, price_floor, sq, disc_gap"""))
 
   /** Bitwise scalar family — AND/OR/XOR, shifts, popcount, and the
     * pack-two-ints-into-one-key trick ([[qStatsGini]]'s composite
@@ -140,7 +146,11 @@ object ScalarQueries {
           expr("cast(bit_count(l_orderkey ^ l_partkey) as bigint)")
             .as("hamming"),
           expr("l_partkey * 1048576 + l_suppkey").as("packed"))
-        .orderBy(col("l_orderkey")),
+        // `packed` determines (l_partkey, l_suppkey), so (l_orderkey,
+        // packed) totally orders the emitted content — dup fixture
+        // keys otherwise leave tie order engine-dependent (round-11
+        // sf1 gate finding)
+        .orderBy(col("l_orderkey"), col("packed")),
     Some("""
       SELECT l_orderkey,
              l_orderkey & l_partkey AS k_and,
@@ -151,7 +161,8 @@ object ScalarQueries {
              CAST(bit_count(xor(l_orderkey, l_partkey)) AS BIGINT)
                AS hamming,
              l_partkey * 1048576 + l_suppkey AS packed
-      FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey"""))
+      FROM lineitem WHERE l_linenumber = 1
+      ORDER BY l_orderkey, packed"""))
 
   /** Regex family (patterns kept in the Java∩RE2 common subset so both
     * engines agree). */
