@@ -680,19 +680,31 @@ object DedupQueries {
     * layout). Rule: bits-per-band r = the smallest r ∈ [8, 30] with
     * 2^r ≥ ⌈n/8⌉ (so expected random-sign occupancy stays ≤ ~8 per
     * bucket and candidates stay O(b·8·n) = linear), then bands
-    * b = max(2, 60 ÷ r) — spend the rest of the single-long signature
-    * budget on bands, which is pure recall (P(candidate | per-bit
-    * agreement p) = 1 − (1 − p^r)^b; near-dups with cos → 1 have
-    * p → 1 and collide in EVERY band at any r). Integer-exact on both
-    * engines: the search over r is a bounded scan, no float log2 at a
-    * power-of-two boundary. Single-long cap: r ≤ 30 ⇒ bucket space
-    * caps at 2^30 ≈ 1.1e9 per band (occupancy 8 ⇒ ~8.6e9 vectors);
-    * past that the signature moves to multiple longs — documented
-    * limit, not a silent one. */
+    * b = max(⌈r/4⌉ + 1, 60 ÷ r) — bands are pure recall
+    * (P(candidate | per-bit agreement p) = 1 − (1 − p^r)^b; near-dups
+    * with cos → 1 have p → 1 and collide in EVERY band at any r), and
+    * because p^r decays geometrically in r, the band count must GROW
+    * with r to hold the dedup operating point: ⌈r/4⌉ + 1 keeps
+    * recall@cos 0.99 ≥ 0.90 through n = 10¹¹ (design table:
+    * [[qDedupLshGeometry]]), while the 60÷r floor preserves the
+    * richer small-corpus geometry (≤ 14 bits/band) where extra bands
+    * cost nothing. Integer-exact on both engines: the search over r
+    * is a bounded scan, no float log2 at a power-of-two boundary.
+    *
+    * MULTI-LONG signatures ([[graft.functions.LshBandArray]] — one
+    * long PER BAND, b·r total sign bits unbounded by any word width)
+    * removed the former single-long cap: r may grow to 62 (a band
+    * value always fits a non-negative long — bucket space 2^62,
+    * occupancy 8 ⇒ ~3.7e19 vectors, unreachable by any corpus), and
+    * b no longer shrinks as r grows. The old packed-long rule read
+    * 49% recall@cos 0.99 at 10⁹ vectors (b collapsed to 2 at r = 30);
+    * this rule reads 93% there and ≥ 90% through 10¹¹. Candidates
+    * stay linear: occupancy ≤ ~8 per bucket ⇒ ≈ 8·b·n candidate
+    * pairs with b ≈ r/4 ≈ log₂(n)/4 — O(n log n) total. */
   private[analytics] def lshGeometry(n: Long): (Int, Int) = {
     val m = (n + 7L) / 8L
-    val r = (8 to 30).find(k => (1L << k) >= m).getOrElse(30)
-    val b = math.max(2, 60 / r)
+    val r = (8 to 62).find(k => (1L << k) >= m).getOrElse(62)
+    val b = math.max((r + 7) / 4, 60 / r)
     (b, r)
   }
 
@@ -718,16 +730,9 @@ object DedupQueries {
         .withColumn("nrm",
           graft.functions.VectorFunctions.dot(col("v"), col("v")))
       val (b, r) = lshGeometry(e.count())
-      val bits = b * r
-      val mask = (1L << r) - 1L
-      val sigd = e.withColumn("sig",
-        SimilarityQueries.lshBucket(col("v"), bits))
-      val banded = sigd.select(col("vec_id"),
-        explode(array((0 until b).map(i =>
-          struct(lit(i).as("band_idx"),
-            expr(s"shiftright(sig, ${i * r}) & $mask").as("band_val"))): _*))
-          .as("b"))
-        .select(col("vec_id"), col("b.band_idx"), col("b.band_val"))
+      val banded = e.select(col("vec_id"),
+        posexplode(graft.functions.VectorFunctions.lshBands(col("v"), b, r))
+          .as(Seq("band_idx", "band_val")))
       val cand = banded.as("p")
         .join(banded.as("q"),
           col("p.band_idx") === col("q.band_idx") &&
@@ -754,18 +759,12 @@ object DedupQueries {
                  x -> x * x)) AS nrm
         FROM embeddings),
       geo AS (
-        SELECT r, GREATEST(2, 60 // r) AS b, GREATEST(2, 60 // r) * r AS bits
+        SELECT r, GREATEST((r + 7) // 4, 60 // r) AS b
         FROM (
-          SELECT COALESCE((SELECT MIN(k) FROM range(8, 31) t(k)
+          SELECT COALESCE((SELECT MIN(k) FROM range(8, 63) t(k)
                    WHERE (CAST(1 AS BIGINT) << k) >=
-                         (SELECT (COUNT(*) + 7) // 8 FROM e)), 30) AS r)),
-      ${SimilarityQueries.lshSigsSqlUpTo(60)},
-      bands AS (
-        SELECT s.vec_id, t.i AS band_idx,
-               (s.sig >> (t.i * (SELECT r FROM geo))) &
-               ((CAST(1 AS BIGINT) << (SELECT r FROM geo)) - 1) AS band_val
-        FROM sigs s CROSS JOIN range(0, 7) t(i)
-        WHERE t.i < (SELECT b FROM geo)),
+                         (SELECT (COUNT(*) + 7) // 8 FROM e)), 62) AS r)),
+      ${SimilarityQueries.lshBandsSqlUpTo(96)},
       cand AS (
         SELECT DISTINCT p.vec_id AS ia, q.vec_id AS ib
         FROM bands p JOIN bands q
@@ -819,19 +818,12 @@ object DedupQueries {
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
       val (b, r) = lshGeometry(full.count())
-      val bits = b * r
-      val mask = (1L << r) - 1L
       val e = full.filter(col("vec_id") < 1000)
         .withColumn("nrm",
           graft.functions.VectorFunctions.dot(col("v"), col("v")))
-      val sigd = e.withColumn("sig",
-        SimilarityQueries.lshBucket(col("v"), bits))
-      val banded = sigd.select(col("vec_id"),
-        explode(array((0 until b).map(i =>
-          struct(lit(i).as("band_idx"),
-            expr(s"shiftright(sig, ${i * r}) & $mask").as("band_val"))): _*))
-          .as("bd"))
-        .select(col("vec_id"), col("bd.band_idx"), col("bd.band_val"))
+      val banded = e.select(col("vec_id"),
+        posexplode(graft.functions.VectorFunctions.lshBands(col("v"), b, r))
+          .as(Seq("band_idx", "band_val")))
       val cand = banded.as("p")
         .join(banded.as("q"),
           col("p.band_idx") === col("q.band_idx") &&
@@ -860,22 +852,16 @@ object DedupQueries {
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings),
       geo AS (
-        SELECT r, GREATEST(2, 60 // r) AS b, GREATEST(2, 60 // r) * r AS bits
+        SELECT r, GREATEST((r + 7) // 4, 60 // r) AS b
         FROM (
-          SELECT COALESCE((SELECT MIN(k) FROM range(8, 31) t(k)
+          SELECT COALESCE((SELECT MIN(k) FROM range(8, 63) t(k)
                    WHERE (CAST(1 AS BIGINT) << k) >=
-                         (SELECT (COUNT(*) + 7) // 8 FROM e0)), 30) AS r)),
+                         (SELECT (COUNT(*) + 7) // 8 FROM e0)), 62) AS r)),
       e AS (
         SELECT vec_id, v,
                list_sum(list_transform(v, x -> x * x)) AS nrm
         FROM e0 WHERE vec_id < 1000),
-      ${SimilarityQueries.lshSigsSqlUpTo(60)},
-      bands AS (
-        SELECT s.vec_id, t.i AS band_idx,
-               (s.sig >> (t.i * (SELECT r FROM geo))) &
-               ((CAST(1 AS BIGINT) << (SELECT r FROM geo)) - 1) AS band_val
-        FROM sigs s CROSS JOIN range(0, 7) t(i)
-        WHERE t.i < (SELECT b FROM geo)),
+      ${SimilarityQueries.lshBandsSqlUpTo(96)},
       cand AS (
         SELECT DISTINCT p.vec_id AS ia, q.vec_id AS ib
         FROM bands p JOIN bands q
@@ -901,8 +887,11 @@ object DedupQueries {
       FROM flagged GROUP BY bucket_lo ORDER BY bucket_lo"""))
 
   /** Sign-LSH geometry planner — [[qDedupLshPlanner]]'s discipline
-    * applied to THIS round's [[lshGeometry]] rule: for a literal grid
-    * of corpus sizes (10³ … 10⁹), emit the derived (r, b) geometry,
+    * applied to the multi-long [[lshGeometry]] rule: for a literal
+    * grid of corpus sizes (10³ … 10¹¹ — two decades PAST the old
+    * single-long frontier, where the packed rule's recall@cos 0.99
+    * read 49% at 10⁹; the multi-long rule reads ≥ 90% through 10¹¹),
+    * emit the derived (r, b) geometry,
     * the band-bucket space, the expected random-pair candidate
     * fraction b/2^r (in parts-per-billion — the LINEARITY witness:
     * it shrinks as n grows, so candidates ≈ n·occupancy stay linear),
@@ -916,7 +905,7 @@ object DedupQueries {
     * shared 17-digit literals so the p^r and (1−p^r)^b LEFT FOLDS
     * are bit-identical IEEE sequences cross-engine (the MinHash
     * planner's exactness discipline; no transcendental is evaluated
-    * in-engine). Scale shape: a 7-row literal grid, bounded by
+    * in-engine). Scale shape: a 9-row literal grid, bounded by
     * construction; reads no table at any SF. */
   val qDedupLshGeometry = Q(
     "q_dedup_lsh_geometry",
@@ -924,13 +913,14 @@ object DedupQueries {
       val geo = s.range(0, 1)
         .select(explode(expr(
           "array(1000L, 10000L, 100000L, 1000000L, 10000000L, " +
-            "100000000L, 1000000000L)")).as("n"))
+            "100000000L, 1000000000L, 10000000000L, 100000000000L)"))
+          .as("n"))
         .withColumn("m", expr("(n + 7) DIV 8"))
         .withColumn("r", expr(
-          "aggregate(sequence(8, 30), 31, (acc, k) -> " +
-            "IF(acc < 31, acc, IF(shiftleft(1L, k) >= m, k, acc)))"))
-        .withColumn("r", expr("IF(r = 31, 30, r)"))
-        .withColumn("b", expr("greatest(2L, 60 DIV r)"))
+          "aggregate(sequence(8, 62), 63, (acc, k) -> " +
+            "IF(acc < 63, acc, IF(shiftleft(1L, k) >= m, k, acc)))"))
+        .withColumn("r", expr("IF(r = 63, 62, r)"))
+        .withColumn("b", expr("greatest((r + 7) DIV 4, 60 DIV r)"))
       val withPr = Seq("80" -> "0.7951672353008665",
         "90" -> "0.8564337068712937", "95" -> "0.8989173758957401",
         "99" -> "0.9549465863555878").foldLeft(geo) { case (df, (c, p)) =>
@@ -953,15 +943,16 @@ object DedupQueries {
     Some("""
       WITH RECURSIVE grid AS (
         SELECT CAST(UNNEST([1000, 10000, 100000, 1000000, 10000000,
-                            100000000, 1000000000]) AS BIGINT) AS n),
+                            100000000, 1000000000, 10000000000,
+                            100000000000]) AS BIGINT) AS n),
       geo AS (
         SELECT n,
-               COALESCE((SELECT MIN(k) FROM range(8, 31) t(k)
-                  WHERE (CAST(1 AS BIGINT) << k) >= (n + 7) // 8), 30)
+               COALESCE((SELECT MIN(k) FROM range(8, 63) t(k)
+                  WHERE (CAST(1 AS BIGINT) << k) >= (n + 7) // 8), 62)
                  AS r
         FROM grid),
       geo2 AS (
-        SELECT n, r, GREATEST(2, 60 // r) AS b FROM geo),
+        SELECT n, r, GREATEST((r + 7) // 4, 60 // r) AS b FROM geo),
       powr AS (
         SELECT n, r, b,
                CAST(1.0 AS DOUBLE) AS v80, CAST(1.0 AS DOUBLE) AS v90,

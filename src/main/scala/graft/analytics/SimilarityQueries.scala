@@ -156,6 +156,44 @@ object SimilarityQueries {
         GROUP BY e.vec_id)"""
   }
 
+  /** Multi-long variant of [[lshSigsSqlUpTo]] mirroring
+    * [[graft.functions.LshBandArray]]: instead of one packed `sigs`
+    * long, emits a `bands(vec_id, band_idx, band_val)` CTE directly —
+    * band i covers planes j ∈ [i·r, (i+1)·r), with plane j at bit
+    * position r − 1 − (j mod r) (the expression's ascending-j
+    * shift-accumulate). Reads (b, r) from a prior `geo(b, r)` CTE, so
+    * the geometry derives in-SQL from the corpus exactly like the
+    * engine side; planes are generated up to `maxPlanes` and the
+    * b·r ≤ maxPlanes prefix is used. Same md5-derived weights and
+    * `len(e.v) = dim` guard semantics as [[lshSigsSql]]. */
+  private[analytics] def lshBandsSqlUpTo(maxPlanes: Int, dim: Int = 64): String = {
+    val hx = "instr('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || '|' || CAST(d AS VARCHAR)), %d, 1)) - 1"
+    val digits = (1 to 6).map(p => s"(${hx.format(p)}) * ${1 << (4 * (6 - p))}")
+      .mkString("(", " + ", ")")
+    s"""
+      planes AS (
+        SELECT j, LIST(w ORDER BY d) AS wv FROM (
+          SELECT j, d,
+                 ($digits % 2000001 - 1000000) / 1000000.0 AS w
+          FROM generate_series(0, ${maxPlanes - 1}) tj(j)
+          CROSS JOIN generate_series(0, ${dim - 1}) td(d))
+        GROUP BY j),
+      bands AS (
+        SELECT e.vec_id,
+               CAST(p.j // (SELECT r FROM geo) AS INTEGER) AS band_idx,
+               CAST(SUM(CASE WHEN list_sum(list_transform(
+                        generate_series(1, len(e.v)),
+                        i -> e.v[i] * p.wv[i])) > 0
+                    THEN (CAST(1 AS BIGINT) <<
+                          ((SELECT r FROM geo) - 1 -
+                           (p.j % (SELECT r FROM geo))))
+                    ELSE 0 END) AS BIGINT) AS band_val
+        FROM e CROSS JOIN planes p
+        WHERE p.j < (SELECT b FROM geo) * (SELECT r FROM geo)
+          AND len(e.v) = $dim
+        GROUP BY e.vec_id, p.j // (SELECT r FROM geo))"""
+  }
+
   /** ANN top-5 via sign-LSH banding: the 16-bit signature splits into
     * 4 bands of 4 bits; a corpus vector is a candidate when ANY band
     * matches the query's (classic OR-of-ANDs LSH amplification — on

@@ -173,6 +173,108 @@ object LshSignature {
   }
 }
 
+/** Multi-long sign-LSH band signatures: `bands` longs, each holding
+  * `bits` sign bits — band i covers hyperplanes j ∈ [i·bits,
+  * (i+1)·bits) (the SAME md5-derived [[LshSignature.hyperplane]]
+  * planes), accumulated `val = val<<1 | bit` over ascending j within
+  * the band, so plane j lands at position `bits − 1 − (j mod bits)`.
+  *
+  * Why this exists: [[LshSignature]] packs the whole signature into
+  * ONE long, which caps band width at r ≤ 30 once the bucket space
+  * must track the corpus (2^r ≥ ⌈n/8⌉) — past ~8.6e9 vectors the cap
+  * binds, and well before it the leftover band budget b = 60÷r
+  * shrinks to 2, collapsing recall (measured 49% at cos 0.99, n=10⁹,
+  * on the single-long rule). Emitting one long PER BAND removes the
+  * total-bits budget entirely: r may grow to 62 (a band value always
+  * fits a non-negative long) while b is chosen for recall alone.
+  *
+  * Equivalence note: for geometries that fit a single long, banding
+  * this array is candidate-set-identical to shifting a packed
+  * [[LshSignature]] — both partition the same plane set into the same
+  * contiguous r-plane groups, and (band_idx, band_val) keys are
+  * injective relabelings of those groups.
+  *
+  * One pass over all bands·bits planes per row (same total work as
+  * the packed form), whole-stage codegen via a reference-object call. */
+case class LshBandArray(child: Expression, bands: Int, bits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(bands >= 1 && bands <= 64, "bands in [1, 64]")
+  require(bits >= 1 && bits <= 62, "bits-per-band in [1, 62]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_lsh_bands"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${t.sql}")
+    }
+
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
+
+  /** Flat [j * dim + d] plane table over all bands·bits planes. */
+  private def planesFor(dim: Int): Array[Double] =
+    planeCache.computeIfAbsent(dim, _ => {
+      val total = bands * bits
+      val arr = new Array[Double](total * dim)
+      var j = 0
+      while (j < total) {
+        var d = 0
+        while (d < dim) {
+          arr(j * dim + d) = LshSignature.hyperplane(j, d)
+          d += 1
+        }
+        j += 1
+      }
+      arr
+    })
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val planes = planesFor(dim)
+    val out = new Array[Long](bands)
+    var i = 0
+    var j = 0
+    while (i < bands) {
+      var sig = 0L
+      var k = 0
+      while (k < bits) {
+        var proj = 0.0
+        var d = 0
+        while (d < dim) {
+          proj += v.getDouble(d) * planes(j * dim + d)
+          d += 1
+        }
+        sig = (sig << 1) | (if (proj > 0) 1L else 0L)
+        k += 1
+        j += 1
+      }
+      out(i) = sig
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("lshBandsExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$expr.bandsEval($c);")
+  }
+
+  /** Called from generated code. */
+  def bandsEval(v: ArrayData): ArrayData =
+    nullSafeEval(v).asInstanceOf[ArrayData]
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Product-quantization encoder: per `subDim`-wide subspace, the
   * 1-based index of the codebook vector whose subspace slice is
   * nearest (squared L2) to the input's — the 32-codes-per-vector
@@ -359,6 +461,11 @@ object VectorFunctions {
   /** Codegen'd sign-LSH signature (`bits` sign bits as a long). */
   def lshSignature(v: Column, bits: Int): Column =
     ExprBridge.column(LshSignature(ExprBridge.expression(v), bits))
+
+  /** Codegen'd multi-long sign-LSH band signatures: `bands` longs of
+    * `bits` sign bits each (band i = planes [i·bits, (i+1)·bits)). */
+  def lshBands(v: Column, bands: Int, bits: Int): Column =
+    ExprBridge.column(LshBandArray(ExprBridge.expression(v), bands, bits))
 
   /** Codegen'd PQ encode: 1-based nearest-codebook-slice index per
     * `subDim`-wide subspace. */

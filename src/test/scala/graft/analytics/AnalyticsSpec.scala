@@ -812,21 +812,32 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
   test("lsh geometry scales bucket space with the corpus") {
     import DedupQueries.lshGeometry
     // fixture corpora: sf0.01 (500), sf0.1 (2000), sf1 (20000), and a
-    // 10× beyond — bits-per-band widen so 2^r tracks ⌈n/8⌉, bands
-    // spend the rest of the 60-bit budget
+    // 10× beyond — bits-per-band widen so 2^r tracks ⌈n/8⌉; bands are
+    // one long EACH (multi-long signature), so b grows with r
+    // (⌈r/4⌉+1) to hold recall instead of shrinking to fit a word
     assert(lshGeometry(500L) === ((7, 8)))
     assert(lshGeometry(2000L) === ((7, 8)))
     assert(lshGeometry(20000L) === ((5, 12)))
-    assert(lshGeometry(200000L) === ((4, 15)))
-    assert(lshGeometry(8L * (1L << 30)) === ((2, 30))) // single-long cap
+    assert(lshGeometry(200000L) === ((5, 15)))
+    // past the old single-long frontier: r keeps tracking the corpus
+    // and b keeps growing — 10⁹ vectors get 8×27 (216 bits, 4+ longs)
+    assert(lshGeometry(1000000000L) === ((8, 27)))
+    assert(lshGeometry(8L * (1L << 30)) === ((9, 30)))
     var prevR = 0
-    Seq(100L, 1000L, 10000L, 100000L, 1000000L, 100000000L).foreach { n =>
+    Seq(100L, 1000L, 10000L, 100000L, 1000000L, 100000000L,
+      1000000000L, 100000000000L).foreach { n =>
       val (b, r) = lshGeometry(n)
-      assert((1L << r) >= (n + 7) / 8 || r == 30,
+      assert((1L << r) >= (n + 7) / 8 || r == 62,
         s"bucket space 2^$r lags corpus $n")
       assert(r >= prevR, s"r must be monotone in n (got $r after $prevR)")
       prevR = r
-      assert(b >= 2 && b * r <= 63, s"($b, $r) breaks the long budget")
+      assert(b >= 4 || 60 / r >= 2, s"($b, $r) too few bands")
+      assert(r <= 62 && b >= 2, s"($b, $r) breaks a band's long width")
+      // recall@cos 0.99 must hold ≥ 0.90 at every grid size (the
+      // multi-long deliverable; the packed rule read 0.49 at 1e9)
+      val p99 = 0.9549465863555878
+      val recall = 1.0 - math.pow(1.0 - math.pow(p99, r.toDouble), b.toDouble)
+      assert(recall >= 0.90, s"recall@0.99 at n=$n: $recall under 0.90")
     }
     // the planner query's IN-ENGINE integer rule must equal the Scala
     // rule row for row (the oracle mirrors the same arithmetic, so
