@@ -182,6 +182,12 @@ object Bench {
           "screen" -> ((s: SparkSession, d: String) => {
             graft.analytics.DedupQueries.storedScreen(s, d).count(); ()
           })),
+        "q_dedup_embedding_lsh_stored" -> Seq(
+          "ingest" -> ((s: SparkSession, d: String) =>
+            graft.analytics.DedupQueries.embStoredIngest(s, d)),
+          "pairs" -> ((s: SparkSession, d: String) => {
+            graft.analytics.DedupQueries.embStoredPairs(s, d).count(); ()
+          })),
         "q_sim_ivfpq_stored" -> Seq(
           "ingest" -> ((s: SparkSession, d: String) =>
             graft.analytics.SimilarityQueries.storedIngest(s, d)),

@@ -12,7 +12,7 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("registry: full query count, every query carries an oracle") {
     val qs = SparkEntry.queries.keySet
-    assert(qs.size === 293, s"registered query count changed: ${qs.size}")
+    assert(qs.size === 294, s"registered query count changed: ${qs.size}")
     // since the sketch queries were reshaped into in-engine bound
     // checks (round 6), EVERY registered query must carry a DuckDB
     // oracle for the driver's differential gate — a new oracle-less

@@ -935,6 +935,110 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       s"cos 0.9 recall off the S-curve band: $simHits/40")
   }
 
+  test("embedding store: the full daily loop runs on a stream (screen → admit per batch)") {
+    // the embedding-side production loop end to end, mirroring the
+    // lexical signature-store stream spec: every micro-batch screens
+    // against the store under FROZEN geometry, keeps the clean
+    // vectors, and ADMITS them — a later batch's near-dup of an
+    // earlier batch's vector is caught without recomputing a single
+    // corpus signature between batches
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    def vec(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def jitter(v: Array[Float]): Array[Float] = v.map(_ * 1.0001f)
+    val base = (1L to 9L).map(i => (i, vec()))
+    EmbeddingSignatureStore.ingest(
+      base.toDF("vec_id", "embedding"), "embstore_loop", buckets = 4)
+    val v4 = base(3)._2
+    val found = scala.collection.mutable.Set[(Long, Long)]()
+    val in = MemoryStream[(Long, Array[Float])]
+    val fresh = vec()
+    val q = in.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (pairs, handles) =
+          EmbeddingSignatureStore.screen(spark, "embstore_loop", b)
+        val rows = QueryScopedCache.releaseAfter(pairs, handles).collect()
+        found.synchronized {
+          found ++= rows.map(r => (r.getLong(0), r.getLong(1)))
+        }
+        val dupIds = rows.map(_.getLong(1)).toSet
+        EmbeddingSignatureStore.admit(spark, "embstore_loop",
+          b.filter(!col("vec_id").isin(dupIds.toSeq: _*)))
+        ()
+      }
+      .start()
+    in.addData((101L, fresh), (102L, jitter(v4)))
+    q.processAllAvailable()
+    // 201 duplicates ADMITTED vector 101; 202 duplicates corpus vector
+    // 2; 203 duplicates 102 — but 102 was a dup itself, NOT admitted,
+    // so 203 must surface against the original corpus vector 4
+    in.addData((201L, jitter(fresh)), (202L, jitter(base(1)._2)),
+      (203L, jitter(jitter(v4))))
+    q.processAllAvailable()
+    q.stop()
+    assert(found.toSet === Set((4L, 102L), (101L, 201L), (2L, 202L),
+      (4L, 203L)), s"found: $found")
+  }
+
+  test("embedding store: frozen geometry survives admits; reingest re-keys at the boundary") {
+    // THE drift contract that makes the persisted store necessary: the
+    // inline query derives (b, r) from a live corpus count, so a corpus
+    // grown past ⌈n/8⌉ > 2^r would silently re-band between runs. The
+    // store must (1) keep the ingest-time geometry through admits that
+    // CROSS the boundary, and (2) change banding only through an
+    // explicit reingest — after which stored state must agree with the
+    // inline query run at the grown corpus's geometry, row for row.
+    import DedupQueries.lshGeometry
+    val rnd = new scala.util.Random(59)
+    def vec(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def jitter(v: Array[Float]): Array[Float] = v.map(_ * 1.0001f)
+    val corpus = (0L until 500L).map(i => (i, vec()))
+    val admits = (1000L until 2700L).map(i => (i, vec()))
+    EmbeddingSignatureStore.ingest(
+      corpus.toDF("vec_id", "embedding"), "embstore_geo", buckets = 4)
+    def geo() = EmbeddingSignatureStore.geometry(spark, "embstore_geo",
+      StoreMeta.genOrFail(spark, "embstore_geo"))
+    assert(geo() === ((7, 8)), "ingest-time geometry for n=500")
+    EmbeddingSignatureStore.admit(spark, "embstore_geo",
+      admits.toDF("vec_id", "embedding"))
+    // the grown corpus is PAST the boundary: a live derivation would
+    // now band differently — the store must not
+    assert(lshGeometry(2200L) === ((6, 9)), "fixture must cross r 8→9")
+    assert(geo() === ((7, 8)), "admit silently changed frozen geometry")
+    // frozen-geometry screen still catches a dup of an ADMITTED vector
+    // (its stored bands were written under the same frozen (b, r))
+    val probe = Seq((9001L, jitter(admits.head._2)))
+      .toDF("vec_id", "embedding")
+    val (p1, h1) = EmbeddingSignatureStore.screen(spark, "embstore_geo", probe)
+    val hits1 = QueryScopedCache.releaseAfter(p1, h1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits1.contains((1000L, 9001L)), s"frozen-geometry screen: $hits1")
+    // reingest: the ONE sanctioned re-keying — from stored vectors, no
+    // source re-read; geometry now matches the grown corpus
+    EmbeddingSignatureStore.reingest(spark, "embstore_geo")
+    assert(geo() === ((6, 9)), "reingest must adopt the grown geometry")
+    // stored pairs after re-key == the inline query run on the same
+    // union corpus (which derives (6, 9) from its live count of 2200)
+    val dir = java.nio.file.Files.createTempDirectory("embgeo").toString
+    (corpus ++ admits).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val inline = DedupQueries.qDedupEmbeddingLsh.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val stored = EmbeddingSignatureStore.selfPairs(spark, "embstore_geo")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stored === inline,
+      s"re-keyed store diverges from inline: ${stored.diff(inline)} / ${inline.diff(stored)}")
+  }
+
   test("heavy hitters: exact regime matches groupBy; eviction regime overestimates") {
     // Exact regime (capacity 64 > vocab 31, the registered query):
     // output must equal the exact top-20 frequency table.
