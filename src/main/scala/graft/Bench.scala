@@ -28,7 +28,11 @@ object Bench {
 
     def persistPair(ts: Seq[Double], prior: Option[(Double, Double)],
         sfMatches: Boolean): Option[(Double, Double)] =
-      if (ts.length >= 2) Some((ts.head, ts.last))
+      // a failed rep records -1 and sorts first: a partially-failed
+      // multi-rep run must fall back to the carried prior (mirroring
+      // how median() poisons failed entries), never publish a
+      // negative "timing" like [-1.0, 2.3]
+      if (ts.length >= 2 && ts.head >= 0) Some((ts.head, ts.last))
       else if (sfMatches) prior
       else None
   }

@@ -21,14 +21,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * corrupts). Per-key state: four longs, O(keys) regardless of
   * history.
   *
-  * Output: signed per-customer view deltas (dn, dcents); the
-  * downstream view is their running per-customer fold — groups
-  * whose fold reaches (0, 0) have vanished, exactly the batch
-  * query's n ≠ 0 filter.
+  * Output: signed per-customer view deltas (dn, dcents), ONE PER
+  * CUSTOMER TOUCHED in the batch — deltas accumulate per
+  * custkey-at-event-time, so an order deleted under customer A and
+  * re-inserted under customer B within one micro-batch (lines held
+  * in state) emits the transfer as (−L to A, +L to B) instead of
+  * netting to zero and stranding the view's credit on A. An O
+  * event's step delta is the general before/after form — debit
+  * o·L from the CURRENT state's customer, credit o′·L to the
+  * event's customer — which reduces to s·L for the custkey-stable
+  * case and never trusts a delete row's custkey field (removal
+  * debits whoever the view currently credits). The downstream view
+  * is the running per-customer fold — groups whose fold reaches
+  * (0, 0) have vanished, exactly the batch query's n ≠ 0 filter.
   *
   * Semantics vs the batch query, pinned by StreamingJoinIvmSpec:
   * replaying base + delta CDC rows — one micro-batch or many, lines
-  * before or after their orders — folds to exactly the batch view. */
+  * before or after their orders, custkey stable or transferred —
+  * folds to exactly the batch view. */
 object StreamingJoinIvm {
 
   /** One CDC row: kind "O" (order upsert; `custkey` meaningful) or
@@ -50,24 +60,33 @@ object StreamingJoinIvm {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Long, it: Iterator[JoinCdc], state: GroupState[JoinState]) =>
           var st = state.getOption.getOrElse(JoinState(0L, 0L, 0L, 0L))
-          var dn = 0L
-          var dc = 0L
+          // per-custkey-touched accumulation: a batch that moves the
+          // order between customers must emit BOTH sides of the
+          // transfer, which a single (dn, dc) pair cannot represent
+          val d = scala.collection.mutable.LinkedHashMap
+            .empty[Long, (Long, Long)]
+          def add(ck: Long, n: Long, c: Long): Unit = if (n != 0L || c != 0L) {
+            val (pn, pc) = d.getOrElse(ck, (0L, 0L))
+            d(ck) = (pn + n, pc + c)
+          }
           it.foreach { r =>
             if (r.kind == "O") {
-              dn += r.sign * st.ln
-              dc += r.sign * st.lcents
+              // before/after step delta: debit o·L from the customer
+              // the view currently credits, credit o'·L to the event's
+              add(st.custkey, -st.o * st.ln, -st.o * st.lcents)
               st = st.copy(o = st.o + r.sign, custkey = r.custkey)
+              add(st.custkey, st.o * st.ln, st.o * st.lcents)
             } else {
-              dn += st.o * r.sign
-              dc += st.o * r.sign * r.cents
+              add(st.custkey, st.o * r.sign, st.o * r.sign * r.cents)
               st = st.copy(ln = st.ln + r.sign,
                 lcents = st.lcents + r.sign * r.cents)
             }
           }
           state.update(st)
-          if (dn != 0L || dc != 0L)
-            Iterator.single(ViewDelta(st.custkey, dn, dc))
-          else Iterator.empty
+          d.iterator.collect {
+            case (ck, (dn, dc)) if dn != 0L || dc != 0L =>
+              ViewDelta(ck, dn, dc)
+          }
       }
   }
 }

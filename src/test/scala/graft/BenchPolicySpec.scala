@@ -41,4 +41,15 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(persistPair(Seq(0.5), Some((0.48, 0.52)), sfMatches = false)
       === None)
   }
+
+  test("partially-failed multi-rep runs never publish a negative pair") {
+    // a failed rep records -1.0 and sorts first; the published pair
+    // must fall back to the carried prior (round-11 advice), or omit
+    assert(persistPair(Seq(-1.0, 2.3, 2.4), Some((2.1, 2.2)),
+      sfMatches = true) === Some((2.1, 2.2)))
+    assert(persistPair(Seq(-1.0, -1.0, 2.3), None, sfMatches = true)
+      === None)
+    assert(persistPair(Seq(-1.0, 2.3), Some((2.1, 2.2)),
+      sfMatches = false) === None)
+  }
 }

@@ -88,4 +88,25 @@ class StreamingJoinIvmSpec extends AnyFunSuite with SparkTestBase {
     val batches = all.grouped((all.size / 7).max(1)).toSeq
     assert(runStream(batches) === batchView)
   }
+
+  test("cross-customer transfer in one micro-batch emits both sides") {
+    // the round-11 advice case: order 1 (customer 10) holds lines in
+    // state; ONE micro-batch deletes it and re-inserts the same
+    // orderkey under customer 20. A single net-(dn, dc) emission per
+    // key would read zero and strand the view's credit on customer 10;
+    // per-custkey-touched accumulation must emit the transfer.
+    val setup = Seq(
+      JoinCdc("O", 1L, 10L, 0L, 1L),
+      JoinCdc("L", 1L, 0L, 500L, 1L),
+      JoinCdc("L", 1L, 0L, 700L, 1L))
+    val transfer = Seq(
+      JoinCdc("O", 1L, 10L, 0L, -1L),
+      JoinCdc("O", 1L, 20L, 0L, 1L))
+    val folded = runStream(Seq(setup, transfer))
+    assert(folded === Map(20L -> ((2L, 1200L))),
+      s"transfer must move the full credit to customer 20: $folded")
+    // same events, transfer split ACROSS batches — identical fold
+    assert(runStream(Seq(setup, transfer.take(1), transfer.drop(1))) ===
+      Map(20L -> ((2L, 1200L))))
+  }
 }
