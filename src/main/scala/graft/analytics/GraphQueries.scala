@@ -43,7 +43,7 @@ object GraphQueries {
     val (edgesD, stats, r0) = pagerankSetup(eo, MEMORY_AND_DISK)
     var r = r0
     for (_ <- 1 to iters) r = pagerankSweep(edgesD, stats, r)
-    QueryScopedCache.releaseAfter(r, Seq(edgesD))
+    QueryScopedCache.releaseAfter(r, Seq(edgesD, stats))
   }
 
   /** Shared setup: bidirectional edge list with denormalized
@@ -52,13 +52,28 @@ object GraphQueries {
   private def pagerankSetup(eo: DataFrame,
       level: org.apache.spark.storage.StorageLevel)
       : (DataFrame, DataFrame, DataFrame) = {
-    val edges = eo.select(col("c").as("src"), col("s").as("dst"))
-      .union(eo.select(col("s").as("src"), col("c").as("dst")))
+    // ONE scan of `eo` yields both edge directions (explode of the two
+    // oriented structs) instead of a self-union whose two branches each
+    // re-evaluate the upstream graph build; stats and r0 then derive
+    // from the PERSISTED edge relation, not from fresh `deg` subtrees.
+    // The previous shape re-ran the orders⋈lineitem distinct up to
+    // eight times per query (setup + stats + r0 + both union branches;
+    // r12 operator profile) — now the graph build runs at most twice
+    // (the degree join's two sides), and every later consumer is a
+    // cache read. `stats` persists too: each sweep broadcasts it, and
+    // un-persisted it would re-aggregate the cache per sweep. Callers
+    // release BOTH handles (edgesD, stats) after their action.
+    val edges = eo.select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst")),
+        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val edgesD = edges.join(deg, "src").persist(level)
-    val stats = deg.agg(
+    val srcs = edgesD.select(col("src")).distinct()
+    val stats = srcs.agg(
       expr("CAST(1000000000 DIV count(1) AS BIGINT)").as("base"))
-    val r0 = deg.crossJoin(broadcast(stats))
+      .persist(level)
+    val r0 = srcs.crossJoin(broadcast(stats))
       .select(col("src").as("node"), col("base").as("r"))
     (edgesD, stats, r0)
   }
@@ -111,7 +126,7 @@ object GraphQueries {
       iters += 1
       converged = delta <= tolNano
     }
-    (QueryScopedCache.releaseAfter(r, Seq(edgesD)), iters)
+    (QueryScopedCache.releaseAfter(r, Seq(edgesD, stats)), iters)
   }
 
   /** One unrolled oracle iteration: `cur` from `prev`. */
@@ -218,13 +233,21 @@ object GraphQueries {
         .distinct()
       // reuse the shared setup for the persisted edge list; the
       // uniform r0 it also builds is lazy and never executed here
-      val (edgesD, _, _) = pagerankSetup(eo, MEMORY_AND_DISK)
-      val seeds = eo.filter(col("c") <= 20)
-        .select(col("c").as("snode")).distinct()
+      val (edgesD, stats, _) = pagerankSetup(eo, MEMORY_AND_DISK)
+      // seeds from the PERSISTED edge relation, not a fresh `eo`
+      // evaluation: customer nodes are the even ids by construction
+      // (c = custkey·2), so {src even, src ≤ 20} ≡ {c ≤ 20} (r12)
+      val seeds = edgesD.select(col("src"))
+        .filter(col("src") % 2 === 0 && col("src") <= 20)
+        .select(col("src").as("snode")).distinct()
       val ns = seeds.agg(count(lit(1)).as("ns"))
+      // persisted: seedBase broadcasts into r0 AND every sweep, and
+      // each un-persisted evaluation would re-scan the edge cache
+      // twice (seeds + the ns scalar) — 8 scans over the 4 consumers
       val seedBase = seeds.crossJoin(broadcast(ns))
         .select(col("snode"),
           expr("CAST(1000000000 DIV ns AS BIGINT)").as("base"))
+        .persist(MEMORY_AND_DISK)
       val r0 = edgesD.select(col("src")).distinct()
         .join(broadcast(seedBase), col("src") === col("snode"), "left")
         .select(col("src").as("node"),
@@ -247,7 +270,7 @@ object GraphQueries {
           col("col.node").as("node"),
           (-col("col.negr")).as("ppr_nano"))
         .orderBy(col("rank"))
-      QueryScopedCache.releaseAfter(res, Seq(edgesD))
+      QueryScopedCache.releaseAfter(res, Seq(edgesD, stats, seedBase))
     },
     Some(s"""
       WITH eo AS (
@@ -956,22 +979,34 @@ object GraphQueries {
     * discipline). Shared by [[qGraphLabelProp]] and
     * [[qGraphModularity]]. */
   private def lpLabels(edges: DataFrame, rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    require(rounds >= 1, s"lpLabels needs >= 1 round, got $rounds")
+    // Argmax without a window (r12 optimization): the plurality pick
+    // (max n, ties to the SMALLEST label) is max(struct(n, -label)) —
+    // a plain hash aggregation with map-side partial combining, where
+    // the previous row_number window needed the same src exchange PLUS
+    // a full per-partition sort of the (src, label, n) table. Node ids
+    // are non-negative in every caller (part keys / namespaced keys),
+    // so the negation is a total order flip, never an overflow.
+    def argmax(counted: DataFrame): DataFrame = counted
+      .groupBy(col("src"))
+      .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("t"))
+      .select(col("src").as("node"), (-col("t.nl")).as("label"))
       .localCheckpoint(true)
-    val wArg = Window.partitionBy(col("src"))
-      .orderBy(col("n").desc, col("label"))
-    for (_ <- 1 to rounds) {
-      labels = edges
-        .join(labels.select(col("node").as("dst"), col("label")),
-          Seq("dst"))
-        .groupBy(col("src"), col("label"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(wArg))
-        .filter(col("rk") === 1)
-        .select(col("src").as("node"), col("label"))
-        .localCheckpoint(true)
+    // Sweep 1 against the IDENTITY labeling (every node its own label)
+    // needs no label join and no distinct-node scan: label(dst) = dst,
+    // so the neighbor-label counts are just the edge multiset grouped
+    // by (src, dst). Identical result; one exchange+distinct and one
+    // join cheaper than materializing l0 and joining it.
+    var labels = argmax(
+      edges.groupBy(col("src"), col("dst").as("label"))
+        .agg(count(lit(1)).as("n")))
+    for (_ <- 2 to rounds) {
+      labels = argmax(
+        edges
+          .join(labels.select(col("node").as("dst"), col("label")),
+            Seq("dst"))
+          .groupBy(col("src"), col("label"))
+          .agg(count(lit(1)).as("n")))
     }
     labels
   }
@@ -1168,17 +1203,27 @@ object GraphQueries {
       val mrow = und.agg(count(lit(1)).as("m"))
       val sizes = labels.groupBy(col("label"))
         .agg(count(lit(1)).as("community_size"))
-      val ec = und
+      // One labeled-edge table serves BOTH rollups (r12 optimization):
+      // und joined to labels on a and b once, persisted; e_c filters
+      // it to within-community edges, and deg_c — each endpoint's
+      // community degree, i.e. one count per (la) and one per (lb) —
+      // explodes the SAME cached rows instead of re-joining the
+      // doubled `edges` relation (2m rows) against labels a third
+      // time. Identical counts: every directed edge (src, dst) of the
+      // old deg join is one endpoint slot of exactly one und row.
+      val lab = und
         .join(labels.select(col("node").as("a"), col("label").as("la")),
           Seq("a"))
         .join(labels.select(col("node").as("b"), col("label").as("lb")),
           Seq("b"))
+        .select(col("la"), col("lb"))
+        .persist(MEMORY_AND_DISK)
+      val ec = lab
         .filter(col("la") === col("lb"))
         .select(col("la").as("label"))
         .groupBy(col("label")).agg(count(lit(1)).as("e_c"))
-      val deg = edges
-        .join(labels.select(col("node").as("src"), col("label")),
-          Seq("src"))
+      val deg = lab
+        .select(explode(array(col("la"), col("lb"))).as("label"))
         .groupBy(col("label")).agg(count(lit(1)).as("deg_c"))
       val contrib = sizes
         .join(ec, Seq("label"), "left")
@@ -1203,7 +1248,7 @@ object GraphQueries {
         .select(col("label"), col("community_size"), col("e_c"),
           col("deg_c"), col("q_contrib"), col("q_total"))
         .orderBy(col("community_size").desc, col("label"))
-      QueryScopedCache.releaseAfter(result, Seq(und, contrib))
+      QueryScopedCache.releaseAfter(result, Seq(und, lab, contrib))
     },
     Some(s"""
       WITH und AS MATERIALIZED (

@@ -1,4 +1,4 @@
-#!/bin/sh
+#!/bin/bash
 # Per-query measurement harness for optimization rounds: times N reps of
 # selected registered queries (Bench methodology: .count() action, AQE on,
 # shuffle.partitions = cores, warmup rep at sf0.001) and writes each query's
@@ -32,9 +32,10 @@ names.foreach { n =>
   }.sorted
   val med = if (ts.length % 2 == 1) ts(ts.length / 2)
             else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2.0
-  println(f"MEASURE $n%s med=$med%.4f min=${ts.head}%.4f max=${ts.last}%.4f")
+  println(f"MEASURE \$n%s med=\$med%.4f min=\${ts.head}%.4f max=\${ts.last}%.4f")
 }
 EOF
+# EXTRA_CONFS: optional space-separated --conf k=v pairs for config A/Bs
 (cat "$OUT/_measure.scala"; echo :quit) | /opt/spark/bin/spark-shell \
   --master "local[$CORES]" \
   --driver-class-path /root/repo/target/scala-2.13/classes \
@@ -42,4 +43,4 @@ EOF
   --conf spark.sql.shuffle.partitions="$CORES" \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.session.timeZone=UTC \
-  --conf spark.ui.enabled=false 2>/dev/null | grep -E "^MEASURE"
+  --conf spark.ui.enabled=false $EXTRA_CONFS 2>/dev/null | tr "\\r" "\\n" | grep -E "MEASURE"
