@@ -66,22 +66,34 @@ object DedupQueries {
       .select(col("sh"))
   }
 
-  private def shingles(d: DataFrame): (DataFrame, Seq[DataFrame]) = {
-    val sh0 = rawShingles(d)
-      // The raw shingle table feeds the stop-set aggregation plus every
-      // downstream subtree (minhash aggs, join sides, sizes); without
-      // materialization Spark re-runs the scan+explode for each — same
-      // persist a production dedup pipeline applies to its shingle
-      // table. Released after the consuming action (QueryScopedCache).
-      // The POST-anti-join table is deliberately NOT persisted here:
-      // jaccard's self-join streams the cheap anti-join recompute
-      // straight from the sh0 cache (a barrier there measured ~0.7s
-      // SLOWER at sf0.1), and minhash persists its own narrower
-      // all-hashed projection instead.
+  /** Stop-filtered HASHED shingle table (doc_id, v, h) plus its persist
+    * handle — the one shingle materialization every lexical-dedup
+    * consumer reads (r12 optimization; previously a STRING-shingle
+    * cache materialized first and each consumer re-ran md5 over the
+    * strings on every cache read — three md5 passes in the jaccard
+    * self-join alone). ONE md5 per distinct (doc, shingle) instance at
+    * cache build; the cache holds two longs per instance, never the
+    * shingle text; the stop set applies as a broadcast anti-join on
+    * the 60-bit fingerprint ([[stopFingerprints]] — the SignatureStore
+    * rule, collision-equivalent to the string rule at 2^-60 per
+    * shingle pair, the same trade [[fingerprint]] already documents
+    * for the verify join). Oracles keep the string formulation; every
+    * consumer re-gated at sf0.01/sf0.1 after the switch. */
+  private def fingerShingles(d: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val hsh0 = hashedShingles(d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // stop shingles removed with a broadcast anti-join (the set is tiny)
-    val stop = stopShingles(sh0, d)
-    (sh0.join(broadcast(stop), Seq("sh"), "left_anti"), Seq(sh0))
+    // stop shingles removed with a broadcast anti-join (the set is
+    // tiny). The POST-stop table persists too: its consumers (the
+    // minhash aggregation, both verify-join sides, the jaccard
+    // self-join) would otherwise each re-run the stop AGGREGATION and
+    // the corpus-count scan per read — measured +0.4-0.8 s on every
+    // pairDiscovery consumer when only hsh0 was cached. Both caches
+    // are two longs per instance; hsh0 exists so the filtered build
+    // hashes each shingle once instead of once per anti-join side.
+    val stop = stopFingerprints(hsh0, d)
+    val filtered = hsh0.join(broadcast(stop), Seq("h"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (filtered, Seq(hsh0, filtered))
   }
 
   private val shinglesSql = """
@@ -129,8 +141,8 @@ object DedupQueries {
   val qDedupNgramJaccard = Q(
     "q_dedup_ngram_jaccard",
     (s, dir) => {
-      val (sh, handles) = shingles(docs(s, dir))
-      val shh = sh.select(col("doc_id"), fingerprint(col("sh")).as("h"))
+      val (shh0, handles) = fingerShingles(docs(s, dir))
+      val shh = shh0.select(col("doc_id"), col("h"))
       val sizes = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = shh.as("a")
         .join(shh.as("b"),
@@ -316,18 +328,15 @@ object DedupQueries {
 
   private def pairDiscovery(d: DataFrame, batchIds: Option[DataFrame])
       : (DataFrame, Seq[DataFrame]) = {
-      val (sh, shHandles) = shingles(d)
       // ONE md5 per shingle instance yields both the minhash input v
       // (first 8 hex digits mod p) and the 60-bit verify fingerprint h
-      // (first 15); persisting THIS table instead of the string
-      // shingles makes every downstream consumer — minhash aggregation
-      // and both verify-join sides — read two longs per instance,
-      // never the shingle text.
-      val hsh = sh
-        .select(col("doc_id"),
-          graft.functions.TextFunctions.md5Bits(col("sh")).as("b"))
-        .select(col("doc_id"), col("b.v").as("v"), col("b.h").as("h"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (first 15); the shared fingerprint-shingle cache holds exactly
+      // that projection, so every downstream consumer — minhash
+      // aggregation and both verify-join sides — reads two longs per
+      // instance, never the shingle text, and no string-shingle table
+      // ever materializes (r12: the old shape built a string cache
+      // first and hashed it again on every read).
+      val (hsh, shHandles) = fingerShingles(d)
       val mh = minhashAggV(hsh)
         // n_docs rows × 17 narrow cols; feeds the band signatures AND
         // both size lookups — persisting stops the minhash aggregation
@@ -380,7 +389,7 @@ object DedupQueries {
           round(col("ni") * lit(1.0) /
             (col("sa.n") + col("sb.n") - col("ni")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-      (pairs, shHandles ++ Seq(hsh, mh, cand, shC))
+      (pairs, shHandles ++ Seq(mh, cand, shC))
   }
 
   /** Shared oracle CTE chain ending in `pairs(ia, ib, jaccard)` — the
@@ -1538,8 +1547,8 @@ object DedupQueries {
   val qDedupContainment = Q(
     "q_dedup_containment",
     (s, dir) => {
-      val (sh, handles) = shingles(docs(s, dir))
-      val shh = sh.select(col("doc_id"), fingerprint(col("sh")).as("h"))
+      val (shh0, handles) = fingerShingles(docs(s, dir))
+      val shh = shh0.select(col("doc_id"), col("h"))
       val sizes = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = shh.as("a")
         .join(shh.as("b"),
