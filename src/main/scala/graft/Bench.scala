@@ -45,6 +45,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Join strategy stays at Spark defaults (sort-merge preferred).
+      // A/B'd in r12 (guide §3.1): preferSortMergeJoin=false + AQE
+      // maxShuffledHashJoinLocalMapThreshold=128m read well in
+      // single-query probes but LOST on the full 3-rep bench
+      // (236.3 → 240.7 s), concentrated in the iterative graph
+      // queries (modularity +2.3 s, ppr +1.3 s): their per-sweep
+      // joins re-read persisted relations whose sort order SMJ reuses
+      // for free, while SHJ rebuilds a hash map every sweep.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1677,7 +1677,14 @@ object TextQueries {
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions.shingles(col("ws"), 8))
             .as("sh"))
-        .select(col("doc_id"), md5(col("sh")).as("h"))
+        // 60-bit md5 fingerprint as the shingle key (r12): `h` exists
+        // only to group/join on — a long halves the cache and shuffle
+        // bytes vs the 32-char hex string and compares as an integer;
+        // collisions merge groups at 2^-60 per pair in the engine only
+        // (oracle keeps strings) — the q_dedup_ngram_jaccard trade.
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.md5Bits(col("sh"))
+            .getField("h").as("h"))
         .persist(MEMORY_AND_DISK)
       val first = ps.groupBy(col("h"))
         .agg(min(col("doc_id")).as("first_doc"))
@@ -1748,7 +1755,10 @@ object TextQueries {
         .select(col("doc_id"), col("source"),
           explode(graft.functions.TextFunctions.shingles(col("ws"), 8))
             .as("sh"))
-        .select(col("doc_id"), col("source"), md5(col("sh")).as("h"))
+        // 60-bit fingerprint key, q_text_novelty's rationale (r12)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.md5Bits(col("sh"))
+            .getField("h").as("h"))
         .distinct()
         .persist(MEMORY_AND_DISK)
       val nd = ps.groupBy(col("h")).agg(count(lit(1)).as("nd"))
