@@ -422,7 +422,7 @@ object DedupQueries {
              FROM cand_sh cs JOIN hh s2
                ON s2.doc_id = cs.ib AND s2.hk = cs.hk
              GROUP BY 1, 2),
-      pairs AS (
+      pairs AS MATERIALIZED (
         SELECT ia, ib,
                ROUND(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
         FROM ni
@@ -582,7 +582,7 @@ object DedupQueries {
     },
     Some(s"""
       WITH RECURSIVE ${minhashPairsSql()},
-      edges AS (SELECT ia AS src, ib AS dst FROM pairs
+      edges AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM pairs
                 UNION ALL SELECT ib, ia FROM pairs),
       reach(src, dst) AS (
         SELECT src, dst FROM edges
@@ -1626,7 +1626,7 @@ object DedupQueries {
     },
     Some(s"""
       WITH RECURSIVE ${minhashPairsSql()},
-      edges AS (SELECT ia AS src, ib AS dst FROM pairs
+      edges AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM pairs
                 UNION ALL SELECT ib, ia FROM pairs),
       reach(src, dst) AS (
         SELECT src, dst FROM edges
@@ -1935,7 +1935,7 @@ object DedupQueries {
     },
     Some(s"""
       WITH RECURSIVE ${minhashPairsSql()},
-      edges AS (SELECT ia AS src, ib AS dst FROM pairs
+      edges AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM pairs
                 UNION ALL SELECT ib, ia FROM pairs),
       reach(src, dst) AS (
         SELECT src, dst FROM edges
