@@ -1179,15 +1179,20 @@ object DedupQueries {
     * shuffle-friendly approximation, sharing [[graft.functions
     * .TextFunctions.shingles]]' first-occurrence dedup).
     *
-    * Scale shape: the corpus text is reduced to 32-byte md5 hashes of
-    * the 8-gram instances before anything shuffles — both the
-    * cross-document-frequency aggregation and the join back are keyed
-    * on the hash, so the shuffles carry hashes and counts, never text,
-    * and the quadratic pair space never materializes (same discipline
-    * as the shingle/band/centroid keying in the sibling queries). The
-    * instance table feeds two consumers (the dup-hash aggregation and
-    * the join back), so it persists for exactly one action via
-    * [[QueryScopedCache]]. */
+    * Scale shape: the corpus text is reduced to 60-bit md5
+    * fingerprints of the 8-gram instances before anything shuffles —
+    * both the cross-document-frequency aggregation and the join back
+    * are keyed on the fingerprint long, so the shuffles carry 8-byte
+    * keys and counts, never text (r13: previously a 32-char md5 hex
+    * STRING — 4× the key bytes and string compares in the join; the
+    * [[fingerprint]] collision trade, 2^-60 per 8-gram pair, the
+    * documented family rule — oracle keeps the string formulation).
+    * The instance table feeds two consumers (the dup-hash aggregation
+    * and the join back), so it persists for exactly one action via
+    * [[QueryScopedCache]]. [[graft.functions.TextFunctions.shingles]]
+    * already emits first occurrences only, so the per-(doc, h) rows
+    * are distinct by construction and the cross-document frequency is
+    * a plain count — no count_distinct expand pass. */
   val qDedupPassage = Q(
     "q_dedup_passage",
     (s, dir) => {
@@ -1197,10 +1202,10 @@ object DedupQueries {
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions.shingles(col("ws"), 8))
             .as("sh"))
-        .select(col("doc_id"), md5(col("sh")).as("h"))
+        .select(col("doc_id"), fingerprint(col("sh")).as("h"))
         .persist(MEMORY_AND_DISK)
       val dup = ps.groupBy(col("h"))
-        .agg(count_distinct(col("doc_id")).as("nd"))
+        .agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2)
         .select(col("h").as("dh"))
       val result = ps.join(dup, col("h") === col("dh"), "left")

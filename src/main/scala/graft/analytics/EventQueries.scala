@@ -396,12 +396,17 @@ object EventQueries {
         .agg(min(when(col("event_type") === "click" && col("us") > col("t1"),
           col("us"))).as("t2"), min(col("t1")).as("t1"))
         .filter(col("t2").isNotNull)
-      val s3 = e.join(s2.select(col("user_id"), col("t2")), "user_id")
+      // s3 carries t1/t2 through its own aggregation (min over the
+      // one-row-per-user s2 values is the identity), so the final
+      // latencies need no second join back onto s2 — one join and one
+      // s2-subtree evaluation fewer than the lat = s2 ⋈ s3 shape
+      val s3 = e.join(s2, "user_id")
         .groupBy(col("user_id"))
         .agg(min(when(col("event_type") === "purchase" &&
-          col("us") > col("t2"), col("us"))).as("t3"))
+          col("us") > col("t2"), col("us"))).as("t3"),
+          min(col("t2")).as("t2"), min(col("t1")).as("t1"))
         .filter(col("t3").isNotNull)
-      val lat = s2.join(s3, "user_id")
+      val lat = s3
         .select(col("user_id"), (col("t2") - col("t1")).as("d12"),
           (col("t3") - col("t2")).as("d23"),
           (col("t3") - col("t1")).as("d13"))
@@ -771,13 +776,17 @@ object EventQueries {
     * Kaplan–Meier form — would compound rounding).
     *
     * Scale shape: the per-user triple (signup, conversion, censor
-    * time) is two user-keyed aggregations on ONE partitioning; the
-    * risk-set counts come from
-    * [[graft.operators.OrderStatistics.countByRank]] (n_at_risk(t) =
-    * users − #{observation end < t}) — no per-(user × day) explode,
-    * no global window; the hazard table itself is bounded by the
-    * number of distinct conversion days, and its running sum rides a
-    * bounded triangular join, never a partition-less window. */
+    * time) is two user-keyed aggregations on ONE partitioning, then
+    * the corpus reduces to ONE bounded (d_conv, d_end) day histogram
+    * — no per-(user × day) explode, no global window. Days, the user
+    * total, and the risk sets all derive from that histogram:
+    * n_at_risk(t) = users − #{observation end < t} is a ≤|days|²
+    * broadcast theta join over day counts (the r13 rewrite — the
+    * prior countByRank pipeline shuffled every per-user row through a
+    * bucket exchange plus 5 derived stages; the histogram shuffles
+    * only map-side-combined day cells, 123 → 16 Exchanges in the
+    * committed plans). The hazard running sum rides a bounded
+    * triangular join, never a partition-less window. */
   val qEventsSurvival = Q(
     "q_events_survival",
     (s, dir) => {
@@ -798,35 +807,46 @@ object EventQueries {
             expr("(tlast - t0) div 86400000000")).as("d_cens"))
         .select(col("user_id"), col("d_conv"),
           coalesce(col("d_conv"), col("d_cens")).as("d_end"))
-      val days = perUser.filter(col("d_conv").isNotNull)
+      // ONE bounded histogram replaces the three separate perUser
+      // consumers (days, the user count, countByRank's point side):
+      // converted users land on (d, d), censored on (null, d) — ≤
+      // 2·|observed days| rows, map-side combined. Persisted: it
+      // feeds days/nUsers/endHist and, through them, both triangular
+      // sides below.
+      val hist = perUser.groupBy(col("d_conv"), col("d_end"))
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val days = hist.filter(col("d_conv").isNotNull)
         .groupBy(col("d_conv").as("t"))
-        .agg(count(lit(1)).as("d_events"))
-      val nUsers = perUser.agg(count(lit(1)).as("n_users"))
-      val ended = graft.operators.OrderStatistics.countByRank(
-        perUser.select(col("d_end").as("v")),
-        days.select(col("t").as("user_id"), lit(0L).as("session_idx"),
-          col("t").as("q")),
-        inclusive = false)
-        .select(col("user_id").as("t"), col("cnt").as("n_ended"))
-      // persisted: hz feeds both triangular-join sides — unpersisted,
-      // the countByRank risk-set pipeline runs twice (review finding)
+        .agg(sum(col("c")).as("d_events"))
+      val nUsers = hist.agg(sum(col("c")).as("n_users"))
+      val endHist = hist.groupBy(col("d_end").as("de"))
+        .agg(sum(col("c")).as("ec"))
+      // n_ended(t) = #{d_end < t}: bounded theta join of day counts
+      // (≤ |days|·|end days| pairs), exactly the oracle's correlated
+      // COUNT — the per-user rows never shuffle again
+      val ended = days.select(col("t"))
+        .join(broadcast(endHist), col("de") < col("t"), "left")
+        .groupBy(col("t"))
+        .agg(coalesce(sum(col("ec")), lit(0L)).as("n_ended"))
       val hz = days.join(ended, Seq("t")).crossJoin(broadcast(nUsers))
         .select(col("t"), (col("n_users") - col("n_ended")).as("n_at_risk"),
           col("d_events"))
         .withColumn("hazard_micro",
           expr("CAST(d_events * 1000000 DIV n_at_risk AS BIGINT)"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val h2 = hz.select(col("t").as("t2"),
         col("hazard_micro").as("h2"))
       // bounded triangular join (≤ |distinct conversion days|² pairs);
-      // the explicit broadcast keeps it a BNLJ, never a cartesian
+      // the explicit broadcast keeps it a BNLJ, never a cartesian.
+      // Both sides re-derive from the persisted histogram — cheap —
+      // so hz itself no longer persists.
       QueryScopedCache.releaseAfter(
         hz.join(broadcast(h2), col("t2") <= col("t"))
           .groupBy(col("t"), col("n_at_risk"), col("d_events"),
             col("hazard_micro"))
           .agg(sum(col("h2")).as("cumhaz_micro"))
           .orderBy(col("t")),
-        Seq(hz))
+        Seq(hist))
     },
     Some("""
       WITH e AS (

@@ -508,6 +508,13 @@ object PrepQueries {
         .orderBy(col("mh"), col("doc_id"))
       val inBucket = d
         .withColumn("local_end", sum(col("n_tok") + 1).over(wB))
+      // totals as a map-side-combined aggregation of `d`, NOT as
+      // max(local_end) over the window output: ReuseExchange already
+      // shares the one bucket exchange between this branch and the
+      // window (verified in the committed plan — 6 scans/18 exchanges
+      // under either formulation), and the partial-agg path skips the
+      // window sort on the broadcast side (the max-over-window A/B
+      // read +0.15 s at sf0.1 — r13 examined, kept)
       val totals = d.groupBy(col("bucket"))
         .agg(sum(col("n_tok") + 1).as("btot"))
       // prefix over earlier buckets: 256 rows by construction — the
@@ -1442,12 +1449,17 @@ object PrepQueries {
           expr("n_chars div 100").as("len_band"))
         .groupBy(col("lang"), col("source"), col("len_band"))
         .agg(count(lit(1)).as("c"))
+      // no persist on banded: its two consumers (risk, the band
+      // rollup) sit in ONE action over the identical QI-aggregation
+      // subtree, which ReuseExchange computes once — the r12 rule
+      // (persist pays only across actions or under structurally
+      // different subtrees); the InMemoryRelation barrier was pure
+      // overhead here (r13 A/B below)
       val banded = classes.select(col("c"),
         when(col("c") === 1, "1")
           .when(col("c") < 5, "2-4")
           .when(col("c") < 10, "5-9")
           .otherwise("10+").as("band"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val risk = banded.agg(
         min(col("c")).as("min_class_size"),
         sum(when(col("c") < 5, col("c")).otherwise(0L)).as("rows_sub_k"),
@@ -1455,12 +1467,10 @@ object PrepQueries {
         .select(col("min_class_size"),
           round(col("rows_sub_k").cast("double") /
             col("n_rows").cast("double"), 6).as("sub_k_frac"))
-      QueryScopedCache.releaseAfter(
-        banded.groupBy(col("band"))
-          .agg(count(lit(1)).as("n_classes"), sum(col("c")).as("n_rows"))
-          .crossJoin(broadcast(risk))
-          .orderBy(col("band")),
-        Seq(banded))
+      banded.groupBy(col("band"))
+        .agg(count(lit(1)).as("n_classes"), sum(col("c")).as("n_rows"))
+        .crossJoin(broadcast(risk))
+        .orderBy(col("band"))
     },
     Some("""
       WITH classes AS (

@@ -2224,42 +2224,48 @@ object SimilarityQueries {
     * a corpus × selected-set min/argmax over exactly the same
     * integers.
     *
-    * Scale shape: k bounded scans — each step broadcasts the ≤ k-row
-    * selected set into one narrow corpus pass (per-row max over ≤ k
-    * dots, codegen), then a 1-row TakeOrdered argmin; nothing ever
-    * shuffles the corpus. The per-step driver round-trip is one row —
-    * the same bounded-iteration pattern as [[qSimKmeans]]. */
+    * Scale shape: k bounded scans — the selected vectors live on the
+    * DRIVER (≤ 10 × 64 doubles — the bounded one-row-per-step
+    * round-trip of the qSimKmeans iteration pattern) and enter each
+    * step as LITERAL arrays, so step k is ONE narrow corpus pass
+    * computing an in-row codegen max over ≤ k dots straight into a
+    * 1-row TakeOrdered argmin — no join, no aggregation exchange, no
+    * broadcast build job anywhere (the r13 rewrite: the prior shape
+    * re-scanned the corpus per step to extract the selected rows,
+    * broadcast-joined them back, and hash-aggregated the |corpus|×k
+    * product — 3 jobs and an exchange per step for the same
+    * integers). Nothing ever shuffles the corpus. */
   val qSimCoreset = Q(
     "q_sim_coreset",
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      // one persisted corpus pass per greedy step: the selected set
-      // lives on the DRIVER (≤ 10 ids — the bounded one-row-per-step
-      // round-trip of the qSimKmeans iteration pattern), so step k is
-      // ONE scan, never a re-derivation of steps 1..k-1
       val e = emb(s, dir).select(col("vec_id"), col("v"), col("nrm"))
         .persist(MEMORY_AND_DISK)
-      val first = e.orderBy(col("vec_id")).limit(1)
-        .select(col("vec_id")).collect()(0).getLong(0)
-      var selIds = Vector(first)
-      var out = Vector((1L, first, -1000000L))
+      val firstRow = e.orderBy(col("vec_id")).limit(1).collect()(0)
+      var selIds = Vector(firstRow.getLong(0))
+      // (vector, norm) pairs of the selected set — re-entering as
+      // literals keeps each step's sim arithmetic bit-identical to
+      // the old broadcast-join form (same dot fold, same operand
+      // order, exact collected doubles)
+      var selVecs = Vector(
+        (firstRow.getSeq[Double](1), firstRow.getDouble(2)))
+      var out = Vector((1L, firstRow.getLong(0), -1000000L))
       for (step <- 2 to 10) {
-        val selSmall = e.filter(col("vec_id").isInCollection(selIds))
-          .select(col("vec_id").as("sid"), col("v").as("sv"),
-            col("nrm").as("snrm"))
+        val sims = selVecs.map { case (sv, snrm) =>
+          round(dot(col("v"), typedLit(sv)) /
+            (sqrt(col("nrm")) * sqrt(lit(snrm))) * 1000000)
+            .cast("long")
+        }
         val next = e.filter(!col("vec_id").isInCollection(selIds))
-          .join(broadcast(selSmall))
-          .select(col("vec_id"),
-            round(dot(col("v"), col("sv")) /
-              (sqrt(col("nrm")) * sqrt(col("snrm"))) * 1000000)
-              .cast("long").as("sim_micro"))
-          .groupBy(col("vec_id"))
-          .agg(max(col("sim_micro")).as("max_sim_micro"))
+          .select(col("vec_id"), col("v"), col("nrm"),
+            (if (sims.size == 1) sims.head else greatest(sims: _*))
+              .as("max_sim_micro"))
           .orderBy(col("max_sim_micro"), col("vec_id")).limit(1)
           .collect()(0)
         selIds :+= next.getLong(0)
-        out :+= ((step.toLong, next.getLong(0), next.getLong(1)))
+        selVecs :+= ((next.getSeq[Double](1), next.getDouble(2)))
+        out :+= ((step.toLong, next.getLong(0), next.getLong(3)))
       }
       e.unpersist()
       out.toDF("step", "vec_id", "max_sim_micro").orderBy(col("step"))
