@@ -127,13 +127,17 @@ object EmbeddingSignatureStore {
     val be = normalized(batch).persist(MEMORY_AND_DISK)
     try {
       val n = be.count()
-      be.select(col("vec_id"), col("v"), col("nrm"))
+      Bucketing.alignToBuckets(
+          be.select(col("vec_id"), col("v"), col("nrm")),
+          "vec_id", SignatureStore.bucketCount(s, vecT))
         .write.format("parquet").mode("append")
         .bucketBy(SignatureStore.bucketCount(s, vecT), "vec_id")
         .sortBy("vec_id").saveAsTable(vecT)
-      be.select(col("vec_id"),
-          posexplode(VectorFunctions.lshBands(col("v"), b, r))
-            .as(Seq("band_idx", "band_val")))
+      Bucketing.alignToBuckets(
+          be.select(col("vec_id"),
+            posexplode(VectorFunctions.lshBands(col("v"), b, r))
+              .as(Seq("band_idx", "band_val"))),
+          "band_val", SignatureStore.bucketCount(s, bandT))
         .write.format("parquet").mode("append")
         .bucketBy(SignatureStore.bucketCount(s, bandT), "band_val")
         .sortBy("band_val").saveAsTable(bandT)
@@ -206,13 +210,16 @@ object EmbeddingSignatureStore {
     Seq((b, r, n)).toDF("b", "r", "n_ingest")
       .write.mode("overwrite").format("parquet").saveAsTable(gt("geo"))
     SignatureStore.markStoreTable(s, gt("geo"))
-    e.select(col("vec_id"), col("v"), col("nrm"))
+    Bucketing.alignToBuckets(
+        e.select(col("vec_id"), col("v"), col("nrm")), "vec_id", buckets)
       .write.bucketBy(buckets, "vec_id").sortBy("vec_id")
       .format("parquet").mode("overwrite").saveAsTable(gt("vectors"))
     SignatureStore.markStoreTable(s, gt("vectors"))
-    e.select(col("vec_id"),
-        posexplode(VectorFunctions.lshBands(col("v"), b, r))
-          .as(Seq("band_idx", "band_val")))
+    Bucketing.alignToBuckets(
+        e.select(col("vec_id"),
+          posexplode(VectorFunctions.lshBands(col("v"), b, r))
+            .as(Seq("band_idx", "band_val"))),
+        "band_val", buckets)
       .write.bucketBy(buckets, "band_val").sortBy("band_val")
       .format("parquet").mode("overwrite").saveAsTable(gt("bands"))
     SignatureStore.markStoreTable(s, gt("bands"))

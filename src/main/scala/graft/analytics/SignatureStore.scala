@@ -112,7 +112,7 @@ object SignatureStore {
             .write.mode("overwrite").format("parquet")
             .saveAsTable(gt("sizes"))
           markStoreTable(s, gt("sizes"))
-          DedupQueries.bandSig(mh)
+          Bucketing.alignToBuckets(DedupQueries.bandSig(mh), "bh", buckets)
             .write.bucketBy(buckets, "bh").sortBy("bh")
             .format("parquet").mode("overwrite")
             .saveAsTable(gt("signatures"))
@@ -153,14 +153,16 @@ object SignatureStore {
         .minhashAggV(bsh.select(col("doc_id"), col("v")))
         .persist(MEMORY_AND_DISK)
       try {
-        bsh.select(col("doc_id"), col("h"))
+        Bucketing.alignToBuckets(bsh.select(col("doc_id"), col("h")),
+            "doc_id", bucketCount(s, shB))
           .write.format("parquet").mode("append")
           .bucketBy(bucketCount(s, shB), "doc_id").sortBy("doc_id")
           .saveAsTable(shB)
         bmh.select(col("doc_id"), col("n"))
           .write.format("parquet").mode("append")
           .saveAsTable(gt("sizes"))
-        DedupQueries.bandSig(bmh)
+        Bucketing.alignToBuckets(DedupQueries.bandSig(bmh),
+            "bh", bucketCount(s, sigB))
           .write.format("parquet").mode("append")
           .bucketBy(bucketCount(s, sigB), "bh").sortBy("bh")
           .saveAsTable(sigB)
@@ -250,7 +252,7 @@ object SignatureStore {
           .write.mode("overwrite").format("parquet")
           .saveAsTable(nxt("sizes"))
         markStoreTable(s, nxt("sizes"))
-        DedupQueries.bandSig(mh)
+        Bucketing.alignToBuckets(DedupQueries.bandSig(mh), "bh", buckets)
           .write.bucketBy(buckets, "bh").sortBy("bh")
           .format("parquet").mode("overwrite")
           .saveAsTable(nxt("signatures"))

@@ -67,7 +67,9 @@ object TextIndex {
     def gt(p: String) = StoreMeta.name(store, p, g)
     parts.foreach(p => SignatureStore.dropStale(s, gt(p)))
     val (post, tfHandle) = postings(docs)
-    try post.select(col("w"), col("doc_id"), col("n"), col("dl"))
+    try Bucketing.alignToBuckets(
+        post.select(col("w"), col("doc_id"), col("n"), col("dl")),
+        "w", buckets)
       .write.bucketBy(buckets, "w").sortBy("w")
       .format("parquet").mode("overwrite").saveAsTable(gt("post"))
     finally tfHandle.unpersist()
@@ -82,8 +84,10 @@ object TextIndex {
       buckets: Int): Unit = {
     def gt(p: String) = StoreMeta.name(store, p, g)
     val post = s.table(gt("post"))
-    post.groupBy(col("w"))
-      .agg(count(lit(1)).as("df"), sum(col("n")).cast("long").as("n_w"))
+    Bucketing.alignToBuckets(
+        post.groupBy(col("w"))
+          .agg(count(lit(1)).as("df"), sum(col("n")).cast("long").as("n_w")),
+        "w", buckets)
       .write.bucketBy(buckets, "w").sortBy("w")
       .format("parquet").mode("overwrite").saveAsTable(gt("dict"))
     SignatureStore.markStoreTable(s, gt("dict"))
@@ -110,10 +114,13 @@ object TextIndex {
   def admit(s: SparkSession, store: String, batch: DataFrame): Unit = {
     val gen = StoreMeta.genOrFail(s, store)
     val postT = StoreMeta.name(store, "post", gen)
+    val buckets = SignatureStore.bucketCount(s, postT)
     val (post, tfHandle) = postings(batch)
-    try post.select(col("w"), col("doc_id"), col("n"), col("dl"))
+    try Bucketing.alignToBuckets(
+        post.select(col("w"), col("doc_id"), col("n"), col("dl")),
+        "w", buckets)
       .write.format("parquet").mode("append")
-      .bucketBy(SignatureStore.bucketCount(s, postT), "w").sortBy("w")
+      .bucketBy(buckets, "w").sortBy("w")
       .saveAsTable(postT)
     finally tfHandle.unpersist()
     StoreMeta.addDocs(s, store, batch.select(col("doc_id")).distinct.count)
@@ -140,7 +147,8 @@ object TextIndex {
     val g = gen + 1
     def gt(p: String) = StoreMeta.name(store, p, g)
     parts.foreach(p => SignatureStore.dropStale(s, gt(p)))
-    s.table(StoreMeta.name(store, "post", gen))
+    Bucketing.alignToBuckets(
+        s.table(StoreMeta.name(store, "post", gen)), "w", buckets)
       .write.bucketBy(buckets, "w").sortBy("w")
       .format("parquet").mode("overwrite").saveAsTable(gt("post"))
     SignatureStore.markStoreTable(s, gt("post"))

@@ -91,6 +91,11 @@ object VectorIndex {
       .select(col("vec_id"),
         graft.functions.VectorFunctions.pqCodes(col("v"), col("cs"), 2)
           .as("codes"))
+    // NOT alignToBuckets-aligned: cid has only ~k distinct values, so
+    // hash-aligning into `buckets` partitions collides the few keys
+    // into fewer tasks (guide §2.5 synthetic-key skew) and the write
+    // loses its parallelism for no file-count gain (each task already
+    // writes at most |cids| files). r13 A/B: alignment read +0.3 s.
     assigned.join(coded, "vec_id")
       .write.bucketBy(buckets, "cid").sortBy("cid")
       .format("parquet").mode("overwrite").saveAsTable(gt("codes"))
@@ -153,6 +158,7 @@ object VectorIndex {
       .select(col("vec_id"),
         graft.functions.VectorFunctions.pqCodes(col("v"), col("cs"), 2)
           .as("codes"))
+    // not aligned — low-cardinality cid, see the ingest-side note
     assigned.join(coded, "vec_id")
       .write.format("parquet").mode("append")
       .bucketBy(SignatureStore.bucketCount(s, codesT), "cid").sortBy("cid")
