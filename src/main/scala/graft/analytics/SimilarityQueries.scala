@@ -925,10 +925,32 @@ object SimilarityQueries {
     (cents0, vm0, assign, update)
   }
 
+  /** The one-row k·d centroid frame collected (bounded: k·64 BIGINTs)
+    * and re-entered as a LITERAL single-row frame — the flat-lineage
+    * step shared by [[kmeansTrain]] and [[kmeansTrainUntilConverged]]:
+    * the collected Row re-enters exactly, so the next sweep's
+    * arithmetic is bit-identical to the lazy nested chain, but each
+    * sweep's plan is flat (assign against literal centroids) instead
+    * of embedding every previous sweep's aggregations and broadcast
+    * builds (r13: the 2-sweep chain compiled to a 165-node plan whose
+    * nested exchanges each paid the fixed per-task shuffle-file cost;
+    * purity/kmeans/ivf_trained/silhouette all ride this). */
+  private def centsAsLiteral(s: SparkSession, df: DataFrame): DataFrame =
+    s.createDataFrame(
+      java.util.Collections.singletonList(df.head()), df.schema)
+
   private[analytics] def kmeansTrain(s: SparkSession, dir: String, k: Int,
       iters: Int): (DataFrame, DataFrame, DataFrame => DataFrame) = {
     val (cents0, vm0, assign, update) = kmeansCore(s, dir, k)
     var cents = cents0
+    // Deliberately LAZY (r13 examined, kept): flattening each sweep
+    // through a collected literal frame ([[centsAsLiteral]], the
+    // converged variant's pattern) was A/B'd at 5 reps — purity read
+    // −0.2..−0.6 s but q_sim_kmeans paid +0.6..+0.8 s for the extra
+    // action barriers, and the 4-caller sum was a wash in both the
+    // per-sweep and ends-only variants. Corpus passes are identical
+    // either way; fixed horizons keep the single-action chain the
+    // cheaper shape for the light callers.
     for (_ <- 1 to iters) cents = update(assign(cents))
     (cents, vm0, assign)
   }
@@ -952,9 +974,8 @@ object SimilarityQueries {
       : (DataFrame, DataFrame, DataFrame => DataFrame, Int) = {
     val (cents0, vm0, assign, update) = kmeansCore(s, dir, k)
     def collectCents(df: DataFrame): (DataFrame, Map[Long, Seq[Long]]) = {
-      val row = df.head()
-      val litDf = s.createDataFrame(
-        java.util.Collections.singletonList(row), df.schema)
+      val litDf = centsAsLiteral(s, df)
+      val row = litDf.head()
       // Row.getSeq, not getAs[Seq[...]]: Spark hands back a mutable
       // ArraySeq, which is NOT a scala.collection.immutable.Seq in 2.13
       val m = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("cents"))
